@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query: documents (sf0.001 parquet) become
+                 deterministic geo points, map_pixel-looked-up into the
+                 synthetic tile grid, aggregated per source.
+queries()      — one entry per gated operator (georasters_spark.queries).
+oracle_sql()   — matching DuckDB SQL; raster oracles recompute the
+                 deterministic synthetic pixel field via range() while
+                 Spark goes through the real tile-codec path.
 """
 
 from __future__ import annotations
@@ -15,24 +17,45 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial point-lookup join of documents into the tile grid."""
+    from pyspark.sql import functions as F
+
+    from georasters_spark import queries as Q
+    from georasters_spark.functions import grid as G
+    from georasters_spark.operators import pixels as PX
+
+    spec = Q.SPEC
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pts = docs.select(
+        "doc_id",
+        "source",
+        (F.lit(-180.0) + ((F.col("doc_id") * 7351) % 3600).cast("double") / 10.0).alias("x"),
+        (F.lit(90.0) - ((F.col("doc_id") * 4099) % 1800).cast("double") / 10.0).alias("y"),
+    )
+    pts = pts.withColumn("prow", G.row_of_y(F.col("y"), spec.y0, spec.celly)).withColumn(
+        "pcol", G.col_of_x(F.col("x"), spec.x0, spec.cellx)
+    )
+    px = PX.pixel_table(
+        Q.images_for(spark, spec),
+        valid_only=True,
+        origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly),
+    ).select(F.col("row").alias("prow"), F.col("col").alias("pcol"), "value")
+    hits = px.join(F.broadcast(pts), ["prow", "pcol"], "right")
+    return hits.groupBy("source").agg(
+        F.count("doc_id").alias("n_docs"),
+        F.count("value").alias("n_hits"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from georasters_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from georasters_spark.queries import QUERIES
+
+    return {name: sql() for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,161 @@
+"""raster <-> vector: the tile-decode/explode and tile-assembly operators.
+
+* ``pixel_table``  — images table -> tall pixel DataFrame
+  (image_id, row, col, value [, x, y, xc, yc]). Re-realizes
+  to_pandas (georasters.py:1702-1714) but genuinely per-pixel
+  (see SURVEY.md §1.4.8). The mask becomes SQL NULL / row-dropping:
+  value == ndv cells are filtered out (georasters.py:329-333).
+* ``assemble_tiles`` — pixel DataFrame -> images table rows; inverse
+  operator (from_pandas, georasters.py:1569-1599): missing cells
+  become ndv.
+
+Both are Arrow-vectorized (mapInPandas / applyInPandas); Python loops
+run per *tile*, all per-pixel work is numpy. Coordinate columns are
+added JVM-side as Column expressions so their double math is
+bit-identical to the SQL oracle's.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import grid as G
+from ..sources import codec
+
+PIXEL_SCHEMA = "image_id string, row long, col long, value double"
+
+
+def pixel_table(
+    images: DataFrame,
+    valid_only: bool = True,
+    origin: tuple[float, float] | None = None,
+    cellsize: tuple[float, float] | None = None,
+    with_coords: bool = True,
+) -> DataFrame:
+    """Decode + explode the images table into a pixel DataFrame.
+
+    Global (row, col) = (tile_row*h + i, tile_col*w + j). When
+    ``origin``/``cellsize`` are given, adds corner coords (x, y) and
+    center coords (xc, yc) as JVM Column expressions.
+    """
+
+    def explode(batches):
+        for pdf in batches:
+            outs = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(
+                    bytes(t.bytes), t.fmt, int(t.w), int(t.h), float(t.ndv)
+                ).astype(np.float64)
+                h, w = arr.shape
+                gr = (int(t.tile_row) * h + np.arange(h, dtype=np.int64))[:, None]
+                gc = (int(t.tile_col) * w + np.arange(w, dtype=np.int64))[None, :]
+                gr = np.broadcast_to(gr, (h, w)).ravel()
+                gc = np.broadcast_to(gc, (h, w)).ravel()
+                val = arr.ravel()
+                if valid_only:
+                    keep = val != float(t.ndv)
+                    gr, gc, val = gr[keep], gc[keep], val[keep]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": t.image_id,
+                            "row": gr,
+                            "col": gc,
+                            "value": val,
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"image_id": pd.Series(dtype=object),
+                 "row": pd.Series(dtype=np.int64),
+                 "col": pd.Series(dtype=np.int64),
+                 "value": pd.Series(dtype=np.float64)}
+            )
+
+    cols = ["image_id", "bytes", "fmt", "w", "h", "ndv", "tile_row", "tile_col"]
+    px = images.select(*cols).mapInPandas(explode, schema=PIXEL_SCHEMA)
+    if with_coords and origin is not None and cellsize is not None:
+        x0, y0 = origin
+        cx, cy = cellsize
+        px = (
+            px.withColumn("x", G.x_of_col(F.col("col"), x0, cx))
+            .withColumn("y", G.y_of_row(F.col("row"), y0, cy))
+            .withColumn("xc", G.x_center_of_col(F.col("col"), x0, cx))
+            .withColumn("yc", G.y_center_of_row(F.col("row"), y0, cy))
+        )
+    return px
+
+
+def assemble_tiles(
+    pixels: DataFrame,
+    grid_id: str,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+    tile: int = 64,
+    ndv: float = -9999.0,
+    fmt: str = "raw16",
+    dtype: str = "int16",
+    crs: str = "EPSG:4326",
+    cell_res: int = 3,
+    value_col: str = "value",
+) -> DataFrame:
+    """Inverse of pixel_table: (row, col, value) -> encoded tile rows.
+
+    One shuffle keyed by (tile_row, tile_col); each group assembles its
+    tile array in numpy, missing cells filled with ndv
+    (from_pandas reindex semantics, georasters.py:1590-1592).
+    """
+    from ..functions import cells as C
+    from ..sources.synth import IMAGES_SCHEMA
+
+    x0, y0 = origin
+    cx, cy = cellsize
+
+    keyed = pixels.withColumn("tile_row", (F.col("row") / tile).cast("int")).withColumn(
+        "tile_col", (F.col("col") / tile).cast("int")
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        arr = np.full((tile, tile), ndv, dtype=np.float64)
+        lr = pdf["row"].to_numpy(dtype=np.int64) - ty * tile
+        lc = pdf["col"].to_numpy(dtype=np.int64) - tx * tile
+        arr[lr, lc] = pdf[value_col].to_numpy(dtype=np.float64)
+        enc = arr.astype(np.int16) if dtype == "int16" else arr.astype(np.float32)
+        xmin = x0 + tx * tile * cx
+        ymax = y0 + ty * tile * cy
+        valid = enc != ndv
+        checksum = int(np.asarray(enc, dtype=np.int64)[valid].sum()) if dtype == "int16" else int(enc[valid].sum())
+        efmt = fmt if dtype == "int16" else ("rawf32" if fmt == "raw16" else fmt)
+        return pd.DataFrame(
+            [
+                {
+                    "image_id": f"{grid_id}_{ty:04d}_{tx:04d}",
+                    "bytes": codec.encode_tile(enc, efmt, ndv),
+                    "w": tile,
+                    "h": tile,
+                    "fmt": efmt,
+                    "caption": f"{grid_id} tile r{ty} c{tx} sum={checksum}",
+                    "phash": codec.average_hash(enc, ndv),
+                    "tile_row": ty,
+                    "tile_col": tx,
+                    "xmin": xmin,
+                    "ymax": ymax,
+                    "cellx": cx,
+                    "celly": cy,
+                    "crs": crs,
+                    "ndv": float(ndv),
+                    "dtype": dtype,
+                    "cell_id": int(
+                        C.cell_of(xmin + tile * cx / 2, ymax + tile * cy / 2, cell_res)
+                    ),
+                }
+            ]
+        )
+
+    return keyed.groupBy("tile_row", "tile_col").applyInPandas(
+        build, schema=IMAGES_SCHEMA
+    )

@@ -1,0 +1,197 @@
+"""Spatial joins: point-in-polygon, zonal statistics, clip.
+
+Re-realizes the reference's clip/stats (rasterstats zonal_stats with
+all_touched=True, georasters.py:870-947) as Spark joins:
+
+  1. **tile pruning** — tiles whose bbox misses every zone bbox are
+     dropped *before* decode (the Iceberg min/max file-skipping analog;
+     reference analog: rasterstats window-crops to the polygon bbox).
+  2. **PIP kernel** — zones are broadcast (small side); an Arrow
+     mapInPandas batch evaluates every zone's ray-casting /
+     all_touched test in numpy → one output row per (pixel, zone) hit.
+  3. **aggregation** — groupBy(zone_id) hash aggregate; map-side
+     partial agg is automatic. For skewed zones (a continent-sized
+     polygon) an explicit two-phase salted aggregate is provided:
+     partial per (zone_id, salt), final per zone_id — plus AQE skew
+     handling as backstop (north rule: explicit salting).
+
+At 100 TB the zone table stays broadcastable (thousands of polygons);
+the only shuffle is the zone-keyed aggregate, whose input is already
+reduced to per-(zone, salt) partials map-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geometry as geom
+from ..operators import pixels as PX
+
+
+def prune_tiles(images: DataFrame, zones) -> DataFrame:
+    """Keep only tiles whose bbox intersects >=1 zone bbox (pure Column
+    predicate -> pushed to the parquet scan when images is a table)."""
+    pred = None
+    for z in zones:
+        bx0, by0, bx1, by1 = geom.rings_bbox(z.rings)
+        tile_x1 = F.col("xmin") + F.col("w") * F.col("cellx")
+        tile_y1 = F.col("ymax") + F.col("h") * F.col("celly")
+        p = (
+            (F.col("xmin") < F.lit(bx1))
+            & (tile_x1 > F.lit(bx0))
+            & (F.col("ymax") > F.lit(by0))
+            & (tile_y1 < F.lit(by1))
+        )
+        pred = p if pred is None else (pred | p)
+    return images.filter(pred) if pred is not None else images
+
+
+def pip_join(
+    pixel_df: DataFrame,
+    zones,
+    mode: str = "center",
+    cellsize: tuple[float, float] | None = None,
+) -> DataFrame:
+    """(pixel rows with xc, yc) x zones -> one row per (pixel, zone) hit.
+
+    mode='center': cell-center even-odd PIP (exact SQL oracle exists for
+    convex zones). mode='all_touched': rasterstats all_touched=True
+    semantics (georasters.py:884-886).
+    """
+    zlist = [(int(z.zone_id), [np.asarray(r, dtype=np.float64) for r in z.rings]) for z in zones]
+    if mode == "all_touched" and cellsize is None:
+        raise ValueError("all_touched needs cellsize=(cellx, celly)")
+    cx, cy = cellsize if cellsize else (0.0, 0.0)
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(pixel_df.schema.fields) + [T.StructField("zone_id", T.LongType())]
+    )
+    fields = [f.name for f in pixel_df.schema.fields]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xs = pdf["xc"].to_numpy(dtype=np.float64)
+            ys = pdf["yc"].to_numpy(dtype=np.float64)
+            outs = []
+            for zid, rings in zlist:
+                if mode == "center":
+                    hit = geom.points_in_rings(xs, ys, rings)
+                else:
+                    hit = geom.cells_touched(xs, ys, cx, cy, rings)
+                if hit.any():
+                    sub = pdf.loc[hit, fields].copy()
+                    sub["zone_id"] = zid
+                    outs.append(sub)
+            if outs:
+                yield pd.concat(outs)
+
+    return pixel_df.mapInPandas(kernel, schema=out_schema)
+
+
+def zonal_stats(
+    images: DataFrame,
+    zones,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+    mode: str = "center",
+    salt: int | None = None,
+) -> DataFrame:
+    """Per-zone stats of valid pixels: the reference stats() surface
+    (mean/min/max/count/sum/std, georasters.py:908-947). Exact integer
+    sums; derived moments computed from them (deterministic for the
+    DuckDB oracle). Output columns:
+      zone_id, zcount, zsum, zmin, zmax, zmean, zstd
+    """
+    pruned = prune_tiles(images, zones)
+    px = PX.pixel_table(pruned, valid_only=True, origin=origin, cellsize=cellsize)
+    hits = pip_join(px, zones, mode=mode, cellsize=cellsize)
+    v = F.col("value")
+    if salt:
+        # explicit two-phase salted aggregate for skewed zones
+        salted = hits.withColumn("_salt", F.pmod(F.xxhash64("image_id", "row", "col"), F.lit(salt)))
+        partial = salted.groupBy("zone_id", "_salt").agg(
+            F.count(v).alias("c"),
+            F.sum(v).alias("s"),
+            F.sum(v * v).alias("s2"),
+            F.min(v).alias("mn"),
+            F.max(v).alias("mx"),
+        )
+        agg = partial.groupBy("zone_id").agg(
+            F.sum("c").alias("zcount"),
+            F.sum("s").alias("zsum"),
+            F.sum("s2").alias("zsum2"),
+            F.min("mn").alias("zmin"),
+            F.max("mx").alias("zmax"),
+        )
+    else:
+        agg = hits.groupBy("zone_id").agg(
+            F.count(v).alias("zcount"),
+            F.sum(v).alias("zsum"),
+            F.sum(v * v).alias("zsum2"),
+            F.min(v).alias("zmin"),
+            F.max(v).alias("zmax"),
+        )
+    return (
+        agg.withColumn("zmean", F.round(F.col("zsum") / F.col("zcount"), 6))
+        .withColumn(
+            "zstd",
+            F.round(
+                F.sqrt(
+                    F.col("zsum2") / F.col("zcount")
+                    - (F.col("zsum") / F.col("zcount")) * (F.col("zsum") / F.col("zcount"))
+                ),
+                6,
+            ),
+        )
+        .select(
+            "zone_id",
+            F.col("zcount").cast("long").alias("zcount"),
+            F.col("zsum").cast("long").alias("zsum"),
+            F.col("zmin").cast("long").alias("zmin"),
+            F.col("zmax").cast("long").alias("zmax"),
+            "zmean",
+            "zstd",
+        )
+    )
+
+
+def clip(
+    images: DataFrame,
+    zones,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+    tile: int = 64,
+    ndv: float = -9999.0,
+    mode: str = "all_touched",
+) -> DataFrame:
+    """Per-zone sub-rasters (reference clip, georasters.py:870-906):
+    PIP join then re-assemble mini-tiles per (zone, tile block). Returns
+    images-schema rows with image_id prefixed by the zone id."""
+    pruned = prune_tiles(images, zones)
+    px = PX.pixel_table(pruned, valid_only=True, origin=origin, cellsize=cellsize)
+    hits = pip_join(px, zones, mode=mode, cellsize=cellsize)
+    outs = []
+    x0, y0 = origin
+    for z in zones:
+        zpx = hits.filter(F.col("zone_id") == int(z.zone_id))
+        outs.append(
+            PX.assemble_tiles(
+                zpx.select("row", "col", "value"),
+                grid_id=f"clip_z{z.zone_id}",
+                origin=origin,
+                cellsize=cellsize,
+                tile=tile,
+                ndv=ndv,
+            ).withColumn("zone_id", F.lit(int(z.zone_id)))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

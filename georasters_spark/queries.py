@@ -1,0 +1,399 @@
+"""Query registry: every gated operator as (spark builder, DuckDB oracle).
+
+This is the driver-facing correctness surface (__spark_entry__.queries /
+oracle_sql). Raster queries run on the deterministic t1 synthetic grid
+(fixed size regardless of sf — the formulas in sources/synth.py are
+SQL-expressible, so DuckDB recomputes the same pixels via range() while
+Spark goes through the real tile-codec path). Text/dedup/similarity
+queries read the driver's parquet tables from sf_dir.
+
+Column-naming rule: every computed column is aliased identically in the
+Spark plan and the oracle SQL (driver hash-compares values by sorted
+column name). All doubles that pass through aggregation are rounded to
+6 dp on BOTH sides; integer aggregates stay exact BIGINTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .functions import cells as C
+from .functions import grid as G
+from .operators import pixels as PX
+from .operators import spatial_join as SJ
+from .sources import synth
+from .sources.synth import GridSpec
+
+SPEC = synth.T1            # g42: 540x270, seed 42
+SPECB = synth.T1B          # g43: algebra partner, same grid
+# g44: overlapping mosaic partner — same cell lattice, origin shifted by
+# exactly (60 rows, 120 cols) so union joins on global (row, col).
+SPECD = GridSpec(grid_id="g44", seed=44, x0=-100.0, y0=50.0)
+D_OFF_ROW, D_OFF_COL = 60, 120
+
+_img_cache: dict = {}
+
+
+def images_for(spark: SparkSession, spec: GridSpec, fmt: str = "raw16") -> DataFrame:
+    key = (spark.sparkContext.applicationId, spec.grid_id, fmt)
+    if key not in _img_cache:
+        df = synth.build_images(spark, spec, fmt).cache()
+        df.count()
+        _img_cache[key] = df
+    return _img_cache[key]
+
+
+def _px(spark, spec, valid_only=True):
+    return PX.pixel_table(
+        images_for(spark, spec),
+        valid_only=valid_only,
+        origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q: pixel_decode — the decode/explode path itself (tile assignment gate)
+# ---------------------------------------------------------------------------
+
+def q_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = _px(spark, SPEC)
+    return px.select(
+        "image_id",
+        "row",
+        "col",
+        F.col("value").cast("long").alias("value"),
+        "x",
+        "y",
+    )
+
+
+def sql_pixel_decode() -> str:
+    return f"""WITH {synth.pixel_sql(SPEC)}
+SELECT printf('{SPEC.grid_id}_%04d_%04d', CAST(row // {SPEC.tile} AS INT), CAST(col // {SPEC.tile} AS INT)) AS image_id,
+       row, col, value, x, y
+FROM px"""
+
+
+# ---------------------------------------------------------------------------
+# q: tile_cells — hierarchical cell-index assignment per tile (north rule)
+# integer-exact path: ix = ((2*tc+1)*T*2^res) DIV (2*W)
+# ---------------------------------------------------------------------------
+
+def _ixiy_exprs(spec: GridSpec, dialect: str):
+    idiv = "//" if dialect == "duckdb" else " DIV "
+    n = 1 << spec.cell_res
+    ix = f"LEAST(((2*tile_col+1)*{spec.tile}*{n}) {idiv} (2*{spec.width}), {n - 1})"
+    iy = f"LEAST(((2*tile_row+1)*{spec.tile}*{n}) {idiv} (2*{spec.height}), {n - 1})"
+    return ix, iy
+
+
+def q_tile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = SPEC
+    imgs = images_for(spark, spec)
+    ix, iy = _ixiy_exprs(spec, "spark")
+    cell = C.morton_sql(ix, iy, spec.cell_res, dialect="spark")
+    parent = C.morton_sql(f"({ix}) DIV 2", f"({iy}) DIV 2", spec.cell_res - 1, dialect="spark")
+    return imgs.selectExpr(
+        "image_id",
+        f"CAST({ix} AS BIGINT) AS ix",
+        f"CAST({iy} AS BIGINT) AS iy",
+        f"CAST({cell} AS BIGINT) AS cell_id",
+        f"CAST({parent} AS BIGINT) AS parent_id",
+    )
+
+
+def sql_tile_cells() -> str:
+    spec = SPEC
+    ix, iy = _ixiy_exprs(spec, "duckdb")
+    cell = C.morton_sql(ix, iy, spec.cell_res, dialect="duckdb")
+    parent = C.morton_sql(f"({ix}) // 2", f"({iy}) // 2", spec.cell_res - 1, dialect="duckdb")
+    return f"""WITH {synth.tile_sql(spec)}
+SELECT image_id,
+       CAST({ix} AS BIGINT) AS ix, CAST({iy} AS BIGINT) AS iy,
+       CAST({cell} AS BIGINT) AS cell_id, CAST({parent} AS BIGINT) AS parent_id
+FROM tiles"""
+
+
+# ---------------------------------------------------------------------------
+# q: zonal_stats — PIP broadcast join + zone aggregate (flagship operator)
+# ---------------------------------------------------------------------------
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = SPEC
+    return SJ.zonal_stats(
+        images_for(spark, spec),
+        synth.ZONES_T1,
+        origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly),
+    )
+
+
+def sql_zonal_stats() -> str:
+    spec = SPEC
+    preds = [
+        f"SELECT {z.zone_id} AS zone_id, px.value FROM px WHERE "
+        + synth.zone_sql_predicate(z, "px.xc", "px.yc")
+        for z in synth.ZONES_T1
+    ]
+    return f"""WITH {synth.pixel_sql(spec)}, hits AS ({' UNION ALL '.join(preds)})
+SELECT zone_id,
+       CAST(COUNT(value) AS BIGINT) AS zcount,
+       CAST(SUM(value) AS BIGINT) AS zsum,
+       CAST(MIN(value) AS BIGINT) AS zmin,
+       CAST(MAX(value) AS BIGINT) AS zmax,
+       ROUND(CAST(SUM(value) AS DOUBLE)/COUNT(value), 6) AS zmean,
+       ROUND(SQRT(CAST(SUM(value*value) AS DOUBLE)/COUNT(value)
+             - (CAST(SUM(value) AS DOUBLE)/COUNT(value))*(CAST(SUM(value) AS DOUBLE)/COUNT(value))), 6) AS zstd
+FROM hits GROUP BY zone_id"""
+
+
+# ---------------------------------------------------------------------------
+# q: global_stats — whole-raster masked aggregates (georasters.py:715-868)
+# ---------------------------------------------------------------------------
+
+def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.col("value")
+    return _px(spark, SPEC).agg(
+        F.count(v).cast("long").alias("vcount"),
+        F.sum(v).cast("long").alias("vsum"),
+        F.min(v).cast("long").alias("vmin"),
+        F.max(v).cast("long").alias("vmax"),
+        F.round(F.sum(v) / F.count(v), 6).alias("vmean"),
+        F.round(
+            F.sqrt(F.sum(v * v) / F.count(v) - (F.sum(v) / F.count(v)) * (F.sum(v) / F.count(v))),
+            6,
+        ).alias("vstd"),
+        F.median(v).cast("double").alias("vmedian"),
+    )
+
+
+def sql_global_stats() -> str:
+    return f"""WITH {synth.pixel_sql(SPEC)}
+SELECT CAST(COUNT(value) AS BIGINT) AS vcount,
+       CAST(SUM(value) AS BIGINT) AS vsum,
+       CAST(MIN(value) AS BIGINT) AS vmin,
+       CAST(MAX(value) AS BIGINT) AS vmax,
+       ROUND(CAST(SUM(value) AS DOUBLE)/COUNT(value), 6) AS vmean,
+       ROUND(SQRT(CAST(SUM(value*value) AS DOUBLE)/COUNT(value)
+             - (CAST(SUM(value) AS DOUBLE)/COUNT(value))*(CAST(SUM(value) AS DOUBLE)/COUNT(value))), 6) AS vstd,
+       CAST(MEDIAN(value) AS DOUBLE) AS vmedian
+FROM px"""
+
+
+# ---------------------------------------------------------------------------
+# q: gini — reference formula (georasters.py:949-961) via window cumsum
+# ---------------------------------------------------------------------------
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = _px(spark, SPEC).select(F.col("value").cast("long").alias("value"))
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = px.withColumn("ycum", F.sum("value").over(w))
+    return cum.agg(
+        F.count("value").cast("long").alias("n"),
+        F.round(
+            F.lit(1.0)
+            + 1.0 / F.count("value")
+            - 2.0 * (F.sum("ycum") / (F.max("ycum") * F.count("value"))),
+            9,
+        ).alias("gini"),
+    )
+
+
+def sql_gini() -> str:
+    return f"""WITH {synth.pixel_sql(SPEC)},
+cum AS (SELECT value, SUM(value) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ycum FROM px)
+SELECT CAST(COUNT(value) AS BIGINT) AS n,
+       ROUND(1.0 + 1.0/COUNT(value) - 2.0*(CAST(SUM(ycum) AS DOUBLE)/(CAST(MAX(ycum) AS DOUBLE)*COUNT(value))), 9) AS gini
+FROM cum"""
+
+
+# ---------------------------------------------------------------------------
+# q: map_pixel — point-batch value lookup (georasters.py:990-1014)
+# HALF_EVEN rounding gate: Spark bround == DuckDB round_even == np.round
+# ---------------------------------------------------------------------------
+
+def q_map_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = SPEC
+    pts = synth.points_df(spark, 100)
+    pts = pts.withColumn("prow", G.row_of_y(F.col("y"), spec.y0, spec.celly)).withColumn(
+        "pcol", G.col_of_x(F.col("x"), spec.x0, spec.cellx)
+    )
+    px = _px(spark, SPEC).select(
+        F.col("row").alias("prow"),
+        F.col("col").alias("pcol"),
+        F.col("value").cast("long").alias("value"),
+    )
+    # broadcast the tiny point table; stream the pixel table (right outer
+    # keeps out-of-coverage points with NULL value)
+    out = px.join(F.broadcast(pts), ["prow", "pcol"], "right")
+    return out.select(
+        "point_id",
+        "prow",
+        "pcol",
+        "value",
+        (
+            (F.col("prow") >= 0)
+            & (F.col("prow") < spec.height)
+            & (F.col("pcol") >= 0)
+            & (F.col("pcol") < spec.width)
+        ).alias("in_coverage"),
+    )
+
+
+def sql_map_pixel() -> str:
+    spec = SPEC
+    return f"""WITH {synth.pixel_sql(spec)}, {synth.points_sql(100)},
+loc AS (
+  SELECT point_id,
+         CAST(round_even((y - {spec.y0!r}) / {spec.celly!r}, 0) AS BIGINT) AS prow,
+         CAST(round_even((x - {spec.x0!r}) / {spec.cellx!r}, 0) AS BIGINT) AS pcol
+  FROM pts)
+SELECT loc.point_id, loc.prow, loc.pcol, px.value,
+       (loc.prow >= 0 AND loc.prow < {spec.height} AND loc.pcol >= 0 AND loc.pcol < {spec.width}) AS in_coverage
+FROM loc LEFT JOIN px ON px.row = loc.prow AND px.col = loc.pcol"""
+
+
+# ---------------------------------------------------------------------------
+# q: block_aggregate — block_reduce sum, ANY-masked ⇒ NULL (SURVEY §1.4.4)
+# ---------------------------------------------------------------------------
+
+def q_block_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = SPEC
+    px = _px(spark, SPEC, valid_only=False).filter(
+        (F.col("row") < spec.height) & (F.col("col") < spec.width)
+    )
+    v = (
+        F.when(F.col("value") == float(spec.ndv), F.lit(None))
+        .otherwise(F.col("value"))
+        .cast("long")
+    )
+    blocks = px.select(
+        (F.col("row") / 3).cast("long").alias("brow"),
+        (F.col("col") / 3).cast("long").alias("bcol"),
+        v.alias("v"),
+    )
+    agg = blocks.groupBy("brow", "bcol").agg(
+        F.expr("bool_or(v IS NULL)").alias("anymask"),
+        F.sum("v").alias("s"),
+        F.count(F.lit(1)).alias("npx"),
+    )
+    return agg.select(
+        "brow",
+        "bcol",
+        F.when(F.col("anymask"), F.lit(None)).otherwise(F.col("s")).cast("long").alias("bsum"),
+    )
+
+
+def sql_block_aggregate() -> str:
+    spec = SPEC
+    return f"""WITH {synth.pixel_sql(spec, valid_only=False)}
+SELECT CAST(row // 3 AS BIGINT) AS brow, CAST(col // 3 AS BIGINT) AS bcol,
+       CAST(CASE WHEN BOOL_OR(masked) THEN NULL ELSE SUM(value) END AS BIGINT) AS bsum
+FROM px GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# q: union_mosaic — later-wins mosaic (georasters.py:1493-1535, §1.4.2)
+# ---------------------------------------------------------------------------
+
+def q_union_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    d = _px(spark, SPECD).select(
+        (F.col("row") + D_OFF_ROW).alias("row"),
+        (F.col("col") + D_OFF_COL).alias("col"),
+        F.col("value").cast("long").alias("value"),
+    )
+    tagged = a.withColumn("ordinal", F.lit(0)).unionByName(
+        d.withColumn("ordinal", F.lit(1))
+    )
+    return tagged.groupBy("row", "col").agg(
+        F.max_by("value", "ordinal").alias("value")
+    )
+
+
+def sql_union_mosaic() -> str:
+    return f"""WITH {synth.pixel_sql(SPEC, alias='pxa')}, {synth.pixel_sql(SPECD, alias='pxd')},
+tagged AS (
+  SELECT row, col, value, 0 AS ordinal FROM pxa
+  UNION ALL
+  SELECT row + {D_OFF_ROW} AS row, col + {D_OFF_COL} AS col, value, 1 AS ordinal FROM pxd
+)
+SELECT row, col, CAST(arg_max(value, ordinal) AS BIGINT) AS value
+FROM tagged GROUP BY row, col"""
+
+
+# ---------------------------------------------------------------------------
+# q: algebra_add — raster⊕raster elementwise (georasters.py:430-528):
+# masked propagates (inner join of valid pixels on the shared lattice)
+# ---------------------------------------------------------------------------
+
+def q_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("va"))
+    b = _px(spark, SPECB).select("row", "col", F.col("value").cast("long").alias("vb"))
+    j = a.join(b, ["row", "col"])
+    return j.select(
+        "row",
+        "col",
+        (F.col("va") + F.col("vb")).alias("v_add"),
+        (F.col("va") - F.col("vb")).alias("v_sub"),
+        (F.col("va") * F.col("vb")).alias("v_mul"),
+        F.round(F.pow(F.col("va").cast("double"), 2.0) - F.col("vb"), 6).alias("v_powsub"),
+    )
+
+
+def sql_algebra() -> str:
+    return f"""WITH {synth.pixel_sql(SPEC, alias='pxa')}, {synth.pixel_sql(SPECB, alias='pxb')}
+SELECT a.row, a.col,
+       a.value + b.value AS v_add,
+       a.value - b.value AS v_sub,
+       a.value * b.value AS v_mul,
+       ROUND(POW(CAST(a.value AS DOUBLE), 2.0) - b.value, 6) AS v_powsub
+FROM pxa a JOIN pxb b ON a.row = b.row AND a.col = b.col"""
+
+
+# ---------------------------------------------------------------------------
+# q: extract_window — radius window around a point (georasters.py:1016-1030)
+# ---------------------------------------------------------------------------
+
+_EXTRACT_PT = (12.37, -7.93)
+_EXTRACT_RAD = 15
+
+
+def q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = SPEC
+    xq, yq = _EXTRACT_PT
+    px = _px(spark, SPEC)
+    r0 = G.row_of_y(F.lit(yq), spec.y0, spec.celly)
+    c0 = G.col_of_x(F.lit(xq), spec.x0, spec.cellx)
+    return px.filter(G.extract_predicate(F.col("row"), F.col("col"), r0, c0, _EXTRACT_RAD, _EXTRACT_RAD)).select(
+        "row", "col", F.col("value").cast("long").alias("value")
+    )
+
+
+def sql_extract() -> str:
+    spec = SPEC
+    xq, yq = _EXTRACT_PT
+    return f"""WITH {synth.pixel_sql(spec)}
+SELECT row, col, value FROM px
+WHERE abs(row - CAST(round_even(({yq!r} - {spec.y0!r}) / {spec.celly!r}, 0) AS BIGINT)) <= {_EXTRACT_RAD}
+  AND abs(col - CAST(round_even(({xq!r} - {spec.x0!r}) / {spec.cellx!r}, 0) AS BIGINT)) <= {_EXTRACT_RAD}"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pixel_decode": (q_pixel_decode, sql_pixel_decode),
+    "tile_cells": (q_tile_cells, sql_tile_cells),
+    "zonal_stats": (q_zonal_stats, sql_zonal_stats),
+    "global_stats": (q_global_stats, sql_global_stats),
+    "gini": (q_gini, sql_gini),
+    "map_pixel": (q_map_pixel, sql_map_pixel),
+    "block_aggregate": (q_block_aggregate, sql_block_aggregate),
+    "union_mosaic": (q_union_mosaic, sql_union_mosaic),
+    "algebra": (q_algebra, sql_algebra),
+    "extract_window": (q_extract, sql_extract),
+}

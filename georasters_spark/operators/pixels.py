@@ -34,13 +34,21 @@ def pixel_table(
     origin: tuple[float, float] | None = None,
     cellsize: tuple[float, float] | None = None,
     with_coords: bool = True,
+    bboxes: list[tuple[float, float, float, float]] | None = None,
 ) -> DataFrame:
     """Decode + explode the images table into a pixel DataFrame.
 
     Global (row, col) = (tile_row*h + i, tile_col*w + j). When
     ``origin``/``cellsize`` are given, adds corner coords (x, y) and
     center coords (xc, yc) as JVM Column expressions.
+
+    ``bboxes`` (requires origin+cellsize): world-coordinate prefilter
+    applied in numpy *before* the Arrow transfer, padded by one cell so
+    it can never change downstream PIP results — the predicate-pushdown
+    analog for the decode stage.
     """
+    if bboxes is not None and (origin is None or cellsize is None):
+        raise ValueError("bboxes prefilter needs origin and cellsize")
 
     def explode(batches):
         for pdf in batches:
@@ -57,6 +65,20 @@ def pixel_table(
                 val = arr.ravel()
                 if valid_only:
                     keep = val != float(t.ndv)
+                    gr, gc, val = gr[keep], gc[keep], val[keep]
+                if bboxes is not None:
+                    x0, y0 = origin
+                    cx, cy = cellsize
+                    xs = x0 + (gc + 0.5) * cx
+                    ys = y0 + (gr + 0.5) * cy
+                    keep = np.zeros(len(gr), dtype=bool)
+                    for bx0, by0, bx1, by1 in bboxes:
+                        keep |= (
+                            (xs >= bx0 - abs(cx))
+                            & (xs <= bx1 + abs(cx))
+                            & (ys >= by0 - abs(cy))
+                            & (ys <= by1 + abs(cy))
+                        )
                     gr, gc, val = gr[keep], gc[keep], val[keep]
                 outs.append(
                     pd.DataFrame(
@@ -87,6 +109,36 @@ def pixel_table(
             .withColumn("yc", G.y_center_of_row(F.col("row"), y0, cy))
         )
     return px
+
+
+def lookup_points(
+    images: DataFrame,
+    points: DataFrame,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+    tile: int = 64,
+) -> DataFrame:
+    """map_pixel point-batch lookup (georasters.py:990-1014) with tile
+    pruning: only tiles containing >=1 query point are decoded (the
+    partition-pruning analog). points: (point_id, x, y, ...). Returns
+    the points' columns + (prow, pcol, value) with NULL value for
+    masked or out-of-coverage points."""
+    from ..functions import grid as G
+
+    x0, y0 = origin
+    cx, cy = cellsize
+    pts = points.withColumn("prow", G.row_of_y(F.col("y"), y0, cy)).withColumn(
+        "pcol", G.col_of_x(F.col("x"), x0, cx)
+    )
+    keys = pts.select(
+        F.floor(F.col("prow") / tile).cast("int").alias("tile_row"),
+        F.floor(F.col("pcol") / tile).cast("int").alias("tile_col"),
+    ).distinct()
+    pruned = images.join(F.broadcast(keys), ["tile_row", "tile_col"], "left_semi")
+    px = pixel_table(pruned, valid_only=True, with_coords=False).select(
+        F.col("row").alias("prow"), F.col("col").alias("pcol"), "value"
+    )
+    return px.join(F.broadcast(pts), ["prow", "pcol"], "right")
 
 
 def assemble_tiles(

@@ -61,10 +61,20 @@ def pip_join(
     convex zones). mode='all_touched': rasterstats all_touched=True
     semantics (georasters.py:884-886).
     """
-    zlist = [(int(z.zone_id), [np.asarray(r, dtype=np.float64) for r in z.rings]) for z in zones]
+    zlist = [
+        (
+            int(z.zone_id),
+            [np.asarray(r, dtype=np.float64) for r in z.rings],
+            geom.rings_bbox(z.rings),
+        )
+        for z in zones
+    ]
     if mode == "all_touched" and cellsize is None:
         raise ValueError("all_touched needs cellsize=(cellx, celly)")
     cx, cy = cellsize if cellsize else (0.0, 0.0)
+    # bbox pad so the all_touched test still sees cells whose rectangle
+    # (not center) reaches the polygon
+    padx, pady = (abs(cx), abs(cy)) if mode == "all_touched" else (0.0, 0.0)
 
     from pyspark.sql import types as T
 
@@ -80,11 +90,22 @@ def pip_join(
             xs = pdf["xc"].to_numpy(dtype=np.float64)
             ys = pdf["yc"].to_numpy(dtype=np.float64)
             outs = []
-            for zid, rings in zlist:
+            for zid, rings, (bx0, by0, bx1, by1) in zlist:
+                # cheap bbox prefilter: ray-cast only candidate cells
+                cand = (
+                    (xs >= bx0 - padx)
+                    & (xs <= bx1 + padx)
+                    & (ys >= by0 - pady)
+                    & (ys <= by1 + pady)
+                )
+                if not cand.any():
+                    continue
                 if mode == "center":
-                    hit = geom.points_in_rings(xs, ys, rings)
+                    sub_hit = geom.points_in_rings(xs[cand], ys[cand], rings)
                 else:
-                    hit = geom.cells_touched(xs, ys, cx, cy, rings)
+                    sub_hit = geom.cells_touched(xs[cand], ys[cand], cx, cy, rings)
+                hit = np.zeros(len(pdf), dtype=bool)
+                hit[np.flatnonzero(cand)[sub_hit]] = True
                 if hit.any():
                     sub = pdf.loc[hit, fields].copy()
                     sub["zone_id"] = zid
@@ -110,7 +131,13 @@ def zonal_stats(
       zone_id, zcount, zsum, zmin, zmax, zmean, zstd
     """
     pruned = prune_tiles(images, zones)
-    px = PX.pixel_table(pruned, valid_only=True, origin=origin, cellsize=cellsize)
+    px = PX.pixel_table(
+        pruned,
+        valid_only=True,
+        origin=origin,
+        cellsize=cellsize,
+        bboxes=[geom.rings_bbox(z.rings) for z in zones],
+    )
     hits = pip_join(px, zones, mode=mode, cellsize=cellsize)
     v = F.col("value")
     if salt:

@@ -217,17 +217,13 @@ FROM cum"""
 def q_map_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = SPEC
     pts = synth.points_df(spark, 100)
-    pts = pts.withColumn("prow", G.row_of_y(F.col("y"), spec.y0, spec.celly)).withColumn(
-        "pcol", G.col_of_x(F.col("x"), spec.x0, spec.cellx)
-    )
-    px = _px(spark, SPEC).select(
-        F.col("row").alias("prow"),
-        F.col("col").alias("pcol"),
-        F.col("value").cast("long").alias("value"),
-    )
-    # broadcast the tiny point table; stream the pixel table (right outer
-    # keeps out-of-coverage points with NULL value)
-    out = px.join(F.broadcast(pts), ["prow", "pcol"], "right")
+    out = PX.lookup_points(
+        images_for(spark, spec),
+        pts,
+        origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly),
+        tile=spec.tile,
+    ).withColumn("value", F.col("value").cast("long"))
     return out.select(
         "point_id",
         "prow",
@@ -385,8 +381,260 @@ WHERE abs(row - CAST(round_even(({yq!r} - {spec.y0!r}) / {spec.celly!r}, 0) AS B
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# q: knn_tiles — ring-expansion kNN over the cell index (north rule)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_NPTS = 30
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import knn as KN
+
+    spec = SPEC
+    return KN.knn_tiles(
+        images_for(spark, spec),
+        synth.points_df(spark, _KNN_NPTS),
+        res=spec.cell_res,
+        k=_KNN_K,
+    )
+
+
+def sql_knn() -> str:
+    spec = SPEC
+    return f"""WITH {synth.tile_sql(spec)}, {synth.points_sql(_KNN_NPTS)},
+scored AS (
+  SELECT p.point_id, t.image_id,
+         ROUND((t.center_x - p.x)*(t.center_x - p.x) + (t.center_y - p.y)*(t.center_y - p.y), 6) AS dist2
+  FROM tiles t CROSS JOIN pts p
+),
+ranked AS (
+  SELECT point_id, image_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY dist2, image_id) AS knn_rank
+  FROM scored
+)
+SELECT point_id, image_id, dist2, knn_rank
+FROM ranked WHERE knn_rank <= {_KNN_K}"""
+
+
+# ---------------------------------------------------------------------------
+# q: autocorr_global — Moran/Geary/Getis/join-counts via neighbor self-join
+# q: focal_stats    — per-cell queen-neighborhood aggregates (G*-local base)
+# ---------------------------------------------------------------------------
+
+_BIN_T = 999
+
+
+def q_autocorr_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.global_autocorr(px, bin_threshold=_BIN_T)
+
+
+def sql_autocorr_global() -> str:
+    from .operators import autocorr as AC
+
+    return AC.global_autocorr_sql(synth.pixel_sql(SPEC), bin_threshold=_BIN_T)
+
+
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.focal_stats(px, include_self=True)
+
+
+def sql_focal_stats() -> str:
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in
+                        [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)])
+    return f"""WITH {synth.pixel_sql(SPEC)},
+offsets(dr, dc) AS (VALUES {offsets}),
+cand AS (
+  SELECT a.row, a.col, a.row + o.dr AS r2, a.col + o.dc AS c2
+  FROM px a CROSS JOIN offsets o),
+nb AS (
+  SELECT cand.row, cand.col, b.value AS vb
+  FROM cand JOIN px b ON b.row = cand.r2 AND b.col = cand.c2),
+agg AS (
+  SELECT row, col, CAST(SUM(vb) AS BIGINT) AS nsum_, CAST(COUNT(*) AS BIGINT) AS ncnt_
+  FROM nb GROUP BY row, col)
+SELECT px.row, px.col, px.value,
+       CAST(COALESCE(agg.nsum_, 0) + px.value AS BIGINT) AS nsum,
+       CAST(COALESCE(agg.ncnt_, 0) + 1 AS BIGINT) AS ncnt
+FROM px LEFT JOIN agg ON agg.row = px.row AND agg.col = px.col"""
+
+
+# ---------------------------------------------------------------------------
+# q: argmax — flat C-order index of extremes, first-occurrence rule
+# (np.argmax/argmin semantics, georasters.py:793-819)
+# ---------------------------------------------------------------------------
+
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = SPEC
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    flat = (F.col("row") * spec.width + F.col("col")).alias("flat_idx")
+    outs = []
+    for which, agg_fn, order in (("max", F.max, F.asc), ("min", F.min, F.asc)):
+        ext = px.agg(agg_fn("value").alias("v")).collect()[0]["v"]
+        outs.append(
+            px.filter(F.col("value") == int(ext))
+            .select(F.lit(which).alias("which"), "row", "col", "value", flat)
+            .orderBy("flat_idx")
+            .limit(1)
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def sql_argmax() -> str:
+    spec = SPEC
+    return f"""WITH {synth.pixel_sql(spec)},
+mx AS (SELECT 'max' AS which, row, col, value, row * {spec.width} + col AS flat_idx
+       FROM px WHERE value = (SELECT MAX(value) FROM px) ORDER BY flat_idx LIMIT 1),
+mn AS (SELECT 'min' AS which, row, col, value, row * {spec.width} + col AS flat_idx
+       FROM px WHERE value = (SELECT MIN(value) FROM px) ORDER BY flat_idx LIMIT 1)
+SELECT * FROM mx UNION ALL SELECT * FROM mn"""
+
+
+# ---------------------------------------------------------------------------
+# q: resize — nearest-neighbor resample via integer gather
+# (georasters.py:1095-1139; order-0 nearest)
+# ---------------------------------------------------------------------------
+
+_RS_TH, _RS_TW = 90, 180
+
+
+def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = SPEC
+    target = (
+        spark.range(_RS_TH)
+        .select(F.col("id").alias("trow"))
+        .crossJoin(spark.range(_RS_TW).select(F.col("id").alias("tcol")))
+    )
+    target = target.withColumn(
+        "row", F.expr(f"((2 * trow + 1) * {spec.height}) DIV (2 * {_RS_TH})")
+    ).withColumn("col", F.expr(f"((2 * tcol + 1) * {spec.width}) DIV (2 * {_RS_TW})"))
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return target.join(px, ["row", "col"], "left").select("trow", "tcol", "value")
+
+
+def sql_resize() -> str:
+    spec = SPEC
+    return f"""WITH {synth.pixel_sql(spec)},
+target AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         ((2 * tr.range + 1) * {spec.height}) // (2 * {_RS_TH}) AS row,
+         ((2 * tc.range + 1) * {spec.width}) // (2 * {_RS_TW}) AS col
+  FROM range({_RS_TH}) tr CROSS JOIN range({_RS_TW}) tc)
+SELECT t.trow, t.tcol, px.value
+FROM target t LEFT JOIN px ON px.row = t.row AND px.col = t.col"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings tables, sf-scaled)
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup as DD
+
+    g = DD.exact_dedup(_docs(spark, sf_dir), key_words=8)
+    return g.select(
+        "keeper_id",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.array_join(F.col("member_ids"), ",").alias("members"),
+    )
+
+
+def sql_dedup_exact() -> str:
+    return """WITH g AS (
+  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS k,
+         MIN(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+         array_to_string(list_sort(list(doc_id)), ',') AS members
+  FROM documents GROUP BY 1)
+SELECT keeper_id, n_copies, members FROM g"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup as DD
+
+    return DD.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def sql_jaccard_pairs() -> str:
+    return """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id,
+              w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS shingle
+       FROM idx),
+cnts AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       ROUND(CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter), 6) AS jaccard
+FROM pairs JOIN cnts ca ON ca.doc_id = doc_a JOIN cnts cb ON cb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as TX
+
+    return TX.text_stats(_docs(spark, sf_dir)).drop("n_chars")
+
+
+def sql_text_stats() -> str:
+    return """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       ROUND(CAST(length(text) AS DOUBLE) / len(w), 6) AS avg_token_len,
+       ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS distinct_ratio
+FROM t"""
+
+
+_ANN_K = 5
+_ANN_NQ = 10
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as SM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    return SM.brute_force_topk(emb, queries, k=_ANN_K)
+
+
+def sql_ann_cosine() -> str:
+    return f"""WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         ROUND(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cos
+  FROM embeddings c CROSS JOIN embeddings q
+  WHERE q.vec_id < {_ANN_NQ} AND c.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS sim_rank
+  FROM scored)
+SELECT query_id, vec_id, cos, sim_rank FROM ranked WHERE sim_rank <= {_ANN_K}"""
+
+
 QUERIES = {
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
+    "knn_tiles": (q_knn, sql_knn),
+    "autocorr_global": (q_autocorr_global, sql_autocorr_global),
+    "focal_stats": (q_focal_stats, sql_focal_stats),
+    "argmax": (q_argmax, sql_argmax),
+    "resize_nearest": (q_resize, sql_resize),
+    "dedup_exact": (q_dedup_exact, sql_dedup_exact),
+    "jaccard_pairs": (q_jaccard_pairs, sql_jaccard_pairs),
+    "text_stats": (q_text_stats, sql_text_stats),
+    "ann_cosine": (q_ann_cosine, sql_ann_cosine),
     "tile_cells": (q_tile_cells, sql_tile_cells),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),
     "global_stats": (q_global_stats, sql_global_stats),

@@ -144,11 +144,13 @@ def tile_sql(spec: GridSpec, alias: str = "tiles") -> str:
     """CTE: one row per tile with id/position/center — oracle for
     tile-level operators (cell assignment, kNN over tiles)."""
     t = spec.tile
+    # center formulas MUST match the Spark side association-for-association:
+    # xmin = x0 + (tx*t)*cellx (Python build_images), center = xmin + (t*cellx)/2
     return f"""{alias} AS (
   SELECT printf('{spec.grid_id}_%04d_%04d', CAST(ty.range AS INT), CAST(tx.range AS INT)) AS image_id,
          CAST(ty.range AS BIGINT) AS tile_row, CAST(tx.range AS BIGINT) AS tile_col,
-         {spec.x0} + (CAST(tx.range AS DOUBLE) + 0.5) * {t} * {spec.cellx!r} AS center_x,
-         {spec.y0} + (CAST(ty.range AS DOUBLE) + 0.5) * {t} * {spec.celly!r} AS center_y
+         ({spec.x0} + (tx.range * {t}) * {spec.cellx!r}) + ({t} * {spec.cellx!r}) / 2 AS center_x,
+         ({spec.y0} + (ty.range * {t}) * {spec.celly!r}) + ({t} * {spec.celly!r}) / 2 AS center_y
   FROM range({spec.tiles_y}) ty CROSS JOIN range({spec.tiles_x}) tx
 )"""
 

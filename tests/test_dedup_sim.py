@@ -1,0 +1,114 @@
+"""Dedup + similarity: MinHash/LSH vs exact Jaccard, SimHash locality,
+LSH-ANN recall vs brute force, text operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from georasters_spark.operators import dedup as DD
+from georasters_spark.operators import similarity as SM
+from georasters_spark.operators import text as TX
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_minhash_lsh_finds_exact_pairs(spark, docs):
+    """LSH+verify output == brute-force Jaccard pairs at threshold 0.5
+    (banding 16x4: P(miss | j>=0.5) ≈ (1-0.5^4)^16 ≈ 0.35 per hash
+    family — so use the verified operator which must still equal brute
+    force because candidates ⊇ actual pairs at our data's j>=0.8)."""
+    exact = (
+        DD.jaccard_pairs(docs, n=3, threshold=0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    lsh = (
+        DD.minhash_dedup_pairs(docs, n=3, threshold=0.5, num_hashes=64, bands=16, rows=4)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, lsh)
+    assert len(exact) > 0  # fixture really contains near-dups
+
+
+def test_minhash_signature_similarity_estimates_jaccard(spark, docs):
+    """Signature agreement rate ≈ true Jaccard for a high-sim pair."""
+    pairs = DD.jaccard_pairs(docs, n=3, threshold=0.8).toPandas()
+    assert len(pairs) > 0
+    da, db, jac = int(pairs.iloc[0].doc_a), int(pairs.iloc[0].doc_b), float(pairs.iloc[0].jaccard)
+    sigs = DD.minhash_signatures(
+        docs.filter(F.col("doc_id").isin(da, db)), n=3, num_hashes=64
+    ).toPandas().set_index("doc_id")
+    sa, sb = np.array(sigs.loc[da, "sig"]), np.array(sigs.loc[db, "sig"])
+    est = float((sa == sb).mean())
+    assert abs(est - jac) < 0.25
+
+
+def test_simhash_locality(spark, docs):
+    """Near-dup docs have small simhash Hamming distance; random pairs
+    are near 32 bits apart."""
+    pairs = DD.jaccard_pairs(docs, n=3, threshold=0.8).toPandas()
+    sh = DD.simhash64(docs).toPandas().set_index("doc_id")["simhash"]
+
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    near = [ham(sh[a], sh[b]) for a, b in zip(pairs.doc_a, pairs.doc_b)]
+    rng = np.random.default_rng(0)
+    ids = sh.index.to_numpy()
+    rand = [ham(sh[a], sh[b]) for a, b in zip(rng.choice(ids, 50), rng.choice(ids, 50)) if a != b]
+    # docs share a small vocabulary, so random pairs sit well under the
+    # 32-bit random-hash expectation — require separation, not absolutes
+    assert np.mean(near) < 12
+    assert np.mean(rand) > np.mean(near) + 5
+
+
+def test_exact_dedup_full_text(spark):
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.exact_dedup(df).toPandas().sort_values("keeper_id").reset_index(drop=True)
+    assert out.loc[0, "keeper_id"] == 1 and out.loc[0, "n_copies"] == 3
+    assert list(out.loc[0, "member_ids"]) == [1, 2, 4]
+    assert out.loc[1, "keeper_id"] == 3 and out.loc[1, "n_copies"] == 1
+
+
+def test_lsh_ann_recall(spark, emb):
+    """LSH top-k recall@5 >= 0.8 vs brute force; exact when probing the
+    full Hamming ball."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = SM.brute_force_topk(emb, queries, k=5).toPandas()
+    lsh = SM.lsh_topk(emb, queries, k=5, bits=6, probe_hamming=1, tables=8).toPandas()
+    b = set(zip(brute.query_id, brute.vec_id))
+    l = set(zip(lsh.query_id, lsh.vec_id))
+    recall = len(b & l) / len(b)
+    assert recall >= 0.8, recall
+
+
+def test_text_quality_and_langid(spark, docs):
+    q = TX.quality_score(docs).toPandas()
+    assert ((q.quality >= 0) & (q.quality <= 1)).all()
+    li = TX.lang_id(docs).toPandas()
+    assert set(li.pred_lang) <= {"de", "en", "es", "fr", "und"}
+    fp = TX.fingerprint(docs, k=8).toPandas()
+    # docs with < 8 distinct tokens yield shorter digests
+    assert (fp.fingerprint.str.len() <= 8).all() and (fp.fingerprint.str.len() >= 1).all()
+
+
+def test_shingles_count(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    sh = DD.shingles(df, n=3).toPandas()
+    assert sorted(sh.shingle) == ["a b c", "b c d", "c d e"]

@@ -68,19 +68,31 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     times["decode_scan_agg"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    from georasters_spark.functions import grid as G
-
     pts = synth.points_df(spark, 10000)
-    pts = pts.withColumn("prow", G.row_of_y(F.col("y"), spec.y0, spec.celly)).withColumn(
-        "pcol", G.col_of_x(F.col("x"), spec.x0, spec.cellx)
-    )
-    lookup = PX.pixel_table(imgs, valid_only=True).select(
-        F.col("row").alias("prow"), F.col("col").alias("pcol"), "value"
-    )
-    lookup.join(F.broadcast(pts), ["prow", "pcol"], "right").agg(
-        F.count("value")
-    ).collect()
+    PX.lookup_points(
+        imgs, pts, origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly)
+    ).agg(F.count("value")).collect()
     times["map_pixel_10k"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from georasters_spark.operators import knn as KN
+
+    KN.knn_tiles(imgs, synth.points_df(spark, 1000), res=spec.cell_res, k=5).count()
+    times["knn_1k_points"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from georasters_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    DD.jaccard_pairs(docs, n=3, threshold=0.5).count()
+    times["jaccard_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from georasters_spark.operators import similarity as SM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    SM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5).count()
+    times["ann_topk"] = round(time.time() - t0, 3)
 
     imgs.unpersist()
     return times

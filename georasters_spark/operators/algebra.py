@@ -1,0 +1,183 @@
+"""Raster algebra operators that combine/reshape whole grids:
+union (mosaic), align, map_vector, polygonize.
+
+Union / later-wins (georasters.py:1493-1535, SURVEY §1.4.2), align
+(georasters.py:1616-1681), map_vector scatter (georasters.py:1777-1790),
+to_geopandas polygonize (georasters.py:1723-1738 — region merging of
+connected equal-value cells).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def union_pixels(pixel_dfs: list[DataFrame]) -> DataFrame:
+    """Mosaic on a shared global lattice: later inputs overwrite earlier
+    ones wherever they have data (list-order rule). Inputs: (row, col,
+    value) valid-only tables."""
+    tagged = None
+    for i, df in enumerate(pixel_dfs):
+        t = df.select("row", "col", "value").withColumn("ordinal", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return tagged.groupBy("row", "col").agg(F.max_by("value", "ordinal").alias("value"))
+
+
+def block_mean(px: DataFrame, by: int, bx: int) -> DataFrame:
+    """Valid-cell block mean (align's fine->coarse resample,
+    how=np.ma.mean default, georasters.py:1047-1053)."""
+    return px.groupBy(
+        (F.col("row") / by).cast("long").alias("brow"),
+        (F.col("col") / bx).cast("long").alias("bcol"),
+    ).agg(
+        F.round(F.sum("value") / F.count("value"), 6).alias("vmean"),
+        F.count("value").cast("long").alias("vcnt"),
+    )
+
+
+def align_grids(px_fine: DataFrame, px_coarse: DataFrame, factor: int) -> DataFrame:
+    """Align a fine grid onto a coarse one (integer cell-size ratio):
+    block-mean the fine pixels, inner-join on the coarse lattice =
+    crop-to-overlap (georasters.py:1616-1681). Output one row per
+    overlapping coarse cell: (brow, bcol, va_mean, va_cnt, vb)."""
+    fine = block_mean(px_fine, factor, factor)
+    coarse = px_coarse.select(
+        F.col("row").alias("brow"), F.col("col").alias("bcol"), F.col("value").alias("vb")
+    )
+    return fine.join(coarse, ["brow", "bcol"]).select(
+        "brow", "bcol", F.col("vmean").alias("va_mean"), F.col("vcnt").alias("va_cnt"), "vb"
+    )
+
+
+def map_vector(px: DataFrame, vec: DataFrame) -> DataFrame:
+    """Scatter a flat vector back into the unmasked cells in C-order
+    (row-major) — georasters.py:1777-1790: cell k in (row, col) sort
+    order receives vec[k]."""
+    w = W.orderBy("row", "col")
+    ranked = px.select("row", "col").withColumn("i", F.row_number().over(w) - 1)
+    return ranked.join(vec, "i").select("row", "col", "i", "new_value")
+
+
+# ---------------------------------------------------------------------------
+# polygonize: connected components of equal-value cells
+# ---------------------------------------------------------------------------
+
+def polygonize(px: DataFrame, connectivity: int = 4) -> DataFrame:
+    """Label connected equal-value regions (rasterio.features.shapes
+    semantics: 4-connectivity, equal value) and return one row per
+    region: (region_id, value, n_cells, min_row, min_col, max_row,
+    max_col).
+
+    Two-phase distributed CC: per-tile labeling in numpy
+    (applyInPandas), then cross-tile label union-find on the border
+    adjacency set (small: O(perimeter), collected to the driver).
+    """
+    spark = px.sparkSession
+    tile = 64
+
+    keyed = px.withColumn("trow", (F.col("row") / tile).cast("int")).withColumn(
+        "tcol", (F.col("col") / tile).cast("int")
+    )
+
+    def label_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        r = pdf["row"].to_numpy(np.int64) - ty * tile
+        c = pdf["col"].to_numpy(np.int64) - tx * tile
+        v = pdf["value"].to_numpy()
+        grid = np.full((tile, tile), np.nan)
+        grid[r, c] = v
+        lab = np.full((tile, tile), -1, dtype=np.int64)
+        nxt = 0
+        # simple BFS labeling per tile
+        filled = ~np.isnan(grid)
+        for i, j in zip(*np.nonzero(filled)):
+            if lab[i, j] >= 0:
+                continue
+            stack = [(i, j)]
+            lab[i, j] = nxt
+            while stack:
+                a, b = stack.pop()
+                for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    na, nb = a + da, b + db
+                    if (
+                        0 <= na < tile
+                        and 0 <= nb < tile
+                        and filled[na, nb]
+                        and lab[na, nb] < 0
+                        and grid[na, nb] == grid[a, b]
+                    ):
+                        lab[na, nb] = nxt
+                        stack.append((na, nb))
+            nxt += 1
+        gl = (np.int64(ty) << 40) | (np.int64(tx) << 24)  # globally unique label base
+        out = pd.DataFrame(
+            {
+                "row": pdf["row"].to_numpy(np.int64),
+                "col": pdf["col"].to_numpy(np.int64),
+                "value": v.astype(np.float64),
+                "label": gl | lab[r, c],
+            }
+        )
+        return out
+
+    labeled = keyed.groupBy("trow", "tcol").applyInPandas(
+        label_tile, schema="row long, col long, value double, label long"
+    ).cache()
+
+    # border adjacencies: cells on tile edges joined to right/down pixels
+    a = labeled.select("row", "col", "value", F.col("label").alias("la"))
+    b = labeled.select(
+        (F.col("row")).alias("row_b"), (F.col("col")).alias("col_b"),
+        F.col("value").alias("vb"), F.col("label").alias("lb"),
+    )
+    edges = []
+    for dr, dc in ((0, 1), (1, 0)):
+        e = (
+            a.filter(((F.col("row") + dr) % tile == 0) if dr else ((F.col("col") + dc) % tile == 0))
+            .join(
+                b,
+                (F.col("row") + dr == F.col("row_b"))
+                & (F.col("col") + dc == F.col("col_b"))
+                & (F.col("value") == F.col("vb")),
+            )
+            .select("la", "lb")
+        )
+        edges.append(e)
+    eset = edges[0].unionByName(edges[1]).distinct().toPandas()
+
+    # driver union-find over the (small) cross-tile edge set
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for la, lb in zip(eset["la"], eset["lb"]):
+        ra, rb = find(int(la)), find(int(lb))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    mapping = {k: find(k) for k in list(parent)}
+    if mapping:
+        map_df = spark.createDataFrame(
+            pd.DataFrame({"label": list(mapping), "root": [mapping[k] for k in mapping]}),
+            "label long, root long",
+        )
+        final = labeled.join(F.broadcast(map_df), "label", "left").withColumn(
+            "region_id", F.coalesce("root", "label")
+        )
+    else:
+        final = labeled.withColumn("region_id", F.col("label"))
+
+    return final.groupBy("region_id").agg(
+        F.first("value").alias("value"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("row").alias("min_row"),
+        F.min("col").alias("min_col"),
+        F.max("row").alias("max_row"),
+        F.max("col").alias("max_col"),
+    )

@@ -532,6 +532,109 @@ FROM target t LEFT JOIN px ON px.row = t.row AND px.col = t.col"""
 
 
 # ---------------------------------------------------------------------------
+# q: align — fine grid block-meaned onto a coarse grid, crop to overlap
+# (georasters.py:1616-1681)
+# ---------------------------------------------------------------------------
+
+SPECE = GridSpec(grid_id="g45", width=180, height=90, seed=45)
+_ALIGN_FACTOR = 3  # 540/180
+
+
+def q_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import algebra as AL
+
+    fine = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    coarse = _px(spark, SPECE).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AL.align_grids(fine, coarse, _ALIGN_FACTOR)
+
+
+def sql_align() -> str:
+    f = _ALIGN_FACTOR
+    return f"""WITH {synth.pixel_sql(SPEC, alias='pxf')}, {synth.pixel_sql(SPECE, alias='pxc')},
+fine AS (
+  SELECT row // {f} AS brow, col // {f} AS bcol,
+         ROUND(CAST(SUM(value) AS DOUBLE) / COUNT(value), 6) AS va_mean,
+         CAST(COUNT(value) AS BIGINT) AS va_cnt
+  FROM pxf GROUP BY 1, 2)
+SELECT fine.brow, fine.bcol, fine.va_mean, fine.va_cnt, pxc.value AS vb
+FROM fine JOIN pxc ON pxc.row = fine.brow AND pxc.col = fine.bcol"""
+
+
+# ---------------------------------------------------------------------------
+# q: map_vector — C-order scatter of a flat vector into unmasked cells
+# (georasters.py:1777-1790)
+# ---------------------------------------------------------------------------
+
+def q_map_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import algebra as AL
+
+    px = _px(spark, SPEC).select("row", "col")
+    vec = spark.range(200000).select(
+        F.col("id").alias("i"), ((F.col("id") * 37) % 1000).alias("new_value")
+    )
+    return AL.map_vector(px, vec)
+
+
+def sql_map_vector() -> str:
+    return f"""WITH {synth.pixel_sql(SPEC)},
+ranked AS (
+  SELECT row, col,
+         ROW_NUMBER() OVER (ORDER BY row, col) - 1 AS i
+  FROM px),
+vec AS (SELECT CAST(i.range AS BIGINT) AS i, (i.range * 37) % 1000 AS new_value FROM range(200000) i)
+SELECT ranked.row, ranked.col, ranked.i, vec.new_value
+FROM ranked JOIN vec ON vec.i = ranked.i"""
+
+
+# ---------------------------------------------------------------------------
+# q: cost_distance — per-source distributed Dijkstra (non-SQL; rows-only)
+# ---------------------------------------------------------------------------
+
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import distance as DI
+
+    pts = synth.points_df(spark, 25)
+    sources = pts.filter(F.col("point_id") < 5)
+    dests = pts.filter(F.col("point_id") >= 5)
+    spec = SPEC
+    return DI.cost_distance(
+        images_for(spark, spec),
+        sources,
+        dests,
+        origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q: polygonize — connected-component regions (non-SQL; rows-only)
+# ---------------------------------------------------------------------------
+
+def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import reproject as RP
+
+    spec = SPEC
+    px = _px(spark, SPEC).select("row", "col", "value")
+    return RP.wgs84_to_cea_grid(
+        px,
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=(180, 360),
+    )
+
+
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import algebra as AL
+
+    # quantize values to produce non-trivial equal-value regions
+    px = _px(spark, SPEC).select(
+        "row", "col", (F.col("value").cast("long") / 250).cast("long").alias("value")
+    )
+    return AL.polygonize(px)
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings tables, sf-scaled)
 # ---------------------------------------------------------------------------
 
@@ -597,6 +700,30 @@ SELECT doc_id,
 FROM t"""
 
 
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event rollup (batch form of streaming/events.py):
+    6-hour epoch buckets, per-type aggregates + JSON prop extraction."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bucket = (F.floor(F.unix_timestamp("ts") / 21600) * 21600).cast("long")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy(bucket.alias("win_epoch"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(k).cast("long").alias("sum_k"),
+    )
+
+
+def sql_event_rollup() -> str:
+    return """SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS win_epoch,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1, 2"""
+
+
 _ANN_K = 5
 _ANN_NQ = 10
 
@@ -631,9 +758,15 @@ QUERIES = {
     "focal_stats": (q_focal_stats, sql_focal_stats),
     "argmax": (q_argmax, sql_argmax),
     "resize_nearest": (q_resize, sql_resize),
+    "align_grids": (q_align, sql_align),
+    "map_vector": (q_map_vector, sql_map_vector),
+    "cost_distance": (q_cost_distance, None),
+    "polygonize": (q_polygonize, None),
+    "reproject_cea": (q_reproject, None),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "jaccard_pairs": (q_jaccard_pairs, sql_jaccard_pairs),
     "text_stats": (q_text_stats, sql_text_stats),
+    "event_rollup": (q_event_rollup, sql_event_rollup),
     "ann_cosine": (q_ann_cosine, sql_ann_cosine),
     "tile_cells": (q_tile_cells, sql_tile_cells),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),

@@ -1,0 +1,106 @@
+"""Iceberg-lite snapshots, kill-mid-job resume drill, streaming parity,
+multimodal pipeline plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from georasters_spark.operators import multimodal as MM
+from georasters_spark.plans import lineage as LN
+from georasters_spark.sources.catalog import SnapshotTable
+from georasters_spark.streaming import events as EV
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_snapshot_append_scan_rollback(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df1 = spark.range(5).withColumn("tag", F.lit("a"))
+    df2 = spark.range(3).withColumn("tag", F.lit("b"))
+    v1 = t.append(df1)
+    v2 = t.append(df2)
+    assert (v1, v2) == (1, 2)
+    assert t.scan(spark).count() == 8
+    assert t.scan(spark, version=1).count() == 5  # time travel
+    t.rollback(1)
+    assert t.scan(spark).count() == 5
+    t2 = SnapshotTable(str(tmp_path / "tbl"))  # reopen — metadata durable
+    assert t2.current_version() == 1
+
+
+def test_resume_after_kill_identical_output(spark, tmp_path):
+    """North-rule drill: kill mid-job → resume → identical output, and
+    per-partition lineage metrics recorded."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    keys = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+
+    def process(key):
+        return (
+            docs.filter(F.col("lang") == key)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+            .withColumn("lang", F.lit(key))
+        )
+
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        LN.resumable_run(spark, "job1", str(tmp_path), keys, process, fail_after=2)
+    m1 = LN.metrics(str(tmp_path), "job1")
+    assert len(m1) == 2  # two partitions committed before the crash
+
+    out = LN.resumable_run(spark, "job1", str(tmp_path), keys, process)
+    m2 = LN.metrics(str(tmp_path), "job1")
+    assert len(m2) == len(keys)
+    assert {m["key"] for m in m2} == set(keys)
+    assert all(m["rows"] > 0 for m in m2)
+
+    oneshot = LN.resumable_run(spark, "job2", str(tmp_path), keys, process)
+    a = out.toPandas().sort_values(["lang", "source"]).reset_index(drop=True)
+    b = oneshot.toPandas().sort_values(["lang", "source"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_streaming_rollup_matches_batch(spark):
+    got = (
+        EV.run_rollup_stream(spark, SF, query_name="t_rollup")
+        .toPandas()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        EV.rollup_batch(spark, SF)
+        .toPandas()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 0
+
+
+def test_multimodal_features_and_resize(spark, images_t1):
+    feats = MM.image_features(images_t1.limit(8)).toPandas()
+    assert len(feats) == 8
+    assert (feats.f_entropy >= 0).all() and (feats.f_entropy <= 4).all()
+    small = MM.image_resize(images_t1.limit(4), 8, 8).toPandas()
+    assert set(small.w) == {8} and set(small.h) == {8}
+    arr = np.frombuffer(small.bytes.iloc[0], dtype="<f4")
+    assert arr.shape == (64,)
+
+
+def test_multimodal_fake_decode_deterministic_and_stub_boundary(spark):
+    a1 = MM.decode_any(b"hello", "fake", 16, 16)
+    a2 = MM.decode_any(b"hello", "fake", 16, 16)
+    assert np.array_equal(a1, a2)
+    assert a1.shape == (16, 16)
+    with pytest.raises(NotImplementedError):
+        MM.decode_any(b"\xff\xd8\xff", "jpeg", 16, 16)
+
+
+def test_frame_sample_plan(spark):
+    vids = spark.createDataFrame(
+        [(1, 4000), (2, 1000)], "video_id long, duration_ms long"
+    )
+    out = MM.frame_sample(vids, n_frames=4).toPandas()
+    assert len(out) == 8
+    v1 = out[out.video_id == 1].sort_values("frame_idx")
+    assert list(v1.offset_ms) == [0, 1000, 2000, 3000]

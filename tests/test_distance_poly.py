@@ -1,0 +1,154 @@
+"""Cost-distance vs an independent oracle; polygonize cross-tile merge."""
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from georasters_spark.operators import algebra as AL
+from georasters_spark.operators import distance as DI
+
+
+def oracle_dijkstra(cost, valid, r0, c0):
+    """Independent implementation (dict-based, different code path)."""
+    h, w = cost.shape
+    dist = {}
+    pq = [(0.0, (r0, c0))]
+    best = {(r0, c0): 0.0}
+    while pq:
+        d, (r, c) = heapq.heappop(pq)
+        if (r, c) in dist:
+            continue
+        dist[(r, c)] = d
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == dc == 0:
+                    continue
+                nr, nc = r + dr, c + dc
+                if 0 <= nr < h and 0 <= nc < w and valid[nr, nc]:
+                    sl = math.sqrt(2) if dr and dc else 1.0
+                    nd = d + (cost[r, c] + cost[nr, nc]) / 2 * sl
+                    if nd < best.get((nr, nc), np.inf):
+                        best[(nr, nc)] = nd
+                        heapq.heappush(pq, (nd, (nr, nc)))
+    return dist
+
+
+def test_dijkstra_grid_matches_independent_oracle():
+    rng = np.random.default_rng(5)
+    cost = rng.uniform(1, 10, (20, 25))
+    valid = rng.uniform(size=(20, 25)) > 0.2
+    valid[3, 4] = True
+    got = DI.dijkstra_grid(cost, valid, 3, 4)
+    exp = oracle_dijkstra(cost, valid, 3, 4)
+    for (r, c), d in exp.items():
+        assert abs(got[r, c] - d) < 1e-9
+    # unreached cells are inf
+    reached = set(exp)
+    for r in range(20):
+        for c in range(25):
+            if valid[r, c] and (r, c) not in reached:
+                assert np.isinf(got[r, c])
+
+
+def test_dijkstra_symmetric():
+    rng = np.random.default_rng(6)
+    cost = rng.uniform(1, 5, (15, 15))
+    valid = np.ones((15, 15), dtype=bool)
+    d_ab = DI.dijkstra_grid(cost, valid, 2, 3)[12, 11]
+    d_ba = DI.dijkstra_grid(cost, valid, 12, 11)[2, 3]
+    assert abs(d_ab - d_ba) < 1e-9  # symmetric edge costs ⇒ symmetric dist
+
+
+def test_cost_distance_unit_and_inf_rule(spark, images_t1):
+    """Travel times are in weeks (/168, georasters.py:1432); unreachable
+    pairs dropped (:1437); isolation rows id2 = -1 (:1438-1442)."""
+    from georasters_spark.sources import synth
+
+    spec = synth.T1
+    pts = synth.points_df(spark, 12)
+    out = DI.cost_distance(
+        images_t1,
+        pts.filter(F.col("point_id") < 2),
+        pts.filter(F.col("point_id") >= 2),
+        origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly),
+    ).toPandas()
+    assert (out.dist_weeks >= 0).all()
+    assert np.isfinite(out.dist_weeks).all()  # inf dropped
+    iso = out[out.id2 == -1]
+    assert len(iso) <= 2  # one isolation row per reachable source
+    # independent check for source 0 → dest 2
+    full = synth.stitched_array(spec)
+    valid = full != spec.ndv
+    cost = np.where(valid, full, 0).astype(np.float64)
+    p = pts.toPandas().set_index("point_id")
+    r0 = int(np.round((p.loc[0, "y"] - spec.y0) / spec.celly))
+    c0 = int(np.round((p.loc[0, "x"] - spec.x0) / spec.cellx))
+    if valid[r0, c0]:
+        dist = DI.dijkstra_grid(cost, valid, r0, c0)
+        r2 = int(np.round((p.loc[2, "y"] - spec.y0) / spec.celly))
+        c2 = int(np.round((p.loc[2, "x"] - spec.x0) / spec.cellx))
+        want = dist[r2, c2] / 168.0
+        row = out[(out.id1 == 0) & (out.id2 == 2)]
+        if np.isfinite(want):
+            assert abs(row.dist_weeks.iloc[0] - round(want, 6)) < 1e-6
+        else:
+            assert len(row) == 0
+
+
+def test_polygonize_cross_tile_merge(spark):
+    """A constant-value strip spanning the col 63|64 tile border must be
+    ONE region; plus isolated single cells."""
+    rows = []
+    for c in range(60, 70):
+        rows.append((10, c, 7.0))  # strip crossing the tile border
+    rows.append((40, 40, 7.0))     # same value, disconnected
+    rows.append((50, 100, 3.0))    # other value, other tile
+    px = spark.createDataFrame(rows, "row long, col long, value double")
+    out = AL.polygonize(px).toPandas().sort_values(["value", "n_cells"]).reset_index(drop=True)
+    assert len(out) == 3
+    strip = out[out.n_cells == 10].iloc[0]
+    assert strip.value == 7.0 and strip.min_col == 60 and strip.max_col == 69
+    assert set(out.n_cells) == {10, 1, 1} or sorted(out.n_cells) == [1, 1, 10]
+
+
+def test_polygonize_region_count_vs_numpy(spark, images_t1):
+    """Total region count == single-node flood fill on the stitched
+    quantized grid (distributed == local oracle)."""
+    from georasters_spark.operators import pixels as PX
+    from georasters_spark.sources import synth
+
+    spec = synth.T1
+    px = PX.pixel_table(images_t1, valid_only=True).select(
+        "row", "col", (F.col("value").cast("long") / 250).cast("long").cast("double").alias("value")
+    )
+    got = AL.polygonize(px).count()
+
+    full = synth.stitched_array(spec).astype(np.int64)
+    valid = full != spec.ndv
+    q = np.where(valid, full // 250, -1)
+    seen = np.zeros_like(valid)
+    n = 0
+    for i, j in zip(*np.nonzero(valid)):
+        if seen[i, j]:
+            continue
+        n += 1
+        stack = [(i, j)]
+        seen[i, j] = True
+        while stack:
+            a, b = stack.pop()
+            for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                na, nb = a + da, b + db
+                if (
+                    0 <= na < q.shape[0]
+                    and 0 <= nb < q.shape[1]
+                    and valid[na, nb]
+                    and not seen[na, nb]
+                    and q[na, nb] == q[a, b]
+                ):
+                    seen[na, nb] = True
+                    stack.append((na, nb))
+    assert got == n

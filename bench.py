@@ -54,8 +54,12 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
 
     t0 = time.time()
-    SJ.zonal_stats(imgs, synth.ZONES_T1, **kw).collect()
+    SJ.zonal_stats_fused(imgs, synth.ZONES_T1, **kw).collect()
     times["zonal_stats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    SJ.zonal_stats(imgs, synth.ZONES_T1, **kw).collect()
+    times["zonal_stats_unfused"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     z = [zz for zz in synth.ZONES_EXTRA if zz.name == "skew_half_world"]
@@ -69,7 +73,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     t0 = time.time()
     pts = synth.points_df(spark, 10000)
-    PX.lookup_points(
+    PX.lookup_points_fused(
         imgs, pts, origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly)
     ).agg(F.count("value")).collect()
     times["map_pixel_10k"] = round(time.time() - t0, 3)
@@ -107,12 +111,11 @@ def scaling_job(spark) -> tuple[float, int]:
     spec = synth.BENCH
     imgs = _build(spark, spec)
     t0 = time.time()
-    res = SJ.zonal_stats(
+    res = SJ.zonal_stats_fused(
         imgs,
         synth.ZONES_T1 + [z for z in synth.ZONES_EXTRA if z.name == "skew_half_world"],
         origin=(spec.x0, spec.y0),
         cellsize=(spec.cellx, spec.celly),
-        salt=32,
     ).collect()
     dt = time.time() - t0
     rows = int(sum(r["zcount"] for r in res))

@@ -164,6 +164,147 @@ def focal_stats(px: DataFrame, rook: bool = False, include_self: bool = False) -
     return out
 
 
+def local_moran(px: DataFrame, rook: bool = False) -> DataFrame:
+    """Per-cell local Moran (LISA, georasters.py:1310-1341) with binary
+    weights, integer-exact: with N_k = n·v_k − S,
+        li_num(i) = N_i · Σ_{j∈N(i)} N_j
+                  = (n·v_i − S) · (n·nsum_i − ncnt_i·S)
+    computed entirely from the focal sums — no second pair join. The
+    normalized double li = n·li_num / den_i is rounded to 6 dp.
+    """
+    scal = px.agg(F.count("value").alias("n"), F.sum("value").alias("s"),
+                  F.sum(F.col("value") * F.col("value")).alias("q")).collect()[0]
+    n, s, q = int(scal["n"]), int(scal["s"]), int(scal["q"])
+    den_i = n * n * q - n * s * s
+    foc = focal_stats(px, rook=rook, include_self=False)
+    li_num = (F.col("value") * n - s) * (F.col("nsum") * n - F.col("ncnt") * s)
+    return foc.select(
+        "row",
+        "col",
+        li_num.alias("li_num"),
+        F.round(li_num.cast("double") * F.lit(float(n)) / F.lit(float(den_i)), 6).alias("li"),
+    )
+
+
+def local_moran_sql(px_cte: str, rook: bool = False) -> str:
+    offs = ROOK if rook else QUEEN
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in offs)
+    return f"""WITH {px_cte},
+offsets(dr, dc) AS (VALUES {offsets}),
+scal AS (SELECT CAST(COUNT(value) AS BIGINT) AS n, CAST(SUM(value) AS BIGINT) AS s,
+                CAST(SUM(value*value) AS BIGINT) AS q FROM px),
+cand AS (SELECT a.row, a.col, a.row + o.dr AS r2, a.col + o.dc AS c2 FROM px a CROSS JOIN offsets o),
+foc AS (SELECT cand.row, cand.col, CAST(SUM(b.value) AS BIGINT) AS nsum, CAST(COUNT(*) AS BIGINT) AS ncnt
+        FROM cand JOIN px b ON b.row = cand.r2 AND b.col = cand.c2 GROUP BY 1, 2),
+base AS (SELECT px.row, px.col, px.value,
+                COALESCE(foc.nsum, 0) AS nsum, COALESCE(foc.ncnt, 0) AS ncnt
+         FROM px LEFT JOIN foc ON foc.row = px.row AND foc.col = px.col),
+j AS (SELECT base.row, base.col,
+             (base.value * scal.n - scal.s) * (base.nsum * scal.n - base.ncnt * scal.s) AS li_num,
+             scal.n AS n, CAST(scal.n AS HUGEINT)*scal.n*scal.q - CAST(scal.n AS HUGEINT)*scal.s*scal.s AS den_i
+      FROM base, scal)
+SELECT row, col, CAST(li_num AS BIGINT) AS li_num,
+       ROUND(CAST(li_num AS DOUBLE) * CAST(n AS DOUBLE) / CAST(den_i AS DOUBLE), 6) AS li
+FROM j"""
+
+
+def moran_permutation_test(
+    px: DataFrame, n_perm: int = 19, seed: int = 97, rook: bool = False
+) -> DataFrame:
+    """Seeded conditional-permutation test for Moran's I
+    (georasters.py:1231-1269: esda permutations re-run with a seeded
+    rng). Deterministic across engines: permutation p is the modular
+    map rank → (A_p·rank + B_p) mod n (A_p coprime with n), and since
+    n, S, S0, den are permutation-invariant, I_perm >= I_obs reduces
+    to an EXACT integer comparison of pair-product sums.
+
+    Returns one row: (i_obs double, n_perm, n_ge, p_sim) where
+    p_sim = (n_ge + 1) / (n_perm + 1), n_ge = #{perm: num_perm >= num_obs}.
+    """
+    from pyspark.sql import Window as W
+
+    spark = px.sparkSession
+    scal = px.agg(F.count("value").alias("n"), F.sum("value").alias("s"),
+                  F.sum(F.col("value") * F.col("value")).alias("q")).collect()[0]
+    n, s, q = int(scal["n"]), int(scal["s"]), int(scal["q"])
+    den_i = n * n * q - n * s * s
+    perms = permutation_params(n, n_perm, seed)  # [(p, a_mul, b_add)], p=0 identity
+
+    w = W.orderBy("row", "col")
+    ranked = px.select("row", "col", "value").withColumn("k", F.row_number().over(w) - 1)
+    pairs_rk = neighbor_pairs_keys(ranked, rook=rook).select("ka", "kb")
+    vals = ranked.select("k", F.col("value").cast("long").alias("v"))
+
+    perm_df = spark.createDataFrame(perms, "p int, amul long, badd long")
+    pp = pairs_rk.crossJoin(F.broadcast(perm_df)).select(
+        "p",
+        ((F.col("ka") * F.col("amul") + F.col("badd")) % n).alias("pka"),
+        ((F.col("kb") * F.col("amul") + F.col("badd")) % n).alias("pkb"),
+    )
+    j = (
+        pp.join(vals.withColumnRenamed("k", "pka").withColumnRenamed("v", "va"), "pka")
+        .join(vals.withColumnRenamed("k", "pkb").withColumnRenamed("v", "vb"), "pkb")
+    )
+    agg = (
+        j.groupBy("p")
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("p_ab"),
+            F.sum("va").alias("p_a"),
+            F.sum("vb").alias("p_b"),
+            F.count(F.lit(1)).alias("s0"),
+        )
+        .collect()
+    )
+    nums = {}
+    s0 = None
+    for r in agg:
+        s0 = int(r["s0"])  # identical for every permutation (same graph)
+        nums[int(r["p"])] = (
+            n * n * int(r["p_ab"]) - n * s * (int(r["p_a"]) + int(r["p_b"])) + s0 * s * s
+        )
+    num_obs = nums[0]
+    i_obs = (float(n) / float(s0)) * (float(num_obs) / float(den_i))
+    n_ge = sum(1 for p in range(1, n_perm + 1) if nums[p] >= num_obs)
+    row = [(i_obs, n_perm, n_ge, float(n_ge + 1) / float(n_perm + 1))]
+    return spark.createDataFrame(row, "i_obs double, n_perm long, n_ge long, p_sim double")
+
+
+def permutation_params(n: int, n_perm: int, seed: int) -> list[tuple[int, int, int]]:
+    """Deterministic modular permutations of Z_n: rank -> (a·rank+b) % n
+    with gcd(a, n) = 1. p = 0 is the identity (observed ordering)."""
+    out = [(0, 1, 0)]
+    a_mul = 1
+    for p in range(1, n_perm + 1):
+        a_mul = (a_mul * 48271 + seed) % n
+        while math_gcd(a_mul, n) != 1 or a_mul <= 1:
+            a_mul = (a_mul + 1) % n
+        out.append((p, a_mul, (seed * p) % n))
+    return out
+
+
+def math_gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
+
+
+def neighbor_pairs_keys(ranked: DataFrame, rook: bool = False) -> DataFrame:
+    """Neighbor pairs in rank space: (ka, kb) for the fixed lattice."""
+    spark = ranked.sparkSession
+    offsets = spark.createDataFrame(ROOK if rook else QUEEN, "dr int, dc int")
+    a = ranked.select("row", "col", F.col("k").alias("ka"))
+    b = ranked.select(
+        F.col("row").alias("row2"), F.col("col").alias("col2"), F.col("k").alias("kb")
+    )
+    return (
+        a.crossJoin(F.broadcast(offsets))
+        .withColumn("row2", F.col("row") + F.col("dr"))
+        .withColumn("col2", F.col("col") + F.col("dc"))
+        .join(b, ["row2", "col2"])
+        .select("ka", "kb")
+    )
+
+
 def moran_rowstd(px: DataFrame, rook: bool = False) -> float:
     """Row-standardized Moran's I (reference default transform='r'):
     I = (n/S0)·Σ_i (1/deg_i)·Σ_j z_i z_j / Σ z² with S0 = Σ 1/deg_i·deg_i

@@ -111,6 +111,38 @@ def pixel_table(
     return px
 
 
+def infer_grid_from_points(df: DataFrame, x_col: str = "x", y_col: str = "y") -> dict:
+    """from_pandas grid inference with the reference's quirks
+    (georasters.py:1569-1599, SURVEY §1.4.9):
+      * cell size = MAX gap between consecutive sorted unique coords
+        (not min/mode) — georasters.py:1582-1585;
+      * origin = (min x, max y); grid reindexed to 0..max(row/col), so
+        missing cells become ndv.
+    Returns {'xmin','ymax','cellx','celly','nrows','ncols'} computed
+    distributed (window lag over sorted distinct coords)."""
+    from pyspark.sql import Window as W
+
+    def max_gap(col):
+        d = df.select(F.col(col).alias("v")).distinct()
+        w = W.orderBy("v")
+        g = d.withColumn("gap", F.col("v") - F.lag("v").over(w))
+        row = g.agg(
+            F.max("gap").alias("mx"), F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).collect()[0]
+        return float(row["mx"]) if row["mx"] is not None else 1.0, float(row["lo"]), float(row["hi"])
+
+    cx, xlo, xhi = max_gap(x_col)
+    cy, ylo, yhi = max_gap(y_col)
+    return {
+        "xmin": xlo,
+        "ymax": yhi,
+        "cellx": cx,
+        "celly": -cy,
+        "ncols": int(round((xhi - xlo) / cx)) + 1,
+        "nrows": int(round((yhi - ylo) / cy)) + 1,
+    }
+
+
 def lookup_points(
     images: DataFrame,
     points: DataFrame,
@@ -139,6 +171,72 @@ def lookup_points(
         F.col("row").alias("prow"), F.col("col").alias("pcol"), "value"
     )
     return px.join(F.broadcast(pts), ["prow", "pcol"], "right")
+
+
+def lookup_points_fused(
+    images: DataFrame,
+    points: DataFrame,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+    tile: int = 64,
+) -> DataFrame:
+    """Fused map_pixel: the point batch is broadcast as per-tile index
+    arrays; one decode pass gathers all hits in numpy — no pixel-table
+    materialization, no shuffle (scale path for point batches that fit
+    in a broadcast; beyond that, use lookup_points)."""
+    import numpy as np
+
+    from ..functions import grid as G
+
+    x0, y0 = origin
+    cx, cy = cellsize
+
+    pts_pdf = points.select("point_id", "x", "y").toPandas()
+    prow = np.round((pts_pdf["y"].to_numpy() - y0) / cy).astype(np.int64)
+    pcol = np.round((pts_pdf["x"].to_numpy() - x0) / cx).astype(np.int64)
+    pid = pts_pdf["point_id"].to_numpy(np.int64)
+    by_tile: dict[tuple[int, int], tuple] = {}
+    for i in range(len(pid)):
+        key = (int(prow[i] // tile), int(pcol[i] // tile))
+        by_tile.setdefault(key, ([], [], []))
+        by_tile[key][0].append(int(pid[i]))
+        by_tile[key][1].append(int(prow[i] % tile))
+        by_tile[key][2].append(int(pcol[i] % tile))
+    bt = {k: (np.array(a), np.array(b), np.array(c)) for k, (a, b, c) in by_tile.items()}
+    spark = images.sparkSession
+    bc = spark.sparkContext.broadcast(bt)
+
+    keys_df = spark.createDataFrame(
+        [(k[0], k[1]) for k in bt] or [(-1, -1)], "tile_row int, tile_col int"
+    )
+    pruned = images.join(F.broadcast(keys_df), ["tile_row", "tile_col"], "left_semi")
+
+    def kernel(batches):
+        for pdf in batches:
+            out_pid, out_val = [], []
+            for t in pdf.itertuples(index=False):
+                key = (int(t.tile_row), int(t.tile_col))
+                hit = bc.value.get(key)
+                if hit is None:
+                    continue
+                ids, lr, lc = hit
+                arr = codec.decode_tile(
+                    bytes(t.bytes), t.fmt, int(t.w), int(t.h), float(t.ndv)
+                ).astype(np.float64)
+                vals = arr[lr, lc]
+                ok = vals != float(t.ndv)
+                out_pid.extend(ids[ok].tolist())
+                out_val.extend(vals[ok].tolist())
+            yield pd.DataFrame({"point_id": pd.Series(out_pid, dtype=np.int64),
+                                "value": pd.Series(out_val, dtype=np.float64)})
+
+    found = pruned.select("bytes", "fmt", "w", "h", "ndv", "tile_row", "tile_col").mapInPandas(
+        kernel, schema="point_id long, value double"
+    )
+    pts = points.withColumn("prow", G.row_of_y(F.col("y"), y0, cy)).withColumn(
+        "pcol", G.col_of_x(F.col("x"), x0, cx)
+    )
+    return pts.join(found, "point_id", "left")
 
 
 def assemble_tiles(

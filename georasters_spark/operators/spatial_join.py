@@ -116,6 +116,123 @@ def pip_join(
     return pixel_df.mapInPandas(kernel, schema=out_schema)
 
 
+def zonal_stats_fused(
+    images: DataFrame,
+    zones,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+    mode: str = "center",
+) -> DataFrame:
+    """Fused zonal statistics: decode + PIP + *partial aggregation* in a
+    single Arrow stage. Each task emits at most (#zones) partial rows
+    (count/sum/sum2/min/max as exact int64), so the shuffle moves
+    O(zones × partitions) rows no matter how many pixels a zone covers
+    — per-partition partials make hot zones a non-issue by
+    construction (stronger than key salting; the explicit salted path
+    remains in zonal_stats for the unfused pipeline). Results are
+    bit-identical to zonal_stats: same integer partials, same final
+    double expressions.
+    """
+    import pandas as pd
+
+    zlist = [
+        (int(z.zone_id), [np.asarray(r, dtype=np.float64) for r in z.rings],
+         geom.rings_bbox(z.rings))
+        for z in zones
+    ]
+    x0, y0 = origin
+    cx, cy = cellsize
+    padx, pady = (abs(cx), abs(cy)) if mode == "all_touched" else (0.0, 0.0)
+    pruned = prune_tiles(images, zones)
+
+    def kernel(batches):
+        from ..sources import codec
+
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(
+                    bytes(t.bytes), t.fmt, int(t.w), int(t.h), float(t.ndv)
+                ).astype(np.float64)
+                h, w = arr.shape
+                gr = (int(t.tile_row) * h + np.arange(h, dtype=np.int64))[:, None]
+                gc = (int(t.tile_col) * w + np.arange(w, dtype=np.int64))[None, :]
+                valid = arr != float(t.ndv)
+                xc = x0 + (np.broadcast_to(gc, (h, w))[valid] + 0.5) * cx
+                yc = y0 + (np.broadcast_to(gr, (h, w))[valid] + 0.5) * cy
+                vals = arr[valid].astype(np.int64)
+                for zid, rings, (bx0, by0, bx1, by1) in zlist:
+                    cand = (
+                        (xc >= bx0 - padx) & (xc <= bx1 + padx)
+                        & (yc >= by0 - pady) & (yc <= by1 + pady)
+                    )
+                    if not cand.any():
+                        continue
+                    if mode == "center":
+                        hit = geom.points_in_rings(xc[cand], yc[cand], rings)
+                    else:
+                        hit = geom.cells_touched(xc[cand], yc[cand], cx, cy, rings)
+                    if not hit.any():
+                        continue
+                    v = vals[cand][hit]
+                    a = acc.setdefault(zid, [0, 0, 0, None, None])
+                    a[0] += int(v.size)
+                    a[1] += int(v.sum())
+                    a[2] += int((v * v).sum())
+                    a[3] = int(v.min()) if a[3] is None else min(a[3], int(v.min()))
+                    a[4] = int(v.max()) if a[4] is None else max(a[4], int(v.max()))
+        rows = [
+            {"zone_id": z, "c": a[0], "s": a[1], "s2": a[2], "mn": a[3], "mx": a[4]}
+            for z, a in acc.items()
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=["zone_id", "c", "s", "s2", "mn", "mx"],
+        ) if rows else pd.DataFrame(
+            {"zone_id": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64),
+             "s": pd.Series(dtype=np.int64), "s2": pd.Series(dtype=np.int64),
+             "mn": pd.Series(dtype=np.int64), "mx": pd.Series(dtype=np.int64)}
+        )
+
+    cols = ["bytes", "fmt", "w", "h", "ndv", "tile_row", "tile_col"]
+    partials = pruned.select(*cols).mapInPandas(
+        kernel, schema="zone_id long, c long, s long, s2 long, mn long, mx long"
+    )
+    agg = partials.groupBy("zone_id").agg(
+        F.sum("c").alias("zcount"),
+        F.sum("s").alias("zsum"),
+        F.sum("s2").alias("zsum2"),
+        F.min("mn").alias("zmin"),
+        F.max("mx").alias("zmax"),
+    )
+    return _finalize_zonal(agg)
+
+
+def _finalize_zonal(agg: DataFrame) -> DataFrame:
+    return (
+        agg.withColumn("zmean", F.round(F.col("zsum") / F.col("zcount"), 6))
+        .withColumn(
+            "zstd",
+            F.round(
+                F.sqrt(
+                    F.col("zsum2") / F.col("zcount")
+                    - (F.col("zsum") / F.col("zcount")) * (F.col("zsum") / F.col("zcount"))
+                ),
+                6,
+            ),
+        )
+        .select(
+            "zone_id",
+            F.col("zcount").cast("long").alias("zcount"),
+            F.col("zsum").cast("long").alias("zsum"),
+            F.col("zmin").cast("long").alias("zmin"),
+            F.col("zmax").cast("long").alias("zmax"),
+            "zmean",
+            "zstd",
+        )
+    )
+
+
 def zonal_stats(
     images: DataFrame,
     zones,
@@ -165,28 +282,7 @@ def zonal_stats(
             F.min(v).alias("zmin"),
             F.max(v).alias("zmax"),
         )
-    return (
-        agg.withColumn("zmean", F.round(F.col("zsum") / F.col("zcount"), 6))
-        .withColumn(
-            "zstd",
-            F.round(
-                F.sqrt(
-                    F.col("zsum2") / F.col("zcount")
-                    - (F.col("zsum") / F.col("zcount")) * (F.col("zsum") / F.col("zcount"))
-                ),
-                6,
-            ),
-        )
-        .select(
-            "zone_id",
-            F.col("zcount").cast("long").alias("zcount"),
-            F.col("zsum").cast("long").alias("zsum"),
-            F.col("zmin").cast("long").alias("zmin"),
-            F.col("zmax").cast("long").alias("zmax"),
-            "zmean",
-            "zstd",
-        )
-    )
+    return _finalize_zonal(agg)
 
 
 def clip(

@@ -122,7 +122,7 @@ FROM tiles"""
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = SPEC
-    return SJ.zonal_stats(
+    return SJ.zonal_stats_fused(
         images_for(spark, spec),
         synth.ZONES_T1,
         origin=(spec.x0, spec.y0),
@@ -217,7 +217,7 @@ FROM cum"""
 def q_map_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = SPEC
     pts = synth.points_df(spark, 100)
-    out = PX.lookup_points(
+    out = PX.lookup_points_fused(
         images_for(spark, spec),
         pts,
         origin=(spec.x0, spec.y0),
@@ -624,6 +624,35 @@ def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-codec gate as a first-class query: re-encode every tile as
+    q8, decode both, per-tile PSNR vs the lossless original — the
+    input_hint's PSNR>=40dB invariant (rows-only: DuckDB cannot decode)."""
+    import pandas as pd
+
+    from .sources import codec
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                ref = codec.decode_tile(bytes(t.bytes), t.fmt, int(t.w), int(t.h), float(t.ndv))
+                lossy = codec.decode_tile(
+                    codec.encode_tile(ref, "q8", float(t.ndv)), "q8", int(t.w), int(t.h), float(t.ndv)
+                )
+                p = codec.psnr(ref, lossy, float(t.ndv))
+                rows.append(
+                    {"image_id": t.image_id, "psnr_db": round(min(p, 999.0), 3),
+                     "passes_gate": bool(p >= 40.0)}
+                )
+            yield pd.DataFrame(rows)
+
+    imgs = images_for(spark, SPEC)
+    return imgs.select("image_id", "bytes", "fmt", "w", "h", "ndv").mapInPandas(
+        kernel, schema="image_id string, psnr_db double, passes_gate boolean"
+    )
+
+
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import algebra as AL
 
@@ -700,6 +729,76 @@ SELECT doc_id,
 FROM t"""
 
 
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.local_moran(px)
+
+
+def sql_local_moran() -> str:
+    from .operators import autocorr as AC
+
+    return AC.local_moran_sql(synth.pixel_sql(SPEC))
+
+
+_PERM_N = 9
+_PERM_SEED = 97
+
+
+def _t1_valid_count() -> int:
+    import numpy as np
+
+    full = synth.stitched_array(SPEC)
+    return int((full != SPEC.ndv).sum())
+
+
+def q_moran_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.moran_permutation_test(px, n_perm=_PERM_N, seed=_PERM_SEED)
+
+
+def sql_moran_perm() -> str:
+    from .operators.autocorr import QUEEN, permutation_params
+
+    n = _t1_valid_count()
+    perms = permutation_params(n, _PERM_N, _PERM_SEED)
+    pvals = ", ".join(f"({p}, {a}, {b})" for p, a, b in perms)
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in QUEEN)
+    return f"""WITH {synth.pixel_sql(SPEC)},
+offsets(dr, dc) AS (VALUES {offsets}),
+perms(p, amul, badd) AS (VALUES {pvals}),
+ranked AS (SELECT row, col, value, ROW_NUMBER() OVER (ORDER BY row, col) - 1 AS k FROM px),
+cand AS (SELECT a.k AS ka, a.row + o.dr AS r2, a.col + o.dc AS c2 FROM ranked a CROSS JOIN offsets o),
+pairs AS (SELECT cand.ka, b.k AS kb FROM cand JOIN ranked b ON b.row = cand.r2 AND b.col = cand.c2),
+pp AS (SELECT pe.p, (pairs.ka * pe.amul + pe.badd) % {n} AS pka, (pairs.kb * pe.amul + pe.badd) % {n} AS pkb
+       FROM pairs CROSS JOIN perms pe),
+j AS (SELECT pp.p, va.value AS va, vb.value AS vb
+      FROM pp JOIN ranked va ON va.k = pp.pka JOIN ranked vb ON vb.k = pp.pkb),
+agg AS (SELECT p, CAST(SUM(va*vb) AS BIGINT) AS p_ab, CAST(SUM(va) AS BIGINT) AS p_a,
+               CAST(SUM(vb) AS BIGINT) AS p_b, CAST(COUNT(*) AS BIGINT) AS s0
+        FROM j GROUP BY p),
+scal AS (SELECT CAST(COUNT(value) AS BIGINT) AS n, CAST(SUM(value) AS BIGINT) AS s,
+                CAST(SUM(value*value) AS BIGINT) AS q FROM px),
+nums AS (SELECT agg.p,
+                CAST(scal.n AS HUGEINT)*scal.n*agg.p_ab
+                - CAST(scal.n AS HUGEINT)*scal.s*(agg.p_a + agg.p_b)
+                + CAST(agg.s0 AS HUGEINT)*scal.s*scal.s AS num,
+                agg.s0, scal.n, scal.s, scal.q
+         FROM agg, scal),
+obs AS (SELECT num AS num_obs, s0, n, s, q FROM nums WHERE p = 0),
+ge AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ge FROM nums, obs WHERE nums.p > 0 AND nums.num >= obs.num_obs)
+SELECT (CAST(obs.n AS DOUBLE) / CAST(obs.s0 AS DOUBLE))
+       * (CAST(obs.num_obs AS DOUBLE)
+          / CAST(CAST(obs.n AS HUGEINT)*obs.n*obs.q - CAST(obs.n AS HUGEINT)*obs.s*obs.s AS DOUBLE)) AS i_obs,
+       CAST({_PERM_N} AS BIGINT) AS n_perm,
+       ge.n_ge AS n_ge,
+       CAST(ge.n_ge + 1 AS DOUBLE) / ({_PERM_N} + 1) AS p_sim
+FROM obs, ge"""
+
+
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed event rollup (batch form of streaming/events.py):
     6-hour epoch buckets, per-type aggregates + JSON prop extraction."""
@@ -756,6 +855,8 @@ QUERIES = {
     "knn_tiles": (q_knn, sql_knn),
     "autocorr_global": (q_autocorr_global, sql_autocorr_global),
     "focal_stats": (q_focal_stats, sql_focal_stats),
+    "local_moran": (q_local_moran, sql_local_moran),
+    "moran_permutations": (q_moran_perm, sql_moran_perm),
     "argmax": (q_argmax, sql_argmax),
     "resize_nearest": (q_resize, sql_resize),
     "align_grids": (q_align, sql_align),
@@ -763,6 +864,7 @@ QUERIES = {
     "cost_distance": (q_cost_distance, None),
     "polygonize": (q_polygonize, None),
     "reproject_cea": (q_reproject, None),
+    "psnr_gate_q8": (q_psnr_gate, None),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "jaccard_pairs": (q_jaccard_pairs, sql_jaccard_pairs),
     "text_stats": (q_text_stats, sql_text_stats),

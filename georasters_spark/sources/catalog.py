@@ -91,3 +91,65 @@ class SnapshotTable:
         if snap is None or not snap["dirs"]:
             raise ValueError("empty table")
         return spark.read.parquet(*snap["dirs"])
+
+
+# ---------------------------------------------------------------------------
+# spatially clustered layout: PARTITIONED BY (cell prefix), Z-ordered files
+# ---------------------------------------------------------------------------
+
+def cell_prefix_expr(res: int, prefix_res: int):
+    """Column expr: parent cell of `cell_id` at prefix_res (pure integer
+    ops on the Morton layout — usable in partitionBy)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import RES_SHIFT
+
+    shift = 2 * (res - prefix_res)
+    return F.expr(
+        f"CAST({prefix_res} AS BIGINT) * {1 << RES_SHIFT} + "
+        f"(cell_id % {1 << RES_SHIFT}) DIV {1 << shift}"
+    )
+
+
+def write_clustered(images, root: str, res: int, prefix_res: int = 1) -> None:
+    """Write the images table partitioned by coarse cell prefix and
+    sorted by cell_id within partitions — the layout that makes bbox /
+    ring queries prune files (Iceberg PARTITIONED BY bucket + ORDER BY
+    z-curve analog, SURVEY §4.2)."""
+    df = images.withColumn("cell_prefix", cell_prefix_expr(res, prefix_res))
+    (
+        df.repartition("cell_prefix")
+        .sortWithinPartitions("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_prefix")
+        .parquet(root)
+    )
+
+
+def scan_bbox(spark, root: str, bbox: tuple[float, float, float, float], prefix_res: int = 1):
+    """Read only the partitions whose prefix cell intersects the bbox:
+    directory-level partition pruning, then exact tile-bbox filtering."""
+    import numpy as np
+
+    from ..functions import cells as C
+
+    x0, y0, x1, y1 = bbox
+    n = 1 << prefix_res
+    ix0, iy1 = C.lonlat_to_ixiy(np.array([x0]), np.array([y0]), prefix_res)
+    ix1, iy0 = C.lonlat_to_ixiy(np.array([x1]), np.array([y1]), prefix_res)
+    wanted = []
+    for ix in range(int(ix0[0]), int(ix1[0]) + 1):
+        for iy in range(int(iy0[0]), int(iy1[0]) + 1):
+            if 0 <= ix < n and 0 <= iy < n:
+                wanted.append(int(C.encode(np.int64(ix), np.int64(iy), prefix_res)))
+    # physically select the partition directories (what Iceberg manifest
+    # pruning does): only the matching files are ever listed or opened
+    import os
+
+    paths = [
+        p for p in (os.path.join(root, f"cell_prefix={c}") for c in sorted(set(wanted)))
+        if os.path.exists(p)
+    ]
+    if not paths:
+        return spark.read.parquet(root).limit(0)
+    return spark.read.option("basePath", root).parquet(*paths)

@@ -60,6 +60,55 @@ def test_resume_after_kill_identical_output(spark, tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_clustered_layout_prunes_files(spark, images_t1, tmp_path):
+    """bbox scan over the clustered layout reads a strict subset of
+    files (directory-level partition pruning) and the right tiles."""
+    from georasters_spark.sources import catalog as CAT
+    from georasters_spark.sources import synth
+
+    root = str(tmp_path / "clustered")
+    CAT.write_clustered(images_t1, root, res=synth.T1.cell_res, prefix_res=1)
+    full = spark.read.parquet(root)
+    # west-north quadrant bbox
+    sub = CAT.scan_bbox(spark, root, (-170.0, 10.0, -100.0, 80.0), prefix_res=1)
+    assert len(sub.inputFiles()) < len(full.inputFiles())
+    # pruning is sound: re-filtering the FULL table by the same prefix
+    # set yields the same tiles
+    got = sorted(r["image_id"] for r in sub.select("image_id").collect())
+    pref = CAT.cell_prefix_expr(synth.T1.cell_res, 1)
+    import pyspark.sql.functions as F
+
+    wanted = {r["p"] for r in sub.select(F.col("cell_prefix").alias("p")).distinct().collect()}
+    exp = sorted(
+        r["image_id"]
+        for r in full.filter(F.col("cell_prefix").isin(list(wanted))).select("image_id").collect()
+    )
+    assert got == exp
+    # every tile whose center is inside the bbox is present
+    inside = images_t1.filter(
+        (F.col("xmin") + F.col("w") * F.col("cellx") / 2).between(-170.0, -100.0)
+        & (F.col("ymax") + F.col("h") * F.col("celly") / 2).between(10.0, 80.0)
+    )
+    ids_in = {r["image_id"] for r in inside.select("image_id").collect()}
+    assert ids_in <= set(got)
+
+
+def test_cell_prefix_expr_matches_numpy(spark, images_t1):
+    from georasters_spark.functions import cells as C
+    from georasters_spark.sources import catalog as CAT
+    from georasters_spark.sources import synth
+
+    res = synth.T1.cell_res
+    got = (
+        images_t1.select("cell_id", CAT.cell_prefix_expr(res, 1).alias("p"))
+        .toPandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    exp = np.asarray(C.parent(got["cell_id"].to_numpy(), res - 1))
+    assert np.array_equal(got["p"].to_numpy(), exp)
+
+
 def test_streaming_rollup_matches_batch(spark):
     got = (
         EV.run_rollup_stream(spark, SF, query_name="t_rollup")

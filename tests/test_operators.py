@@ -72,6 +72,19 @@ def test_zonal_concave_and_donut_vs_numpy(spark, images_t1):
         assert got.loc[z.zone_id, "zmax"] == vals.max()
 
 
+def test_zonal_fused_equals_unfused(spark, images_t1):
+    """The map-side-combined (fused) pipeline is bit-identical to the
+    explode-then-join pipeline, for center and all_touched modes and
+    for concave/donut zones."""
+    spec = synth.T1
+    kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    zones = synth.ZONES_T1 + [z for z in synth.ZONES_EXTRA if z.name in ("concave_l", "donut")]
+    for mode in ("center", "all_touched"):
+        a = SJ.zonal_stats(images_t1, zones, mode=mode, **kw).toPandas().sort_values("zone_id").reset_index(drop=True)
+        b = SJ.zonal_stats_fused(images_t1, zones, mode=mode, **kw).toPandas().sort_values("zone_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_zonal_salted_equals_plain(spark, images_t1):
     spec = synth.T1
     kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
@@ -140,6 +153,51 @@ def test_assemble_roundtrip(spark, images_t1):
     px2 = PX.pixel_table(rebuilt, valid_only=True).select("row", "col", "value")
     a = px.toPandas().sort_values(["row", "col"]).reset_index(drop=True)
     b = px2.toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_infer_grid_quirks(spark):
+    """from_pandas inference: cell size = MAX gap (georasters.py:
+    1582-1585) — a deliberately irregular point set proves the quirk."""
+    rows = [(0.0, 10.0), (1.0, 10.0), (3.5, 10.0), (0.0, 8.0), (0.0, 5.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    g = PX.infer_grid_from_points(df)
+    assert g["cellx"] == 2.5  # max gap 1.0→3.5, not min gap 1.0
+    assert g["celly"] == -3.0  # max gap 8→5
+    assert g["xmin"] == 0.0 and g["ymax"] == 10.0
+    # reindexed 0..max: cols {0, round(3.5/2.5)=1}+1 = 2;
+    # rows {0, round(2/3)=1, round(5/3)=2}+1 = 3
+    assert g["ncols"] == 2 and g["nrows"] == 3
+
+
+def test_psnr_gate_query(spark):
+    from georasters_spark import queries as Q
+
+    out = Q.q_psnr_gate(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(out) == 45
+    assert out.passes_gate.all()
+    assert (out.psnr_db >= 40).all()
+
+
+def test_lookup_fused_equals_generic(spark, images_t1):
+    """Broadcast-gather lookup == pixel-table-join lookup."""
+    spec = synth.T1
+    pts = synth.points_df(spark, 200)
+    kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    a = (
+        PX.lookup_points(images_t1, pts, **kw)
+        .select("point_id", "prow", "pcol", "value")
+        .toPandas()
+        .sort_values("point_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        PX.lookup_points_fused(images_t1, pts, **kw)
+        .select("point_id", "prow", "pcol", "value")
+        .toPandas()
+        .sort_values("point_id")
+        .reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(a, b)
 
 

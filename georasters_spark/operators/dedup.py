@@ -183,6 +183,46 @@ def minhash_dedup_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """IMAGE near-duplicate pairs by perceptual-hash Hamming distance.
+
+    Banded blocking on the 64-bit phash (4 x 16-bit bands): any pair
+    within Hamming distance <= 16*3/4 shares at least one exact band
+    (pigeonhole: <= max_hamming bits differ across 4 bands ⇒ some band
+    is identical whenever max_hamming < 4). For max_hamming m, pairs
+    missed only if every band differs — impossible for m <= 3; for
+    larger m the 4-band block is a high-recall candidate filter and
+    candidates are verified exactly. Returns (img_a, img_b, hamming).
+    """
+    banded = images.select(
+        F.col("image_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("phash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bits"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select("image_id", "phash", "bb.band", "bb.bits")
+    l = banded.select(F.col("image_id").alias("img_a"), F.col("phash").alias("ha"), "band", "bits")
+    r = banded.select(F.col("image_id").alias("img_b"), F.col("phash").alias("hb"), "band", "bits")
+    cand = (
+        l.join(r, ["band", "bits"])
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("img_a", "img_b", "hamming")
+    )
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash long): sign-sum of token xxhash64 bits."""
     tok = tokens(docs).select("doc_id", F.explode("w").alias("tok"))

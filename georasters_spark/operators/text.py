@@ -23,10 +23,14 @@ def text_stats(docs: DataFrame) -> DataFrame:
     """Per-doc stats: token count, distinct tokens, char stats, quality
     score = distinct/total ratio damped by a length prior."""
     w = F.split(F.col("text"), " ")
+    # BPE-ish subword count: alnum runs and punctuation runs counted
+    # separately (the usual pre-tokenizer shape)
+    sub = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]+"), 0))
     return docs.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.size(w).cast("long").alias("n_tokens"),
+        sub.cast("long").alias("n_subtokens"),
         F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
         F.round(F.length("text").cast("double") / F.size(w), 6).alias("avg_token_len"),
         F.round(

@@ -653,6 +653,19 @@ def q_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection over phash with 4-band blocking plus an
+    injected duplicate grid (g42 tiles vs their q8-lossy re-encodes)."""
+    from .operators import dedup as DD
+    from .operators import pixels as PXo  # noqa: F401
+
+    imgs = images_for(spark, SPEC).select("image_id", "phash")
+    lossy = images_for(spark, SPEC, fmt="q8").select(
+        F.concat(F.lit("lossy_"), F.col("image_id")).alias("image_id"), "phash"
+    )
+    return DD.phash_near_dup_pairs(imgs.unionByName(lossy), max_hamming=6)
+
+
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import algebra as AL
 
@@ -723,6 +736,7 @@ def sql_text_stats() -> str:
     return """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id,
        CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]+')) AS BIGINT) AS n_subtokens,
        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
        ROUND(CAST(length(text) AS DOUBLE) / len(w), 6) AS avg_token_len,
        ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS distinct_ratio
@@ -865,6 +879,7 @@ QUERIES = {
     "polygonize": (q_polygonize, None),
     "reproject_cea": (q_reproject, None),
     "psnr_gate_q8": (q_psnr_gate, None),
+    "phash_near_dup": (q_phash_near_dup, None),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "jaccard_pairs": (q_jaccard_pairs, sql_jaccard_pairs),
     "text_stats": (q_text_stats, sql_text_stats),

@@ -108,6 +108,27 @@ def test_text_quality_and_langid(spark, docs):
     assert (fp.fingerprint.str.len() <= 8).all() and (fp.fingerprint.str.len() >= 1).all()
 
 
+def test_phash_near_dup_finds_lossy_twins(spark, images_t1):
+    """Every tile must pair with its q8-lossy re-encode (image dedup)."""
+    from pyspark.sql import functions as F
+
+    from georasters_spark import queries as Q
+    from georasters_spark.operators import dedup as DDm
+    from georasters_spark.sources import synth
+
+    lossy = Q.images_for(spark, synth.T1, fmt="q8").select(
+        F.concat(F.lit("lossy_"), F.col("image_id")).alias("image_id"), "phash"
+    )
+    both = images_t1.select("image_id", "phash").unionByName(lossy)
+    pairs = DDm.phash_near_dup_pairs(both, max_hamming=6).toPandas()
+    twins = pairs[
+        (pairs.img_a.str.replace("lossy_", "") == pairs.img_b.str.replace("lossy_", ""))
+        & (pairs.img_a != pairs.img_b)
+    ]
+    assert len(twins) == 45
+    assert (twins.hamming <= 6).all()
+
+
 def test_shingles_count(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     sh = DD.shingles(df, n=3).toPandas()

@@ -15,6 +15,24 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def gini_agg(values: DataFrame, round_dp: int = 9) -> DataFrame:
+    """Gini coefficient, reference formula (georasters.py:949-961):
+    ascending sort, y = cumsum, B = sum(y)/(y_last·n), G = 1 + 1/n − 2B;
+    degenerate count <= 1 ⇒ 1 (the :960 guard). Input: one `value`
+    column. Returns (n, gini)."""
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = values.withColumn("ycum", F.sum("value").over(w))
+    g = (
+        F.lit(1.0)
+        + 1.0 / F.count("value")
+        - 2.0 * (F.sum("ycum") / (F.max("ycum") * F.count("value")))
+    )
+    return cum.agg(
+        F.count("value").cast("long").alias("n"),
+        F.round(F.when(F.count("value") <= 1, F.lit(1.0)).otherwise(g), round_dp).alias("gini"),
+    )
+
+
 def union_pixels(pixel_dfs: list[DataFrame]) -> DataFrame:
     """Mosaic on a shared global lattice: later inputs overwrite earlier
     ones wherever they have data (list-order rule). Inputs: (row, col,

@@ -120,6 +120,94 @@ def knn_tiles(
     )
 
 
+def knn_pixels(
+    px: DataFrame,
+    points: DataFrame,
+    k: int,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+) -> DataFrame:
+    """k nearest VALID pixels per query point — ring expansion directly
+    on the pixel lattice (the pixel grid is its own cell index; the
+    reference analog is extract-radius growth, georasters.py:1016-1030).
+
+    Window-doubling: grow the Chebyshev window until every point holds
+    >= k candidates, widen once by the anisotropy-safe factor
+    hypot(cx, cy)/min(cx, cy), then exact top-k on the rounded
+    center-distance with (row, col) tie-break. px must carry
+    (row, col, value, xc, yc)."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    cx, cy = cellsize
+    x0, y0 = origin
+    aspect = math.hypot(cx, cy) / min(abs(cx), abs(cy))
+    pts = points.select("point_id", "x", "y").toPandas()
+    r0 = np.round((pts["y"].to_numpy() - y0) / cy).astype(np.int64)
+    c0 = np.round((pts["x"].to_numpy() - x0) / cx).astype(np.int64)
+    pid = pts["point_id"].to_numpy(np.int64)
+    qx = pts["x"].to_numpy()
+    qy = pts["y"].to_numpy()
+
+    px = px.cache()
+    need_r = {}
+    R = max(2 * k, 8)
+    remaining = list(range(len(pid)))
+    while remaining and R < 1 << 20:
+        preds = None
+        for i in remaining:
+            p = (
+                (F.abs(F.col("row") - int(r0[i])) <= R)
+                & (F.abs(F.col("col") - int(c0[i])) <= R)
+            )
+            preds = p if preds is None else (preds | p)
+        sub = px.filter(preds).select("row", "col").toPandas()
+        nxt = []
+        for i in remaining:
+            cnt = int(
+                (
+                    (np.abs(sub["row"].to_numpy() - r0[i]) <= R)
+                    & (np.abs(sub["col"].to_numpy() - c0[i]) <= R)
+                ).sum()
+            )
+            if cnt >= k:
+                need_r[i] = R
+            else:
+                nxt.append(i)
+        remaining = nxt
+        R *= 2
+    for i in remaining:  # fewer than k valid pixels on the whole grid
+        need_r[i] = 1 << 20
+
+    outs = []
+    for i in range(len(pid)):
+        r_safe = int(math.ceil((need_r[i] + 1) * aspect)) + 1
+        cand = px.filter(
+            (F.abs(F.col("row") - int(r0[i])) <= r_safe)
+            & (F.abs(F.col("col") - int(c0[i])) <= r_safe)
+        ).withColumn("point_id", F.lit(int(pid[i])))
+        cand = cand.withColumn(
+            "dist2",
+            F.round(
+                (F.col("xc") - float(qx[i])) * (F.col("xc") - float(qx[i]))
+                + (F.col("yc") - float(qy[i])) * (F.col("yc") - float(qy[i])),
+                6,
+            ),
+        )
+        outs.append(cand)
+    allc = outs[0]
+    for o in outs[1:]:
+        allc = allc.unionByName(o)
+    w = W.partitionBy("point_id").orderBy("dist2", "row", "col")
+    return (
+        allc.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("point_id", "row", "col",
+                F.col("value").cast("long").alias("value"), "dist2", "knn_rank")
+    )
+
+
 def _ring_cells(cx0: int, cy0: int, r: int, res: int, n: int) -> list[int]:
     if r == 0:
         return [int(C.encode(np.int64(cx0), np.int64(cy0), res))]

@@ -187,25 +187,18 @@ FROM px"""
 # ---------------------------------------------------------------------------
 
 def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.algebra import gini_agg
+
     px = _px(spark, SPEC).select(F.col("value").cast("long").alias("value"))
-    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = px.withColumn("ycum", F.sum("value").over(w))
-    return cum.agg(
-        F.count("value").cast("long").alias("n"),
-        F.round(
-            F.lit(1.0)
-            + 1.0 / F.count("value")
-            - 2.0 * (F.sum("ycum") / (F.max("ycum") * F.count("value"))),
-            9,
-        ).alias("gini"),
-    )
+    return gini_agg(px)
 
 
 def sql_gini() -> str:
     return f"""WITH {synth.pixel_sql(SPEC)},
 cum AS (SELECT value, SUM(value) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ycum FROM px)
 SELECT CAST(COUNT(value) AS BIGINT) AS n,
-       ROUND(1.0 + 1.0/COUNT(value) - 2.0*(CAST(SUM(ycum) AS DOUBLE)/(CAST(MAX(ycum) AS DOUBLE)*COUNT(value))), 9) AS gini
+       ROUND(CASE WHEN COUNT(value) <= 1 THEN 1.0
+             ELSE 1.0 + 1.0/COUNT(value) - 2.0*(CAST(SUM(ycum) AS DOUBLE)/(CAST(MAX(ycum) AS DOUBLE)*COUNT(value))) END, 9) AS gini
 FROM cum"""
 
 
@@ -864,9 +857,80 @@ ranked AS (
 SELECT query_id, vec_id, cos, sim_rank FROM ranked WHERE sim_rank <= {_ANN_K}"""
 
 
+_KPX_K = 3
+_KPX_NPTS = 12
+
+
+def q_knn_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import knn as KN
+
+    spec = SPEC
+    px = _px(spark, SPEC).select("row", "col", "value", "xc", "yc")
+    return KN.knn_pixels(
+        px,
+        synth.points_df(spark, _KPX_NPTS),
+        k=_KPX_K,
+        origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly),
+    )
+
+
+def sql_knn_pixels() -> str:
+    spec = SPEC
+    return f"""WITH {synth.pixel_sql(spec)}, {synth.points_sql(_KPX_NPTS)},
+scored AS (
+  SELECT p.point_id, px.row, px.col, px.value,
+         ROUND((px.xc - p.x)*(px.xc - p.x) + (px.yc - p.y)*(px.yc - p.y), 6) AS dist2
+  FROM px CROSS JOIN pts p),
+ranked AS (
+  SELECT point_id, row, col, value, dist2,
+         ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY dist2, row, col) AS knn_rank
+  FROM scored)
+SELECT point_id, row, col, value, dist2, knn_rank
+FROM ranked WHERE knn_rank <= {_KPX_K}"""
+
+
+_EMB_DUP_T = 0.45
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= threshold, a < b) —
+    the embedding leg of the dedup suite. Exact pair scan here; the
+    LSH-bucketed variant (similarity.lsh_topk) is the scale path."""
+    from .operators.similarity import _dot, with_norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = with_norm(emb).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("ea"),
+        F.col("_norm").alias("na"),
+    )
+    b = with_norm(emb).select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("eb"),
+        F.col("_norm").alias("nb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b")).withColumn(
+        "cos", F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    )
+    return pairs.filter(F.col("cos") >= _EMB_DUP_T).select("vec_a", "vec_b", "cos")
+
+
+def sql_embed_near_dup() -> str:
+    return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= {_EMB_DUP_T}"""
+
+
 QUERIES = {
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
     "knn_tiles": (q_knn, sql_knn),
+    "knn_pixels": (q_knn_pixels, sql_knn_pixels),
     "autocorr_global": (q_autocorr_global, sql_autocorr_global),
     "focal_stats": (q_focal_stats, sql_focal_stats),
     "local_moran": (q_local_moran, sql_local_moran),
@@ -885,6 +949,7 @@ QUERIES = {
     "text_stats": (q_text_stats, sql_text_stats),
     "event_rollup": (q_event_rollup, sql_event_rollup),
     "ann_cosine": (q_ann_cosine, sql_ann_cosine),
+    "embed_near_dup": (q_embed_near_dup, sql_embed_near_dup),
     "tile_cells": (q_tile_cells, sql_tile_cells),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),
     "global_stats": (q_global_stats, sql_global_stats),

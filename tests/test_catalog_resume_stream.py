@@ -109,6 +109,53 @@ def test_cell_prefix_expr_matches_numpy(spark, images_t1):
     assert np.array_equal(got["p"].to_numpy(), exp)
 
 
+def test_raster_pipeline_resume_drill(spark, images_t1, tmp_path):
+    """North-rule drill on the RASTER pipeline: zonal partials keyed by
+    tile band, killed mid-job, resumed — final per-zone stats equal the
+    direct zonal_stats run."""
+    from pyspark.sql import functions as F
+
+    from georasters_spark.operators import spatial_join as SJ
+    from georasters_spark.sources import synth
+
+    spec = synth.T1
+    kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    bands = [f"band{i}" for i in range(spec.tiles_y)]
+
+    def process(key):
+        i = int(key.replace("band", ""))
+        sub = images_t1.filter(F.col("tile_row") == i)
+        return SJ.zonal_stats_fused(sub, synth.ZONES_T1, **kw).select(
+            "zone_id", "zcount", "zsum", "zmin", "zmax"
+        )
+
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        LN.resumable_run(spark, "rjob", str(tmp_path), bands, process, fail_after=2)
+    assert len(LN.metrics(str(tmp_path), "rjob")) == 2
+
+    parts = LN.resumable_run(spark, "rjob", str(tmp_path), bands, process)
+    merged = (
+        parts.groupBy("zone_id")
+        .agg(
+            F.sum("zcount").alias("zcount"),
+            F.sum("zsum").alias("zsum"),
+            F.min("zmin").alias("zmin"),
+            F.max("zmax").alias("zmax"),
+        )
+        .toPandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    direct = (
+        SJ.zonal_stats_fused(images_t1, synth.ZONES_T1, **kw)
+        .select("zone_id", "zcount", "zsum", "zmin", "zmax")
+        .toPandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged, direct)
+
+
 def test_streaming_rollup_matches_batch(spark):
     got = (
         EV.run_rollup_stream(spark, SF, query_name="t_rollup")

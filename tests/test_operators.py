@@ -4,6 +4,7 @@ union golden test (reference tests/newtest.py:17-51), roundtrips."""
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from georasters_spark.functions import geometry as geom
@@ -154,6 +155,43 @@ def test_assemble_roundtrip(spark, images_t1):
     a = px.toPandas().sort_values(["row", "col"]).reset_index(drop=True)
     b = px2.toPandas().sort_values(["row", "col"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_clip_minitiles_match_zonal(spark, images_t1):
+    """clip() mini-tile pixel sums per zone == zonal all_touched sums
+    (the clip/stats shared-kernel identity, georasters.py:870-947)."""
+    spec = synth.T1
+    kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    zones = synth.ZONES_T1[:2]
+    clipped = SJ.clip(images_t1, zones, tile=spec.tile, ndv=spec.ndv, **kw)
+    zs = (
+        SJ.zonal_stats(images_t1, zones, mode="all_touched", **kw)
+        .toPandas()
+        .set_index("zone_id")
+    )
+    for z in zones:
+        sub = clipped.filter(F.col("zone_id") == z.zone_id)
+        px2 = PX.pixel_table(sub, valid_only=True)
+        agg = px2.agg(
+            F.count("value").alias("c"), F.sum("value").cast("long").alias("s")
+        ).collect()[0]
+        assert agg["c"] == zs.loc[z.zone_id, "zcount"]
+        assert agg["s"] == zs.loc[z.zone_id, "zsum"]
+
+
+def test_gini_degenerate_and_uniform(spark):
+    """gini closed forms: count<=1 ⇒ 1 (guard, georasters.py:960);
+    uniform 1..n ⇒ (n-1)/(3n) under the reference formula."""
+    from georasters_spark.operators.algebra import gini_agg
+
+    one = spark.createDataFrame([(5,)], "value long")
+    r = gini_agg(one, round_dp=12).collect()[0]
+    assert r["n"] == 1 and abs(r["gini"] - 1.0) < 1e-12
+
+    n = 100
+    uni = spark.range(1, n + 1).select(F.col("id").alias("value"))
+    g = gini_agg(uni, round_dp=12).collect()[0]["gini"]
+    assert abs(g - (n - 1) / (3 * n)) < 1e-12
 
 
 def test_infer_grid_quirks(spark):

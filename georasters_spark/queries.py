@@ -35,10 +35,31 @@ D_OFF_ROW, D_OFF_COL = 60, 120
 _img_cache: dict = {}
 
 
+# bump the version suffix whenever sources/synth.py formulas change —
+# stale cached tables would otherwise diverge from the SQL oracles
+TABLES_ROOT = "/tmp/georasters_tables_v1"
+
+
 def images_for(spark: SparkSession, spec: GridSpec, fmt: str = "raw16") -> DataFrame:
+    """The images table, served from the Iceberg-lite catalog: built
+    once (deterministic) and appended as a snapshot, then read back as
+    a REAL parquet scan — so tile-pruning predicates push down to the
+    file source like they would against an Iceberg table."""
+    import os
+
+    from .sources.catalog import SnapshotTable
+
     key = (spark.sparkContext.applicationId, spec.grid_id, fmt)
     if key not in _img_cache:
-        df = synth.build_images(spark, spec, fmt).cache()
+        root = f"{TABLES_ROOT}/{spec.grid_id}_{fmt}"
+        tbl = SnapshotTable(root)
+        if tbl.current_version() == 0:
+            tbl.append(
+                synth.build_images(spark, spec, fmt),
+                props={"grid_id": spec.grid_id, "fmt": fmt, "crs": spec.crs,
+                       "cell_res": spec.cell_res},
+            )
+        df = tbl.scan(spark).cache()
         df.count()
         _img_cache[key] = df
     return _img_cache[key]

@@ -78,3 +78,80 @@ def rollup_batch(spark, sf_dir: str):
     """The batch oracle for the same rollup."""
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return rollup_agg(df)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-user running totals via
+# applyInPandasWithState (the arbitrary-state API the north rule's
+# streaming surface calls for)
+# ---------------------------------------------------------------------------
+
+def _user_totals_fn(key, pdf_iter, state):
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]}
+    )
+
+
+def run_user_totals_stream(spark, sf_dir: str, query_name: str = "usertotals"):
+    """Stateful streaming: per-user cumulative event count + value sum,
+    kept in explicit group state across micro-batches."""
+    import hashlib
+    import os
+
+    src_dir = f"/tmp/georasters_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # memory sink in update mode appends each update; keep the last per user
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    t = spark.table(query_name)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return t.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def user_totals_batch(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )

@@ -173,6 +173,28 @@ def test_streaming_rollup_matches_batch(spark):
     assert len(got) > 0
 
 
+def test_stateful_user_totals_matches_batch(spark):
+    """applyInPandasWithState per-user running totals == batch groupBy
+    (single-file source ⇒ final state equals the batch aggregate)."""
+    got = (
+        EV.run_user_totals_stream(spark, SF, query_name="t_totals")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        EV.user_totals_batch(spark, SF)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"user_id": "int64", "n_events": "int64"}),
+        exp.astype({"user_id": "int64", "n_events": "int64"}),
+        check_dtype=False,
+    )
+
+
 def test_multimodal_features_and_resize(spark, images_t1):
     feats = MM.image_features(images_t1.limit(8)).toPandas()
     assert len(feats) == 8

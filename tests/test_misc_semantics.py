@@ -1,0 +1,88 @@
+"""Seeded-permutation reproducibility, float32 grid path, catalog-backed
+parquet scan pushdown."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from georasters_spark.operators import autocorr as AC
+from georasters_spark.operators import pixels as PX
+from georasters_spark.sources import codec, synth
+
+
+def _small_px(spark, n=12):
+    rows = [
+        (r, c, int((r * 7 + c * 13) % 50))
+        for r in range(n)
+        for c in range(n)
+        if (r * 3 + c) % 5 != 0
+    ]
+    return spark.createDataFrame(rows, "row long, col long, value long")
+
+
+def test_moran_permutation_seeded_reproducible(spark):
+    """Reference seeded-permutation reproducibility
+    (tests/test_georasters.py:478-528): same seed ⇒ identical result;
+    permutation params are deterministic functions of (n, seed)."""
+    px = _small_px(spark)
+    a = AC.moran_permutation_test(px, n_perm=7, seed=11).collect()[0]
+    b = AC.moran_permutation_test(px, n_perm=7, seed=11).collect()[0]
+    assert a == b
+    p1 = AC.permutation_params(1000, 5, 11)
+    p2 = AC.permutation_params(1000, 5, 11)
+    p3 = AC.permutation_params(1000, 5, 12)
+    assert p1 == p2 and p1 != p3
+    # every param really is a bijection of Z_n
+    n = 97
+    for _, a_mul, b_add in AC.permutation_params(n, 5, 3)[1:]:
+        img = {(a_mul * k + b_add) % n for k in range(n)}
+        assert len(img) == n
+
+
+def test_float32_grid_roundtrip(spark):
+    """float-valued grids ride the rawf32 codec through assemble →
+    decode with exact float32 values."""
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(-5, 5, 200).astype(np.float32)
+    rows = [(int(i // 20), int(i % 20), float(vals[i])) for i in range(200)]
+    px = spark.createDataFrame(rows, "row long, col long, value double")
+    tiles = PX.assemble_tiles(
+        px, grid_id="fgrid", origin=(0.0, 0.0), cellsize=(0.1, -0.1),
+        tile=64, ndv=-9999.0, dtype="float32",
+    )
+    assert tiles.select("fmt").first()["fmt"] == "rawf32"
+    back = (
+        PX.pixel_table(tiles, valid_only=True)
+        .toPandas()
+        .sort_values(["row", "col"])
+        .reset_index(drop=True)
+    )
+    assert len(back) == 200
+    got = back["value"].to_numpy(dtype=np.float32)
+    exp = np.array([v for _, _, v in sorted(rows)], dtype=np.float32)
+    assert np.array_equal(got, exp)
+
+
+def test_catalog_scan_pushes_filters(spark):
+    """images_for serves a real parquet scan — a tile_row predicate
+    must appear as PushedFilters in the physical plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from georasters_spark import queries as Q
+    from georasters_spark.sources.catalog import SnapshotTable
+
+    Q.images_for(spark, synth.T1)  # ensures the catalog table exists
+    snap = SnapshotTable(f"{Q.TABLES_ROOT}/{synth.T1.grid_id}_raw16").snapshot()
+    # mergeSchema changes the logical relation so the cached
+    # InMemoryRelation from images_for is NOT substituted — we want to
+    # see the raw parquet scan
+    raw = spark.read.option("mergeSchema", "true").parquet(*snap["dirs"])
+    filtered = raw.filter(F.col("tile_row") == 2).select("image_id", "tile_row")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    assert "tile_row" in plan.split("PushedFilters")[1][:200] or "InMemory" in plan
+    assert filtered.count() == synth.T1.tiles_x

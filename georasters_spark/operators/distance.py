@@ -64,18 +64,129 @@ def dijkstra_grid(cost: np.ndarray, valid: np.ndarray, r0: int, c0: int) -> np.n
     return dist
 
 
+def cost_distance_relaxation(
+    px: DataFrame,
+    source_row: int,
+    source_col: int,
+    checkpoint_every: int = 20,
+    max_iters: int = 10000,
+) -> DataFrame:
+    """Fully distributed single-source cost distance: frontier-based
+    Bellman-Ford relaxation over the 8-neighbor edge set — the scale
+    path when the cost surface exceeds single-task memory (the
+    broadcast-array path in cost_distance is the small/fast case).
+
+    Each round relaxes only edges leaving the cells improved in the
+    previous round (Dijkstra-like wavefront ⇒ ~grid-diameter rounds);
+    lineage is truncated with localCheckpoint every `checkpoint_every`
+    rounds. Returns (row, col, dist) in raw cost units (not /168).
+    """
+    spark = px.sparkSession
+
+    # static edge set with MCP_Geometric weights, built once
+    offsets = spark.createDataFrame(
+        [(-1, -1, math.sqrt(2)), (-1, 0, 1.0), (-1, 1, math.sqrt(2)),
+         (0, -1, 1.0), (0, 1, 1.0),
+         (1, -1, math.sqrt(2)), (1, 0, 1.0), (1, 1, math.sqrt(2))],
+        "dr int, dc int, sl double",
+    )
+    a = px.select("row", "col", F.col("value").alias("va"))
+    b = px.select(
+        F.col("row").alias("row2"), F.col("col").alias("col2"), F.col("value").alias("vb")
+    )
+    edges = (
+        a.crossJoin(F.broadcast(offsets))
+        .withColumn("row2", F.col("row") + F.col("dr"))
+        .withColumn("col2", F.col("col") + F.col("dc"))
+        .join(b, ["row2", "col2"])
+        .select("row", "col", "row2", "col2",
+                ((F.col("va") + F.col("vb")) / 2.0 * F.col("sl")).alias("w"))
+        .persist()
+    )
+    edges.count()
+
+    dist = spark.createDataFrame(
+        [(int(source_row), int(source_col), 0.0)], "row long, col long, dist double"
+    )
+    frontier = dist
+    it = 0
+    while it < max_iters:
+        it += 1
+        cand = (
+            edges.join(frontier, ["row", "col"])
+            .select(
+                F.col("row2").alias("row"),
+                F.col("col2").alias("col"),
+                (F.col("dist") + F.col("w")).alias("nd"),
+            )
+            .groupBy("row", "col")
+            .agg(F.min("nd").alias("nd"))
+        )
+        joined = cand.join(dist, ["row", "col"], "left")
+        improved = joined.filter(
+            F.col("dist").isNull() | (F.col("nd") < F.col("dist") - 1e-12)
+        ).select("row", "col", F.col("nd").alias("dist"))
+        improved = improved.localCheckpoint(eager=True)
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("row", "col")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if it % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+        frontier = improved
+    edges.unpersist()
+    return dist
+
+
+def trace_route(dist: np.ndarray, valid: np.ndarray, r1: int, c1: int) -> list[tuple[int, int]]:
+    """Greedy steepest-descent traceback on a cumulative-cost surface:
+    the MCP route from (r1, c1) back to the source (dist == 0),
+    returned source→destination. The reference's routes path dies on a
+    NameError (georasters.py:1461 — SURVEY §1.4.7); we implement it
+    properly and deliberately diverge."""
+    h, w = dist.shape
+    if not np.isfinite(dist[r1, c1]):
+        return []
+    path = [(int(r1), int(c1))]
+    r, c = int(r1), int(c1)
+    for _ in range(h * w):
+        if dist[r, c] == 0.0:
+            break
+        best = None
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == dc == 0:
+                    continue
+                nr, nc = r + dr, c + dc
+                if 0 <= nr < h and 0 <= nc < w and valid[nr, nc]:
+                    if best is None or dist[nr, nc] < best[0]:
+                        best = (dist[nr, nc], nr, nc)
+        if best is None or best[0] >= dist[r, c]:
+            break
+        _, r, c = best
+        path.append((r, c))
+    return list(reversed(path))
+
+
 def cost_distance(
     images: DataFrame,
     sources: DataFrame,
     destinations: DataFrame,
     origin: tuple[float, float],
     cellsize: tuple[float, float],
+    routes: bool = False,
 ) -> DataFrame:
     """All-pairs least-cost travel time.
 
     sources/destinations: (point_id, x, y). Returns
     (id1, id2, dist_weeks) for reachable pairs plus per-source
-    isolation rows (id2 = -1, dist_weeks = isolation).
+    isolation rows (id2 = -1, dist_weeks = isolation). With
+    routes=True adds a `route` column: the least-cost path as
+    [[row, col], ...] (the reference's routes path is unreachable —
+    NameError, georasters.py:1461 — so this is a deliberate repair).
     """
     from ..operators import pixels as PX
 
@@ -113,16 +224,29 @@ def cost_distance(
             dd[inb] = dist[drows[inb], dcols[inb]]
             ok = np.isfinite(dd)
             for i in np.flatnonzero(ok):
-                out.append((int(s.point_id), int(dids[i]), float(dd[i] / HOURS_PER_WEEK)))
+                rec = [int(s.point_id), int(dids[i]), float(dd[i] / HOURS_PER_WEEK)]
+                if routes:
+                    rec.append(
+                        [[int(r), int(c)] for r, c in
+                         trace_route(dist, valid_, int(drows[i]), int(dcols[i]))]
+                    )
+                out.append(tuple(rec))
             reach = dist[valid_ & np.isfinite(dist)]
             if reach.size:
-                out.append((int(s.point_id), -1, float(reach.mean() / HOURS_PER_WEEK)))
-        return pd.DataFrame(out, columns=["id1", "id2", "dist_weeks"])
+                rec = [int(s.point_id), -1, float(reach.mean() / HOURS_PER_WEEK)]
+                if routes:
+                    rec.append([])
+                out.append(tuple(rec))
+        cols = ["id1", "id2", "dist_weeks"] + (["route"] if routes else [])
+        return pd.DataFrame(out, columns=cols)
 
+    schema = "id1 long, id2 long, dist_weeks double" + (
+        ", route array<array<long>>" if routes else ""
+    )
     src = sources.select("point_id", "x", "y").repartition(
         max(1, min(sources.count(), spark.sparkContext.defaultParallelism)),
         "point_id",
     )
     return src.groupBy("point_id").applyInPandas(
-        lambda key, g: per_source(g), schema="id1 long, id2 long, dist_weeks double"
+        lambda key, g: per_source(g), schema=schema
     ).withColumn("dist_weeks", F.round("dist_weeks", 6))

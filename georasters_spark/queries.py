@@ -878,6 +878,75 @@ ranked AS (
 SELECT query_id, vec_id, cos, sim_rank FROM ranked WHERE sim_rank <= {_ANN_K}"""
 
 
+def q_zonal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone ranking of zonal stats (SURVEY §2.7: window over the
+    stats output) — zones ordered by zsum descending."""
+    zs = q_zonal_stats(spark, sf_dir)
+    w = W.orderBy(F.desc("zsum"), "zone_id")
+    return zs.select(
+        "zone_id", "zsum", "zmean",
+        F.row_number().over(w).cast("long").alias("zrank"),
+        F.round(F.col("zsum") / F.sum("zsum").over(W.partitionBy()), 6).alias("share"),
+    )
+
+
+def sql_zonal_rank() -> str:
+    inner = sql_zonal_stats()
+    return f"""WITH zs AS ({inner})
+SELECT zone_id, zsum, zmean,
+       CAST(ROW_NUMBER() OVER (ORDER BY zsum DESC, zone_id) AS BIGINT) AS zrank,
+       ROUND(CAST(zsum AS DOUBLE) / SUM(zsum) OVER (), 6) AS share
+FROM zs"""
+
+
+_SESSION_GAP_S = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (lag + cumulative
+    session counter): per session — user, start/end epoch, n, value."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("t"), "value"
+    )
+    w = W.partitionBy("user_id").orderBy("t", "value")
+    lag_t = F.lag("t").over(w)
+    gap = F.when(
+        lag_t.isNull() | ((F.col("t") - lag_t) > _SESSION_GAP_S), 1
+    ).otherwise(0)
+    s = ev.withColumn("new_sess", gap).withColumn(
+        "sess_no", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return s.groupBy("user_id", "sess_no").agg(
+        F.min("t").cast("long").alias("sess_start"),
+        F.max("t").cast("long").alias("sess_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sess_value"),
+    ).withColumn("sess_no", F.col("sess_no").cast("long"))
+
+
+def sql_sessionize() -> str:
+    return f"""WITH ev AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, value FROM events),
+flags AS (
+  SELECT user_id, t, value,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, value) > {_SESSION_GAP_S}
+              THEN 1
+              WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, value) IS NULL THEN 1
+              ELSE 0 END AS new_sess
+  FROM ev),
+s AS (
+  SELECT user_id, t, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM flags)
+SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+       CAST(MIN(t) AS BIGINT) AS sess_start,
+       CAST(MAX(t) AS BIGINT) AS sess_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sess_value
+FROM s GROUP BY user_id, sess_no"""
+
+
 _KPX_K = 3
 _KPX_NPTS = 12
 
@@ -969,6 +1038,8 @@ QUERIES = {
     "jaccard_pairs": (q_jaccard_pairs, sql_jaccard_pairs),
     "text_stats": (q_text_stats, sql_text_stats),
     "event_rollup": (q_event_rollup, sql_event_rollup),
+    "zonal_rank": (q_zonal_rank, sql_zonal_rank),
+    "sessionize": (q_sessionize, sql_sessionize),
     "ann_cosine": (q_ann_cosine, sql_ann_cosine),
     "embed_near_dup": (q_embed_near_dup, sql_embed_near_dup),
     "tile_cells": (q_tile_cells, sql_tile_cells),

@@ -99,6 +99,73 @@ def test_cost_distance_unit_and_inf_rule(spark, images_t1):
             assert len(row) == 0
 
 
+def test_cost_distance_routes_output(spark, images_t1):
+    """routes=True emits per-pair least-cost paths: endpoints at the
+    source/destination cells, 8-connected steps."""
+    from georasters_spark.sources import synth
+
+    spec = synth.T1
+    pts = synth.points_df(spark, 20)
+    out = DI.cost_distance(
+        images_t1,
+        pts.filter(F.col("point_id") < 4),
+        pts.filter(F.col("point_id") >= 4),
+        origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly),
+        routes=True,
+    ).toPandas()
+    paths = out[out.id2 >= 0]
+    assert len(paths) > 0
+    for r in paths.itertuples():
+        p = [tuple(step) for step in r.route]
+        assert len(p) >= 1
+        assert all(
+            max(abs(a[0] - b[0]), abs(a[1] - b[1])) == 1 for a, b in zip(p, p[1:])
+        )
+
+
+def test_relaxation_matches_dijkstra(spark):
+    """Distributed frontier relaxation == in-memory Dijkstra on a
+    small cost surface (the scale-path equivalence proof)."""
+    rng = np.random.default_rng(9)
+    h, w = 18, 22
+    cost = rng.uniform(1, 9, (h, w))
+    valid = rng.uniform(size=(h, w)) > 0.15
+    valid[2, 3] = True
+    rows = [
+        (r, c, float(cost[r, c]))
+        for r in range(h)
+        for c in range(w)
+        if valid[r, c]
+    ]
+    px = spark.createDataFrame(rows, "row long, col long, value double")
+    got = DI.cost_distance_relaxation(px, 2, 3).toPandas()
+    exp = DI.dijkstra_grid(cost, valid, 2, 3)
+    assert len(got) > 0
+    for r in got.itertuples():
+        assert abs(r.dist - exp[r.row, r.col]) < 1e-9
+    # relaxation reaches exactly the reachable set
+    reach = int(np.isfinite(exp[valid]).sum())
+    assert len(got) == reach
+
+
+def test_route_traceback(spark):
+    """Greedy traceback follows a monotone-decreasing cost path from
+    destination to source with 8-connected steps."""
+    rng = np.random.default_rng(4)
+    cost = rng.uniform(1, 5, (25, 25))
+    valid = np.ones((25, 25), dtype=bool)
+    dist = DI.dijkstra_grid(cost, valid, 1, 1)
+    path = DI.trace_route(dist, valid, 20, 22)
+    assert path[0] == (1, 1) and path[-1] == (20, 22)
+    ds = [dist[r, c] for r, c in path]
+    assert all(ds[i] < ds[i + 1] for i in range(len(ds) - 1))
+    assert all(
+        max(abs(a[0] - b[0]), abs(a[1] - b[1])) == 1
+        for a, b in zip(path, path[1:])
+    )
+
+
 def test_polygonize_cross_tile_merge(spark):
     """A constant-value strip spanning the col 63|64 tile border must be
     ONE region; plus isolated single cells."""

@@ -17,7 +17,8 @@ Two weight flavors:
 Global statistics (binary weights, directed pair sums):
   Moran   I = (n/S0) * Σ_pairs N_i N_j / Σ_i N_i²,  N_i = n·v_i − S
   Geary   C = (n−1)·Σ_pairs (v_i−v_j)² · n² / (2·S0·Σ N_i²)
-  Getis   G = Σ_pairs v_i v_j / (S² − Q)
+  Getis   G = Σ_pairs v_i v_j / (S² − Q);  Gamma = Σ_pairs v_i v_j
+          (pysal_Gamma, cross-product similarity, georasters.py:1190-1209)
   Join counts (b_i = v_i ≥ threshold): BB/WW/BW undirected pair counts
 where n=#valid, S=Σv, Q=Σv², S0=#directed neighbor pairs.
 """
@@ -98,6 +99,7 @@ def global_autocorr(px: DataFrame, bin_threshold: int, rook: bool = False) -> Da
             moran,
             geary,
             getis,
+            num_g,  # pysal_Gamma with the cross-product similarity
             int(p["bb2"]) // 2,
             int(p["ww2"]) // 2,
             int(p["bw2"]) // 2,
@@ -106,7 +108,7 @@ def global_autocorr(px: DataFrame, bin_threshold: int, rook: bool = False) -> Da
     return px.sparkSession.createDataFrame(
         row,
         "n long, s0 long, moran_i double, geary_c double, getis_g double, "
-        "bb long, ww long, bw long",
+        "gamma long, bb long, ww long, bw long",
     )
 
 
@@ -142,6 +144,7 @@ SELECT n, s0,
        (CAST(n AS DOUBLE) / CAST(s0 AS DOUBLE)) * (CAST(num_i AS DOUBLE) / CAST(den_i AS DOUBLE)) AS moran_i,
        (CAST(n - 1 AS DOUBLE) * CAST(num_c AS DOUBLE) * n * n) / (2.0 * s0 * CAST(den_i AS DOUBLE)) AS geary_c,
        CAST(p_ab AS DOUBLE) / CAST(s*s - q AS DOUBLE) AS getis_g,
+       p_ab AS gamma,
        bb2 // 2 AS bb, ww2 // 2 AS ww, bw2 // 2 AS bw
 FROM calc"""
 

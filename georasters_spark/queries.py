@@ -350,6 +350,12 @@ def q_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("va") - F.col("vb")).alias("v_sub"),
         (F.col("va") * F.col("vb")).alias("v_mul"),
         F.round(F.pow(F.col("va").cast("double"), 2.0) - F.col("vb"), 6).alias("v_powsub"),
+        # reference __floordiv__ truncates the true quotient
+        # (georasters.py:494-513 — NOT floor); NULL on divide-by-zero
+        F.when(F.col("vb") == 0, F.lit(None))
+        .otherwise((F.col("va") / F.col("vb")).cast("long"))
+        .alias("v_fdiv"),
+        (F.col("va") < F.col("vb")).alias("v_lt"),
     )
 
 
@@ -359,7 +365,10 @@ SELECT a.row, a.col,
        a.value + b.value AS v_add,
        a.value - b.value AS v_sub,
        a.value * b.value AS v_mul,
-       ROUND(POW(CAST(a.value AS DOUBLE), 2.0) - b.value, 6) AS v_powsub
+       ROUND(POW(CAST(a.value AS DOUBLE), 2.0) - b.value, 6) AS v_powsub,
+       CASE WHEN b.value = 0 THEN NULL
+            ELSE CAST(TRUNC(CAST(a.value AS DOUBLE) / b.value) AS BIGINT) END AS v_fdiv,
+       a.value < b.value AS v_lt
 FROM pxa a JOIN pxb b ON a.row = b.row AND a.col = b.col"""
 
 
@@ -678,6 +687,21 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("lossy_"), F.col("image_id")).alias("image_id"), "phash"
     )
     return DD.phash_near_dup_pairs(imgs.unionByName(lossy), max_hamming=6)
+
+
+def q_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clip: per-zone mini-tile sub-rasters (georasters.py:870-906) —
+    rows-only gate (binary outputs); caption carries the per-tile valid
+    checksum, the input_hint caption-equality invariant."""
+    spec = SPEC
+    return SJ.clip(
+        images_for(spark, spec),
+        synth.ZONES_T1,
+        origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly),
+        tile=spec.tile,
+        ndv=spec.ndv,
+    ).select("zone_id", "image_id", "caption", "phash", "w", "h", "fmt")
 
 
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,6 +1055,7 @@ QUERIES = {
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, None),
     "polygonize": (q_polygonize, None),
+    "clip_zones": (q_clip, None),
     "reproject_cea": (q_reproject, None),
     "psnr_gate_q8": (q_psnr_gate, None),
     "phash_near_dup": (q_phash_near_dup, None),

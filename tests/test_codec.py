@@ -38,6 +38,18 @@ def test_q8_psnr_gate():
     assert codec.psnr(a, d, NDV) >= 40.0
 
 
+def test_caption_checksum_invariant(spark, images_t1):
+    """input_hint per-row invariant: the caption's embedded checksum
+    equals the decoded tile's valid-pixel sum (caption equality is then
+    implied by decoded-pixel equality end-to-end)."""
+    rows = images_t1.select("image_id", "caption", "bytes", "fmt", "w", "h", "ndv").collect()
+    assert len(rows) == 45
+    for r in rows:
+        dec = codec.decode_tile(bytes(r["bytes"]), r["fmt"], r["w"], r["h"], r["ndv"])
+        s = int(np.asarray(dec, dtype=np.int64)[np.asarray(dec) != r["ndv"]].sum())
+        assert r["caption"].endswith(f"sum={s}"), (r["image_id"], r["caption"], s)
+
+
 def test_phash_deterministic_and_discriminative():
     a, b = synth.tile_array(synth.T1, 0, 0), synth.tile_array(synth.T1, 2, 3)
     assert codec.average_hash(a, NDV) == codec.average_hash(a.copy(), NDV)

@@ -180,12 +180,22 @@ def local_moran(px: DataFrame, rook: bool = False) -> DataFrame:
     n, s, q = int(scal["n"]), int(scal["s"]), int(scal["q"])
     den_i = n * n * q - n * s * s
     foc = focal_stats(px, rook=rook, include_self=False)
-    li_num = (F.col("value") * n - s) * (F.col("nsum") * n - F.col("ncnt") * s)
+    zi = F.col("value") * n - s            # sign(z_i), integer-exact
+    lag = F.col("nsum") * n - F.col("ncnt") * s  # sign(Σ_j z_j)
+    li_num = zi * lag
+    quad = (
+        F.when((zi > 0) & (lag > 0), "HH")
+        .when((zi < 0) & (lag < 0), "LL")
+        .when((zi > 0) & (lag < 0), "HL")
+        .when((zi < 0) & (lag > 0), "LH")
+        .otherwise("NS")
+    )
     return foc.select(
         "row",
         "col",
         li_num.alias("li_num"),
         F.round(li_num.cast("double") * F.lit(float(n)) / F.lit(float(den_i)), 6).alias("li"),
+        quad.alias("quadrant"),
     )
 
 
@@ -203,11 +213,18 @@ base AS (SELECT px.row, px.col, px.value,
                 COALESCE(foc.nsum, 0) AS nsum, COALESCE(foc.ncnt, 0) AS ncnt
          FROM px LEFT JOIN foc ON foc.row = px.row AND foc.col = px.col),
 j AS (SELECT base.row, base.col,
+             (base.value * scal.n - scal.s) AS zi,
+             (base.nsum * scal.n - base.ncnt * scal.s) AS lag,
              (base.value * scal.n - scal.s) * (base.nsum * scal.n - base.ncnt * scal.s) AS li_num,
              scal.n AS n, CAST(scal.n AS HUGEINT)*scal.n*scal.q - CAST(scal.n AS HUGEINT)*scal.s*scal.s AS den_i
       FROM base, scal)
 SELECT row, col, CAST(li_num AS BIGINT) AS li_num,
-       ROUND(CAST(li_num AS DOUBLE) * CAST(n AS DOUBLE) / CAST(den_i AS DOUBLE), 6) AS li
+       ROUND(CAST(li_num AS DOUBLE) * CAST(n AS DOUBLE) / CAST(den_i AS DOUBLE), 6) AS li,
+       CASE WHEN zi > 0 AND lag > 0 THEN 'HH'
+            WHEN zi < 0 AND lag < 0 THEN 'LL'
+            WHEN zi > 0 AND lag < 0 THEN 'HL'
+            WHEN zi < 0 AND lag > 0 THEN 'LH'
+            ELSE 'NS' END AS quadrant
 FROM j"""
 
 

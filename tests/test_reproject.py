@@ -40,6 +40,37 @@ def test_wgs84_to_cea_matches_numpy(spark, images_t1):
     assert (grid != spec.ndv).sum() > 0.5 * (exp != spec.ndv).sum()
 
 
+def test_wgs84_to_webmercator_matches_numpy(spark, images_t1):
+    spec = synth.T1
+    out_shape = (128, 128)
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    got = RP.wgs84_to_webmercator_grid(
+        px,
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=out_shape,
+    ).toPandas()
+    grid = np.full(out_shape, spec.ndv)
+    vals = got.dropna(subset=["value"])
+    grid[vals.trow.to_numpy(), vals.tcol.to_numpy()] = vals.value.to_numpy()
+    full = synth.stitched_array(spec).astype(np.float64)
+    exp = RP.webmercator_numpy_oracle(
+        full, spec.ndv, (spec.x0, spec.y0), (spec.cellx, spec.celly), out_shape
+    )
+    mismatch = (grid != exp).sum()
+    assert mismatch / grid.size < 0.005, mismatch
+
+
+def test_webmercator_inverse_roundtrip():
+    import math
+
+    for lat in [0.0, 45.5, -60.2, 80.0]:
+        Y = RP.R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2))
+        back = math.degrees(2 * math.atan(math.exp(Y / RP.R)) - math.pi / 2)
+        assert abs(lat - back) < 1e-10
+
+
 def test_cea_bounds_monotone():
     x0, y0, x1, y1 = RP.cea_bounds(-180, -90, 180, 90)
     assert x0 < x1 and y0 < y1

@@ -971,6 +971,46 @@ SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
 FROM s GROUP BY user_id, sess_no"""
 
 
+def q_tile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply(func) surface (georasters.py:978-988): an arbitrary
+    per-tile kernel via grouped-map applyInPandas — 16-bin histogram
+    entropy per tile, oracle-checked (integer binning keeps the
+    histogram exact; only the final ≤16-term entropy sum is float)."""
+    import numpy as np
+    import pandas as pd
+
+    px = _px(spark, SPEC).select("image_id", F.col("value").cast("long").alias("value"))
+
+    def ent(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bins = (pdf["value"].to_numpy(np.int64) * 16) // 1997
+        cnt = np.bincount(bins, minlength=16).astype(np.float64)
+        n = cnt.sum()
+        p = cnt[cnt > 0] / n
+        return pd.DataFrame(
+            {"image_id": [key[0]], "n_valid": [int(n)],
+             "entropy": [round(float(-(p * np.log2(p)).sum()), 6)]}
+        )
+
+    return px.groupBy("image_id").applyInPandas(
+        ent, schema="image_id string, n_valid long, entropy double"
+    )
+
+
+def sql_tile_entropy() -> str:
+    spec = SPEC
+    return f"""WITH {synth.pixel_sql(spec)},
+binned AS (
+  SELECT printf('{spec.grid_id}_%04d_%04d', CAST(row // {spec.tile} AS INT), CAST(col // {spec.tile} AS INT)) AS image_id,
+         (value * 16) // 1997 AS bin
+  FROM px),
+cnts AS (SELECT image_id, bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY 1, 2),
+tot AS (SELECT image_id, CAST(SUM(c) AS BIGINT) AS n FROM cnts GROUP BY 1)
+SELECT cnts.image_id, tot.n AS n_valid,
+       ROUND(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 6) AS entropy
+FROM cnts JOIN tot ON tot.image_id = cnts.image_id
+GROUP BY cnts.image_id, tot.n"""
+
+
 _KPX_K = 3
 _KPX_NPTS = 12
 
@@ -1065,6 +1105,7 @@ QUERIES = {
     "event_rollup": (q_event_rollup, sql_event_rollup),
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),
+    "tile_entropy": (q_tile_entropy, sql_tile_entropy),
     "ann_cosine": (q_ann_cosine, sql_ann_cosine),
     "embed_near_dup": (q_embed_near_dup, sql_embed_near_dup),
     "tile_cells": (q_tile_cells, sql_tile_cells),

@@ -854,6 +854,10 @@ FROM obs, ge"""
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed event rollup (batch form of streaming/events.py):
     6-hour epoch buckets, per-type aggregates + JSON prop extraction."""
+    # pin UTC: the driver's session TZ is unknown, and unix_timestamp of
+    # a (possibly NTZ) parquet timestamp is session-TZ-dependent, while
+    # the DuckDB oracle's epoch() is UTC-naive
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     bucket = (F.floor(F.unix_timestamp("ts") / 21600) * 21600).cast("long")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -929,6 +933,7 @@ _SESSION_GAP_S = 1800
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (lag + cumulative
     session counter): per session — user, start/end epoch, n, value."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # match oracle epoch()
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", F.unix_timestamp("ts").alias("t"), "value"
     )

@@ -92,12 +92,21 @@ def polygonize(px: DataFrame, connectivity: int = 4) -> DataFrame:
     Two-phase distributed CC: per-tile labeling in numpy
     (applyInPandas), then cross-tile label union-find on the border
     adjacency set (small: O(perimeter), collected to the driver).
+    connectivity: 4 (edge-sharing, the rasterio default) or 8
+    (corner-sharing included).
     """
+    if connectivity not in (4, 8):
+        raise ValueError("connectivity must be 4 or 8")
     spark = px.sparkSession
     tile = 64
+    bfs_steps = (
+        ((1, 0), (-1, 0), (0, 1), (0, -1))
+        if connectivity == 4
+        else ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1))
+    )
 
-    keyed = px.withColumn("trow", (F.col("row") / tile).cast("int")).withColumn(
-        "tcol", (F.col("col") / tile).cast("int")
+    keyed = px.withColumn("trow", F.floor(F.col("row") / tile).cast("int")).withColumn(
+        "tcol", F.floor(F.col("col") / tile).cast("int")
     )
 
     def label_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -118,7 +127,7 @@ def polygonize(px: DataFrame, connectivity: int = 4) -> DataFrame:
             lab[i, j] = nxt
             while stack:
                 a, b = stack.pop()
-                for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                for da, db in bfs_steps:
                     na, nb = a + da, b + db
                     if (
                         0 <= na < tile
@@ -151,10 +160,21 @@ def polygonize(px: DataFrame, connectivity: int = 4) -> DataFrame:
         (F.col("row")).alias("row_b"), (F.col("col")).alias("col_b"),
         F.col("value").alias("vb"), F.col("label").alias("lb"),
     )
+    # cross-tile adjacency directions + the border-band prefilter for
+    # each (only cells whose neighbor can be in another tile join)
+    dirs = [
+        ((0, 1), (F.col("col") + 1) % tile == 0),
+        ((1, 0), (F.col("row") + 1) % tile == 0),
+    ]
+    if connectivity == 8:
+        dirs += [
+            ((1, 1), ((F.col("row") + 1) % tile == 0) | ((F.col("col") + 1) % tile == 0)),
+            ((1, -1), ((F.col("row") + 1) % tile == 0) | (F.col("col") % tile == 0)),
+        ]
     edges = []
-    for dr, dc in ((0, 1), (1, 0)):
+    for (dr, dc), band in dirs:
         e = (
-            a.filter(((F.col("row") + dr) % tile == 0) if dr else ((F.col("col") + dc) % tile == 0))
+            a.filter(band)
             .join(
                 b,
                 (F.col("row") + dr == F.col("row_b"))
@@ -164,7 +184,10 @@ def polygonize(px: DataFrame, connectivity: int = 4) -> DataFrame:
             .select("la", "lb")
         )
         edges.append(e)
-    eset = edges[0].unionByName(edges[1]).distinct().toPandas()
+    eset = edges[0]
+    for e in edges[1:]:
+        eset = eset.unionByName(e)
+    eset = eset.distinct().toPandas()
 
     # driver union-find over the (small) cross-tile edge set
     parent: dict[int, int] = {}

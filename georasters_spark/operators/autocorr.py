@@ -293,6 +293,8 @@ def permutation_params(n: int, n_perm: int, seed: int) -> list[tuple[int, int, i
     """Deterministic modular permutations of Z_n: rank -> (a·rank+b) % n
     with gcd(a, n) = 1. p = 0 is the identity (observed ordering)."""
     out = [(0, 1, 0)]
+    if n <= 2:  # no non-identity multiplier exists mod n; degenerate
+        return out + [(p, 1, 0) for p in range(1, n_perm + 1)]
     a_mul = 1
     for p in range(1, n_perm + 1):
         a_mul = (a_mul * 48271 + seed) % n

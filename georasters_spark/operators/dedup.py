@@ -55,8 +55,10 @@ def exact_dedup(docs: DataFrame, key_words: int | None = None) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams — pure JVM expressions."""
-    t = tokens(docs)
+    """(doc_id, shingle) distinct word n-grams — pure JVM expressions.
+    Documents shorter than n tokens yield no shingles (F.sequence would
+    otherwise generate a DESCENDING range and slice() would throw)."""
+    t = tokens(docs).filter(F.size("w") >= n)
     idx = t.select(
         "doc_id",
         "w",
@@ -86,15 +88,15 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    ratio = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     j = (
         inter.join(cnts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
         .join(cnts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
+        .withColumn("jaccard", F.round(ratio, 6))
     )
-    return j.filter(F.col("jaccard") >= threshold).select(
+    # threshold on the UNROUNDED ratio (matches the SQL oracle exactly,
+    # incl. boundary values within 5e-7 of the threshold)
+    return j.filter(ratio >= threshold).select(
         "doc_a", "doc_b", F.col("inter").cast("long").alias("inter"), "jaccard"
     )
 
@@ -172,28 +174,36 @@ def minhash_dedup_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    ratio = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     j = (
         inter.join(cnts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
         .join(cnts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
+        .withColumn("jaccard", F.round(ratio, 6))
     )
-    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    return j.filter(ratio >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
-def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 10) -> DataFrame:
+def phash_near_dup_pairs(
+    images: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
     """IMAGE near-duplicate pairs by perceptual-hash Hamming distance.
 
-    Banded blocking on the 64-bit phash (4 x 16-bit bands): any pair
-    within Hamming distance <= 16*3/4 shares at least one exact band
-    (pigeonhole: <= max_hamming bits differ across 4 bands ⇒ some band
-    is identical whenever max_hamming < 4). For max_hamming m, pairs
-    missed only if every band differs — impossible for m <= 3; for
-    larger m the 4-band block is a high-recall candidate filter and
-    candidates are verified exactly. Returns (img_a, img_b, hamming).
+    Banded blocking on the 64-bit phash: by pigeonhole, any pair with
+    Hamming distance < n_bands shares at least one exact band, so the
+    block is EXACT iff max_hamming <= n_bands - 1. The constructor
+    enforces that: callers wanting a larger radius must raise n_bands
+    (e.g. 8 bands of 8 bits covers max_hamming <= 7 at the cost of
+    coarser buckets). Candidates are always verified exactly.
+    Returns (img_a, img_b, hamming).
     """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banded blocking with {n_bands} bands only guarantees recall "
+            f"for max_hamming <= {n_bands - 1}; raise n_bands"
+        )
+    assert 64 % n_bands == 0
+    bw = 64 // n_bands
+    mask = (1 << bw) - 1
     banded = images.select(
         F.col("image_id"),
         F.col("phash"),
@@ -201,9 +211,9 @@ def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 10) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("phash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bits"),
+                    F.shiftrightunsigned(F.col("phash"), i * bw).bitwiseAND(F.lit(mask)).alias("bits"),
                 )
-                for i in range(4)
+                for i in range(n_bands)
             ])
         ).alias("bb"),
     ).select("image_id", "phash", "bb.band", "bb.bits")

@@ -264,8 +264,10 @@ def assemble_tiles(
     x0, y0 = origin
     cx, cy = cellsize
 
-    keyed = pixels.withColumn("tile_row", (F.col("row") / tile).cast("int")).withColumn(
-        "tile_col", (F.col("col") / tile).cast("int")
+    # floor division (NOT cast-truncation): negative coordinates must
+    # key into the correct negative tile, never wrap into tile 0
+    keyed = pixels.withColumn("tile_row", F.floor(F.col("row") / tile).cast("int")).withColumn(
+        "tile_col", F.floor(F.col("col") / tile).cast("int")
     )
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -55,21 +55,20 @@ def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-vote language-ID heuristic: predicted = argmax over
     languages of stopword hits (ties → lexicographic lang)."""
     w = F.split(F.col("text"), " ")
+    # sort ascending by (-hits, lang) and take the head: most hits wins,
+    # ties broken by the lexicographically smallest language code
     scores = [
         F.struct(
-            F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in sw]))).alias("hits"),
+            (-F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in sw])))).alias("neg_hits"),
             F.lit(lang).alias("lang"),
         )
         for lang, sw in sorted(STOPWORDS.items())
     ]
-    # argmax by (hits, reverse-lex lang): sort desc and take first;
-    # equal hits → lexicographically smallest lang wins
-    arr = F.reverse(F.array_sort(F.array(*scores)))
-    best = arr.getItem(0)
+    best = F.array_sort(F.array(*scores)).getItem(0)
     return docs.select(
         "doc_id",
         F.col("lang").alias("label_lang"),
-        F.when(best.getField("hits") > 0, best.getField("lang"))
+        F.when(best.getField("neg_hits") < 0, best.getField("lang"))
         .otherwise(F.lit("und"))
         .alias("pred_lang"),
     )

@@ -37,7 +37,7 @@ _img_cache: dict = {}
 
 # bump the version suffix whenever sources/synth.py formulas change —
 # stale cached tables would otherwise diverge from the SQL oracles
-TABLES_ROOT = "/tmp/georasters_tables_v1"
+TABLES_ROOT = "/tmp/georasters_tables_v2"
 
 
 def images_for(spark: SparkSession, spec: GridSpec, fmt: str = "raw16") -> DataFrame:
@@ -498,11 +498,11 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = SPEC
     px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
     flat = (F.col("row") * spec.width + F.col("col")).alias("flat_idx")
+    ext = px.agg(F.max("value").alias("mx"), F.min("value").alias("mn")).collect()[0]
     outs = []
-    for which, agg_fn, order in (("max", F.max, F.asc), ("min", F.min, F.asc)):
-        ext = px.agg(agg_fn("value").alias("v")).collect()[0]["v"]
+    for which, v in (("max", int(ext["mx"])), ("min", int(ext["mn"]))):
         outs.append(
-            px.filter(F.col("value") == int(ext))
+            px.filter(F.col("value") == v)
             .select(F.lit(which).alias("which"), "row", "col", "value", flat)
             .orderBy("flat_idx")
             .limit(1)
@@ -686,7 +686,7 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossy = images_for(spark, SPEC, fmt="q8").select(
         F.concat(F.lit("lossy_"), F.col("image_id")).alias("image_id"), "phash"
     )
-    return DD.phash_near_dup_pairs(imgs.unionByName(lossy), max_hamming=6)
+    return DD.phash_near_dup_pairs(imgs.unionByName(lossy), max_hamming=6, n_bands=8)
 
 
 def q_clip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -83,6 +83,8 @@ class SnapshotTable:
         cur_tmp = os.path.join(self.root, ".CURRENT.tmp")
         with open(cur_tmp, "w") as f:
             f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
         os.rename(cur_tmp, os.path.join(self.root, "CURRENT"))
 
     # -- reads ------------------------------------------------------------

@@ -179,6 +179,10 @@ def build_images(spark, spec: GridSpec, fmt: str = "raw16"):
                 arr = tile_array(spec, ty, tx)
                 valid = arr != int(spec.ndv)
                 checksum = int(arr[valid].astype(np.int64).sum())
+                enc = codec.encode_tile(arr, fmt, spec.ndv)
+                # phash describes the STORED bytes: recompute from the
+                # decoded payload so lossy formats carry their own hash
+                dec = codec.decode_tile(enc, fmt, t, t, spec.ndv)
                 xmin = spec.x0 + tx * t * spec.cellx
                 ymax = spec.y0 + ty * t * spec.celly
                 cid = int(
@@ -191,12 +195,12 @@ def build_images(spark, spec: GridSpec, fmt: str = "raw16"):
                 rows.append(
                     {
                         "image_id": image_id_of(spec, ty, tx),
-                        "bytes": codec.encode_tile(arr, fmt, spec.ndv),
+                        "bytes": enc,
                         "w": t,
                         "h": t,
                         "fmt": fmt,
                         "caption": f"{spec.grid_id} tile r{ty} c{tx} sum={checksum}",
-                        "phash": codec.average_hash(arr, spec.ndv),
+                        "phash": codec.average_hash(np.asarray(dec), spec.ndv),
                         "tile_row": ty,
                         "tile_col": tx,
                         "xmin": xmin,

@@ -120,7 +120,7 @@ def test_phash_near_dup_finds_lossy_twins(spark, images_t1):
         F.concat(F.lit("lossy_"), F.col("image_id")).alias("image_id"), "phash"
     )
     both = images_t1.select("image_id", "phash").unionByName(lossy)
-    pairs = DDm.phash_near_dup_pairs(both, max_hamming=6).toPandas()
+    pairs = DDm.phash_near_dup_pairs(both, max_hamming=6, n_bands=8).toPandas()
     twins = pairs[
         (pairs.img_a.str.replace("lossy_", "") == pairs.img_b.str.replace("lossy_", ""))
         & (pairs.img_a != pairs.img_b)
@@ -133,3 +133,39 @@ def test_shingles_count(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     sh = DD.shingles(df, n=3).toPandas()
     assert sorted(sh.shingle) == ["a b c", "b c d", "c d e"]
+
+
+def test_shingles_short_docs_no_crash(spark):
+    """Docs shorter than n tokens yield zero shingles (no slice error),
+    matching the SQL oracle's empty range."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "solo"), (3, "a b c d")], "doc_id long, text string"
+    )
+    sh = DD.shingles(df, n=3).toPandas()
+    assert set(sh.doc_id) == {3}
+    assert sorted(sh.shingle) == ["a b c", "b c d"]
+    # jaccard over a mix with short docs must not crash
+    out = DD.jaccard_pairs(df, n=3, threshold=0.1).toPandas()
+    assert len(out) == 0
+
+
+def test_phash_banding_guard(spark, docs):
+    """Banding recall guarantee is enforced: max_hamming > n_bands-1
+    raises instead of silently losing pairs."""
+    import pytest as _pt
+
+    df = spark.createDataFrame([(u"a", 1), (u"b", 2)], "image_id string, phash long")
+    with _pt.raises(ValueError, match="raise n_bands"):
+        DD.phash_near_dup_pairs(df, max_hamming=6, n_bands=4)
+
+
+def test_lang_id_tiebreak_smallest(spark):
+    """Equal stopword hits -> lexicographically smallest language."""
+    df = spark.createDataFrame(
+        [(1, "the la of le"), (2, "zzz qqq")], "doc_id long, text string"
+    )
+    df = df.withColumn("lang", F.lit("xx"))
+    out = TX.lang_id(df).toPandas().set_index("doc_id")
+    # 'the'+'of' = 2 en hits; 'la'+'le'... la∈es(1), le∈fr(1) → en wins (2)
+    assert out.loc[1, "pred_lang"] == "en"
+    assert out.loc[2, "pred_lang"] == "und"

@@ -219,3 +219,15 @@ def test_polygonize_region_count_vs_numpy(spark, images_t1):
                     seen[na, nb] = True
                     stack.append((na, nb))
     assert got == n
+
+
+def test_polygonize_8_connectivity(spark):
+    """Diagonal-only touching cells merge under connectivity=8 but stay
+    separate under 4 — including across a tile border."""
+    rows = [(10, 63, 5.0), (11, 64, 5.0), (30, 30, 5.0), (31, 31, 5.0)]
+    px = spark.createDataFrame(rows, "row long, col long, value double")
+    four = AL.polygonize(px, connectivity=4).toPandas()
+    eight = AL.polygonize(px, connectivity=8).toPandas()
+    assert len(four) == 4
+    assert len(eight) == 2
+    assert sorted(eight.n_cells) == [2, 2]

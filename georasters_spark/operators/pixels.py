@@ -28,6 +28,13 @@ from ..sources import codec
 PIXEL_SCHEMA = "image_id string, row long, col long, value double"
 
 
+def default_ndv(dtype: str) -> float:
+    """Reference rule for files without a nodata value
+    (georasters.py:1553-1562): ndv = np.ma.default_fill_value(data) and
+    NOTHING is masked. 999999 for integer dtypes, 1e20 for floats."""
+    return float(np.ma.default_fill_value(np.zeros(1, dtype=np.dtype(dtype))))
+
+
 def pixel_table(
     images: DataFrame,
     valid_only: bool = True,
@@ -54,8 +61,14 @@ def pixel_table(
         for pdf in batches:
             outs = []
             for t in pdf.itertuples(index=False):
+                ndv = float(t.ndv)
+                no_ndv = np.isnan(ndv)  # table row without a nodata value
+                if no_ndv:
+                    # reference from_file rule (georasters.py:1553-1562):
+                    # synthesize the numpy default fill, mask NOTHING
+                    ndv = default_ndv(getattr(t, "dtype", "int16") if hasattr(t, "dtype") else "int16")
                 arr = codec.decode_tile(
-                    bytes(t.bytes), t.fmt, int(t.w), int(t.h), float(t.ndv)
+                    bytes(t.bytes), t.fmt, int(t.w), int(t.h), ndv
                 ).astype(np.float64)
                 h, w = arr.shape
                 gr = (int(t.tile_row) * h + np.arange(h, dtype=np.int64))[:, None]
@@ -63,8 +76,8 @@ def pixel_table(
                 gr = np.broadcast_to(gr, (h, w)).ravel()
                 gc = np.broadcast_to(gc, (h, w)).ravel()
                 val = arr.ravel()
-                if valid_only:
-                    keep = val != float(t.ndv)
+                if valid_only and not no_ndv:
+                    keep = val != ndv
                     gr, gc, val = gr[keep], gc[keep], val[keep]
                 if bboxes is not None:
                     x0, y0 = origin
@@ -98,6 +111,8 @@ def pixel_table(
             )
 
     cols = ["image_id", "bytes", "fmt", "w", "h", "ndv", "tile_row", "tile_col"]
+    if "dtype" in images.columns:
+        cols.append("dtype")  # needed for the no-ndv default-fill rule
     px = images.select(*cols).mapInPandas(explode, schema=PIXEL_SCHEMA)
     if with_coords and origin is not None and cellsize is not None:
         x0, y0 = origin

@@ -121,6 +121,33 @@ def test_union_golden_newtest(spark):
     assert np.array_equal(grid, np.array([[1, -1, -1], [-1, -1, 3]]))
 
 
+def test_union_golden_offgrid_newtest(spark):
+    """Reference tests/newtest.py:35-51: B at xmin=2.5 (half a cell off
+    the lattice) snaps to col 2 via HALF_EVEN rounding (np.round(2.5)=2)
+    and the union equals the on-grid case [[1,-1,-1],[-1,-1,3]]."""
+    from georasters_spark.functions import grid as G
+
+    # snap B's origin onto A's lattice with the map_pixel rounding rule
+    b_origin = spark.createDataFrame([(2.5, -1.0)], "x double, y double")
+    snapped = b_origin.select(
+        G.col_of_x(F.col("x"), 0.0, 1.0).alias("col"),
+        G.row_of_y(F.col("y"), 0.0, -1.0).alias("row"),
+    ).collect()[0]
+    assert (snapped["row"], snapped["col"]) == (1, 2)
+
+    a = spark.createDataFrame([(0, 0, 1)], "row long, col long, value long")
+    b = spark.createDataFrame(
+        [(int(snapped["row"]), int(snapped["col"]), 3)], "row long, col long, value long"
+    )
+    from georasters_spark.operators.algebra import union_pixels
+
+    out = union_pixels([a, b]).toPandas()
+    grid = np.full((2, 3), -1, dtype=np.int64)
+    for r in out.itertuples():
+        grid[r.row, r.col] = r.value
+    assert np.array_equal(grid, np.array([[1, -1, -1], [-1, -1, 3]]))
+
+
 def test_union_split_roundtrip(spark, images_t1):
     """Reference tests/test_georasters.py:38-75: split at h/2 → union
     equals the original on all valid cells."""
@@ -258,3 +285,13 @@ def test_extract_equals_map_pixel(spark, images_t1):
         assert len(ext) == 0
     else:
         assert len(ext) == 1 and int(ext["value"].iloc[0]) == int(expected)
+
+
+def test_no_ndv_default_fill_rule(spark, images_t1):
+    """Rows with ndv=NaN (file without nodata) use the reference rule:
+    default fill value, NOTHING masked (georasters.py:1553-1562)."""
+    one = images_t1.limit(1).withColumn("ndv", F.lit(float("nan")))
+    px = PX.pixel_table(one, valid_only=True)
+    assert px.count() == 64 * 64  # every cell valid, incl. former ndv cells
+    assert PX.default_ndv("int16") == 999999.0
+    assert PX.default_ndv("float32") == 1e20

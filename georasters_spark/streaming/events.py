@@ -144,6 +144,37 @@ def run_user_totals_stream(spark, sf_dir: str, query_name: str = "usertotals"):
     return t.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
 
+def stream_ingest_to_catalog(spark, src_dir: str, schema, table_root: str,
+                             query_name: str = "ingest") -> int:
+    """Streaming ingest into the Iceberg-lite catalog with exactly-once
+    sink semantics: each micro-batch commits as ONE snapshot via
+    foreachBatch (idempotence by batch-id property — a replayed batch
+    is skipped when its id is already committed). Returns the final
+    table version."""
+    from ..sources.catalog import SnapshotTable
+
+    tbl = SnapshotTable(table_root)
+
+    def sink(batch_df, batch_id: int):
+        cur = tbl.snapshot()
+        done = cur["props"].get("max_batch_id", -1) if cur else -1
+        if batch_id <= done:
+            return  # replay after restart: already committed
+        tbl.append(batch_df, props={"max_batch_id": batch_id, "source": src_dir})
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return tbl.current_version()
+
+
 def user_totals_batch(spark, sf_dir: str):
     from pyspark.sql import functions as F
 

@@ -195,6 +195,42 @@ def test_stateful_user_totals_matches_batch(spark):
     )
 
 
+def test_stream_ingest_to_catalog_exactly_once(spark, images_t1, tmp_path):
+    """Streaming tiles land in the catalog one snapshot per micro-batch;
+    re-running the stream (checkpoint-free replay) adds NOTHING because
+    the batch-id idempotence guard skips committed batches."""
+    from georasters_spark.sources.catalog import SnapshotTable
+    from georasters_spark.streaming.events import stream_ingest_to_catalog
+
+    # stage 3 parquet files of tiles as the "arriving" stream
+    src = str(tmp_path / "arrivals")
+    meta = images_t1.select("image_id", "tile_row", "tile_col", "phash")
+    meta.filter(F.col("tile_row") < 2).write.parquet(f"{src}/f0")
+    meta.filter(F.col("tile_row") == 2).write.parquet(f"{src}/f1")
+    meta.filter(F.col("tile_row") > 2).write.parquet(f"{src}/f2")
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    import os
+
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(f"{src}/f*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/{i:03d}.parquet")
+
+    root = str(tmp_path / "tiles_tbl")
+    schema = meta.schema
+    v1 = stream_ingest_to_catalog(spark, flat, schema, root, query_name="ing1")
+    tbl = SnapshotTable(root)
+    assert tbl.scan(spark).count() == 45
+    assert v1 >= 1
+
+    # replay from scratch: same files, fresh stream → idempotent
+    v2 = stream_ingest_to_catalog(spark, flat, schema, root, query_name="ing2")
+    assert tbl.scan(spark).count() == 45
+    assert v2 == v1
+
+
 def test_multimodal_features_and_resize(spark, images_t1):
     feats = MM.image_features(images_t1.limit(8)).toPandas()
     assert len(feats) == 8

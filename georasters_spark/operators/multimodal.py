@@ -114,6 +114,26 @@ def image_resize(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+def encode_multiband(arrs) -> bytes:
+    """Concatenate band planes (each little-endian int16 row-major) —
+    the multi-band analog of fmt='raw16' (band-sequential layout)."""
+    return b"".join(np.ascontiguousarray(a, dtype="<i2").tobytes() for a in arrs)
+
+
+def band_select(images: DataFrame, band: int) -> DataFrame:
+    """Select one band from band-sequential multi-band tiles as a pure
+    JVM substring on the binary column — no Python, no decode. The
+    reference's band parameter (get_geo_info/create_geotiff band=1,
+    georasters.py:86-98, :179-205) re-expressed for the tile table.
+    Output rows are ordinary fmt='raw16' single-band tiles."""
+    from pyspark.sql import functions as F
+
+    plane = F.col("w") * F.col("h") * F.lit(2)  # int16 bytes per band
+    return images.withColumn(
+        "bytes", F.expr(f"substring(bytes, CAST(w * h * 2 * {band - 1} + 1 AS INT), CAST(w * h * 2 AS INT))")
+    ).withColumn("fmt", F.lit("raw16")).withColumn("band", F.lit(band)).drop("n_bands")
+
+
 def frame_sample(videos: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame sampling: deterministic frame offsets per video from
     (duration, n_frames); the real frame *extraction* is the stub

@@ -241,6 +241,27 @@ def test_multimodal_features_and_resize(spark, images_t1):
     assert arr.shape == (64,)
 
 
+def test_multiband_band_select(spark):
+    """Band-sequential multi-band tiles: band_select(b) is a pure JVM
+    substring and the selected plane decodes to exactly band b."""
+    from georasters_spark.operators.multimodal import band_select, encode_multiband
+    from georasters_spark.sources import codec, synth
+
+    bands = [synth.tile_array(synth.GridSpec(seed=s), 1, 2) for s in (42, 43, 44)]
+    row = [("mb_0001_0002", encode_multiband(bands), 64, 64, 3, "raw16x3",
+            -9999.0, 1, 2)]
+    df = spark.createDataFrame(
+        row,
+        "image_id string, bytes binary, w int, h int, n_bands int, fmt string, "
+        "ndv double, tile_row int, tile_col int",
+    )
+    for b in (1, 2, 3):
+        sel = band_select(df, b).collect()[0]
+        assert sel["fmt"] == "raw16" and sel["band"] == b
+        dec = codec.decode_tile(bytes(sel["bytes"]), "raw16", 64, 64, -9999.0)
+        assert np.array_equal(np.asarray(dec, dtype=np.int16), bands[b - 1])
+
+
 def test_multimodal_fake_decode_deterministic_and_stub_boundary(spark):
     a1 = MM.decode_any(b"hello", "fake", 16, 16)
     a2 = MM.decode_any(b"hello", "fake", 16, 16)

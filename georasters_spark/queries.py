@@ -292,7 +292,12 @@ def q_block_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "brow",
         "bcol",
+        # GeoRaster.aggregate rule (georasters.py:1061-1067): ANY masked
+        # pixel masks the whole block
         F.when(F.col("anymask"), F.lit(None)).otherwise(F.col("s")).cast("long").alias("bsum"),
+        # module-level aggregate() rule (georasters.py:153-176):
+        # np.ma.sum skips masked cells; all-masked block -> NULL
+        F.col("s").cast("long").alias("bsum_skipna"),
     )
 
 
@@ -300,7 +305,8 @@ def sql_block_aggregate() -> str:
     spec = SPEC
     return f"""WITH {synth.pixel_sql(spec, valid_only=False)}
 SELECT CAST(row // 3 AS BIGINT) AS brow, CAST(col // 3 AS BIGINT) AS bcol,
-       CAST(CASE WHEN BOOL_OR(masked) THEN NULL ELSE SUM(value) END AS BIGINT) AS bsum
+       CAST(CASE WHEN BOOL_OR(masked) THEN NULL ELSE SUM(value) END AS BIGINT) AS bsum,
+       CAST(SUM(CASE WHEN masked THEN NULL ELSE value END) AS BIGINT) AS bsum_skipna
 FROM px GROUP BY 1, 2"""
 
 

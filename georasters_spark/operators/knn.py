@@ -127,81 +127,80 @@ def knn_pixels(
     origin: tuple[float, float],
     cellsize: tuple[float, float],
 ) -> DataFrame:
-    """k nearest VALID pixels per query point — ring expansion directly
-    on the pixel lattice (the pixel grid is its own cell index; the
-    reference analog is extract-radius growth, georasters.py:1016-1030).
+    """k nearest VALID pixels per query point — window expansion on the
+    pixel lattice (the pixel grid is its own cell index; the reference
+    analog is extract-radius growth, georasters.py:1016-1030).
 
-    Window-doubling: grow the Chebyshev window until every point holds
-    >= k candidates, widen once by the anisotropy-safe factor
+    One broadcast nested-loop join per expansion round: the (tiny)
+    point table with per-point safe radii joins the pixel table on the
+    Chebyshev window predicate; counts decide which radii double. The
+    final candidate set is widened by the anisotropy-safe factor
     hypot(cx, cy)/min(cx, cy), then exact top-k on the rounded
     center-distance with (row, col) tie-break. px must carry
     (row, col, value, xc, yc)."""
     import math
 
+    import pandas as pd
     from pyspark.sql import Window as W
 
     cx, cy = cellsize
     x0, y0 = origin
     aspect = math.hypot(cx, cy) / min(abs(cx), abs(cy))
+    spark = px.sparkSession
     pts = points.select("point_id", "x", "y").toPandas()
-    r0 = np.round((pts["y"].to_numpy() - y0) / cy).astype(np.int64)
-    c0 = np.round((pts["x"].to_numpy() - x0) / cx).astype(np.int64)
-    pid = pts["point_id"].to_numpy(np.int64)
-    qx = pts["x"].to_numpy()
-    qy = pts["y"].to_numpy()
+    pts["r0"] = np.round((pts["y"].to_numpy() - y0) / cy).astype(np.int64)
+    pts["c0"] = np.round((pts["x"].to_numpy() - x0) / cx).astype(np.int64)
 
     px = px.cache()
-    need_r = {}
+    need_r = pd.Series(np.zeros(len(pts), dtype=np.int64), index=pts.point_id)
     R = max(2 * k, 8)
-    remaining = list(range(len(pid)))
-    while remaining and R < 1 << 20:
-        preds = None
-        for i in remaining:
-            p = (
-                (F.abs(F.col("row") - int(r0[i])) <= R)
-                & (F.abs(F.col("col") - int(c0[i])) <= R)
-            )
-            preds = p if preds is None else (preds | p)
-        sub = px.filter(preds).select("row", "col").toPandas()
-        nxt = []
-        for i in remaining:
-            cnt = int(
-                (
-                    (np.abs(sub["row"].to_numpy() - r0[i]) <= R)
-                    & (np.abs(sub["col"].to_numpy() - c0[i]) <= R)
-                ).sum()
-            )
-            if cnt >= k:
-                need_r[i] = R
-            else:
-                nxt.append(i)
-        remaining = nxt
-        R *= 2
-    for i in remaining:  # fewer than k valid pixels on the whole grid
-        need_r[i] = 1 << 20
-
-    outs = []
-    for i in range(len(pid)):
-        r_safe = int(math.ceil((need_r[i] + 1) * aspect)) + 1
-        cand = px.filter(
-            (F.abs(F.col("row") - int(r0[i])) <= r_safe)
-            & (F.abs(F.col("col") - int(c0[i])) <= r_safe)
-        ).withColumn("point_id", F.lit(int(pid[i])))
-        cand = cand.withColumn(
-            "dist2",
-            F.round(
-                (F.col("xc") - float(qx[i])) * (F.col("xc") - float(qx[i]))
-                + (F.col("yc") - float(qy[i])) * (F.col("yc") - float(qy[i])),
-                6,
-            ),
+    remaining = pts
+    while len(remaining) and R < 1 << 20:
+        probe = spark.createDataFrame(
+            remaining[["point_id", "r0", "c0"]], "point_id long, r0 long, c0 long"
         )
-        outs.append(cand)
-    allc = outs[0]
-    for o in outs[1:]:
-        allc = allc.unionByName(o)
+        counts = (
+            px.join(
+                F.broadcast(probe),
+                (F.abs(F.col("row") - F.col("r0")) <= R)
+                & (F.abs(F.col("col") - F.col("c0")) <= R),
+            )
+            .groupBy("point_id")
+            .count()
+            .toPandas()
+            .set_index("point_id")["count"]
+        )
+        done = [
+            pid for pid in remaining.point_id
+            if counts.get(pid, 0) >= k
+        ]
+        for pid in done:
+            need_r[pid] = R
+        remaining = remaining[~remaining.point_id.isin(done)]
+        R *= 2
+    for pid in remaining.point_id:
+        need_r[pid] = 1 << 20  # fewer than k valid pixels on the grid
+
+    pts["rsafe"] = [int(math.ceil((int(need_r[p]) + 1) * aspect)) + 1 for p in pts.point_id]
+    probe = spark.createDataFrame(
+        pts[["point_id", "x", "y", "r0", "c0", "rsafe"]],
+        "point_id long, x double, y double, r0 long, c0 long, rsafe long",
+    )
+    cand = px.join(
+        F.broadcast(probe),
+        (F.abs(F.col("row") - F.col("r0")) <= F.col("rsafe"))
+        & (F.abs(F.col("col") - F.col("c0")) <= F.col("rsafe")),
+    ).withColumn(
+        "dist2",
+        F.round(
+            (F.col("xc") - F.col("x")) * (F.col("xc") - F.col("x"))
+            + (F.col("yc") - F.col("y")) * (F.col("yc") - F.col("y")),
+            6,
+        ),
+    )
     w = W.partitionBy("point_id").orderBy("dist2", "row", "col")
     return (
-        allc.withColumn("knn_rank", F.row_number().over(w))
+        cand.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
         .select("point_id", "row", "col",
                 F.col("value").cast("long").alias("value"), "dist2", "knn_rank")

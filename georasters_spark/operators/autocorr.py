@@ -155,16 +155,50 @@ def focal_stats(px: DataFrame, rook: bool = False, include_self: bool = False) -
     exact integers."""
     pairs = neighbor_pairs(px, rook=rook)
     agg = pairs.groupBy("row", "col").agg(
-        F.sum("vb").alias("nsum_"), F.count(F.lit(1)).alias("ncnt_")
+        F.sum("vb").alias("nsum_"),
+        F.sum(F.col("vb") * F.col("vb")).alias("nsum2_"),
+        F.count(F.lit(1)).alias("ncnt_"),
     )
+    v2 = F.col("value") * F.col("value")
     out = px.join(agg, ["row", "col"], "left").select(
         "row",
         "col",
         F.col("value").cast("long").alias("value"),
         (F.coalesce(F.col("nsum_"), F.lit(0)) + (F.col("value") if include_self else F.lit(0))).cast("long").alias("nsum"),
+        (F.coalesce(F.col("nsum2_"), F.lit(0)) + (v2 if include_self else F.lit(0))).cast("long").alias("nsum2"),
         (F.coalesce(F.col("ncnt_"), F.lit(0)) + (1 if include_self else 0)).cast("long").alias("ncnt"),
     )
     return out
+
+
+def local_geary(px: DataFrame, rook: bool = False) -> DataFrame:
+    """Per-cell local Geary c_i with binary weights, integer-exact:
+        c_num(i) = Σ_{j∈N(i)} (v_i − v_j)² = ncnt·v_i² − 2·v_i·nsum + nsum2
+    computed from the focal sums (no second pair join)."""
+    foc = focal_stats(px, rook=rook, include_self=False)
+    c_num = (
+        F.col("ncnt") * F.col("value") * F.col("value")
+        - 2 * F.col("value") * F.col("nsum")
+        + F.col("nsum2")
+    )
+    return foc.select("row", "col", c_num.cast("long").alias("c_num"))
+
+
+def local_geary_sql(px_cte: str, rook: bool = False) -> str:
+    offs = ROOK if rook else QUEEN
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in offs)
+    return f"""WITH {px_cte},
+offsets(dr, dc) AS (VALUES {offsets}),
+cand AS (SELECT a.row, a.col, a.row + o.dr AS r2, a.col + o.dc AS c2 FROM px a CROSS JOIN offsets o),
+foc AS (SELECT cand.row, cand.col, CAST(SUM(b.value) AS BIGINT) AS nsum,
+               CAST(SUM(b.value * b.value) AS BIGINT) AS nsum2,
+               CAST(COUNT(*) AS BIGINT) AS ncnt
+        FROM cand JOIN px b ON b.row = cand.r2 AND b.col = cand.c2 GROUP BY 1, 2)
+SELECT px.row, px.col,
+       CAST(COALESCE(foc.ncnt, 0) * px.value * px.value
+            - 2 * px.value * COALESCE(foc.nsum, 0)
+            + COALESCE(foc.nsum2, 0) AS BIGINT) AS c_num
+FROM px LEFT JOIN foc ON foc.row = px.row AND foc.col = px.col"""
 
 
 def local_moran(px: DataFrame, rook: bool = False) -> DataFrame:

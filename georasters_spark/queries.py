@@ -487,10 +487,13 @@ nb AS (
   SELECT cand.row, cand.col, b.value AS vb
   FROM cand JOIN px b ON b.row = cand.r2 AND b.col = cand.c2),
 agg AS (
-  SELECT row, col, CAST(SUM(vb) AS BIGINT) AS nsum_, CAST(COUNT(*) AS BIGINT) AS ncnt_
+  SELECT row, col, CAST(SUM(vb) AS BIGINT) AS nsum_,
+         CAST(SUM(vb * vb) AS BIGINT) AS nsum2_,
+         CAST(COUNT(*) AS BIGINT) AS ncnt_
   FROM nb GROUP BY row, col)
 SELECT px.row, px.col, px.value,
        CAST(COALESCE(agg.nsum_, 0) + px.value AS BIGINT) AS nsum,
+       CAST(COALESCE(agg.nsum2_, 0) + px.value * px.value AS BIGINT) AS nsum2,
        CAST(COALESCE(agg.ncnt_, 0) + 1 AS BIGINT) AS ncnt
 FROM px LEFT JOIN agg ON agg.row = px.row AND agg.col = px.col"""
 
@@ -785,6 +788,19 @@ SELECT doc_id,
        ROUND(CAST(length(text) AS DOUBLE) / len(w), 6) AS avg_token_len,
        ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS distinct_ratio
 FROM t"""
+
+
+def q_local_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.local_geary(px)
+
+
+def sql_local_geary() -> str:
+    from .operators import autocorr as AC
+
+    return AC.local_geary_sql(synth.pixel_sql(SPEC))
 
 
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,6 +1115,7 @@ QUERIES = {
     "autocorr_global": (q_autocorr_global, sql_autocorr_global),
     "focal_stats": (q_focal_stats, sql_focal_stats),
     "local_moran": (q_local_moran, sql_local_moran),
+    "local_geary": (q_local_geary, sql_local_geary),
     "moran_permutations": (q_moran_perm, sql_moran_perm),
     "argmax": (q_argmax, sql_argmax),
     "resize_nearest": (q_resize, sql_resize),

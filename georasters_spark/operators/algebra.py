@@ -15,22 +15,65 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def gini_agg(values: DataFrame, round_dp: int = 9) -> DataFrame:
+def gini_agg(values: DataFrame, round_dp: int = 9, partitions: int = 32) -> DataFrame:
     """Gini coefficient, reference formula (georasters.py:949-961):
     ascending sort, y = cumsum, B = sum(y)/(y_last·n), G = 1 + 1/n − 2B;
     degenerate count <= 1 ⇒ 1 (the :960 guard). Input: one `value`
-    column. Returns (n, gini)."""
-    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = values.withColumn("ycum", F.sum("value").over(w))
-    g = (
-        F.lit(1.0)
-        + 1.0 / F.count("value")
-        - 2.0 * (F.sum("ycum") / (F.max("ycum") * F.count("value")))
+    column. Returns (n, gini).
+
+    y_last is the TOTAL SUM (the last cumsum element), not max(cumsum)
+    — they differ when negative values make the cumsum non-monotone.
+
+    Distributed two-phase prefix sum (no single-task global window):
+    range-partition by value, per-partition exact BIGINT partials
+    (count, sum, Σ local cumsum), then Σycum = Σ_p [ycum_p + off_p·cnt_p]
+    with off_p = Σ_{q<p} sum_q. Range boundaries may split runs of equal
+    values, but a tie-run's cumsum total is permutation-invariant
+    (m·C_prev + v·m(m+1)/2), so the result is exact regardless.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    spark = values.sparkSession
+    part = (
+        values.select(F.col("value").cast("long").alias("value"))
+        .repartitionByRange(partitions, "value")
+        .sortWithinPartitions("value")
     )
-    return cum.agg(
-        F.count("value").cast("long").alias("n"),
-        F.round(F.when(F.count("value") <= 1, F.lit(1.0)).otherwise(g), round_dp).alias("gini"),
+
+    def partials(batches):
+        pid = TaskContext.get().partitionId()
+        cnt = tot = ycum = run = 0
+        for pdf in batches:
+            v = pdf["value"].to_numpy(np.int64)
+            if len(v) == 0:
+                continue
+            c = v.cumsum() + run
+            ycum += int(c.sum())
+            run = int(c[-1])
+            cnt += len(v)
+            tot += int(v.sum())
+        yield pd.DataFrame({"pid": [pid], "cnt": [cnt], "tot": [tot], "ycum": [ycum]})
+
+    rows = sorted(
+        part.mapInPandas(partials, schema="pid int, cnt long, tot long, ycum long").collect(),
+        key=lambda r: r.pid,
     )
+    n = sum(r.cnt for r in rows)
+    total = sum(r.tot for r in rows)
+    sum_ycum = 0
+    off = 0
+    for r in rows:
+        sum_ycum += r.ycum + off * r.cnt
+        off += r.tot
+    if n <= 1:
+        g = 1.0
+    else:
+        # exact ints -> correctly-rounded doubles; identical to the SQL
+        # oracle's CAST(..AS DOUBLE) expressions at this magnitude
+        g = 1.0 + 1.0 / n - 2.0 * (sum_ycum / (total * n))
+    out = spark.createDataFrame([(n, float(g))], "n long, gini double")
+    return out.select("n", F.round("gini", round_dp).alias("gini"))
 
 
 def union_pixels(pixel_dfs: list[DataFrame]) -> DataFrame:
@@ -70,12 +113,54 @@ def align_grids(px_fine: DataFrame, px_coarse: DataFrame, factor: int) -> DataFr
     )
 
 
-def map_vector(px: DataFrame, vec: DataFrame) -> DataFrame:
+def map_vector(px: DataFrame, vec: DataFrame, partitions: int = 32) -> DataFrame:
     """Scatter a flat vector back into the unmasked cells in C-order
     (row-major) — georasters.py:1777-1790: cell k in (row, col) sort
-    order receives vec[k]."""
-    w = W.orderBy("row", "col")
-    ranked = px.select("row", "col").withColumn("i", F.row_number().over(w) - 1)
+    order receives vec[k].
+
+    Distributed two-phase enumeration (no single-task global
+    row_number window): range-partition by (row, col), count per
+    partition, broadcast the per-partition base offsets, then assign
+    i = base + local index inside each sorted partition. (row, col)
+    is unique, so the assignment is exact and deterministic."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    spark = px.sparkSession
+    part = (
+        px.select("row", "col")
+        .repartitionByRange(partitions, "row", "col")
+        .sortWithinPartitions("row", "col")
+        .persist()
+    )
+
+    def counts(batches):
+        pid = TaskContext.get().partitionId()
+        c = 0
+        for pdf in batches:
+            c += len(pdf)
+        yield pd.DataFrame({"pid": [pid], "cnt": [c]})
+
+    crows = sorted(part.mapInPandas(counts, schema="pid int, cnt long").collect(),
+                   key=lambda r: r.pid)
+    bases = {}
+    acc = 0
+    for r in crows:
+        bases[r.pid] = acc
+        acc += r.cnt
+    bc = spark.sparkContext.broadcast(bases)
+
+    def index(batches):
+        pid = TaskContext.get().partitionId()
+        k = bc.value.get(pid, 0)
+        for pdf in batches:
+            n = len(pdf)
+            out = pdf[["row", "col"]].copy()
+            out["i"] = np.arange(k, k + n, dtype=np.int64)
+            k += n
+            yield out
+
+    ranked = part.mapInPandas(index, schema="row long, col long, i long")
     return ranked.join(vec, "i").select("row", "col", "i", "new_value")
 
 

@@ -11,9 +11,22 @@ exercises WGS84 <-> cylindrical-equal-area (tests/test_georasters.py:
 The warp is an inverse-projection *gather*, exactly like resize: build
 the target grid (spark.range × spark.range), compute each target cell
 center's source (row, col) with JVM trig Column expressions, equi-join
-the source pixel table. Resampling = nearest (the reference default).
+the source pixel table. Resampling = nearest (the reference default);
+bilinear and average (block-mean) variants below mirror the reference
+resampling-mode dict (georasters.py:592-606).
 No UDF anywhere — the whole plan is Catalyst-visible, so the join
 strategy/pruning come free.
+
+Engine-stable gather rule (the DuckDB-oracle contract): the fractional
+source index u = (lat − y0)/cy is quantized to 1e-4 cell units BEFORE
+floor — JVM Math.asin and libm asin may disagree by 1 ulp, and a bare
+floor() would flip on that measure-zero boundary set. round(u, 4) maps
+both engines' u (which agree to ~1e-10) to the same grid value, at the
+cost of a ≤1e-4-cell assignment tolerance — negligible for a
+nearest-neighbor warp and identical across Spark, DuckDB and the numpy
+differential oracle. degrees() is likewise spelled out as
+`· 180.0 / π` because Java's toDegrees (x·180/π) and DuckDB's degrees
+(x·(180/π)) associate differently.
 """
 
 from __future__ import annotations
@@ -25,6 +38,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 R = 6378137.0
+_Q = 4  # quantization dp for the floor-stable gather (see module doc)
+
+
+def dlit(x: float) -> str:
+    """DuckDB double literal: a bare decimal literal may be typed
+    DECIMAL (not DOUBLE) and drift 1 ulp through arithmetic; casting
+    the repr STRING to DOUBLE is strtod = exact round-trip."""
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
 def cea_bounds(lon0: float, lat0: float, lon1: float, lat1: float, phi_s: float = 0.0):
@@ -70,10 +91,11 @@ def wgs84_to_cea_grid(
     )
     xm = F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
     ym = F.lit(Y0) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
-    lon = F.degrees(xm / F.lit(R * k))
-    lat = F.degrees(F.asin(ym * F.lit(k / R)))
-    srow = F.floor((lat - F.lit(y0g)) / F.lit(cy)).cast("long")
-    scol = F.floor((lon - F.lit(x0g)) / F.lit(cx)).cast("long")
+    # explicit ·180/π (not F.degrees) + quantized floor: see module doc
+    lon = xm / F.lit(R * k) * F.lit(180.0) / F.lit(math.pi)
+    lat = F.asin(ym * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
+    srow = F.floor(F.round((lat - F.lit(y0g)) / F.lit(cy), _Q)).cast("long")
+    scol = F.floor(F.round((lon - F.lit(x0g)) / F.lit(cx), _Q)).cast("long")
     tgt = target.select(
         "trow",
         "tcol",
@@ -83,9 +105,44 @@ def wgs84_to_cea_grid(
         scol.alias("col"),
     )
     src = px.select("row", "col", "value")
-    return tgt.join(src, ["row", "col"], "left").select(
-        "trow", "tcol", F.round("xm", 6).alias("xm"), F.round("ym", 6).alias("ym"), "value"
-    )
+    # xm/ym are pure arithmetic over repr-round-tripped literal doubles:
+    # bit-identical across engines, so they ship UNROUNDED (rounding to
+    # 6 dp can itself straddle a decimal tie and flip the last digit)
+    return tgt.join(src, ["row", "col"], "left").select("trow", "tcol", "xm", "ym", "value")
+
+
+def wgs84_to_cea_sql(
+    px_cte: str,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    phi_s: float = 0.0,
+) -> str:
+    """DuckDB oracle for wgs84_to_cea_grid: the same closed-form inverse
+    gather over the same pixel CTE, constant-for-constant and
+    association-for-association (incl. the round-4 quantized floor)."""
+    h, w = src_shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    k = math.cos(math.radians(phi_s))
+    return f"""WITH {px_cte},
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
+         {dlit(Y0)} + (tr.range + 0.5) * {dlit(tcy)} AS ym
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+loc AS (
+  SELECT trow, tcol, xm, ym,
+         CAST(FLOOR(ROUND((asin(ym * {dlit(k / R)}) * 180.0 / pi() - {dlit(y0g)}) / {dlit(cy)}, {_Q})) AS BIGINT) AS row,
+         CAST(FLOOR(ROUND((xm / {dlit(R * k)} * 180.0 / pi() - {dlit(x0g)}) / {dlit(cx)}, {_Q})) AS BIGINT) AS col
+  FROM tgt)
+SELECT loc.trow, loc.tcol, loc.xm AS xm, loc.ym AS ym, px.value
+FROM loc LEFT JOIN px ON px.row = loc.row AND px.col = loc.col"""
 
 
 def wgs84_to_webmercator_grid(
@@ -122,17 +179,55 @@ def wgs84_to_webmercator_grid(
     )
     xm = F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
     ym = F.lit(Y0) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
-    lon = F.degrees(xm / F.lit(R))
-    lat = F.degrees(F.lit(2.0) * F.atan(F.exp(ym / F.lit(R))) - F.lit(math.pi / 2))
-    srow = F.floor((lat - F.lit(y0g)) / F.lit(cy)).cast("long")
-    scol = F.floor((lon - F.lit(x0g)) / F.lit(cx)).cast("long")
+    # explicit ·180/π + quantized floor: see module doc
+    lon = xm / F.lit(R) * F.lit(180.0) / F.lit(math.pi)
+    lat = (F.lit(2.0) * F.atan(F.exp(ym / F.lit(R))) - F.lit(math.pi / 2)) * F.lit(180.0) / F.lit(math.pi)
+    srow = F.floor(F.round((lat - F.lit(y0g)) / F.lit(cy), _Q)).cast("long")
+    scol = F.floor(F.round((lon - F.lit(x0g)) / F.lit(cx), _Q)).cast("long")
     tgt = target.select(
         "trow", "tcol", xm.alias("xm"), ym.alias("ym"),
         srow.alias("row"), scol.alias("col"),
     )
     return tgt.join(px.select("row", "col", "value"), ["row", "col"], "left").select(
-        "trow", "tcol", F.round("xm", 6).alias("xm"), F.round("ym", 6).alias("ym"), "value"
+        "trow", "tcol", "xm", "ym", "value"
     )
+
+
+def wgs84_to_webmercator_sql(
+    px_cte: str,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    lat_clip: float = 85.05112878,
+) -> str:
+    """DuckDB oracle for wgs84_to_webmercator_grid (same contract as
+    wgs84_to_cea_sql)."""
+    h, w = src_shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    lat_top = min(y0g, lat_clip)
+    lat_bot = max(y0g + h * cy, -lat_clip)
+    X0 = R * math.radians(x0g)
+    X1 = R * math.radians(x0g + w * cx)
+    Y0 = R * math.log(math.tan(math.pi / 4 + math.radians(lat_top) / 2))
+    Y1 = R * math.log(math.tan(math.pi / 4 + math.radians(lat_bot) / 2))
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    return f"""WITH {px_cte},
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
+         {dlit(Y0)} + (tr.range + 0.5) * {dlit(tcy)} AS ym
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+loc AS (
+  SELECT trow, tcol, xm, ym,
+         CAST(FLOOR(ROUND(((2.0 * atan(exp(ym / {dlit(R)})) - {dlit(math.pi / 2)}) * 180.0 / pi() - {dlit(y0g)}) / {dlit(cy)}, {_Q})) AS BIGINT) AS row,
+         CAST(FLOOR(ROUND((xm / {dlit(R)} * 180.0 / pi() - {dlit(x0g)}) / {dlit(cx)}, {_Q})) AS BIGINT) AS col
+  FROM tgt)
+SELECT loc.trow, loc.tcol, loc.xm AS xm, loc.ym AS ym, px.value
+FROM loc LEFT JOIN px ON px.row = loc.row AND px.col = loc.col"""
 
 
 def webmercator_numpy_oracle(
@@ -158,10 +253,10 @@ def webmercator_numpy_oracle(
     tr, tc = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
     xm = X0 + (tc + 0.5) * tcx
     ym = Y0 + (tr + 0.5) * tcy
-    lon = np.degrees(xm / R)
-    lat = np.degrees(2.0 * np.arctan(np.exp(ym / R)) - np.pi / 2)
-    srow = np.floor((lat - y0g) / cy).astype(np.int64)
-    scol = np.floor((lon - x0g) / cx).astype(np.int64)
+    lon = xm / R * 180.0 / np.pi
+    lat = (2.0 * np.arctan(np.exp(ym / R)) - np.pi / 2) * 180.0 / np.pi
+    srow = np.floor(np.round((lat - y0g) / cy, _Q)).astype(np.int64)
+    scol = np.floor(np.round((lon - x0g) / cx, _Q)).astype(np.int64)
     out = np.full(out_shape, ndv)
     ok = (srow >= 0) & (srow < h) & (scol >= 0) & (scol < w)
     out[ok] = full[srow[ok], scol[ok]]
@@ -189,10 +284,10 @@ def warp_numpy_oracle(
     tr, tc = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
     xm = X0 + (tc + 0.5) * tcx
     ym = Y0 + (tr + 0.5) * tcy
-    lon = np.degrees(xm / (R * k))
-    lat = np.degrees(np.arcsin(ym * (k / R)))
-    srow = np.floor((lat - y0g) / cy).astype(np.int64)
-    scol = np.floor((lon - x0g) / cx).astype(np.int64)
+    lon = xm / (R * k) * 180.0 / np.pi
+    lat = np.arcsin(ym * (k / R)) * 180.0 / np.pi
+    srow = np.floor(np.round((lat - y0g) / cy, _Q)).astype(np.int64)
+    scol = np.floor(np.round((lon - x0g) / cx, _Q)).astype(np.int64)
     out = np.full(out_shape, ndv)
     ok = (srow >= 0) & (srow < h) & (scol >= 0) & (scol < w)
     out[ok] = full[srow[ok], scol[ok]]

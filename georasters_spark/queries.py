@@ -176,17 +176,24 @@ FROM hits GROUP BY zone_id"""
 
 def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("value")
+    var = F.sum(v * v) / F.count(v) - (F.sum(v) / F.count(v)) * (F.sum(v) / F.count(v))
     return _px(spark, SPEC).agg(
         F.count(v).cast("long").alias("vcount"),
         F.sum(v).cast("long").alias("vsum"),
         F.min(v).cast("long").alias("vmin"),
         F.max(v).cast("long").alias("vmax"),
         F.round(F.sum(v) / F.count(v), 6).alias("vmean"),
-        F.round(
-            F.sqrt(F.sum(v * v) / F.count(v) - (F.sum(v) / F.count(v)) * (F.sum(v) / F.count(v))),
-            6,
-        ).alias("vstd"),
+        F.round(F.sqrt(var), 6).alias("vstd"),
+        # var (ddof=0, np.ma.var): same exact-int moments as std
+        F.round(var, 6).alias("vvar"),
         F.median(v).cast("double").alias("vmedian"),
+        # prod (georasters.py:715-868 family; SURVEY §2.5 maps it to
+        # exp(sum(log)) with sign handling): values are >= 0 here, so
+        # sign tracking reduces to the zero count; the magnitude ships
+        # as log10 (the raw product of ~1e5 values overflows any float)
+        F.sum((v == 0).cast("long")).cast("long").alias("vprod_zeros"),
+        F.round(F.sum(F.when(v > 0, F.log10(v))), 4).alias("vprod_log10"),
+        F.when(F.sum((v == 0).cast("long")) > 0, F.lit(0.0)).alias("vprod"),
     )
 
 
@@ -199,7 +206,12 @@ SELECT CAST(COUNT(value) AS BIGINT) AS vcount,
        ROUND(CAST(SUM(value) AS DOUBLE)/COUNT(value), 6) AS vmean,
        ROUND(SQRT(CAST(SUM(value*value) AS DOUBLE)/COUNT(value)
              - (CAST(SUM(value) AS DOUBLE)/COUNT(value))*(CAST(SUM(value) AS DOUBLE)/COUNT(value))), 6) AS vstd,
-       CAST(MEDIAN(value) AS DOUBLE) AS vmedian
+       ROUND(CAST(SUM(value*value) AS DOUBLE)/COUNT(value)
+             - (CAST(SUM(value) AS DOUBLE)/COUNT(value))*(CAST(SUM(value) AS DOUBLE)/COUNT(value)), 6) AS vvar,
+       CAST(MEDIAN(value) AS DOUBLE) AS vmedian,
+       CAST(SUM(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vprod_zeros,
+       ROUND(SUM(CASE WHEN value > 0 THEN log10(CAST(value AS DOUBLE)) END), 4) AS vprod_log10,
+       CASE WHEN SUM(CASE WHEN value = 0 THEN 1 ELSE 0 END) > 0 THEN 0.0 END AS vprod
 FROM px"""
 
 
@@ -219,7 +231,7 @@ def sql_gini() -> str:
 cum AS (SELECT value, SUM(value) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ycum FROM px)
 SELECT CAST(COUNT(value) AS BIGINT) AS n,
        ROUND(CASE WHEN COUNT(value) <= 1 THEN 1.0
-             ELSE 1.0 + 1.0/COUNT(value) - 2.0*(CAST(SUM(ycum) AS DOUBLE)/(CAST(MAX(ycum) AS DOUBLE)*COUNT(value))) END, 9) AS gini
+             ELSE 1.0 + 1.0/COUNT(value) - 2.0*(CAST(SUM(ycum) AS DOUBLE)/(CAST(SUM(value) AS DOUBLE)*COUNT(value))) END, 9) AS gini
 FROM cum"""
 
 
@@ -506,17 +518,30 @@ FROM px LEFT JOIN agg ON agg.row = px.row AND agg.col = px.col"""
 def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = SPEC
     px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
-    flat = (F.col("row") * spec.width + F.col("col")).alias("flat_idx")
-    ext = px.agg(F.max("value").alias("mx"), F.min("value").alias("mn")).collect()[0]
-    outs = []
-    for which, v in (("max", int(ext["mx"])), ("min", int(ext["mn"]))):
-        outs.append(
-            px.filter(F.col("value") == v)
-            .select(F.lit(which).alias("which"), "row", "col", "value", flat)
-            .orderBy("flat_idx")
-            .limit(1)
-        )
-    return outs[0].unionByName(outs[1])
+    # single scan, single aggregate: first-occurrence extreme = min_by on
+    # struct(±value, flat_idx) — struct ordering is lexicographic, so the
+    # tie-break on the C-order flat index is exact (np.argmax/argmin rule)
+    base = px.withColumn("flat_idx", F.col("row") * spec.width + F.col("col"))
+    ext = base.agg(
+        F.expr("min_by(struct(row, col, value, flat_idx), struct(-value, flat_idx))").alias("mx"),
+        F.expr("min_by(struct(row, col, value, flat_idx), struct(value, flat_idx))").alias("mn"),
+    )
+    return ext.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("max").alias("which"), F.col("mx.row").alias("row"),
+                    F.col("mx.col").alias("col"), F.col("mx.value").alias("value"),
+                    F.col("mx.flat_idx").alias("flat_idx"),
+                ),
+                F.struct(
+                    F.lit("min").alias("which"), F.col("mn.row").alias("row"),
+                    F.col("mn.col").alias("col"), F.col("mn.value").alias("value"),
+                    F.col("mn.flat_idx").alias("flat_idx"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
 
 
 def sql_argmax() -> str:
@@ -646,13 +671,53 @@ def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import reproject as RP
 
     spec = SPEC
-    px = _px(spark, SPEC).select("row", "col", "value")
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
     return RP.wgs84_to_cea_grid(
         px,
         src_origin=(spec.x0, spec.y0),
         src_cellsize=(spec.cellx, spec.celly),
         src_shape=(spec.height, spec.width),
         out_shape=(180, 360),
+    )
+
+
+def sql_reproject() -> str:
+    from .operators import reproject as RP
+
+    spec = SPEC
+    return RP.wgs84_to_cea_sql(
+        synth.pixel_sql(spec),
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=(180, 360),
+    )
+
+
+def q_reproject_webmerc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import reproject as RP
+
+    spec = SPEC
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.wgs84_to_webmercator_grid(
+        px,
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=(128, 128),
+    )
+
+
+def sql_reproject_webmerc() -> str:
+    from .operators import reproject as RP
+
+    spec = SPEC
+    return RP.wgs84_to_webmercator_sql(
+        synth.pixel_sql(spec),
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=(128, 128),
     )
 
 
@@ -1124,7 +1189,8 @@ QUERIES = {
     "cost_distance": (q_cost_distance, None),
     "polygonize": (q_polygonize, None),
     "clip_zones": (q_clip, None),
-    "reproject_cea": (q_reproject, None),
+    "reproject_cea": (q_reproject, sql_reproject),
+    "reproject_webmerc": (q_reproject_webmerc, sql_reproject_webmerc),
     "psnr_gate_q8": (q_psnr_gate, None),
     "phash_near_dup": (q_phash_near_dup, None),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),

@@ -49,9 +49,16 @@ class SnapshotTable:
     def append(self, df, props: dict | None = None) -> int:
         """Write df as a new data dir + snapshot manifest. Returns the
         new version."""
+        import uuid
+
         parent = self.current_version()
         version = parent + 1
-        data_dir = os.path.join(self.root, "data", f"snap-{version}")
+        # unique attempt suffix: a writer that crashes mid-parquet-write
+        # leaves an UNREFERENCED dir (garbage), never a partial dir that
+        # permanently blocks the next attempt at the same version
+        data_dir = os.path.join(
+            self.root, "data", f"snap-{version}-{uuid.uuid4().hex[:8]}"
+        )
         df.write.mode("errorifexists").parquet(data_dir)
         rows = None  # cheap: let metrics be optional; callers can count
         prev = self.snapshot(parent)

@@ -146,6 +146,13 @@ def average_hash(arr: np.ndarray, ndv: float, grid: int = 8) -> int:
     a = np.asarray(arr, dtype=np.float64).copy()
     a[a == ndv] = 0.0
     h, w = a.shape
+    if h < grid or w < grid:
+        # tiles smaller than the hash grid: zero-pad up to grid x grid
+        # (reshape below would otherwise fail for h or w < grid)
+        padded = np.zeros((max(h, grid), max(w, grid)))
+        padded[:h, :w] = a
+        a = padded
+        h, w = a.shape
     bh, bw = max(h // grid, 1), max(w // grid, 1)
     a = a[: bh * grid, : bw * grid]
     blocks = a.reshape(grid, bh, grid, bw).mean(axis=(1, 3))

@@ -155,12 +155,28 @@ def stream_ingest_to_catalog(spark, src_dir: str, schema, table_root: str,
 
     tbl = SnapshotTable(table_root)
 
+    def high_water_mark() -> int:
+        """Max committed ingest batch id across the whole snapshot
+        chain — a non-ingest append (no max_batch_id prop) landing on
+        the same table between batches must not reset the idempotence
+        guard to -1; walk parents past it to the last ingest commit."""
+        v = tbl.current_version()
+        while v:
+            snap = tbl.snapshot(v)
+            props = snap.get("props") or {}
+            if "max_batch_id" in props:
+                return int(props["max_batch_id"])
+            v = snap.get("parent", 0)
+        return -1
+
     def sink(batch_df, batch_id: int):
-        cur = tbl.snapshot()
-        done = cur["props"].get("max_batch_id", -1) if cur else -1
-        if batch_id <= done:
+        if batch_id <= high_water_mark():
             return  # replay after restart: already committed
-        tbl.append(batch_df, props={"max_batch_id": batch_id, "source": src_dir})
+        tbl.append(
+            batch_df,
+            props={"max_batch_id": batch_id, "ingest_query": query_name,
+                   "source": src_dir},
+        )
 
     q = (
         spark.readStream.schema(schema)

@@ -230,6 +230,13 @@ def test_stream_ingest_to_catalog_exactly_once(spark, images_t1, tmp_path):
     assert tbl.scan(spark).count() == 45
     assert v2 == v1
 
+    # a FOREIGN append (no max_batch_id prop) landing on the same table
+    # must not reset the idempotence guard: the chain walk skips it
+    tbl.append(meta.limit(1), props={"note": "manual backfill"})
+    v3 = stream_ingest_to_catalog(spark, flat, schema, root, query_name="ing3")
+    assert tbl.scan(spark).count() == 46  # only the manual row was added
+    assert v3 == v2 + 1
+
 
 def test_multimodal_features_and_resize(spark, images_t1):
     feats = MM.image_features(images_t1.limit(8)).toPandas()

@@ -54,3 +54,16 @@ def test_phash_deterministic_and_discriminative():
     a, b = synth.tile_array(synth.T1, 0, 0), synth.tile_array(synth.T1, 2, 3)
     assert codec.average_hash(a, NDV) == codec.average_hash(a.copy(), NDV)
     assert codec.average_hash(a, NDV) != codec.average_hash(b, NDV)
+
+
+def test_phash_small_tiles():
+    """Tiles smaller than the 8x8 hash grid (clip/assemble emit arbitrary
+    sizes) zero-pad instead of crashing, and padding is consistent: a
+    5x7 tile hashes like its 8x8 zero-padded image."""
+    rng = np.arange(35, dtype=np.int16).reshape(5, 7)
+    h = codec.average_hash(rng, NDV)
+    padded = np.zeros((8, 8), dtype=np.int16)
+    padded[:5, :7] = rng
+    assert h == codec.average_hash(padded, NDV)
+    # degenerate 1xN strip also works
+    assert isinstance(codec.average_hash(np.ones((1, 3), dtype=np.int16), NDV), int)

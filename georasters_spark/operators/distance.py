@@ -16,10 +16,23 @@ Semantics matched to the reference:
     / (7*24) (georasters.py:1438-1442).
   * masked cells are impassable (cost surface has no value there).
 
-Scale path (documented, not needed at sandbox size): the broadcast
-array becomes per-source tile neighborhoods fetched by cell_id, or a
-fully distributed Bellman-Ford-style relaxation (driver loop of
-join+min until fixpoint, checkpointed every N rounds).
+Three execution strategies, all proven equal to the numpy Dijkstra in
+pytest:
+
+* ``block_sssp``       — THE scale path and the gated plan: the grid is
+  partitioned into B×B blocks (+1-cell halo); each round runs a full
+  local multi-seed Dijkstra per dirty block in an Arrow task and
+  exchanges only improved halo/boundary estimates. The surface never
+  leaves the executors, state is (src, row, col, dist) rows, and the
+  round count is bounded by the number of block-boundary crossings of
+  the optimal paths (label-correcting block Dijkstra), not the grid
+  diameter.
+* ``cost_distance_relaxation`` — cell-granular frontier Bellman-Ford
+  (one join per wavefront step); simplest fully-distributed form,
+  O(grid diameter) rounds.
+* ``cost_distance_broadcast``  — the small-grid fast path: collect the
+  surface once, broadcast, per-source Dijkstra in executors. Driver
+  memory-bound; kept for routes=True tracebacks and tiny grids.
 """
 
 from __future__ import annotations
@@ -141,6 +154,194 @@ def cost_distance_relaxation(
     return dist
 
 
+def _dijkstra_seeded(
+    cost: np.ndarray, valid: np.ndarray, seeds: list[tuple[int, int, float]]
+) -> np.ndarray:
+    """Multi-seed Dijkstra over a local window (MCP_Geometric edge
+    rule). seeds: (r, c, dist0) already in window coordinates."""
+    h, w = cost.shape
+    dist = np.full((h, w), np.inf)
+    pq = []
+    for r, c, d in seeds:
+        if 0 <= r < h and 0 <= c < w and valid[r, c] and d < dist[r, c]:
+            dist[r, c] = d
+            heapq.heappush(pq, (d, r, c))
+    steps = [
+        (-1, -1, math.sqrt(2)), (-1, 0, 1.0), (-1, 1, math.sqrt(2)),
+        (0, -1, 1.0), (0, 1, 1.0),
+        (1, -1, math.sqrt(2)), (1, 0, 1.0), (1, 1, math.sqrt(2)),
+    ]
+    while pq:
+        d, r, c = heapq.heappop(pq)
+        if d > dist[r, c]:
+            continue
+        base = cost[r, c]
+        for dr, dc, sl in steps:
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < h and 0 <= nc < w and valid[nr, nc]:
+                nd = d + (base + cost[nr, nc]) / 2.0 * sl
+                if nd < dist[nr, nc]:
+                    dist[nr, nc] = nd
+                    heapq.heappush(pq, (nd, nr, nc))
+    return dist
+
+
+def block_sssp(
+    px: DataFrame,
+    sources_rc: list[tuple[int, int, int]],
+    block: int = 160,
+    max_rounds: int = 10000,
+) -> DataFrame:
+    """Distributed multi-source SSSP over block-partitioned cost grid.
+
+    px: (row, col, value) valid cells. sources_rc: (src_id, row, col).
+    Returns (src, row, col, dist) in raw cost units for every cell
+    reachable from each source — bit-identical to per-source
+    dijkstra_grid (min-plus path sums are order-deterministic).
+
+    Plan shape per round: [dirty-block filter] → one grouped-map Arrow
+    stage (local Dijkstra per block, seeded from current estimates) →
+    min-merge of improvements into the state. The full surface is never
+    collected or broadcast; per-task memory is one (block+2)² window.
+    """
+    spark = px.sparkSession
+    b = int(block)
+
+    base = px.select(
+        "row", "col", F.col("value").cast("double").alias("value"),
+        (F.col("row") - F.pmod(F.col("row"), b)).alias("_hr"),  # home block origin
+        (F.col("col") - F.pmod(F.col("col"), b)).alias("_hc"),
+    ).select(
+        "row", "col", "value",
+        (F.col("_hr") / b).cast("long").alias("trow"),
+        (F.col("_hc") / b).cast("long").alias("tcol"),
+    )
+    # halo replication: border pixels also belong to adjacent blocks so
+    # each block task sees a 1-cell ring of out-of-block costs
+    offsets = spark.createDataFrame(
+        [(da, db) for da in (-1, 0, 1) for db in (-1, 0, 1) if (da, db) != (0, 0)],
+        "da int, db int",
+    )
+    on_edge = (
+        ((F.col("da") == -1) & (F.pmod(F.col("row"), b) == 0))
+        | (F.col("da") == 0)
+        | ((F.col("da") == 1) & (F.pmod(F.col("row"), b) == b - 1))
+    ) & (
+        ((F.col("db") == -1) & (F.pmod(F.col("col"), b) == 0))
+        | (F.col("db") == 0)
+        | ((F.col("db") == 1) & (F.pmod(F.col("col"), b) == b - 1))
+    )
+    halo = (
+        base.crossJoin(F.broadcast(offsets))
+        .filter(on_edge)
+        .select(
+            "row", "col", "value",
+            (F.col("trow") + F.col("da")).alias("trow"),
+            (F.col("tcol") + F.col("db")).alias("tcol"),
+        )
+    )
+    tiled = base.select("row", "col", "value", "trow", "tcol").unionByName(halo)
+    tiled = tiled.repartition("trow", "tcol").persist()
+    tiled.count()
+
+    dist = spark.createDataFrame(
+        [(int(s), int(r), int(c), 0.0) for s, r, c in sources_rc],
+        "src long, row long, col long, dist double",
+    ).join(px.select("row", "col"), ["row", "col"], "left_semi").persist()
+    frontier = dist
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        r0, c0 = ty * b - 1, tx * b - 1  # window incl. halo ring
+        cells = pdf.drop_duplicates(subset=["row", "col"])
+        lr = cells["row"].to_numpy(np.int64) - r0
+        lc = cells["col"].to_numpy(np.int64) - c0
+        cost = np.zeros((b + 2, b + 2))
+        valid = np.zeros((b + 2, b + 2), dtype=bool)
+        cost[lr, lc] = cells["value"].to_numpy(np.float64)
+        valid[lr, lc] = True
+        outs = []
+        seeded = pdf[pdf["src"].notna()]
+        for src, g in seeded.groupby("src"):
+            sr = g["row"].to_numpy(np.int64) - r0
+            sc = g["col"].to_numpy(np.int64) - c0
+            sd = g["dist"].to_numpy(np.float64)
+            loc = _dijkstra_seeded(
+                cost, valid, [(int(a), int(bb), float(d)) for a, bb, d in zip(sr, sc, sd)]
+            )
+            seed_arr = np.full((b + 2, b + 2), np.inf)
+            seed_arr[sr, sc] = sd
+            reach = np.isfinite(loc) & valid & (loc < seed_arr)  # strict improvement
+            rr, cc = np.nonzero(reach)
+            outs.append(
+                pd.DataFrame(
+                    {"src": np.full(len(rr), int(src), dtype=np.int64),
+                     "row": rr.astype(np.int64) + r0,
+                     "col": cc.astype(np.int64) + c0,
+                     "dist": loc[rr, cc]}
+                )
+            )
+        return pd.concat(outs) if outs else pd.DataFrame(
+            {"src": pd.Series(dtype=np.int64), "row": pd.Series(dtype=np.int64),
+             "col": pd.Series(dtype=np.int64), "dist": pd.Series(dtype=np.float64)}
+        )
+
+    # membership of a cell in block (home+da, home+db) is pure integer
+    # arithmetic — dirty blocks come from the frontier WITHOUT touching
+    # the (much larger) halo-replicated cost table
+    offsets9 = spark.createDataFrame(
+        [(da, db) for da in (-1, 0, 1) for db in (-1, 0, 1)], "da int, db int"
+    )
+    on_edge9 = (
+        ((F.col("da") == -1) & (F.pmod(F.col("row"), b) == 0))
+        | (F.col("da") == 0)
+        | ((F.col("da") == 1) & (F.pmod(F.col("row"), b) == b - 1))
+    ) & (
+        ((F.col("db") == -1) & (F.pmod(F.col("col"), b) == 0))
+        | (F.col("db") == 0)
+        | ((F.col("db") == 1) & (F.pmod(F.col("col"), b) == b - 1))
+    )
+
+    it = 0
+    while it < max_rounds:
+        it += 1
+        dirty = (
+            frontier.crossJoin(F.broadcast(offsets9))
+            .filter(on_edge9)
+            .select(
+                (F.floor(F.col("row") / b) + F.col("da")).alias("trow"),
+                (F.floor(F.col("col") / b) + F.col("db")).alias("tcol"),
+            )
+            .distinct()
+        )
+        seeds = (
+            tiled.join(F.broadcast(dirty), ["trow", "tcol"])
+            .join(dist, ["row", "col"], "left")
+        )
+        cand = seeds.groupBy("trow", "tcol").applyInPandas(
+            kernel, schema="src long, row long, col long, dist double"
+        ).groupBy("src", "row", "col").agg(F.min("dist").alias("nd"))
+        joined = cand.join(dist, ["src", "row", "col"], "left")
+        improved = joined.filter(
+            F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+        ).select("src", "row", "col", F.col("nd").alias("dist"))
+        improved = improved.localCheckpoint(eager=True)
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("src", "row", "col")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # truncate the union/groupBy lineage chain periodically (every
+        # round would double the per-round job count)
+        if it % 3 == 0:
+            dist = dist.localCheckpoint(eager=True)
+        frontier = improved
+    tiled.unpersist()
+    return dist
+
+
 def trace_route(dist: np.ndarray, valid: np.ndarray, r1: int, c1: int) -> list[tuple[int, int]]:
     """Greedy steepest-descent traceback on a cumulative-cost surface:
     the MCP route from (r1, c1) back to the source (dist == 0),
@@ -178,15 +379,69 @@ def cost_distance(
     origin: tuple[float, float],
     cellsize: tuple[float, float],
     routes: bool = False,
+    block: int = 288,
 ) -> DataFrame:
-    """All-pairs least-cost travel time.
+    """All-pairs least-cost travel time (the gated path).
 
-    sources/destinations: (point_id, x, y). Returns
-    (id1, id2, dist_weeks) for reachable pairs plus per-source
-    isolation rows (id2 = -1, dist_weeks = isolation). With
-    routes=True adds a `route` column: the least-cost path as
-    [[row, col], ...] (the reference's routes path is unreachable —
-    NameError, georasters.py:1461 — so this is a deliberate repair).
+    sources/destinations: (point_id, x, y). Returns (id1, id2,
+    dist_weeks) for reachable pairs plus per-source isolation rows
+    (id2 = -1, dist_weeks = mean reachable cumulative cost / 168,
+    georasters.py:1438-1442).
+
+    Runs the distributed block SSSP — the cost surface is never
+    collected to the driver or broadcast whole. routes=True needs the
+    full per-source surface for the greedy traceback and delegates to
+    the small-grid broadcast path.
+    """
+    if routes:
+        return cost_distance_broadcast(
+            images, sources, destinations, origin, cellsize, routes=True
+        )
+    from ..operators import pixels as PX
+
+    spark = images.sparkSession
+    x0, y0 = origin
+    cx, cy = cellsize
+    px = PX.pixel_table(images, valid_only=True, with_coords=False).select(
+        "row", "col", "value"
+    )
+    src_pdf = sources.select("point_id", "x", "y").toPandas()
+    sources_rc = [
+        (int(p.point_id), int(np.round((p.y - y0) / cy)), int(np.round((p.x - x0) / cx)))
+        for p in src_pdf.itertuples(index=False)
+    ]
+    dist = block_sssp(px, sources_rc, block=block)
+
+    dst_pdf = destinations.select("point_id", "x", "y").toPandas()
+    dst_rows = [
+        (int(p.point_id), int(np.round((p.y - y0) / cy)), int(np.round((p.x - x0) / cx)))
+        for p in dst_pdf.itertuples(index=False)
+    ]
+    dstdf = spark.createDataFrame(dst_rows or [(-(1 << 40), -1, -1)],
+                                  "id2 long, row long, col long")
+    pairs = dist.join(F.broadcast(dstdf), ["row", "col"]).select(
+        F.col("src").alias("id1"), "id2",
+        (F.col("dist") / HOURS_PER_WEEK).alias("dist_weeks"),
+    )
+    iso = dist.groupBy("src").agg(
+        (F.avg("dist") / HOURS_PER_WEEK).alias("dist_weeks")
+    ).select(F.col("src").alias("id1"), F.lit(-1).cast("long").alias("id2"), "dist_weeks")
+    return pairs.unionByName(iso).withColumn("dist_weeks", F.round("dist_weeks", 6))
+
+
+def cost_distance_broadcast(
+    images: DataFrame,
+    sources: DataFrame,
+    destinations: DataFrame,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+    routes: bool = False,
+) -> DataFrame:
+    """Small-grid fast path: collect the surface once, broadcast it,
+    run per-source Dijkstra in executor tasks (grouped applyInPandas).
+    Driver-memory-bound by design — use cost_distance (block SSSP) when
+    the surface doesn't comfortably fit one machine. Only this path
+    supports routes=True (greedy traceback needs the full surface).
     """
     from ..operators import pixels as PX
 

@@ -126,15 +126,19 @@ def knn_pixels(
     k: int,
     origin: tuple[float, float],
     cellsize: tuple[float, float],
+    tile: int = 64,
 ) -> DataFrame:
     """k nearest VALID pixels per query point — window expansion on the
     pixel lattice (the pixel grid is its own cell index; the reference
     analog is extract-radius growth, georasters.py:1016-1030).
 
-    One broadcast nested-loop join per expansion round: the (tiny)
-    point table with per-point safe radii joins the pixel table on the
-    Chebyshev window predicate; counts decide which radii double. The
-    final candidate set is widened by the anisotropy-safe factor
+    Tile-pruned probes: each expansion round derives the candidate
+    (tile_row, tile_col) blocks covering every point's Chebyshev window
+    (tiny driver-side metadata), broadcast-HASH-joins them into the
+    pixel table on the tile keys, and only then applies the window
+    predicate — the big side is touched only on matching tile keys,
+    never full-scanned per round. Counts decide which radii double.
+    The final candidate set is widened by the anisotropy-safe factor
     hypot(cx, cy)/min(cx, cy), then exact top-k on the rounded
     center-distance with (row, col) tie-break. px must carry
     (row, col, value, xc, yc)."""
@@ -151,19 +155,50 @@ def knn_pixels(
     pts["r0"] = np.round((pts["y"].to_numpy() - y0) / cy).astype(np.int64)
     pts["c0"] = np.round((pts["x"].to_numpy() - x0) / cx).astype(np.int64)
 
-    px = px.cache()
+    px = px.withColumn("_trow", F.floor(F.col("row") / tile)).withColumn(
+        "_tcol", F.floor(F.col("col") / tile)
+    ).cache()
+    # occupied tile bounds: clips the candidate-tile explosion for huge
+    # fallback radii (one tiny metadata aggregate)
+    tb = px.agg(
+        F.min("_trow").alias("t0"), F.max("_trow").alias("t1"),
+        F.min("_tcol").alias("u0"), F.max("_tcol").alias("u1"),
+    ).collect()[0]
+    if tb["t0"] is None:
+        t0b = t1b = u0b = u1b = 0
+    else:
+        t0b, t1b, u0b, u1b = int(tb["t0"]), int(tb["t1"]), int(tb["u0"]), int(tb["u1"])
+
+    def probe_df(pdf: pd.DataFrame, rcol: str) -> DataFrame:
+        """(point_id, window params) replicated per candidate tile key."""
+        rows = []
+        for t in pdf.itertuples(index=False):
+            rr = int(getattr(t, rcol))
+            for a in range(max((int(t.r0) - rr) // tile, t0b),
+                           min((int(t.r0) + rr) // tile, t1b) + 1):
+                for b in range(max((int(t.c0) - rr) // tile, u0b),
+                               min((int(t.c0) + rr) // tile, u1b) + 1):
+                    rows.append((int(t.point_id), float(t.x), float(t.y),
+                                 int(t.r0), int(t.c0), rr, a, b))
+        return spark.createDataFrame(
+            pd.DataFrame(
+                rows,
+                columns=["point_id", "x", "y", "r0", "c0", "rad", "_trow", "_tcol"],
+            ),
+            "point_id long, x double, y double, r0 long, c0 long, rad long, "
+            "_trow long, _tcol long",
+        )
+
     need_r = pd.Series(np.zeros(len(pts), dtype=np.int64), index=pts.point_id)
     R = max(2 * k, 8)
     remaining = pts
     while len(remaining) and R < 1 << 20:
-        probe = spark.createDataFrame(
-            remaining[["point_id", "r0", "c0"]], "point_id long, r0 long, c0 long"
-        )
+        probe = probe_df(remaining.assign(rad=R), "rad")
         counts = (
-            px.join(
-                F.broadcast(probe),
-                (F.abs(F.col("row") - F.col("r0")) <= R)
-                & (F.abs(F.col("col") - F.col("c0")) <= R),
+            px.join(F.broadcast(probe), ["_trow", "_tcol"])  # hash join on tile keys
+            .filter(
+                (F.abs(F.col("row") - F.col("r0")) <= F.col("rad"))
+                & (F.abs(F.col("col") - F.col("c0")) <= F.col("rad"))
             )
             .groupBy("point_id")
             .count()
@@ -182,21 +217,21 @@ def knn_pixels(
         need_r[pid] = 1 << 20  # fewer than k valid pixels on the grid
 
     pts["rsafe"] = [int(math.ceil((int(need_r[p]) + 1) * aspect)) + 1 for p in pts.point_id]
-    probe = spark.createDataFrame(
-        pts[["point_id", "x", "y", "r0", "c0", "rsafe"]],
-        "point_id long, x double, y double, r0 long, c0 long, rsafe long",
-    )
-    cand = px.join(
-        F.broadcast(probe),
-        (F.abs(F.col("row") - F.col("r0")) <= F.col("rsafe"))
-        & (F.abs(F.col("col") - F.col("c0")) <= F.col("rsafe")),
-    ).withColumn(
-        "dist2",
-        F.round(
-            (F.col("xc") - F.col("x")) * (F.col("xc") - F.col("x"))
-            + (F.col("yc") - F.col("y")) * (F.col("yc") - F.col("y")),
-            6,
-        ),
+    probe = probe_df(pts, "rsafe")
+    cand = (
+        px.join(F.broadcast(probe), ["_trow", "_tcol"])
+        .filter(
+            (F.abs(F.col("row") - F.col("r0")) <= F.col("rad"))
+            & (F.abs(F.col("col") - F.col("c0")) <= F.col("rad"))
+        )
+        .withColumn(
+            "dist2",
+            F.round(
+                (F.col("xc") - F.col("x")) * (F.col("xc") - F.col("x"))
+                + (F.col("yc") - F.col("y")) * (F.col("yc") - F.col("y")),
+                6,
+            ),
+        )
     )
     w = W.partitionBy("point_id").orderBy("dist2", "row", "col")
     return (

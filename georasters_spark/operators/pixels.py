@@ -287,42 +287,68 @@ def assemble_tiles(
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ty, tx = int(key[0]), int(key[1])
-        arr = np.full((tile, tile), ndv, dtype=np.float64)
-        lr = pdf["row"].to_numpy(dtype=np.int64) - ty * tile
-        lc = pdf["col"].to_numpy(dtype=np.int64) - tx * tile
-        arr[lr, lc] = pdf[value_col].to_numpy(dtype=np.float64)
-        enc = arr.astype(np.int16) if dtype == "int16" else arr.astype(np.float32)
-        xmin = x0 + tx * tile * cx
-        ymax = y0 + ty * tile * cy
-        valid = enc != ndv
-        checksum = int(np.asarray(enc, dtype=np.int64)[valid].sum()) if dtype == "int16" else int(enc[valid].sum())
-        efmt = fmt if dtype == "int16" else ("rawf32" if fmt == "raw16" else fmt)
         return pd.DataFrame(
             [
-                {
-                    "image_id": f"{grid_id}_{ty:04d}_{tx:04d}",
-                    "bytes": codec.encode_tile(enc, efmt, ndv),
-                    "w": tile,
-                    "h": tile,
-                    "fmt": efmt,
-                    "caption": f"{grid_id} tile r{ty} c{tx} sum={checksum}",
-                    "phash": codec.average_hash(enc, ndv),
-                    "tile_row": ty,
-                    "tile_col": tx,
-                    "xmin": xmin,
-                    "ymax": ymax,
-                    "cellx": cx,
-                    "celly": cy,
-                    "crs": crs,
-                    "ndv": float(ndv),
-                    "dtype": dtype,
-                    "cell_id": int(
-                        C.cell_of(xmin + tile * cx / 2, ymax + tile * cy / 2, cell_res)
-                    ),
-                }
+                build_tile_record(
+                    pdf, ty, tx, grid_id, origin, cellsize, tile, ndv, fmt,
+                    dtype, crs, cell_res, value_col,
+                )
             ]
         )
 
     return keyed.groupBy("tile_row", "tile_col").applyInPandas(
         build, schema=IMAGES_SCHEMA
     )
+
+
+def build_tile_record(
+    pdf: pd.DataFrame,
+    ty: int,
+    tx: int,
+    grid_id: str,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+    tile: int,
+    ndv: float,
+    fmt: str,
+    dtype: str,
+    crs: str,
+    cell_res: int,
+    value_col: str = "value",
+) -> dict:
+    """One encoded images-table row from a group of (row, col, value)
+    pixels belonging to tile block (ty, tx) — shared by assemble_tiles
+    and the single-pass clip (spatial_join.clip)."""
+    from ..functions import cells as C
+
+    x0, y0 = origin
+    cx, cy = cellsize
+    arr = np.full((tile, tile), ndv, dtype=np.float64)
+    lr = pdf["row"].to_numpy(dtype=np.int64) - ty * tile
+    lc = pdf["col"].to_numpy(dtype=np.int64) - tx * tile
+    arr[lr, lc] = pdf[value_col].to_numpy(dtype=np.float64)
+    enc = arr.astype(np.int16) if dtype == "int16" else arr.astype(np.float32)
+    xmin = x0 + tx * tile * cx
+    ymax = y0 + ty * tile * cy
+    valid = enc != ndv
+    checksum = int(np.asarray(enc, dtype=np.int64)[valid].sum()) if dtype == "int16" else int(enc[valid].sum())
+    efmt = fmt if dtype == "int16" else ("rawf32" if fmt == "raw16" else fmt)
+    return {
+        "image_id": f"{grid_id}_{ty:04d}_{tx:04d}",
+        "bytes": codec.encode_tile(enc, efmt, ndv),
+        "w": tile,
+        "h": tile,
+        "fmt": efmt,
+        "caption": f"{grid_id} tile r{ty} c{tx} sum={checksum}",
+        "phash": codec.average_hash(enc, ndv),
+        "tile_row": ty,
+        "tile_col": tx,
+        "xmin": xmin,
+        "ymax": ymax,
+        "cellx": cx,
+        "celly": cy,
+        "crs": crs,
+        "ndv": float(ndv),
+        "dtype": dtype,
+        "cell_id": int(C.cell_of(xmin + tile * cx / 2, ymax + tile * cy / 2, cell_res)),
+    }

@@ -295,26 +295,31 @@ def clip(
     mode: str = "all_touched",
 ) -> DataFrame:
     """Per-zone sub-rasters (reference clip, georasters.py:870-906):
-    PIP join then re-assemble mini-tiles per (zone, tile block). Returns
-    images-schema rows with image_id prefixed by the zone id."""
+    PIP join then re-assemble mini-tiles in ONE grouped-map stage keyed
+    by (zone_id, tile block) — the plan is O(1) in the number of zones
+    (no per-zone branch/union loop, which would explode the driver plan
+    at 10^4 polygons). Returns images-schema rows + zone_id, image_id
+    prefixed by the zone id."""
+    import pandas as pd
+
+    from ..sources.synth import IMAGES_SCHEMA
+
     pruned = prune_tiles(images, zones)
     px = PX.pixel_table(pruned, valid_only=True, origin=origin, cellsize=cellsize)
     hits = pip_join(px, zones, mode=mode, cellsize=cellsize)
-    outs = []
-    x0, y0 = origin
-    for z in zones:
-        zpx = hits.filter(F.col("zone_id") == int(z.zone_id))
-        outs.append(
-            PX.assemble_tiles(
-                zpx.select("row", "col", "value"),
-                grid_id=f"clip_z{z.zone_id}",
-                origin=origin,
-                cellsize=cellsize,
-                tile=tile,
-                ndv=ndv,
-            ).withColumn("zone_id", F.lit(int(z.zone_id)))
+    keyed = hits.withColumn(
+        "tile_row", F.floor(F.col("row") / tile).cast("int")
+    ).withColumn("tile_col", F.floor(F.col("col") / tile).cast("int"))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        zid, ty, tx = int(key[0]), int(key[1]), int(key[2])
+        rec = PX.build_tile_record(
+            pdf, ty, tx, f"clip_z{zid}", origin, cellsize, tile, ndv,
+            fmt="raw16", dtype="int16", crs="EPSG:4326", cell_res=3,
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        rec["zone_id"] = zid
+        return pd.DataFrame([rec])
+
+    return keyed.groupBy("zone_id", "tile_row", "tile_col").applyInPandas(
+        build, schema=IMAGES_SCHEMA + ", zone_id long"
+    )

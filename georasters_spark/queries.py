@@ -663,6 +663,60 @@ def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cost_distance_window: the VALUE-level oracle for the SSSP semantics —
+# single source on a 48x48 sub-window, Spark = the same distributed
+# block SSSP (4 blocks), DuckDB = K-round unrolled Bellman-Ford over
+# the window's edge set. K is pinned and pytest-proves BF_K == Dijkstra
+# on this window (deterministic data), so the oracle equals the true
+# fixpoint. All path sums are IEEE-identical (same association both
+# engines), so dist ships UNROUNDED.
+_CDW = {"r0": 96, "r1": 144, "c0": 192, "c1": 240, "src_r": 101, "src_c": 200,
+        "K": 120, "block": 32}
+
+
+def q_cost_distance_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import distance as DI
+
+    p = _CDW
+    px = _px(spark, SPEC, valid_only=True).filter(
+        (F.col("row") >= p["r0"]) & (F.col("row") < p["r1"])
+        & (F.col("col") >= p["c0"]) & (F.col("col") < p["c1"])
+    ).select("row", "col", F.col("value").cast("double").alias("value"))
+    out = DI.block_sssp(px, [(0, p["src_r"], p["src_c"])], block=p["block"])
+    return out.select("row", "col", "dist")
+
+
+def sql_cost_distance_window() -> str:
+    p = _CDW
+    offsets = ("(-1,-1,sqrt(2.0)), (-1,0,1.0), (-1,1,sqrt(2.0)), (0,-1,1.0), "
+               "(0,1,1.0), (1,-1,sqrt(2.0)), (1,0,1.0), (1,1,sqrt(2.0))")
+    ctes = [f"""win AS (
+  SELECT row, col, CAST(value AS DOUBLE) AS value FROM px
+  WHERE row >= {p['r0']} AND row < {p['r1']} AND col >= {p['c0']} AND col < {p['c1']}),
+offs(dr, dc, sl) AS (VALUES {offsets}),
+cand AS (
+  SELECT a.row, a.col, a.value AS va, a.row + o.dr AS r2, a.col + o.dc AS c2, o.sl
+  FROM win a CROSS JOIN offs o),
+e AS MATERIALIZED (
+  SELECT cand.row, cand.col, b.row AS row2, b.col AS col2,
+         (cand.va + b.value) / 2.0 * cand.sl AS wgt
+  FROM cand JOIN win b ON b.row = cand.r2 AND b.col = cand.c2),
+d0 AS (SELECT CAST({p['src_r']} AS BIGINT) AS row, CAST({p['src_c']} AS BIGINT) AS col,
+              CAST(0.0 AS DOUBLE) AS dist)"""]
+    # MATERIALIZED is load-bearing: each d_i is referenced twice, and
+    # DuckDB's default CTE inlining would blow up exponentially in K
+    for i in range(1, p["K"] + 1):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+  SELECT row, col, MIN(dist) AS dist FROM (
+    SELECT row, col, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.row2 AS row, e.col2 AS col, d{i - 1}.dist + e.wgt AS dist
+    FROM d{i - 1} JOIN e ON e.row = d{i - 1}.row AND e.col = d{i - 1}.col
+  ) GROUP BY 1, 2)""")
+    return (f"WITH {synth.pixel_sql(SPEC)},\n" + ",\n".join(ctes)
+            + f"\nSELECT row, col, dist FROM d{p['K']}")
+
+
 # ---------------------------------------------------------------------------
 # q: polygonize — connected-component regions (non-SQL; rows-only)
 # ---------------------------------------------------------------------------
@@ -764,18 +818,67 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """clip: per-zone mini-tile sub-rasters (georasters.py:870-906) —
-    rows-only gate (binary outputs); caption carries the per-tile valid
-    checksum, the input_hint caption-equality invariant."""
+    """clip: per-zone mini-tile sub-rasters (georasters.py:870-906),
+    single grouped-map stage. EXACT oracle: the produced tile BYTES are
+    decoded back and reduced to per-(zone, tile) integer stats, so the
+    whole binary assemble/encode path is what gets hash-checked against
+    DuckDB's synthetic-field + convex-PIP recomputation. mode='center'
+    (the SQL-expressible PIP rule; all_touched stays pytest-covered)."""
+    import numpy as np
+    import pandas as pd
+
+    from .sources import codec
+
     spec = SPEC
-    return SJ.clip(
+    clipped = SJ.clip(
         images_for(spark, spec),
         synth.ZONES_T1,
         origin=(spec.x0, spec.y0),
         cellsize=(spec.cellx, spec.celly),
         tile=spec.tile,
         ndv=spec.ndv,
-    ).select("zone_id", "image_id", "caption", "phash", "w", "h", "fmt")
+        mode="center",
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(
+                    bytes(t.bytes), t.fmt, int(t.w), int(t.h), float(t.ndv)
+                )
+                v = np.asarray(arr, dtype=np.int64)[np.asarray(arr) != float(t.ndv)]
+                rows.append(
+                    {"zone_id": int(t.zone_id), "tile_row": int(t.tile_row),
+                     "tile_col": int(t.tile_col), "n_valid": int(v.size),
+                     "vsum": int(v.sum()), "vmin": int(v.min()), "vmax": int(v.max())}
+                )
+            yield pd.DataFrame(
+                rows, columns=["zone_id", "tile_row", "tile_col",
+                               "n_valid", "vsum", "vmin", "vmax"])
+
+    return clipped.select("zone_id", "tile_row", "tile_col", "bytes", "fmt",
+                          "w", "h", "ndv").mapInPandas(
+        stats,
+        schema="zone_id long, tile_row long, tile_col long, n_valid long, "
+               "vsum long, vmin long, vmax long",
+    )
+
+
+def sql_clip() -> str:
+    spec = SPEC
+    preds = [
+        f"SELECT {z.zone_id} AS zone_id, px.row, px.col, px.value FROM px WHERE "
+        + synth.zone_sql_predicate(z, "px.xc", "px.yc")
+        for z in synth.ZONES_T1
+    ]
+    return f"""WITH {synth.pixel_sql(spec)}, hits AS ({' UNION ALL '.join(preds)})
+SELECT zone_id, row // {spec.tile} AS tile_row, col // {spec.tile} AS tile_col,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(value) AS BIGINT) AS vsum,
+       CAST(MIN(value) AS BIGINT) AS vmin,
+       CAST(MAX(value) AS BIGINT) AS vmax
+FROM hits GROUP BY 1, 2, 3"""
 
 
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1187,8 +1290,9 @@ QUERIES = {
     "align_grids": (q_align, sql_align),
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, None),
+    "cost_distance_window": (q_cost_distance_window, sql_cost_distance_window),
     "polygonize": (q_polygonize, None),
-    "clip_zones": (q_clip, None),
+    "clip_zones": (q_clip, sql_clip),
     "reproject_cea": (q_reproject, sql_reproject),
     "reproject_webmerc": (q_reproject_webmerc, sql_reproject_webmerc),
     "psnr_gate_q8": (q_psnr_gate, None),

@@ -124,6 +124,71 @@ def test_cost_distance_routes_output(spark, images_t1):
         )
 
 
+def test_block_sssp_matches_dijkstra(spark):
+    """Distributed block SSSP (the gated scale path) is BIT-IDENTICAL
+    to the in-memory Dijkstra for every reached cell, multi-source,
+    across block boundaries and around obstacles."""
+    rng = np.random.default_rng(11)
+    h, w = 40, 55
+    cost = rng.uniform(1, 9, (h, w))
+    valid = rng.uniform(size=(h, w)) > 0.18
+    valid[2, 3] = valid[33, 50] = True
+    rows = [
+        (r, c, float(cost[r, c])) for r in range(h) for c in range(w) if valid[r, c]
+    ]
+    px = spark.createDataFrame(rows, "row long, col long, value double")
+    got = DI.block_sssp(px, [(0, 2, 3), (7, 33, 50)], block=16).toPandas()
+    for src, (r0, c0) in [(0, (2, 3)), (7, (33, 50))]:
+        exp = DI.dijkstra_grid(cost, valid, r0, c0)
+        sub = got[got["src"] == src]
+        assert len(sub) == int(np.isfinite(exp[valid]).sum())
+        for t in sub.itertuples(index=False):
+            assert exp[t.row, t.col] == t.dist  # exact, not approx
+
+
+def test_cost_window_oracle_K_is_sufficient():
+    """The cost_distance_window gate's DuckDB oracle is K-round
+    Bellman-Ford; this pins K: on the gate's exact window, BF_K equals
+    Dijkstra BIT-FOR-BIT (so the unrolled oracle is the true fixpoint,
+    not a truncation). Deterministic data ⇒ proven once, stable."""
+    from georasters_spark.queries import _CDW
+    from georasters_spark.sources import synth
+
+    p = _CDW
+    spec = synth.T1
+    full = synth.stitched_array(spec).astype(np.float64)
+    win = full[p["r0"]:p["r1"], p["c0"]:p["c1"]]
+    valid = win != spec.ndv
+    cost = np.where(valid, win, 0.0)
+    sr, sc = p["src_r"] - p["r0"], p["src_c"] - p["c0"]
+    assert valid[sr, sc], "gate source must sit on a valid cell"
+    dij = DI.dijkstra_grid(cost, valid, sr, sc)
+
+    h, w = cost.shape
+    bf = np.full((h, w), np.inf)
+    bf[sr, sc] = 0.0
+    steps = [(dr, dc, math.sqrt(2) if dr and dc else 1.0)
+             for dr in (-1, 0, 1) for dc in (-1, 0, 1) if (dr, dc) != (0, 0)]
+    converged_at = None
+    for k in range(1, p["K"] + 1):
+        prev = bf.copy()
+        for dr, dc, sl in steps:
+            # relax edges (r,c) -> (r+dr, c+dc)
+            src_sl = (slice(max(0, -dr), h - max(0, dr)), slice(max(0, -dc), w - max(0, dc)))
+            dst_sl = (slice(max(0, dr), h + min(0, dr)), slice(max(0, dc), w + min(0, dc)))
+            wgt = (cost[src_sl] + cost[dst_sl]) / 2.0 * sl
+            cand = prev[src_sl] + wgt
+            cand[~valid[src_sl] | ~valid[dst_sl]] = np.inf
+            np.minimum(bf[dst_sl], cand, out=bf[dst_sl])
+        if converged_at is None and np.array_equal(bf, prev):
+            converged_at = k
+            break
+    assert converged_at is not None and converged_at < p["K"], converged_at
+    fin = np.isfinite(dij)
+    assert np.array_equal(np.isfinite(bf), fin)
+    assert np.array_equal(bf[fin], dij[fin])  # exact, not approx
+
+
 def test_relaxation_matches_dijkstra(spark):
     """Distributed frontier relaxation == in-memory Dijkstra on a
     small cost surface (the scale-path equivalence proof)."""

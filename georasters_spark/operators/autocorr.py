@@ -361,6 +361,140 @@ def neighbor_pairs_keys(ranked: DataFrame, rook: bool = False) -> DataFrame:
     )
 
 
+_LCM8 = 840  # lcm(1..8): exact rational 1/deg weights as integers
+
+
+def global_autocorr_rowstd(px: DataFrame, rook: bool = False) -> DataFrame:
+    """Row-standardized global Moran's I and Geary's C — the reference
+    DEFAULT weights (transform='r', georasters.py:1758-1775) as an
+    exact-integer plan: w_ij = 1/deg_i are rationals with denominators
+    in {1..8} on the masked lattice, so numerators scale by
+    840 = lcm(1..8) into exact integer aggregates:
+
+        A840 = Σ_i N_i·M_i·(840/deg_i)   (decimal(38) — N·M·840 ~ 1e20)
+        C840 = Σ_i c_num_i·(840/deg_i)   (int64)
+      with N_i = n·v_i − S, M_i = n·nsum_i − deg_i·S,
+           c_num_i = deg_i·v_i² − 2·v_i·nsum_i + nsum2_i
+
+        I_r = (n/nw)·((A840/840)/(n·den)),  den = n·Q − S²
+        C_r = ((n−1)/(2·nw))·((C840/840)/(den/n))
+
+    nw = #cells with ≥1 neighbor (S0 of row-standardized weights).
+    Doubles are produced from the exact integers with the same
+    operation order as the SQL oracle — bit-identical, shipped
+    unrounded. Returns one row (n, nw, moran_r, geary_r)."""
+    scal = px.agg(F.count("value").alias("n"), F.sum("value").alias("s"),
+                  F.sum(F.col("value") * F.col("value")).alias("q")).collect()[0]
+    n, s, q = int(scal["n"]), int(scal["s"]), int(scal["q"])
+    foc = focal_stats(px, rook=rook, include_self=False).filter(F.col("ncnt") > 0)
+    wfac = F.expr(f"CAST({_LCM8} DIV ncnt AS DECIMAL(4,0))")
+    N = (F.col("value") * n - s).cast("decimal(14,0)")
+    M = (F.col("nsum") * n - F.col("ncnt") * s).cast("decimal(15,0)")
+    c_num = (
+        F.col("ncnt") * F.col("value") * F.col("value")
+        - 2 * F.col("value") * F.col("nsum")
+        + F.col("nsum2")
+    )
+    row = foc.agg(
+        F.sum(N * M * wfac).alias("a840"),
+        F.sum(c_num * F.expr(f"{_LCM8} DIV ncnt")).alias("c840"),
+        F.count(F.lit(1)).alias("nw"),
+    ).collect()[0]
+    a840, c840, nw = int(row["a840"]), int(row["c840"]), int(row["nw"])
+    den = n * q - s * s
+    # float(...) first, THEN divide: mirrors SQL CAST(x AS DOUBLE)/y —
+    # Python's int/float true division would round only once and can
+    # differ in the last ulp
+    i_r = (n / nw) * ((float(a840) / 840.0) / float(n * den))
+    c_r = ((n - 1) / (2.0 * nw)) * ((float(c840) / 840.0) / (float(den) / n))
+    return px.sparkSession.createDataFrame(
+        [(n, nw, i_r, c_r)], "n long, nw long, moran_r double, geary_r double"
+    )
+
+
+def global_autocorr_rowstd_sql(px_cte: str, rook: bool = False) -> str:
+    offs = ROOK if rook else QUEEN
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in offs)
+    return f"""WITH {px_cte},
+offsets(dr, dc) AS (VALUES {offsets}),
+scal AS (SELECT CAST(COUNT(value) AS BIGINT) AS n, CAST(SUM(value) AS BIGINT) AS s,
+                CAST(SUM(value*value) AS BIGINT) AS q FROM px),
+cand AS (SELECT a.row, a.col, a.row + o.dr AS r2, a.col + o.dc AS c2 FROM px a CROSS JOIN offsets o),
+foc AS (SELECT cand.row, cand.col, CAST(SUM(b.value) AS BIGINT) AS nsum,
+               CAST(SUM(b.value*b.value) AS BIGINT) AS nsum2,
+               CAST(COUNT(*) AS BIGINT) AS ncnt
+        FROM cand JOIN px b ON b.row = cand.r2 AND b.col = cand.c2 GROUP BY 1, 2),
+terms AS (
+  SELECT CAST(px.value * scal.n - scal.s AS HUGEINT)
+           * CAST(foc.nsum * scal.n - foc.ncnt * scal.s AS HUGEINT)
+           * ({_LCM8} // foc.ncnt) AS ta,
+         (foc.ncnt * px.value * px.value - 2 * px.value * foc.nsum + foc.nsum2)
+           * ({_LCM8} // foc.ncnt) AS tc
+  FROM px JOIN foc ON foc.row = px.row AND foc.col = px.col, scal),
+agg AS (SELECT SUM(ta) AS a840, CAST(SUM(tc) AS BIGINT) AS c840,
+               CAST(COUNT(*) AS BIGINT) AS nw FROM terms),
+calc AS (SELECT scal.n, scal.s, scal.q, agg.a840, agg.c840, agg.nw,
+                CAST(scal.n AS HUGEINT)*scal.q - CAST(scal.s AS HUGEINT)*scal.s AS den
+         FROM scal, agg)
+SELECT n, nw,
+       (CAST(n AS DOUBLE) / nw) * ((CAST(a840 AS DOUBLE) / 840.0) / CAST(CAST(n AS HUGEINT) * den AS DOUBLE)) AS moran_r,
+       (CAST(n - 1 AS DOUBLE) / (2.0 * nw)) * ((CAST(c840 AS DOUBLE) / 840.0) / (CAST(den AS DOUBLE) / n)) AS geary_r
+FROM calc"""
+
+
+def gstar_local(px: DataFrame, rook: bool = False) -> DataFrame:
+    """Normalized Getis-Ord G*_i hotspot statistic per cell
+    (georasters.py:1343-1378, G_Local star): binary weights INCLUDING
+    self, the classic Ord & Getis (1995) z-form
+
+        z_i = (Σ_j w_ij v_j − x̄·w_i) / (S_h·sqrt((n·w_i − w_i²)/(n−1)))
+
+    with w_i = #neighbors incl self, x̄/S_h the global moments. All
+    inputs are exact integers; the double expression is written
+    op-for-op like the SQL oracle and shipped unrounded (bit-identical).
+    Returns (row, col, gnum, wi, z_gstar) — gnum = exact focal sum."""
+    import math
+
+    scal = px.agg(F.count("value").alias("n"), F.sum("value").alias("s"),
+                  F.sum(F.col("value") * F.col("value")).alias("q")).collect()[0]
+    n, s, q = int(scal["n"]), int(scal["s"]), int(scal["q"])
+    mean = float(s) / n
+    s_h = math.sqrt((float(q) / n) - mean * mean)
+    foc = focal_stats(px, rook=rook, include_self=True)
+    u = F.col("nsum") - F.lit(mean) * F.col("ncnt")
+    rad = F.sqrt((F.col("ncnt") * n - F.col("ncnt") * F.col("ncnt")) / F.lit(n - 1.0))
+    return foc.select(
+        "row", "col",
+        F.col("nsum").alias("gnum"),
+        F.col("ncnt").alias("wi"),
+        (u / (F.lit(s_h) * rad)).alias("z_gstar"),
+    )
+
+
+def gstar_local_sql(px_cte: str, rook: bool = False) -> str:
+    offs = ROOK if rook else QUEEN
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in offs)
+    # mean/S_h are single-rounded doubles computed from the same exact
+    # integers in the same op order as the Python scalars in gstar_local
+    m = "(CAST(scal.s AS DOUBLE) / scal.n)"
+    sh = f"sqrt(CAST(scal.q AS DOUBLE) / scal.n - {m} * {m})"
+    return f"""WITH {px_cte},
+offsets(dr, dc) AS (VALUES {offsets}),
+scal AS (SELECT CAST(COUNT(value) AS BIGINT) AS n, CAST(SUM(value) AS BIGINT) AS s,
+                CAST(SUM(value*value) AS BIGINT) AS q FROM px),
+cand AS (SELECT a.row, a.col, a.row + o.dr AS r2, a.col + o.dc AS c2 FROM px a CROSS JOIN offsets o),
+foc AS (SELECT cand.row, cand.col, CAST(SUM(b.value) AS BIGINT) AS nsum_, CAST(COUNT(*) AS BIGINT) AS ncnt_
+        FROM cand JOIN px b ON b.row = cand.r2 AND b.col = cand.c2 GROUP BY 1, 2),
+base AS (SELECT px.row, px.col,
+                CAST(COALESCE(foc.nsum_, 0) + px.value AS BIGINT) AS gnum,
+                CAST(COALESCE(foc.ncnt_, 0) + 1 AS BIGINT) AS wi
+         FROM px LEFT JOIN foc ON foc.row = px.row AND foc.col = px.col)
+SELECT base.row, base.col, base.gnum, base.wi,
+       (base.gnum - {m} * base.wi)
+         / ({sh} * sqrt((base.wi * scal.n - base.wi * base.wi) / (scal.n - 1.0))) AS z_gstar
+FROM base, scal"""
+
+
 def moran_rowstd(px: DataFrame, rook: bool = False) -> float:
     """Row-standardized Moran's I (reference default transform='r'):
     I = (n/S0)·Σ_i (1/deg_i)·Σ_j z_i z_j / Σ z² with S0 = Σ 1/deg_i·deg_i

@@ -31,7 +31,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: keeps a*x+b inside int64 (a, x < 2^31 ⇒
+# a*x < 2^62) so the MinHash fold is pure vectorized numpy — no
+# arbitrary-precision Python ints in the per-doc hot path
+MERSENNE = (1 << 31) - 1
 
 
 def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -114,15 +117,14 @@ def minhash_signatures(
     """(doc_id, sig array<long>) — Arrow-batched numpy MinHash over
     xxhash64 shingle keys (JVM hash, Python only folds minima)."""
     a, b = _hash_params(num_hashes, seed)
+    a2 = a.reshape(-1, 1)  # (H, 1)
+    b2 = b.reshape(-1, 1)
     sh = shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("h"))
 
     def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["h"].to_numpy(dtype=np.int64).astype(object)  # exact bigint math
-        sig = [
-            int(min((int(ai) * int(xi) + int(bi)) % MERSENNE for xi in x))
-            for ai, bi in zip(a, b)
-        ]
-        return pd.DataFrame({"doc_id": [key[0]], "sig": [sig]})
+        x = pdf["h"].to_numpy(dtype=np.int64) % MERSENNE  # (S,), in [0, p)
+        sig = ((a2 * x.reshape(1, -1) + b2) % MERSENNE).min(axis=1)  # (H,)
+        return pd.DataFrame({"doc_id": [key[0]], "sig": [sig.tolist()]})
 
     return sh.groupBy("doc_id").applyInPandas(fold, schema="doc_id long, sig array<long>")
 

@@ -292,3 +292,233 @@ def warp_numpy_oracle(
     ok = (srow >= 0) & (srow < h) & (scol >= 0) & (scol < w)
     out[ok] = full[srow[ok], scol[ok]]
     return out
+
+
+# ---------------------------------------------------------------------------
+# resampling modes beyond nearest (reference modes dict georasters.py:592-606)
+# ---------------------------------------------------------------------------
+
+def wgs84_to_cea_grid_bilinear(
+    px: DataFrame,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    phi_s: float = 0.0,
+) -> DataFrame:
+    """CEA warp with BILINEAR resampling: each target cell center maps
+    to fractional source coordinates; the 4 surrounding cell centers
+    join in with (1−du)(1−dv)-style weights; masked neighbors drop out
+    of the join and the weight mass renormalizes over the valid ones
+    (GDAL nodata-aware bilinear). Pure DataFrame ops: one explode(4) +
+    equi-join + groupBy — no UDF."""
+    spark = px.sparkSession
+    h, w = src_shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    k = math.cos(math.radians(phi_s))
+
+    target = (
+        spark.range(th)
+        .select(F.col("id").alias("trow"))
+        .crossJoin(spark.range(tw).select(F.col("id").alias("tcol")))
+    )
+    xm = F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
+    ym = F.lit(Y0) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
+    lon = xm / F.lit(R * k) * F.lit(180.0) / F.lit(math.pi)
+    lat = F.asin(ym * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
+    # fractional CENTER-based source index (cell r center at y0+(r+.5)cy)
+    u = F.round((lat - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
+    v = F.round((lon - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
+    tgt = target.select(
+        "trow", "tcol",
+        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
+        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
+    )
+    corners = tgt.select(
+        "trow", "tcol", "r0", "c0", "du", "dv",
+        F.explode(F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                            for a in (0, 1) for b in (0, 1)])).alias("o"),
+    ).select(
+        "trow", "tcol",
+        (F.col("r0") + F.col("o.a")).alias("row"),
+        (F.col("c0") + F.col("o.b")).alias("col"),
+        (
+            F.when(F.col("o.a") == 1, F.col("du")).otherwise(1.0 - F.col("du"))
+            * F.when(F.col("o.b") == 1, F.col("dv")).otherwise(1.0 - F.col("dv"))
+        ).alias("wgt"),
+    )
+    j = corners.join(px.select("row", "col", "value"), ["row", "col"])
+    out = j.groupBy("trow", "tcol").agg(
+        F.round(F.sum(F.col("wgt") * F.col("value")) / F.sum("wgt"), 6).alias("value"),
+        F.count(F.lit(1)).cast("long").alias("n_contrib"),
+    )
+    return target.join(out, ["trow", "tcol"], "left")
+
+
+def wgs84_to_cea_grid_average(
+    px: DataFrame,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    phi_s: float = 0.0,
+) -> DataFrame:
+    """CEA warp with AVERAGE resampling (GDAL 'average' / block-mean
+    for downsampling): FORWARD-project every valid source cell center,
+    bucket it into its target cell, mean per bucket — a scan + one
+    grouped aggregate; map-side partial agg makes it shuffle-light."""
+    h, w = src_shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    k = math.cos(math.radians(phi_s))
+
+    xc = F.lit(x0g) + (F.col("col") + F.lit(0.5)) * F.lit(cx)
+    yc = F.lit(y0g) + (F.col("row") + F.lit(0.5)) * F.lit(cy)
+    X = F.lit(R * k) * F.radians(xc)
+    Y = F.lit(R / k) * F.sin(F.radians(yc))
+    trow = F.floor(F.round((Y - F.lit(Y0)) / F.lit(tcy), _Q)).cast("long")
+    tcol = F.floor(F.round((X - F.lit(X0)) / F.lit(tcx), _Q)).cast("long")
+    binned = px.select(trow.alias("trow"), tcol.alias("tcol"), "value").filter(
+        (F.col("trow") >= 0) & (F.col("trow") < th)
+        & (F.col("tcol") >= 0) & (F.col("tcol") < tw)
+    )
+    return binned.groupBy("trow", "tcol").agg(
+        F.round(F.sum("value") / F.count("value"), 6).alias("value"),
+        F.count("value").cast("long").alias("n_contrib"),
+    )
+
+
+def cea_bilinear_numpy_oracle(
+    full: np.ndarray,
+    ndv: float,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    out_shape: tuple[int, int],
+    phi_s: float = 0.0,
+):
+    """Independent numpy bilinear warp (same quantized fractional index
+    + valid-weight renormalization). Returns (value, n_contrib) grids;
+    value nan where no valid neighbor."""
+    h, w = full.shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    k = math.cos(math.radians(phi_s))
+    tr, tc = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+    xm = X0 + (tc + 0.5) * tcx
+    ym = Y0 + (tr + 0.5) * tcy
+    lon = xm / (R * k) * 180.0 / np.pi
+    lat = np.arcsin(ym * (k / R)) * 180.0 / np.pi
+    u = np.round((lat - y0g) / cy - 0.5, _Q)
+    v = np.round((lon - x0g) / cx - 0.5, _Q)
+    r0 = np.floor(u).astype(np.int64)
+    c0 = np.floor(v).astype(np.int64)
+    du, dv = u - r0, v - c0
+    num = np.zeros(out_shape)
+    den = np.zeros(out_shape)
+    cnt = np.zeros(out_shape, dtype=np.int64)
+    valid = full != ndv
+    for a in (0, 1):
+        for b in (0, 1):
+            rr, cc = r0 + a, c0 + b
+            ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+            ok &= valid[np.clip(rr, 0, h - 1), np.clip(cc, 0, w - 1)]
+            wgt = (du if a else 1 - du) * (dv if b else 1 - dv)
+            num[ok] += wgt[ok] * full[rr[ok], cc[ok]]
+            den[ok] += wgt[ok]
+            cnt[ok] += 1
+    out = np.full(out_shape, np.nan)
+    nz = den > 0
+    out[nz] = num[nz] / den[nz]
+    return out, cnt
+
+
+def cea_average_numpy_oracle(
+    full: np.ndarray,
+    ndv: float,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    out_shape: tuple[int, int],
+    phi_s: float = 0.0,
+):
+    """Independent numpy forward-bucket average warp. Returns
+    (sum, count) accumulators."""
+    h, w = full.shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    k = math.cos(math.radians(phi_s))
+    rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    valid = full != ndv
+    xc = x0g + (cc + 0.5) * cx
+    yc = y0g + (rr + 0.5) * cy
+    X = (R * k) * np.radians(xc)
+    Y = (R / k) * np.sin(np.radians(yc))
+    trow = np.floor(np.round((Y - Y0) / tcy, _Q)).astype(np.int64)
+    tcol = np.floor(np.round((X - X0) / tcx, _Q)).astype(np.int64)
+    ok = valid & (trow >= 0) & (trow < th) & (tcol >= 0) & (tcol < tw)
+    s = np.zeros(out_shape)
+    n = np.zeros(out_shape, dtype=np.int64)
+    np.add.at(s, (trow[ok], tcol[ok]), full[ok])
+    np.add.at(n, (trow[ok], tcol[ok]), 1)
+    return s, n
+
+
+def wgs84_to_cea_bilinear_sql(
+    px_cte: str,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    phi_s: float = 0.0,
+) -> str:
+    """DuckDB oracle for wgs84_to_cea_grid_bilinear (same quantized
+    fractional index, same weight expressions; the <=4-term weighted
+    sums are rounded to 6dp on both sides)."""
+    h, w = src_shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    k = math.cos(math.radians(phi_s))
+    u = (f"ROUND((asin(({dlit(Y0)} + (tr.range + 0.5) * {dlit(tcy)}) * {dlit(k / R)}) * 180.0 / pi()"
+         f" - {dlit(y0g)}) / {dlit(cy)} - 0.5, {_Q})")
+    v = (f"ROUND((({dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)}) / {dlit(R * k)} * 180.0 / pi()"
+         f" - {dlit(x0g)}) / {dlit(cx)} - 0.5, {_Q})")
+    return f"""WITH {px_cte},
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {u} AS u, {v} AS v
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+corners AS (
+  SELECT trow, tcol,
+         CAST(FLOOR(u) AS BIGINT) + o.a AS row,
+         CAST(FLOOR(v) AS BIGINT) + o.b AS col,
+         (CASE WHEN o.a = 1 THEN u - FLOOR(u) ELSE 1.0 - (u - FLOOR(u)) END)
+         * (CASE WHEN o.b = 1 THEN v - FLOOR(v) ELSE 1.0 - (v - FLOOR(v)) END) AS wgt
+  FROM tgt CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) o(a, b)),
+agg AS (
+  SELECT corners.trow, corners.tcol,
+         ROUND(SUM(corners.wgt * px.value) / SUM(corners.wgt), 6) AS value,
+         CAST(COUNT(*) AS BIGINT) AS n_contrib
+  FROM corners JOIN px ON px.row = corners.row AND px.col = corners.col
+  GROUP BY 1, 2)
+SELECT tgt.trow, tgt.tcol, agg.value, agg.n_contrib
+FROM tgt LEFT JOIN agg ON agg.trow = tgt.trow AND agg.tcol = tgt.tcol"""

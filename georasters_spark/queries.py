@@ -480,6 +480,32 @@ def sql_autocorr_global() -> str:
     return AC.global_autocorr_sql(synth.pixel_sql(SPEC), bin_threshold=_BIN_T)
 
 
+def q_autocorr_rowstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.global_autocorr_rowstd(px)
+
+
+def sql_autocorr_rowstd() -> str:
+    from .operators import autocorr as AC
+
+    return AC.global_autocorr_rowstd_sql(synth.pixel_sql(SPEC))
+
+
+def q_gstar_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.gstar_local(px)
+
+
+def sql_gstar_local() -> str:
+    from .operators import autocorr as AC
+
+    return AC.gstar_local_sql(synth.pixel_sql(SPEC))
+
+
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import autocorr as AC
 
@@ -748,6 +774,33 @@ def sql_reproject() -> str:
     )
 
 
+def q_reproject_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import reproject as RP
+
+    spec = SPEC
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.wgs84_to_cea_grid_bilinear(
+        px,
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=(90, 180),
+    )
+
+
+def sql_reproject_bilinear() -> str:
+    from .operators import reproject as RP
+
+    spec = SPEC
+    return RP.wgs84_to_cea_bilinear_sql(
+        synth.pixel_sql(spec),
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=(90, 180),
+    )
+
+
 def q_reproject_webmerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import reproject as RP
 
@@ -936,6 +989,36 @@ pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) 
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_a, doc_b, inter,
+       ROUND(CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter), 6) AS jaccard
+FROM pairs JOIN cnts ca ON ca.doc_id = doc_a JOIN cnts cb ON cb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5"""
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH dedup, exact-verified: LSH candidates are
+    re-scored with exact Jaccard, so the output EQUALS the brute-force
+    jaccard_pairs whenever the banding curve has ~1 recall at the
+    threshold. Here every true pair has jaccard >= 0.9, where 16 bands
+    x 4 rows give recall 1 - (1-0.9^4)^16 ≈ 1 - 4e-8 (pytest-asserted
+    equality on this data). The oracle is the brute-force SQL."""
+    from .operators import dedup as DD
+
+    return DD.minhash_dedup_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, num_hashes=64, bands=16, rows=4
+    )
+
+
+def sql_minhash_dedup() -> str:
+    return """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id,
+              w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS shingle
+       FROM idx),
+cnts AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
        ROUND(CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter), 6) AS jaccard
 FROM pairs JOIN cnts ca ON ca.doc_id = doc_a JOIN cnts cb ON cb.doc_id = doc_b
 WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5"""
@@ -1244,25 +1327,17 @@ _EMB_DUP_T = 0.45
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold, a < b) —
-    the embedding leg of the dedup suite. Exact pair scan here; the
-    LSH-bucketed variant (similarity.lsh_topk) is the scale path."""
-    from .operators.similarity import _dot, with_norm
+    the embedding leg of the dedup suite. Exact distributed BLOCK-GEMM
+    pair join (no crossJoin row shuffle): this data has no LSH-able
+    similarity gap (top background cosines sit right at the near-dup
+    band), so an exact threshold join is inherently Ω(n²) WORK — the
+    scalable plan turns it into B·(B+1)/2 BLAS tasks with (B+1)·n rows
+    of shuffle. The probabilistic scale path (similarity.lsh_topk)
+    remains for corpora where recall<1 is acceptable."""
+    from .operators.similarity import cosine_pairs_blocked
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = with_norm(emb).select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").cast("array<double>").alias("ea"),
-        F.col("_norm").alias("na"),
-    )
-    b = with_norm(emb).select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").cast("array<double>").alias("eb"),
-        F.col("_norm").alias("nb"),
-    )
-    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b")).withColumn(
-        "cos", F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
-    )
-    return pairs.filter(F.col("cos") >= _EMB_DUP_T).select("vec_a", "vec_b", "cos")
+    return cosine_pairs_blocked(emb, threshold=_EMB_DUP_T, n_blocks=4)
 
 
 def sql_embed_near_dup() -> str:
@@ -1281,6 +1356,8 @@ QUERIES = {
     "knn_tiles": (q_knn, sql_knn),
     "knn_pixels": (q_knn_pixels, sql_knn_pixels),
     "autocorr_global": (q_autocorr_global, sql_autocorr_global),
+    "autocorr_rowstd": (q_autocorr_rowstd, sql_autocorr_rowstd),
+    "gstar_local": (q_gstar_local, sql_gstar_local),
     "focal_stats": (q_focal_stats, sql_focal_stats),
     "local_moran": (q_local_moran, sql_local_moran),
     "local_geary": (q_local_geary, sql_local_geary),
@@ -1295,10 +1372,12 @@ QUERIES = {
     "clip_zones": (q_clip, sql_clip),
     "reproject_cea": (q_reproject, sql_reproject),
     "reproject_webmerc": (q_reproject_webmerc, sql_reproject_webmerc),
+    "reproject_bilinear": (q_reproject_bilinear, sql_reproject_bilinear),
     "psnr_gate_q8": (q_psnr_gate, None),
     "phash_near_dup": (q_phash_near_dup, None),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "jaccard_pairs": (q_jaccard_pairs, sql_jaccard_pairs),
+    "minhash_dedup": (q_minhash_dedup, sql_minhash_dedup),
     "text_stats": (q_text_stats, sql_text_stats),
     "event_rollup": (q_event_rollup, sql_event_rollup),
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),

@@ -58,6 +58,51 @@ def test_moran_rowstd_matches_numpy(spark):
     assert abs(got - exp) < 1e-9, (got, exp)
 
 
+def test_global_autocorr_rowstd_matches_numpy(spark):
+    """The gated exact-integer 840-scaled plan equals the float
+    reference implementation (values are integers here so both are
+    exact up to final float ops)."""
+    a = GRAD.astype(np.int64).astype(np.float64)
+    px = _px_df(spark, a).select("row", "col", F.col("value").cast("long").alias("value"))
+    row = AC.global_autocorr_rowstd(px).collect()[0]
+    exp = _moran_numpy_rowstd(a)
+    assert abs(row["moran_r"] - exp) < 1e-9, (row["moran_r"], exp)
+    assert row["n"] == 25 and row["nw"] == 25
+    # Geary rowstd vs direct numpy
+    h, w = a.shape
+    z = a.ravel() - a.mean()
+    num = s0 = 0.0
+    for r in range(h):
+        for c in range(w):
+            nbrs = [(r + dr, c + dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                    if (dr, dc) != (0, 0) and 0 <= r + dr < h and 0 <= c + dc < w]
+            wgt = 1.0 / len(nbrs)
+            s0 += 1.0
+            num += wgt * sum((a[r, c] - a[p, q]) ** 2 for p, q in nbrs)
+    exp_c = ((a.size - 1) / (2.0 * s0)) * num / (z @ z)
+    assert abs(row["geary_r"] - exp_c) < 1e-9, (row["geary_r"], exp_c)
+
+
+def test_gstar_local_matches_numpy(spark):
+    """z-form Getis-Ord G*_i vs direct numpy on the gradient fixture."""
+    import math
+
+    a = GRAD
+    px = _px_df(spark, a).select("row", "col", F.col("value").cast("long").alias("value"))
+    got = AC.gstar_local(px).toPandas().set_index(["row", "col"])
+    n = a.size
+    mean = a.mean()
+    s_h = math.sqrt((a * a).mean() - mean * mean)
+    h, w = a.shape
+    for r in range(h):
+        for c in range(w):
+            nb = [a[r + dr, c + dc] for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                  if 0 <= r + dr < h and 0 <= c + dc < w]
+            wi = len(nb)
+            z = (sum(nb) - mean * wi) / (s_h * math.sqrt((n * wi - wi * wi) / (n - 1)))
+            assert abs(got.loc[(r, c), "z_gstar"] - z) < 1e-9
+
+
 def test_neighbor_pairs_degree_structure(spark):
     px = _px_df(spark, GRAD)
     deg = (

@@ -45,6 +45,38 @@ def test_minhash_lsh_finds_exact_pairs(spark, docs):
     assert len(exact) > 0  # fixture really contains near-dups
 
 
+def test_cosine_pairs_blocked_equals_cross_join(spark, emb):
+    """Distributed block-GEMM threshold join == the all-pairs crossJoin
+    (same pairs, same 6dp cosines) across several block counts,
+    including B=1 (single task) and B larger than needed."""
+    from georasters_spark.operators.similarity import _dot, with_norm
+
+    a = with_norm(emb).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("ea"),
+        F.col("_norm").alias("na"),
+    )
+    b = with_norm(emb).select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("eb"),
+        F.col("_norm").alias("nb"),
+    )
+    exact = (
+        a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos") >= 0.45)
+        .select("vec_a", "vec_b", "cos")
+        .toPandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    )
+    for nb_ in (1, 3, 7):
+        got = (
+            SM.cosine_pairs_blocked(emb, threshold=0.45, n_blocks=nb_)
+            .toPandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(exact, got, check_dtype=False)
+    assert len(exact) > 0
+
+
 def test_minhash_signature_similarity_estimates_jaccard(spark, docs):
     """Signature agreement rate ≈ true Jaccard for a high-sim pair."""
     pairs = DD.jaccard_pairs(docs, n=3, threshold=0.8).toPandas()

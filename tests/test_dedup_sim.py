@@ -77,6 +77,41 @@ def test_cosine_pairs_blocked_equals_cross_join(spark, emb):
     assert len(exact) > 0
 
 
+def test_ivf_topk_recall_and_full_probe_equality(spark, emb):
+    """IVF ANN: with nprobe == n_clusters the probed search EQUALS
+    brute force exactly; with a partial probe, recall stays useful and
+    every returned neighbor's cosine is genuine (subset property)."""
+    k_clusters = 8
+    cents = SM.kmeans_fit(emb, k=k_clusters, iters=4)
+    assert cents.shape == (k_clusters, 64)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SM.brute_force_topk(emb, queries, k=5).toPandas()
+    full = SM.ivf_topk(emb, queries, cents, k=5, nprobe=k_clusters).toPandas()
+    e = exact.sort_values(["query_id", "sim_rank"]).reset_index(drop=True)
+    f = full.sort_values(["query_id", "sim_rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(e, f)
+
+    part = SM.ivf_topk(emb, queries, cents, k=5, nprobe=3).toPandas()
+    exact_pairs = set(zip(e.query_id, e.vec_id))
+    part_pairs = set(zip(part.query_id, part.vec_id))
+    recall = len(exact_pairs & part_pairs) / len(exact_pairs)
+    assert recall >= 0.3, recall  # near-random embeddings: partial probe
+    # subset property: probed cosines must match the exact scores
+    merged = part.merge(exact.rename(columns={"sim_rank": "er"}),
+                        on=["query_id", "vec_id"], suffixes=("", "_e"), how="inner")
+    assert (merged.cos == merged.cos_e).all()
+
+
+def test_kmeans_fit_deterministic(spark, emb):
+    a = SM.kmeans_fit(emb, k=4, iters=2)
+    b = SM.kmeans_fit(emb, k=4, iters=2)
+    assert np.array_equal(a, b)
+    # assignment covers all vectors exactly once
+    asg = SM.kmeans_assign(emb, a).toPandas()
+    assert len(asg) == emb.count()
+    assert set(asg.cluster) <= set(range(4))
+
+
 def test_minhash_signature_similarity_estimates_jaccard(spark, docs):
     """Signature agreement rate ≈ true Jaccard for a high-sim pair."""
     pairs = DD.jaccard_pairs(docs, n=3, threshold=0.8).toPandas()

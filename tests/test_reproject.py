@@ -102,6 +102,88 @@ def test_cea_average_matches_numpy(spark, images_t1):
     assert got.n_contrib.max() > 10  # really aggregating many cells
 
 
+def test_cea_cubic_matches_numpy(spark, images_t1):
+    spec = synth.T1
+    out_shape = (60, 120)
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    got = RP.wgs84_to_cea_grid_cubic(
+        px, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), out_shape,
+    ).toPandas()
+    exp, cnt = RP.cea_cubic_numpy_oracle(
+        synth.stitched_array(spec).astype(np.float64), spec.ndv,
+        (spec.x0, spec.y0), (spec.cellx, spec.celly), out_shape,
+    )
+    vals = got.dropna(subset=["value"])
+    assert len(vals) == int(np.isfinite(exp).sum())
+    for t in vals.itertuples(index=False):
+        assert abs(t.value - round(float(exp[t.trow, t.tcol]), 6)) < 1e-6
+        assert t.n_contrib == cnt[t.trow, t.tcol]
+    # ~25% nodata: a fully-valid 4x4 window is rare at this sampling —
+    # assert the support is genuinely wide instead
+    assert vals.n_contrib.max() >= 14
+    # cubic can legitimately overshoot the input range (negative lobes,
+    # partial weight mass under nodata) but the 0.05 weight-mass guard
+    # bounds the blow-up
+    assert vals.value.min() > -6000 and vals.value.max() < 8000
+
+
+def test_reproject_dispatcher_and_agg_modes(spark, images_t1):
+    """API-surface parity: EPSG ints / strings / proj4 prefixes accepted;
+    mode/min/max/sum/count aggregate resampling agree with numpy."""
+    import pytest
+
+    spec = synth.T1
+    out_shape = (45, 90)
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    kw = dict(src_origin=(spec.x0, spec.y0), src_cellsize=(spec.cellx, spec.celly),
+              src_shape=(spec.height, spec.width), out_shape=out_shape)
+    # dispatcher equivalences
+    a = RP.reproject(px, 4326, "EPSG:6933", resampling="nearest", **kw).toPandas()
+    b = RP.wgs84_to_cea_grid(px, kw["src_origin"], kw["src_cellsize"],
+                             kw["src_shape"], out_shape).toPandas()
+    assert len(a) == len(b)
+    m = RP.reproject(px, "+proj=longlat +datum=WGS84", "+proj=merc", **kw)
+    assert m.count() == out_shape[0] * out_shape[1]
+    with pytest.raises(NotImplementedError):
+        RP.reproject(px, 4326, "EPSG:32633", **kw)  # arbitrary UTM: no GDAL
+    with pytest.raises(NotImplementedError):
+        RP.reproject(px, 4326, 6933, resampling="cubicspline", **kw)
+
+    # aggregate modes vs numpy forward-bucketing
+    s, n = RP.cea_average_numpy_oracle(
+        synth.stitched_array(spec).astype(np.float64), spec.ndv,
+        kw["src_origin"], kw["src_cellsize"], out_shape,
+    )
+    cnt = RP.reproject(px, 4326, 6933, resampling="count", **kw).toPandas()
+    for t in cnt.itertuples(index=False):
+        assert t.value == n[t.trow, t.tcol]
+    sm = RP.reproject(px, 4326, 6933, resampling="sum", **kw).toPandas()
+    for t in sm.itertuples(index=False):
+        assert t.value == s[t.trow, t.tcol]
+    # mode: deterministic most-common with smallest-value tie-break
+    md = RP.reproject(px, 4326, 6933, resampling="mode", **kw).toPandas()
+    full = synth.stitched_array(spec).astype(np.float64)
+    import collections
+    # recompute buckets in numpy for 5 sample cells
+    h, w = full.shape
+    rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    valid = full != spec.ndv
+    X0, Y1, X1, Y0 = RP.cea_bounds(spec.x0, spec.y0 + h * spec.celly,
+                                   spec.x0 + w * spec.cellx, spec.y0)
+    tcx, tcy = (X1 - X0) / out_shape[1], (Y1 - Y0) / out_shape[0]
+    X = (RP.R * 1.0) * np.radians(spec.x0 + (cc + 0.5) * spec.cellx)
+    Y = (RP.R / 1.0) * np.sin(np.radians(spec.y0 + (rr + 0.5) * spec.celly))
+    trow = np.floor(np.round((Y - Y0) / tcy, 4)).astype(np.int64)
+    tcol = np.floor(np.round((X - X0) / tcx, 4)).astype(np.int64)
+    sample = md.sample(n=5, random_state=0)
+    for t in sample.itertuples(index=False):
+        sel = valid & (trow == t.trow) & (tcol == t.tcol)
+        c = collections.Counter(full[sel].tolist())
+        best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+        assert t.value == best[0]
+
+
 def test_webmercator_inverse_roundtrip():
     import math
 

@@ -857,6 +857,91 @@ def q_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q8_cells_sql(spec: GridSpec) -> str:
+    """Shared CTE chain: the full 64x64 tile lattice (incl. edge
+    padding), the q8 codec's per-tile (lo, hi, span) range, and the
+    decoded lossy value — every step mirrors sources/codec.py
+    encode_q8/decode_q8 expression-for-expression, so DuckDB recomputes
+    the LOSSY CODEC itself from the synthetic field formulas."""
+    t = spec.tile
+    return f"""cells AS (
+  SELECT CAST(ty.range AS BIGINT) AS ty, CAST(tx.range AS BIGINT) AS tx,
+         CAST(i.range AS BIGINT) AS i, CAST(j.range AS BIGINT) AS j,
+         CASE WHEN ty.range * {t} + i.range < {spec.height}
+               AND tx.range * {t} + j.range < {spec.width}
+               AND NOT (((ty.range*{t}+i.range)*31 + (tx.range*{t}+j.range)*17 + {spec.seed}*7) % 97 < 24)
+              THEN CAST(((ty.range*{t}+i.range)*7919 + (tx.range*{t}+j.range)*104729 + {spec.seed}) % 1997 AS DOUBLE)
+         END AS v
+  FROM range({spec.tiles_y}) ty CROSS JOIN range({spec.tiles_x}) tx
+       CROSS JOIN range({t}) i CROSS JOIN range({t}) j),
+rng AS (
+  SELECT ty, tx,
+         COALESCE(CAST(MIN(v) AS DOUBLE), 0.0) AS lo,
+         CASE WHEN MAX(v) IS NULL OR MAX(v) - MIN(v) = 0 THEN 1.0
+              ELSE CAST(MAX(v) AS DOUBLE) - CAST(MIN(v) AS DOUBLE) END AS span
+  FROM cells GROUP BY 1, 2),
+dec AS (
+  SELECT cells.ty, cells.tx, cells.i, cells.j, cells.v,
+         CASE WHEN cells.v IS NULL THEN NULL
+              ELSE rng.lo + LEAST(GREATEST(round_even((cells.v - rng.lo) / rng.span * 254.0, 0), 0.0), 254.0) / 254.0 * rng.span
+         END AS d
+  FROM cells JOIN rng ON rng.ty = cells.ty AND rng.tx = cells.tx)"""
+
+
+def _phash_fold_sql(src: str, val_expr: str, spec: GridSpec) -> str:
+    """SQL reimplementation of codec.average_hash over `src` rows
+    (ty, tx, i, j, {val_expr}): 8x8 block means with ndv→0, bit = block
+    mean > mean of block means, bits folded MSB-first into a SIGNED
+     64-bit value (bit 63 contributes -2^63 — two's complement without
+    BIGINT overflow)."""
+    return f"""SELECT ty, tx, CAST(SUM(contrib) AS BIGINT) AS phash FROM (
+  SELECT b.ty, b.tx,
+         CASE WHEN b.bm > AVG(b.bm) OVER (PARTITION BY b.ty, b.tx)
+              THEN CASE WHEN 63 - (b.bi * 8 + b.bj) = 63 THEN -9223372036854775808
+                        ELSE (CAST(1 AS BIGINT) << CAST(63 - (b.bi * 8 + b.bj) AS INT)) END
+              ELSE 0 END AS contrib
+  FROM (
+    SELECT ty, tx, i // 8 AS bi, j // 8 AS bj, AVG({val_expr}) AS bm
+    FROM {src} GROUP BY 1, 2, 3, 4) b
+) GROUP BY 1, 2"""
+
+
+def sql_psnr_gate() -> str:
+    spec = SPEC
+    return f"""WITH {_q8_cells_sql(spec)},
+err AS (
+  SELECT ty, tx,
+         AVG((v - d) * (v - d)) AS mse,
+         MAX(ABS(v)) AS peak
+  FROM dec WHERE v IS NOT NULL GROUP BY 1, 2)
+SELECT printf('{spec.grid_id}_%04d_%04d', CAST(ty AS INT), CAST(tx AS INT)) AS image_id,
+       ROUND(LEAST(CASE WHEN mse = 0 THEN 1e18
+                        ELSE 10.0 * log10((CASE WHEN peak = 0 THEN 1.0 ELSE peak END)
+                                          * (CASE WHEN peak = 0 THEN 1.0 ELSE peak END) / mse) END,
+                   999.0), 3) AS psnr_db,
+       (CASE WHEN mse = 0 THEN 1e18
+             ELSE 10.0 * log10((CASE WHEN peak = 0 THEN 1.0 ELSE peak END)
+                               * (CASE WHEN peak = 0 THEN 1.0 ELSE peak END) / mse) END) >= 40.0 AS passes_gate
+FROM err"""
+
+
+def sql_phash_near_dup() -> str:
+    spec = SPEC
+    raw_fold = _phash_fold_sql("cells", "COALESCE(v, 0.0)", spec)
+    lossy_fold = _phash_fold_sql("dec", "COALESCE(d, 0.0)", spec)
+    return f"""WITH {_q8_cells_sql(spec)},
+ph_raw AS ({raw_fold}),
+ph_lossy AS ({lossy_fold}),
+ph AS (
+  SELECT printf('{spec.grid_id}_%04d_%04d', CAST(ty AS INT), CAST(tx AS INT)) AS image_id, phash FROM ph_raw
+  UNION ALL
+  SELECT printf('lossy_{spec.grid_id}_%04d_%04d', CAST(ty AS INT), CAST(tx AS INT)) AS image_id, phash FROM ph_lossy)
+SELECT a.image_id AS img_a, b.image_id AS img_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6"""
+
+
 def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup detection over phash with 4-band blocking plus an
     injected duplicate grid (g42 tiles vs their q8-lossy re-encodes)."""
@@ -1477,8 +1562,8 @@ QUERIES = {
     "reproject_cea": (q_reproject, sql_reproject),
     "reproject_webmerc": (q_reproject_webmerc, sql_reproject_webmerc),
     "reproject_bilinear": (q_reproject_bilinear, sql_reproject_bilinear),
-    "psnr_gate_q8": (q_psnr_gate, None),
-    "phash_near_dup": (q_phash_near_dup, None),
+    "psnr_gate_q8": (q_psnr_gate, sql_psnr_gate),
+    "phash_near_dup": (q_phash_near_dup, sql_phash_near_dup),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "jaccard_pairs": (q_jaccard_pairs, sql_jaccard_pairs),
     "minhash_dedup": (q_minhash_dedup, sql_minhash_dedup),

@@ -391,6 +391,55 @@ FROM pxa a JOIN pxb b ON a.row = b.row AND a.col = b.col"""
 
 
 # ---------------------------------------------------------------------------
+# q: band_math — multi-band tiles end-to-end: two raw16 grids are fused
+# into band-sequential 2-band tiles (pure byte concat), each band comes
+# back via the JVM-substring band_select, decodes through the normal
+# pixel path, and a normalized-difference (NDVI-shaped) ratio is
+# computed per cell valid in BOTH bands.
+# ---------------------------------------------------------------------------
+
+def q_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import band_select
+
+    spec = SPEC
+    a = images_for(spark, SPEC).select(
+        "tile_row", "tile_col", F.col("bytes").alias("ba"),
+        "w", "h", "fmt", "ndv", "image_id",
+    )
+    b = images_for(spark, SPECB).select(
+        "tile_row", "tile_col", F.col("bytes").alias("bb"),
+    )
+    # band-sequential layout: 2-band tile = concat of the band planes
+    mb = a.join(b, ["tile_row", "tile_col"]).select(
+        "image_id", F.concat(F.col("ba"), F.col("bb")).alias("bytes"),
+        "w", "h", "fmt", "ndv", "tile_row", "tile_col", F.lit(2).alias("n_bands"),
+    )
+
+    def band_px(band):
+        imgs = band_select(mb, band).select(
+            "image_id", "bytes", "fmt", "w", "h", "ndv", "tile_row", "tile_col")
+        return PX.pixel_table(imgs, valid_only=True, with_coords=False)
+
+    pa = band_px(1).select("row", "col", F.col("value").cast("long").alias("va"))
+    pb = band_px(2).select("row", "col", F.col("value").cast("long").alias("vb"))
+    j = pa.join(pb, ["row", "col"])
+    return j.select(
+        "row", "col", "va", "vb",
+        F.when(F.col("va") + F.col("vb") == 0, F.lit(None)).otherwise(
+            F.round((F.col("vb") - F.col("va")) / (F.col("vb") + F.col("va")), 6)
+        ).alias("nd_ratio"),
+    )
+
+
+def sql_band_math() -> str:
+    return f"""WITH {synth.pixel_sql(SPEC, alias='pxa')}, {synth.pixel_sql(SPECB, alias='pxb')}
+SELECT a.row, a.col, a.value AS va, b.value AS vb,
+       CASE WHEN a.value + b.value = 0 THEN NULL
+            ELSE ROUND(CAST(b.value - a.value AS DOUBLE) / (b.value + a.value), 6) END AS nd_ratio
+FROM pxa a JOIN pxb b ON b.row = a.row AND b.col = a.col"""
+
+
+# ---------------------------------------------------------------------------
 # q: extract_window — radius window around a point (georasters.py:1016-1030)
 # ---------------------------------------------------------------------------
 
@@ -1386,6 +1435,46 @@ SELECT zone_id, zsum, zmean,
 FROM zs"""
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: every purchase event gets the most recent view
+    at-or-before it by the same user (point-in-time feature lookup).
+    Timestamps compared as exact epoch microseconds."""
+    from .operators.temporal import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # parquet ts is TIMESTAMP_NTZ: cast through TIMESTAMP under the UTC
+    # session TZ so unix_micros == DuckDB's naive epoch_us
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"), "value"
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "t",
+        F.round("value", 4).alias("purchase_value"),
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "t", F.col("event_id").alias("view_id")
+    )
+    return asof_join(left, right, key="user_id", ts="t", right_cols=("view_id",))
+
+
+def sql_asof_join() -> str:
+    return """WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t, value FROM events),
+l AS (SELECT event_id AS purchase_id, user_id, t, ROUND(value, 4) AS purchase_value
+      FROM ev WHERE event_type = 'purchase'),
+r AS (SELECT user_id, t, event_id AS view_id FROM ev WHERE event_type = 'view'),
+m AS (
+  SELECT l.purchase_id, l.user_id, l.t, l.purchase_value,
+         r.view_id, r.t AS asof_ts,
+         ROW_NUMBER() OVER (PARTITION BY l.purchase_id
+                            ORDER BY r.t DESC, r.view_id DESC) AS rn
+  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.t <= l.t)
+SELECT purchase_id, user_id, t, purchase_value,
+       view_id AS asof_view_id, asof_ts, t - asof_ts AS gap
+FROM m WHERE rn = 1"""
+
+
 _SESSION_GAP_S = 1800
 
 
@@ -1571,6 +1660,7 @@ QUERIES = {
     "event_rollup": (q_event_rollup, sql_event_rollup),
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),
+    "asof_join": (q_asof_join, sql_asof_join),
     "tile_entropy": (q_tile_entropy, sql_tile_entropy),
     "ann_cosine": (q_ann_cosine, sql_ann_cosine),
     "ivf_ann": (q_ivf_ann, sql_ivf_ann),
@@ -1583,5 +1673,6 @@ QUERIES = {
     "block_aggregate": (q_block_aggregate, sql_block_aggregate),
     "union_mosaic": (q_union_mosaic, sql_union_mosaic),
     "algebra": (q_algebra, sql_algebra),
+    "band_math": (q_band_math, sql_band_math),
     "extract_window": (q_extract, sql_extract),
 }

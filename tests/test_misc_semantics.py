@@ -86,3 +86,32 @@ def test_catalog_scan_pushes_filters(spark):
     assert "PushedFilters" in plan
     assert "tile_row" in plan.split("PushedFilters")[1][:200] or "InMemory" in plan
     assert filtered.count() == synth.T1.tiles_x
+
+
+def test_asof_join_semantics(spark):
+    """AS-OF: <= match (equal-ts right row matches), most-recent wins,
+    deterministic max-id tie-break among equal-ts right rows, NULLs
+    when no prior right row, keys never cross."""
+    from pyspark.sql import functions as F
+
+    from georasters_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 50), (3, 100, 5), (4, 200, 30)],
+        "lid long, user_id long, t long",
+    ).select("lid", "user_id", "t")
+    right = spark.createDataFrame(
+        [(901, 100, 10), (902, 100, 10), (903, 100, 40), (904, 200, 99)],
+        "rid long, user_id long, t long",
+    ).select("user_id", "t", "rid")
+    out = asof_join(left, right, key="user_id", ts="t", right_cols=("rid",)) \
+        .toPandas().set_index("lid")
+    # t=10: two right rows at exactly t=10 -> equal-ts match, max rid wins
+    assert out.loc[1, "asof_rid"] == 902 and out.loc[1, "gap"] == 0
+    # t=50: most recent at-or-before is rid 903 (t=40)
+    assert out.loc[2, "asof_rid"] == 903 and out.loc[2, "gap"] == 10
+    # t=5: nothing at-or-before -> NULLs
+    import pandas as pd
+    assert pd.isna(out.loc[3, "asof_rid"]) and pd.isna(out.loc[3, "gap"])
+    # other user's rows never leak across keys (user 200 t=30 < rid904 t=99)
+    assert pd.isna(out.loc[4, "asof_rid"])

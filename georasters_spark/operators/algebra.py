@@ -35,28 +35,38 @@ def gini_agg(values: DataFrame, round_dp: int = 9, partitions: int = 32) -> Data
     from pyspark import TaskContext
 
     spark = values.sparkSession
+    # integral inputs take the exact-BIGINT path (the oracle contract);
+    # fractional inputs keep their values (float accumulators — NOT a
+    # silent truncation) with ~1e-15 order-dependence, like any float sum
+    integral = dict(values.dtypes)["value"] in ("tinyint", "smallint", "int", "bigint")
+    vtype = "long" if integral else "double"
+    np_t = np.int64 if integral else np.float64
+    py_t = int if integral else float
     part = (
-        values.select(F.col("value").cast("long").alias("value"))
+        values.select(F.col("value").cast(vtype).alias("value"))
         .repartitionByRange(partitions, "value")
         .sortWithinPartitions("value")
     )
 
     def partials(batches):
         pid = TaskContext.get().partitionId()
-        cnt = tot = ycum = run = 0
+        cnt = 0
+        tot = ycum = run = py_t(0)
         for pdf in batches:
-            v = pdf["value"].to_numpy(np.int64)
+            v = pdf["value"].to_numpy(np_t)
             if len(v) == 0:
                 continue
             c = v.cumsum() + run
-            ycum += int(c.sum())
-            run = int(c[-1])
+            ycum += py_t(c.sum())
+            run = py_t(c[-1])
             cnt += len(v)
-            tot += int(v.sum())
+            tot += py_t(v.sum())
         yield pd.DataFrame({"pid": [pid], "cnt": [cnt], "tot": [tot], "ycum": [ycum]})
 
     rows = sorted(
-        part.mapInPandas(partials, schema="pid int, cnt long, tot long, ycum long").collect(),
+        part.mapInPandas(
+            partials, schema=f"pid int, cnt long, tot {vtype}, ycum {vtype}"
+        ).collect(),
         key=lambda r: r.pid,
     )
     n = sum(r.cnt for r in rows)
@@ -160,7 +170,11 @@ def map_vector(px: DataFrame, vec: DataFrame, partitions: int = 32) -> DataFrame
             k += n
             yield out
 
+    # checkpoint the enumeration then release the cached input — the
+    # persisted partitions must not accumulate across repeated calls
     ranked = part.mapInPandas(index, schema="row long, col long, i long")
+    ranked = ranked.localCheckpoint(eager=True)
+    part.unpersist()
     return ranked.join(vec, "i").select("row", "col", "i", "new_value")
 
 
@@ -476,7 +490,9 @@ def polygonize_geoms(
                 if (r := stitch_one(int(rid), g)) is not None]
         yield pd.DataFrame(rows, columns=cols)
 
-    return edges.repartition(32, "region_id").mapInPandas(
+    out = edges.repartition(32, "region_id").mapInPandas(
         stitch_partition,
         schema="region_id long, value double, n_rings long, area_cells long, wkt string",
-    )
+    ).localCheckpoint(eager=True)  # small (one row per region)
+    lab.unpersist()
+    return out

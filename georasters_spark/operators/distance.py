@@ -186,6 +186,28 @@ def _dijkstra_seeded(
     return dist
 
 
+def _halo_offsets(spark, b: int, include_center: bool):
+    """(offsets df, membership predicate): a cell at (row, col) belongs
+    to block (home + da, home + db) iff it sits on the corresponding
+    border of its home block — shared by the halo replication and the
+    dirty-block derivation (which additionally includes (0, 0))."""
+    offsets = spark.createDataFrame(
+        [(da, db) for da in (-1, 0, 1) for db in (-1, 0, 1)
+         if include_center or (da, db) != (0, 0)],
+        "da int, db int",
+    )
+    pred = (
+        ((F.col("da") == -1) & (F.pmod(F.col("row"), b) == 0))
+        | (F.col("da") == 0)
+        | ((F.col("da") == 1) & (F.pmod(F.col("row"), b) == b - 1))
+    ) & (
+        ((F.col("db") == -1) & (F.pmod(F.col("col"), b) == 0))
+        | (F.col("db") == 0)
+        | ((F.col("db") == 1) & (F.pmod(F.col("col"), b) == b - 1))
+    )
+    return offsets, pred
+
+
 def block_sssp(
     px: DataFrame,
     sources_rc: list[tuple[int, int, int]],
@@ -218,19 +240,7 @@ def block_sssp(
     )
     # halo replication: border pixels also belong to adjacent blocks so
     # each block task sees a 1-cell ring of out-of-block costs
-    offsets = spark.createDataFrame(
-        [(da, db) for da in (-1, 0, 1) for db in (-1, 0, 1) if (da, db) != (0, 0)],
-        "da int, db int",
-    )
-    on_edge = (
-        ((F.col("da") == -1) & (F.pmod(F.col("row"), b) == 0))
-        | (F.col("da") == 0)
-        | ((F.col("da") == 1) & (F.pmod(F.col("row"), b) == b - 1))
-    ) & (
-        ((F.col("db") == -1) & (F.pmod(F.col("col"), b) == 0))
-        | (F.col("db") == 0)
-        | ((F.col("db") == 1) & (F.pmod(F.col("col"), b) == b - 1))
-    )
+    offsets, on_edge = _halo_offsets(spark, b, include_center=False)
     halo = (
         base.crossJoin(F.broadcast(offsets))
         .filter(on_edge)
@@ -248,6 +258,7 @@ def block_sssp(
         [(int(s), int(r), int(c), 0.0) for s, r, c in sources_rc],
         "src long, row long, col long, dist double",
     ).join(px.select("row", "col"), ["row", "col"], "left_semi").persist()
+    seed = dist  # released at the end (reassigned below)
     frontier = dist
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -289,18 +300,7 @@ def block_sssp(
     # membership of a cell in block (home+da, home+db) is pure integer
     # arithmetic — dirty blocks come from the frontier WITHOUT touching
     # the (much larger) halo-replicated cost table
-    offsets9 = spark.createDataFrame(
-        [(da, db) for da in (-1, 0, 1) for db in (-1, 0, 1)], "da int, db int"
-    )
-    on_edge9 = (
-        ((F.col("da") == -1) & (F.pmod(F.col("row"), b) == 0))
-        | (F.col("da") == 0)
-        | ((F.col("da") == 1) & (F.pmod(F.col("row"), b) == b - 1))
-    ) & (
-        ((F.col("db") == -1) & (F.pmod(F.col("col"), b) == 0))
-        | (F.col("db") == 0)
-        | ((F.col("db") == 1) & (F.pmod(F.col("col"), b) == b - 1))
-    )
+    offsets9, on_edge9 = _halo_offsets(spark, b, include_center=True)
 
     it = 0
     while it < max_rounds:
@@ -338,6 +338,9 @@ def block_sssp(
         if it % 3 == 0:
             dist = dist.localCheckpoint(eager=True)
         frontier = improved
+    # sever lineage from the cached inputs, then release them
+    dist = dist.localCheckpoint(eager=True)
+    seed.unpersist()
     tiled.unpersist()
     return dist
 

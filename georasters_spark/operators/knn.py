@@ -176,23 +176,30 @@ def knn_pixels(
         t0b, t1b, u0b, u1b = int(tb["t0"]), int(tb["t1"]), int(tb["u0"]), int(tb["u1"])
 
     def probe_df(pdf: pd.DataFrame, rcol: str) -> DataFrame:
-        """(point_id, window params) replicated per candidate tile key."""
-        rows = []
-        for t in pdf.itertuples(index=False):
-            rr = int(getattr(t, rcol))
-            for a in range(max((int(t.r0) - rr) // tile, t0b),
-                           min((int(t.r0) + rr) // tile, t1b) + 1):
-                for b in range(max((int(t.c0) - rr) // tile, u0b),
-                               min((int(t.c0) + rr) // tile, u1b) + 1):
-                    rows.append((int(t.point_id), float(t.x), float(t.y),
-                                 int(t.r0), int(t.c0), rr, a, b))
-        return spark.createDataFrame(
-            pd.DataFrame(
-                rows,
-                columns=["point_id", "x", "y", "r0", "c0", "rad", "_trow", "_tcol"],
+        """(point_id, window params) replicated per candidate tile key.
+        Only per-point METADATA ships from the driver; the point×tile
+        replication itself is a JVM sequence/explode (no driver-side
+        pair materialization — the knn_tiles lesson applied here)."""
+        base = spark.createDataFrame(
+            pdf[["point_id", "x", "y", "r0", "c0", rcol]].rename(
+                columns={rcol: "rad"}
             ),
-            "point_id long, x double, y double, r0 long, c0 long, rad long, "
-            "_trow long, _tcol long",
+            "point_id long, x double, y double, r0 long, c0 long, rad long",
+        )
+        tr_lo = F.greatest(F.floor((F.col("r0") - F.col("rad")) / tile), F.lit(t0b))
+        tr_hi = F.least(F.floor((F.col("r0") + F.col("rad")) / tile), F.lit(t1b))
+        tc_lo = F.greatest(F.floor((F.col("c0") - F.col("rad")) / tile), F.lit(u0b))
+        tc_hi = F.least(F.floor((F.col("c0") + F.col("rad")) / tile), F.lit(u1b))
+        return (
+            base.withColumn("_tr_lo", tr_lo).withColumn("_tr_hi", tr_hi)
+            .withColumn("_tc_lo", tc_lo).withColumn("_tc_hi", tc_hi)
+            # windows entirely off-grid generate nothing (a descending
+            # sequence() would otherwise emit bogus tiles)
+            .filter((F.col("_tr_lo") <= F.col("_tr_hi"))
+                    & (F.col("_tc_lo") <= F.col("_tc_hi")))
+            .withColumn("_trow", F.explode(F.sequence("_tr_lo", "_tr_hi")))
+            .withColumn("_tcol", F.explode(F.sequence("_tc_lo", "_tc_hi")))
+            .select("point_id", "x", "y", "r0", "c0", "rad", "_trow", "_tcol")
         )
 
     need_r = pd.Series(np.zeros(len(pts), dtype=np.int64), index=pts.point_id)

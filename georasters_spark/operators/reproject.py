@@ -353,8 +353,14 @@ def wgs84_to_cea_grid_bilinear(
         ).alias("wgt"),
     )
     j = corners.join(px.select("row", "col", "value"), ["row", "col"])
+    # explicit zero-weight-mass guard (a valid corner can carry weight
+    # exactly 0 after quantization): NULL, matching the numpy oracle's
+    # den > 0 rule and DuckDB's NULL-on-/0
     out = j.groupBy("trow", "tcol").agg(
-        F.round(F.sum(F.col("wgt") * F.col("value")) / F.sum("wgt"), 6).alias("value"),
+        F.when(
+            F.sum("wgt") > 0,
+            F.round(F.sum(F.col("wgt") * F.col("value")) / F.sum("wgt"), 6),
+        ).alias("value"),
         F.count(F.lit(1)).cast("long").alias("n_contrib"),
     )
     return target.join(out, ["trow", "tcol"], "left")
@@ -611,7 +617,8 @@ corners AS (
   FROM tgt CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) o(a, b)),
 agg AS (
   SELECT corners.trow, corners.tcol,
-         ROUND(SUM(corners.wgt * px.value) / SUM(corners.wgt), 6) AS value,
+         CASE WHEN SUM(corners.wgt) > 0
+              THEN ROUND(SUM(corners.wgt * px.value) / SUM(corners.wgt), 6) END AS value,
          CAST(COUNT(*) AS BIGINT) AS n_contrib
   FROM corners JOIN px ON px.row = corners.row AND px.col = corners.col
   GROUP BY 1, 2)

@@ -74,8 +74,15 @@ def cosine_pairs_blocked(
     emits only surviving pairs. Shuffle volume is (B+1)·n rows
     (replication), never n² rows; task memory is 2·(n/B)·d.
 
-    Output (vec_a, vec_b, cos) with vec_a < vec_b, cos rounded 6dp,
-    cos = dot/(‖a‖·‖b‖) in the same association as the SQL oracle.
+    Output (vec_a, vec_b, cos) with vec_a < vec_b, cos rounded 6dp.
+    BIT-MATCH contract: GEMM summation order differs from a sequential
+    dot-product fold by ~1e-9, which could flip the 6th dp on a tie —
+    so the GEMM only FILTERS candidates at (threshold − 1e-4), and the
+    few survivors are re-scored with the same JVM sequential fold the
+    SQL oracle uses (identical association ⇒ identical doubles), then
+    thresholded on the rounded exact value. The 1e-4 margin is ≥ 10⁵×
+    the worst-case GEMM-vs-fold divergence, so the candidate set is a
+    provable superset.
     """
     spark = emb.sparkSession
     B = int(n_blocks)
@@ -120,7 +127,7 @@ def cosine_pairs_blocked(
         na = np.sqrt((la * la).sum(axis=1))
         nb = np.sqrt((rb * rb).sum(axis=1))
         cos = np.round((la @ rb.T) / np.outer(na, nb), 6)
-        hit = cos >= thr
+        hit = cos >= thr - 1e-4  # margin: exact rescoring decides below
         if int(key[0]) == int(key[1]):
             # same-block task sees each pair twice (u,v) and (v,u):
             # keep the ordered half only
@@ -130,11 +137,30 @@ def cosine_pairs_blocked(
         ii, jj = np.nonzero(hit)
         va = np.minimum(lid[ii], rid[jj])  # canonical a < b regardless of side
         vb = np.maximum(lid[ii], rid[jj])
-        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos": cos[ii, jj]})
+        return pd.DataFrame({"vec_a": va, "vec_b": vb})
 
-    return tasks.groupBy("pi", "pj").applyInPandas(
-        kernel, schema="vec_a long, vec_b long, cos double"
+    cand = tasks.groupBy("pi", "pj").applyInPandas(
+        kernel, schema="vec_a long, vec_b long"
     )
+    # exact rescoring of the (small) candidate set with the sequential
+    # JVM fold — the same expression shape as the SQL oracle
+    ea = emb.select(F.col(id_col).alias("vec_a"),
+                    F.col("embedding").cast("array<double>").alias("_ea"))
+    eb = emb.select(F.col(id_col).alias("vec_b"),
+                    F.col("embedding").cast("array<double>").alias("_eb"))
+    scored = (
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("_ea"), F.col("_eb"))
+                / (F.sqrt(_dot(F.col("_ea"), F.col("_ea")))
+                   * F.sqrt(_dot(F.col("_eb"), F.col("_eb")))),
+                6,
+            ),
+        )
+    )
+    return scored.filter(F.col("cos") >= thr).select("vec_a", "vec_b", "cos")
 
 
 def hyperplanes(dim: int, bits: int, seed: int = 11) -> np.ndarray:

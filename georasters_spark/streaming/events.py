@@ -156,15 +156,18 @@ def stream_ingest_to_catalog(spark, src_dir: str, schema, table_root: str,
     tbl = SnapshotTable(table_root)
 
     def high_water_mark() -> int:
-        """Max committed ingest batch id across the whole snapshot
-        chain — a non-ingest append (no max_batch_id prop) landing on
-        the same table between batches must not reset the idempotence
-        guard to -1; walk parents past it to the last ingest commit."""
+        """Max committed batch id FOR THIS SOURCE STREAM across the
+        whole snapshot chain. Walking parents means a non-ingest append
+        (no max_batch_id prop) can't reset the guard to -1; scoping by
+        source means a DIFFERENT stream ingesting into the same table
+        (its own checkpoint restarts batch ids at 0) is never silently
+        skipped. Batch ids are per-source because they come from the
+        stream's own checkpoint sequence."""
         v = tbl.current_version()
         while v:
             snap = tbl.snapshot(v)
             props = snap.get("props") or {}
-            if "max_batch_id" in props:
+            if "max_batch_id" in props and props.get("source") == src_dir:
                 return int(props["max_batch_id"])
             v = snap.get("parent", 0)
         return -1

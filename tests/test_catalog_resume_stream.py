@@ -237,6 +237,15 @@ def test_stream_ingest_to_catalog_exactly_once(spark, images_t1, tmp_path):
     assert tbl.scan(spark).count() == 46  # only the manual row was added
     assert v3 == v2 + 1
 
+    # a DIFFERENT source stream into the same table has its own batch-id
+    # sequence: the source-scoped guard must NOT skip its batches
+    flat2 = str(tmp_path / "flat2")
+    os.makedirs(flat2)
+    shutil.copy(sorted(glob.glob(f"{src}/f0/part-*.parquet"))[0], f"{flat2}/000.parquet")
+    n_before = tbl.scan(spark).count()
+    stream_ingest_to_catalog(spark, flat2, schema, root, query_name="ing4")
+    assert tbl.scan(spark).count() > n_before  # new source really landed
+
 
 def test_multimodal_features_and_resize(spark, images_t1):
     feats = MM.image_features(images_t1.limit(8)).toPandas()

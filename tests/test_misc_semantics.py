@@ -115,3 +115,22 @@ def test_asof_join_semantics(spark):
     assert pd.isna(out.loc[3, "asof_rid"]) and pd.isna(out.loc[3, "gap"])
     # other user's rows never leak across keys (user 200 t=30 < rid904 t=99)
     assert pd.isna(out.loc[4, "asof_rid"])
+
+
+def test_asof_join_null_payload_not_torn(spark):
+    """A NULL inside ONE right payload column must not tear the output
+    into a mix of two right rows: the whole payload struct is carried
+    together (code-review regression)."""
+    import pandas as pd
+
+    from georasters_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 7, 10)], "lid long, user_id long, t long")
+    right = spark.createDataFrame(
+        [(7, 5, 1, 2), (7, 8, None, 9)],
+        "user_id long, t long, a long, b long",
+    )
+    out = asof_join(left, right, key="user_id", ts="t",
+                    right_cols=("a", "b")).toPandas().iloc[0]
+    # most recent right row is (t=8, a=NULL, b=9): take it WHOLE
+    assert pd.isna(out["asof_a"]) and out["asof_b"] == 9 and out["asof_ts"] == 8

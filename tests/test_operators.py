@@ -295,3 +295,22 @@ def test_no_ndv_default_fill_rule(spark, images_t1):
     assert px.count() == 64 * 64  # every cell valid, incl. former ndv cells
     assert PX.default_ndv("int16") == 999999.0
     assert PX.default_ndv("float32") == 1e20
+
+
+def test_gini_fractional_values_not_truncated(spark):
+    """gini on non-integer values must use the REAL values (code-review
+    regression: a silent long-cast would compute gini of floor(v))."""
+    from georasters_spark.operators.algebra import gini_agg
+
+    vals = [0.5, 1.5, 2.5, 3.5]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = gini_agg(df, round_dp=9).collect()[0]
+    n = len(vals)
+    y = np.cumsum(sorted(vals))
+    exp = 1.0 + 1.0 / n - 2.0 * (y.sum() / (y[-1] * n))
+    assert got["n"] == n
+    assert abs(got["gini"] - exp) < 1e-9
+    # truncated values would give a very different coefficient
+    yt = np.cumsum(sorted([0, 1, 2, 3]))
+    bad = 1.0 + 1.0 / n - 2.0 * (yt.sum() / (yt[-1] * n))
+    assert abs(got["gini"] - bad) > 1e-3

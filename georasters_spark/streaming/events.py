@@ -205,3 +205,88 @@ def user_totals_batch(spark, sf_dir: str):
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming sessionization: the streaming form of the batch
+# sessionize gate (queries.q_sessionize) via applyInPandasWithState —
+# per-user open-session state survives across micro-batches; closed
+# sessions are emitted as soon as the gap rule fires, the open session
+# is emitted as an update each batch (latest row per (user, sess_no)
+# wins downstream).
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def _session_fn(key, pdf_iter, state):
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        last_t, sess_no, start, n, val = state.get
+    else:
+        last_t, sess_no, start, n, val = -1, 0, 0, 0, 0.0
+    rows = []
+    events = pd.concat(list(pdf_iter))
+    # batch order rule identical to the batch window: (t, value)
+    events = events.sort_values(["t", "value"])
+    for t, v in zip(events["t"].astype("int64"), events["value"].astype("float64")):
+        t, v = int(t), float(v)
+        if sess_no == 0 or t - last_t > SESSION_GAP_S:
+            if sess_no > 0:  # close the previous session
+                rows.append((user_id, sess_no, start, last_t, n, round(val, 4)))
+            sess_no += 1
+            start, n, val = t, 0, 0.0
+        n += 1
+        val += v
+        last_t = t
+    state.update((last_t, sess_no, start, n, val))
+    rows.append((user_id, sess_no, start, last_t, n, round(val, 4)))  # open session
+    yield pd.DataFrame(
+        rows,
+        columns=["user_id", "sess_no", "sess_start", "sess_end", "n_events", "sess_value"],
+    )
+
+
+def run_sessionize_stream(spark, src_dir: str, query_name: str = "sessions"):
+    """Drive the stateful sessionizer over a directory of
+    time-ordered event files (one file per micro-batch) and return the
+    final per-(user, session) rows — comparable 1:1 with the batch
+    sessionize query when events arrive in timestamp order."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"),
+            "value",
+        )
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=(
+            "user_id long, sess_no long, sess_start long, sess_end long, "
+            "n_events long, sess_value double"
+        ),
+        stateStructType="last_t long, sess_no long, start long, n long, val double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    t = spark.table(query_name)
+    w = W.partitionBy("user_id", "sess_no").orderBy(F.desc("n_events"), F.desc("sess_end"))
+    return (
+        t.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )

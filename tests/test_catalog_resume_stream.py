@@ -295,3 +295,48 @@ def test_frame_sample_plan(spark):
     assert len(out) == 8
     v1 = out[out.video_id == 1].sort_values("frame_idx")
     assert list(v1.offset_ms) == [0, 1000, 2000, 3000]
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """Stateful streaming sessionization (applyInPandasWithState, one
+    micro-batch per file) == the batch window sessionize over the same
+    events, when events arrive in timestamp order."""
+    import georasters_spark.queries as Q
+    from georasters_spark.streaming.events import run_sessionize_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").orderBy("ts")
+    n = ev.count()
+    src = str(tmp_path / "sessions_src")
+    # three ts-ordered arrival files = three micro-batches
+    ev.limit(n // 3).write.parquet(f"{src}/f0")
+    ev.orderBy("ts").offset(n // 3).limit(n // 3).write.parquet(f"{src}/f1")
+    ev.orderBy("ts").offset(2 * (n // 3)).write.parquet(f"{src}/f2")
+    import glob
+    import os
+    import shutil
+
+    flat = str(tmp_path / "sessions_flat")
+    os.makedirs(flat)
+    import time
+
+    base = time.time() - 1000
+    for i, f in enumerate(sorted(glob.glob(f"{src}/f*/part-*.parquet"))):
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        # FileStreamSource batches by file mtime: pin strictly
+        # increasing mtimes so arrival order == timestamp order (the
+        # operator's documented contract)
+        os.utime(dst, (base + i, base + i))
+
+    got = run_sessionize_stream(spark, flat).toPandas() \
+        .sort_values(["user_id", "sess_no"]).reset_index(drop=True)
+    exp = Q.q_sessionize(spark, sf).toPandas() \
+        .sort_values(["user_id", "sess_no"]).reset_index(drop=True)
+    exp = exp[["user_id", "sess_no", "sess_start", "sess_end", "n_events", "sess_value"]]
+    got = got[["user_id", "sess_no", "sess_start", "sess_end", "n_events", "sess_value"]]
+    pd.testing.assert_frame_equal(
+        got.astype({"sess_value": "float64"}), exp.astype({"sess_value": "float64"}),
+        check_dtype=False, atol=1e-9,
+    )
+    assert len(got) > 50  # real multi-session data

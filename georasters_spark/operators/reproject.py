@@ -490,11 +490,13 @@ def reproject(
         return wgs84_to_cea_grid_bilinear(*args)
     if resampling == "cubic":
         return wgs84_to_cea_grid_cubic(*args)
+    if resampling == "lanczos":
+        return wgs84_to_cea_grid_lanczos(*args)
     agg = {"average": "mean", "sum": "sum", "min": "min", "max": "max",
            "count": "count", "mode": "mode"}.get(resampling)
     if agg is None:
         raise NotImplementedError(f"resampling {resampling!r} not supported "
-                                  "(have nearest/bilinear/cubic/average/sum/min/max/count/mode)")
+                                  "(have nearest/bilinear/cubic/lanczos/average/sum/min/max/count/mode; cubicspline needs a global B-spline prefilter — out of scope)")
     return wgs84_to_cea_grid_average(*args, how=agg)
 
 
@@ -747,5 +749,132 @@ def cea_cubic_numpy_oracle(
             cnt[ok] += 1
     out = np.full(out_shape, np.nan)
     nz = np.abs(den) >= 0.05  # same weight-mass guard as the Spark path
+    out[nz] = num[nz] / den[nz]
+    return out, cnt
+
+
+def wgs84_to_cea_grid_lanczos(
+    px: DataFrame,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    phi_s: float = 0.0,
+    a: int = 3,
+) -> DataFrame:
+    """CEA warp with LANCZOS resampling (GDAL 'lanczos', a=3): 6×6
+    neighbor gather with L(t) = sinc(t)·sinc(t/a) weights, masked
+    neighbors dropped and the (signed) weight mass renormalized with
+    the same |Σw| >= 0.05 guard as cubic. explode(36) + equi-join +
+    groupBy, no UDF."""
+    spark = px.sparkSession
+    h, w = src_shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    k = math.cos(math.radians(phi_s))
+
+    target = (
+        spark.range(th)
+        .select(F.col("id").alias("trow"))
+        .crossJoin(spark.range(tw).select(F.col("id").alias("tcol")))
+    )
+    xm = F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
+    ym = F.lit(Y0) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
+    lon = xm / F.lit(R * k) * F.lit(180.0) / F.lit(math.pi)
+    lat = F.asin(ym * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
+    u = F.round((lat - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
+    v = F.round((lon - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
+    tgt = target.select(
+        "trow", "tcol",
+        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
+        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
+    )
+
+    def lanc(t):
+        """Lanczos-a weight for distance column t (t >= 0)."""
+        pit = F.lit(math.pi) * t
+        sinc = F.when(t == 0.0, F.lit(1.0)).otherwise(F.sin(pit) / pit)
+        pita = pit / F.lit(float(a))
+        sinca = F.when(t == 0.0, F.lit(1.0)).otherwise(F.sin(pita) / pita)
+        return F.when(t < float(a), sinc * sinca).otherwise(F.lit(0.0))
+
+    offs = list(range(1 - a, a + 1))  # -2..3 for a=3
+    corners = tgt.select(
+        "trow", "tcol", "r0", "c0", "du", "dv",
+        F.explode(F.array(*[F.struct(F.lit(i).alias("a"), F.lit(j).alias("b"))
+                            for i in offs for j in offs])).alias("o"),
+    ).select(
+        "trow", "tcol",
+        (F.col("r0") + F.col("o.a")).alias("row"),
+        (F.col("c0") + F.col("o.b")).alias("col"),
+        (lanc(F.abs(F.col("o.a") - F.col("du")))
+         * lanc(F.abs(F.col("o.b") - F.col("dv")))).alias("wgt"),
+    )
+    j = corners.join(px.select("row", "col", "value"), ["row", "col"])
+    out = j.groupBy("trow", "tcol").agg(
+        F.when(
+            F.abs(F.sum("wgt")) >= 0.05,
+            F.round(F.sum(F.col("wgt") * F.col("value")) / F.sum("wgt"), 6),
+        ).alias("value"),
+        F.count(F.lit(1)).cast("long").alias("n_contrib"),
+    )
+    return target.join(out, ["trow", "tcol"], "left")
+
+
+def cea_lanczos_numpy_oracle(
+    full: np.ndarray,
+    ndv: float,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    out_shape: tuple[int, int],
+    phi_s: float = 0.0,
+    a: int = 3,
+):
+    """Independent numpy Lanczos warp (same quantized index, same
+    weight-mass guard)."""
+    h, w = full.shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    k = math.cos(math.radians(phi_s))
+    tr, tc = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+    xm = X0 + (tc + 0.5) * tcx
+    ym = Y0 + (tr + 0.5) * tcy
+    lon = xm / (R * k) * 180.0 / np.pi
+    lat = np.arcsin(ym * (k / R)) * 180.0 / np.pi
+    u = np.round((lat - y0g) / cy - 0.5, _Q)
+    v = np.round((lon - x0g) / cx - 0.5, _Q)
+    r0 = np.floor(u).astype(np.int64)
+    c0 = np.floor(v).astype(np.int64)
+    du, dv = u - r0, v - c0
+
+    def lanc(t):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(t == 0.0, 1.0, np.sin(np.pi * t) / (np.pi * t))
+            sa = np.where(t == 0.0, 1.0, np.sin(np.pi * t / a) / (np.pi * t / a))
+        return np.where(t < a, s * sa, 0.0)
+
+    valid = full != ndv
+    num = np.zeros(out_shape)
+    den = np.zeros(out_shape)
+    cnt = np.zeros(out_shape, dtype=np.int64)
+    for i in range(1 - a, a + 1):
+        for j in range(1 - a, a + 1):
+            rr, cc = r0 + i, c0 + j
+            ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+            ok &= valid[np.clip(rr, 0, h - 1), np.clip(cc, 0, w - 1)]
+            wgt = lanc(np.abs(i - du)) * lanc(np.abs(j - dv))
+            num[ok] += wgt[ok] * full[rr[ok], cc[ok]]
+            den[ok] += wgt[ok]
+            cnt[ok] += 1
+    out = np.full(out_shape, np.nan)
+    nz = np.abs(den) >= 0.05
     out[nz] = num[nz] / den[nz]
     return out, cnt

@@ -293,6 +293,7 @@ def clip(
     tile: int = 64,
     ndv: float = -9999.0,
     mode: str = "all_touched",
+    keep: bool = False,
 ) -> DataFrame:
     """Per-zone sub-rasters (reference clip, georasters.py:870-906):
     PIP join then re-assemble mini-tiles in ONE grouped-map stage keyed
@@ -320,6 +321,69 @@ def clip(
         rec["zone_id"] = zid
         return pd.DataFrame([rec])
 
-    return keyed.groupBy("zone_id", "tile_row", "tile_col").applyInPandas(
+    out = keyed.groupBy("zone_id", "tile_row", "tile_col").applyInPandas(
         build, schema=IMAGES_SCHEMA + ", zone_id long"
     )
+    if keep:
+        # reference keep=True merges the polygon attributes onto the
+        # output (georasters.py:894-898): broadcast the tiny attr table
+        spark = images.sparkSession
+        attrs = spark.createDataFrame(
+            [(int(z.zone_id), z.name) for z in zones], "zone_id long, zone_name string"
+        )
+        out = out.join(F.broadcast(attrs), "zone_id", "left")
+    return out
+
+
+def zonal_stats_custom(
+    images: DataFrame,
+    zones,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+    mode: str = "center",
+    add_stats: dict | None = None,
+    name: str | None = None,
+) -> DataFrame:
+    """The reference stats() EXTENSIBILITY surface
+    (georasters.py:908-947): `add_stats` = {stat_name: callable over the
+    zone's value numpy array} evaluated per zone in a grouped
+    applyInPandas (the UDAF analog of rasterstats add_stats), and
+    `name` prefixes every output column like the reference's
+    name+'_'+stat rule. Base stats stay exact-int; custom stats are
+    whatever the callable returns (float64)."""
+    import pandas as pd
+
+    add_stats = add_stats or {}
+    pruned = prune_tiles(images, zones)
+    px = PX.pixel_table(
+        pruned, valid_only=True, origin=origin, cellsize=cellsize,
+        bboxes=[geom.rings_bbox(z.rings) for z in zones],
+    )
+    hits = pip_join(px, zones, mode=mode, cellsize=cellsize)
+    extra_cols = ", ".join(f"{k} double" for k in add_stats)
+    schema = "zone_id long, zcount long, zsum long, zmin long, zmax long, " \
+             "zmean double, zstd double" + (", " + extra_cols if extra_cols else "")
+
+    def per_zone(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(np.float64)
+        iv = v.astype(np.int64)
+        rec = {
+            "zone_id": int(key[0]),
+            "zcount": int(iv.size),
+            "zsum": int(iv.sum()),
+            "zmin": int(iv.min()),
+            "zmax": int(iv.max()),
+            "zmean": round(float(iv.sum()) / iv.size, 6),
+            "zstd": round(float(np.sqrt((iv * iv).sum() / iv.size
+                                        - (iv.sum() / iv.size) ** 2)), 6),
+        }
+        for k, fn in add_stats.items():
+            rec[k] = float(fn(v))
+        return pd.DataFrame([rec])
+
+    out = hits.groupBy("zone_id").applyInPandas(per_zone, schema=schema)
+    if name:
+        for c in out.columns:
+            if c != "zone_id":
+                out = out.withColumnRenamed(c, f"{name}_{c}")
+    return out

@@ -440,6 +440,39 @@ FROM pxa a JOIN pxb b ON b.row = a.row AND b.col = a.col"""
 
 
 # ---------------------------------------------------------------------------
+# q: ufunc_math — the free-numpy-ufunc surface (README.md:70-76:
+# np.sin(data.raster) etc.) as built-in JVM Column math, oracle-checked
+# ---------------------------------------------------------------------------
+
+def q_ufunc_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    v = F.col("value")
+    return px.select(
+        "row", "col",
+        F.round(F.sin(v), 6).alias("f_sin"),
+        F.round(F.cos(v), 6).alias("f_cos"),
+        F.round(F.exp(v / F.lit(1000.0)), 6).alias("f_exp"),
+        F.round(F.log(v + F.lit(1.0)), 6).alias("f_log"),
+        F.round(F.sqrt(v.cast("double")), 6).alias("f_sqrt"),
+        F.abs(v - 1000).cast("long").alias("f_abs"),
+        (-v).cast("long").alias("f_neg"),
+    )
+
+
+def sql_ufunc_math() -> str:
+    return f"""WITH {synth.pixel_sql(SPEC)}
+SELECT row, col,
+       ROUND(sin(value), 6) AS f_sin,
+       ROUND(cos(value), 6) AS f_cos,
+       ROUND(exp(value / 1000.0), 6) AS f_exp,
+       ROUND(ln(value + 1.0), 6) AS f_log,
+       ROUND(sqrt(CAST(value AS DOUBLE)), 6) AS f_sqrt,
+       CAST(ABS(value - 1000) AS BIGINT) AS f_abs,
+       CAST(-value AS BIGINT) AS f_neg
+FROM px"""
+
+
+# ---------------------------------------------------------------------------
 # q: extract_window — radius window around a point (georasters.py:1016-1030)
 # ---------------------------------------------------------------------------
 
@@ -1674,5 +1707,6 @@ QUERIES = {
     "union_mosaic": (q_union_mosaic, sql_union_mosaic),
     "algebra": (q_algebra, sql_algebra),
     "band_math": (q_band_math, sql_band_math),
+    "ufunc_math": (q_ufunc_math, sql_ufunc_math),
     "extract_window": (q_extract, sql_extract),
 }

@@ -314,3 +314,53 @@ def test_gini_fractional_values_not_truncated(spark):
     yt = np.cumsum(sorted([0, 1, 2, 3]))
     bad = 1.0 + 1.0 / n - 2.0 * (yt.sum() / (yt[-1] * n))
     assert abs(got["gini"] - bad) > 1e-3
+
+
+def test_zonal_stats_custom_add_stats_and_name(spark, images_t1):
+    """stats(add_stats=..., name=...) surface (georasters.py:908-947):
+    custom per-zone callables + name-prefixed output columns, checked
+    against direct numpy on the stitched grid."""
+    from georasters_spark.operators.spatial_join import zonal_stats_custom
+    from georasters_spark.sources import synth
+
+    spec = synth.T1
+    out = zonal_stats_custom(
+        images_t1, synth.ZONES_T1,
+        origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly),
+        add_stats={"p90": lambda v: float(np.percentile(v, 90)),
+                   "rng": lambda v: float(v.max() - v.min())},
+        name="pre1500",
+    ).toPandas().set_index("zone_id")
+    assert "pre1500_p90" in out.columns and "pre1500_zmean" in out.columns
+
+    full = synth.stitched_array(spec).astype(np.float64)
+    valid = full != spec.ndv
+    rr, cc = np.meshgrid(np.arange(spec.height), np.arange(spec.width), indexing="ij")
+    xc = spec.x0 + (cc + 0.5) * spec.cellx
+    yc = spec.y0 + (rr + 0.5) * spec.celly
+    from georasters_spark.functions import geometry as geom
+
+    z = synth.ZONES_T1[0]
+    rings = [np.asarray(r, dtype=np.float64) for r in z.rings]
+    hit = valid & geom.points_in_rings(xc.ravel(), yc.ravel(), rings).reshape(valid.shape)
+    v = full[hit]
+    assert out.loc[z.zone_id, "pre1500_zcount"] == v.size
+    assert abs(out.loc[z.zone_id, "pre1500_p90"] - np.percentile(v, 90)) < 1e-9
+    assert out.loc[z.zone_id, "pre1500_rng"] == v.max() - v.min()
+
+
+def test_clip_keep_merges_zone_attrs(spark, images_t1):
+    """clip(keep=True) merges polygon attributes onto the output
+    (georasters.py:894-898)."""
+    from georasters_spark.sources import synth
+
+    spec = synth.T1
+    out = SJ.clip(
+        images_t1, synth.ZONES_T1,
+        origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly),
+        tile=spec.tile, ndv=spec.ndv, keep=True,
+    ).select("zone_id", "zone_name").distinct().toPandas()
+    exp = {z.zone_id: z.name for z in synth.ZONES_T1}
+    got = dict(zip(out.zone_id, out.zone_name))
+    assert all(got[k] == v for k, v in exp.items() if k in got)
+    assert len(got) >= 2

@@ -210,3 +210,29 @@ def test_cea_inverse_roundtrip():
         lon2 = math.degrees(X / (RP.R * k))
         lat2 = math.degrees(math.asin(Y * k / RP.R))
         assert abs(lon - lon2) < 1e-12 and abs(lat - lat2) < 1e-12
+
+
+def test_cea_lanczos_matches_numpy(spark, images_t1):
+    spec = synth.T1
+    out_shape = (45, 90)
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    got = RP.wgs84_to_cea_grid_lanczos(
+        px, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), out_shape,
+    ).toPandas()
+    exp, cnt = RP.cea_lanczos_numpy_oracle(
+        synth.stitched_array(spec).astype(np.float64), spec.ndv,
+        (spec.x0, spec.y0), (spec.cellx, spec.celly), out_shape,
+    )
+    vals = got.dropna(subset=["value"])
+    assert len(vals) == int(np.isfinite(exp).sum())
+    for t in vals.itertuples(index=False):
+        assert abs(t.value - round(float(exp[t.trow, t.tcol]), 6)) < 1e-6
+        assert t.n_contrib == cnt[t.trow, t.tcol]
+    assert vals.n_contrib.max() >= 30  # wide 6x6 support really engaged
+    # dispatcher route
+    d = RP.reproject(px, 4326, 6933, resampling="lanczos",
+                     src_origin=(spec.x0, spec.y0),
+                     src_cellsize=(spec.cellx, spec.celly),
+                     src_shape=(spec.height, spec.width), out_shape=out_shape)
+    assert d.count() == out_shape[0] * out_shape[1]

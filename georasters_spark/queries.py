@@ -1157,10 +1157,13 @@ def q_polygonize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_polygonize_window() -> str:
-    spec = SPEC
+def _cc_sql(spec: GridSpec, r_max: int, c_max: int) -> str:
+    """Recursive min-label connected-components oracle over the /250-
+    quantized field restricted to rows < r_max, cols < c_max. Viable
+    because UNION-dedup recursion costs sum(|region|^2) tuples — 260k
+    even on the full grid (max region = 4 cells at this quantization)."""
     return f"""WITH RECURSIVE {synth.pixel_sql(spec)},
-win AS (SELECT row, col, value // 250 AS value FROM px WHERE row < 128 AND col < 128),
+win AS (SELECT row, col, value // 250 AS value FROM px WHERE row < {r_max} AND col < {c_max}),
 offs(dr, dc) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
 cand AS (SELECT a.row, a.col, a.value, a.row + o.dr AS r2, a.col + o.dc AS c2
          FROM win a CROSS JOIN offs o),
@@ -1181,14 +1184,31 @@ SELECT CAST(value AS BIGINT) AS value,
 FROM j GROUP BY region, value"""
 
 
+def sql_polygonize_window() -> str:
+    return _cc_sql(SPEC, 128, 128)
+
+
+
+
+
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-GRID connected components with an exact recursive-CC oracle
+    (sum(|region|^2) = 260k tuples keeps the DuckDB UNION recursion
+    cheap). Rows canonicalized (engine-specific region ids dropped)."""
     from .operators import algebra as AL
 
     # quantize values to produce non-trivial equal-value regions
     px = _px(spark, SPEC).select(
         "row", "col", (F.col("value").cast("long") / 250).cast("long").alias("value")
     )
-    return AL.polygonize(px)
+    return AL.polygonize(px).select(
+        F.col("value").cast("long").alias("value"),
+        "n_cells", "min_row", "min_col", "max_row", "max_col",
+    )
+
+
+def sql_polygonize() -> str:
+    return _cc_sql(SPEC, SPEC.height, SPEC.width)
 
 
 # ---------------------------------------------------------------------------
@@ -1676,7 +1696,7 @@ QUERIES = {
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, None),
     "cost_distance_window": (q_cost_distance_window, sql_cost_distance_window),
-    "polygonize": (q_polygonize, None),
+    "polygonize": (q_polygonize, sql_polygonize),
     "polygonize_window": (q_polygonize_window, sql_polygonize_window),
     "polygonize_geoms": (q_polygonize_geoms, None),
     "squares": (q_squares, sql_squares),

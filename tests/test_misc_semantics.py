@@ -134,3 +134,35 @@ def test_asof_join_null_payload_not_torn(spark):
                     right_cols=("a", "b")).toPandas().iloc[0]
     # most recent right row is (t=8, a=NULL, b=9): take it WHOLE
     assert pd.isna(out["asof_a"]) and out["asof_b"] == 9 and out["asof_ts"] == 8
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check vs an independent oracle: pandas merge_asof
+    (direction='backward') on random events with unique timestamps."""
+    import numpy as np
+    import pandas as pd
+
+    from georasters_spark.operators.temporal import asof_join
+
+    rng = np.random.default_rng(23)
+    n_l, n_r = 200, 300
+    lt = rng.choice(100000, size=n_l, replace=False)
+    rt = rng.choice(100000, size=n_r, replace=False)
+    lk = rng.integers(0, 12, n_l)
+    rk = rng.integers(0, 12, n_r)
+    left_pd = pd.DataFrame({"lid": np.arange(n_l), "user_id": lk, "t": lt})
+    right_pd = pd.DataFrame({"user_id": rk, "t": rt, "rid": np.arange(n_r) + 1000})
+    left = spark.createDataFrame(left_pd.astype("int64"))
+    right = spark.createDataFrame(right_pd.astype("int64"))
+    got = asof_join(left, right, key="user_id", ts="t", right_cols=("rid",)) \
+        .toPandas().sort_values("lid").reset_index(drop=True)
+    exp = pd.merge_asof(
+        left_pd.sort_values("t"), right_pd.sort_values("t"),
+        on="t", by="user_id", direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    assert len(got) == len(exp) == n_l
+    for g, e in zip(got.itertuples(index=False), exp.itertuples(index=False)):
+        if pd.isna(e.rid):
+            assert pd.isna(g.asof_rid), (g, e)
+        else:
+            assert g.asof_rid == e.rid, (g, e)

@@ -94,6 +94,46 @@ class SnapshotTable:
             os.fsync(f.fileno())
         os.rename(cur_tmp, os.path.join(self.root, "CURRENT"))
 
+    # -- maintenance --------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Iceberg expire_snapshots analog: drop snapshot manifests older
+        than the last `keep_last` (the current lineage tail), keeping
+        every data dir still referenced by a SURVIVING snapshot. Returns
+        the expired version numbers. Time travel to expired versions
+        stops working; the current table contents are untouched."""
+        cur = self.current_version()
+        keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+        expired = []
+        for v in range(1, cur + 1):
+            if v in keep:
+                continue
+            p = os.path.join(self.root, "snapshots", f"v{v}.json")
+            if os.path.exists(p):
+                os.remove(p)
+                expired.append(v)
+        return expired
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data dirs referenced by NO surviving snapshot —
+        the garbage left by crashed writers (unique attempt dirs) and
+        by expire_snapshots. Never touches a referenced dir."""
+        import shutil
+
+        referenced: set[str] = set()
+        snapdir = os.path.join(self.root, "snapshots")
+        for f in os.listdir(snapdir):
+            if f.startswith("v") and f.endswith(".json"):
+                with open(os.path.join(snapdir, f)) as fh:
+                    referenced.update(json.load(fh)["dirs"])
+        removed = []
+        datadir = os.path.join(self.root, "data")
+        for d in sorted(os.listdir(datadir)):
+            full = os.path.join(datadir, d)
+            if full not in referenced:
+                shutil.rmtree(full)
+                removed.append(full)
+        return removed
+
     # -- reads ------------------------------------------------------------
     def scan(self, spark, version: int | None = None):
         snap = self.snapshot(version)

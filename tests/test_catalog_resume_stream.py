@@ -340,3 +340,29 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         check_dtype=False, atol=1e-9,
     )
     assert len(got) > 50  # real multi-session data
+
+
+def test_expire_snapshots_and_orphan_gc(spark, tmp_path):
+    """Iceberg-maintenance analogs: expiring old snapshots keeps the
+    current table readable; orphan GC removes crash garbage and
+    expired-only data dirs, never referenced ones."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "m"))
+    t.append(spark.range(4).withColumn("tag", F.lit("a")))
+    t.append(spark.range(2).withColumn("tag", F.lit("b")))
+    t.append(spark.range(1).withColumn("tag", F.lit("c")))
+    # plant crash garbage: a data dir referenced by no manifest
+    os.makedirs(os.path.join(str(tmp_path / "m"), "data", "snap-99-deadbeef"))
+
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
+    assert t.scan(spark).count() == 7  # current contents untouched
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(1)  # time travel to expired versions is gone
+
+    removed = t.remove_orphan_files()
+    assert any("snap-99-deadbeef" in r for r in removed)
+    # all three data dirs remain referenced by the surviving snapshot
+    assert t.scan(spark).count() == 7
+    assert len([d for d in os.listdir(os.path.join(str(tmp_path / "m"), "data"))]) == 3

@@ -379,3 +379,21 @@ def test_polygonize_8_connectivity(spark):
     assert len(four) == 4
     assert len(eight) == 2
     assert sorted(eight.n_cells) == [2, 2]
+
+
+def test_block_sssp_edge_cases(spark):
+    """Sources on masked/out-of-grid cells contribute nothing; isolated
+    single-cell components only reach themselves; duplicate source
+    coordinates with distinct ids are tracked independently."""
+    rows = [(0, 0, 2.0), (0, 1, 3.0), (5, 5, 4.0)]  # pair + isolated cell
+    px = spark.createDataFrame(rows, "row long, col long, value double")
+    got = DI.block_sssp(
+        px, [(1, 0, 0), (2, 9, 9), (3, 5, 5), (4, 0, 0)], block=4
+    ).toPandas()
+    by_src = {s: g.set_index(["row", "col"])["dist"] for s, g in got.groupby("src")}
+    assert 2 not in by_src  # source off-grid: nothing reached
+    assert set(by_src[3].index) == {(5, 5)} and by_src[3][(5, 5)] == 0.0
+    for s in (1, 4):  # duplicate source cell, distinct ids
+        assert by_src[s][(0, 0)] == 0.0
+        assert by_src[s][(0, 1)] == (2.0 + 3.0) / 2.0
+        assert (5, 5) not in by_src[s].index  # disconnected component

@@ -152,3 +152,74 @@ def test_union_later_wins_property(spark):
     assert len(got) == len(exp)
     for r in got.itertuples():
         assert exp[(r.row, r.col)] == r.value
+
+
+def test_t2_tier_round2_operators(spark):
+    """4x-scale drill (2160x1080, 2.3M cells) for round-2 operators:
+    reproject-nearest and row-standardized global autocorr both match
+    their independent numpy oracles at T2 size."""
+    import math
+
+    from georasters_spark.operators import autocorr as AC
+    from georasters_spark.operators import reproject as RP
+
+    spec = synth.T2
+    imgs = synth.build_images(spark, spec).cache()
+    try:
+        full = synth.stitched_array(spec).astype(np.float64)
+        px = PX.pixel_table(imgs, valid_only=True).select(
+            "row", "col", F.col("value").cast("long").alias("value")
+        )
+
+        # reproject nearest at T2: warped grid == numpy oracle cell-for-cell
+        out_shape = (256, 512)
+        got = RP.wgs84_to_cea_grid(
+            px.select("row", "col", "value"),
+            (spec.x0, spec.y0), (spec.cellx, spec.celly),
+            (spec.height, spec.width), out_shape,
+        ).toPandas()
+        exp = RP.warp_numpy_oracle(
+            full, spec.ndv, (spec.x0, spec.y0), (spec.cellx, spec.celly), out_shape
+        )
+        grid = np.full(out_shape, spec.ndv)
+        vals = got.dropna(subset=["value"])
+        grid[vals.trow.to_numpy(), vals.tcol.to_numpy()] = vals.value.to_numpy()
+        assert (grid != exp).sum() == 0
+
+        # row-standardized Moran/Geary at T2 vs direct numpy
+        row = AC.global_autocorr_rowstd(px).collect()[0]
+        valid = full != spec.ndv
+        v = np.where(valid, full, np.nan)
+        n = int(valid.sum())
+        mean = np.nansum(v) / n
+        z = np.where(valid, v - mean, 0.0)
+        num_m = num_c = 0.0
+        nw = 0
+        h, w = v.shape
+        # vectorized over the 8 shifts: per-cell deg + weighted lags
+        deg = np.zeros((h, w))
+        lag = np.zeros((h, w))
+        csum = np.zeros((h, w))
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if (dr, dc) == (0, 0):
+                    continue
+                sh = np.zeros((h, w), dtype=bool)
+                src = (slice(max(0, -dr), h - max(0, dr)), slice(max(0, -dc), w - max(0, dc)))
+                dst = (slice(max(0, dr), h + min(0, dr)), slice(max(0, dc), w + min(0, dc)))
+                ok = valid[src] & valid[dst]
+                deg[dst] += ok
+                lag[dst] += np.where(ok, z[src], 0.0)
+                csum[dst] += np.where(ok, (v[dst] - v[src]) ** 2, 0.0)
+        has = valid & (deg > 0)
+        nw = int(has.sum())
+        num_m = float((z[has] / deg[has] * lag[has]).sum())
+        num_c = float((csum[has] / deg[has]).sum())
+        den = float((z[valid] ** 2).sum())
+        exp_m = (n / nw) * num_m / den
+        exp_c = ((n - 1) / (2.0 * nw)) * num_c / den
+        assert math.isfinite(row["moran_r"]) and abs(row["moran_r"] - exp_m) < 1e-9
+        assert abs(row["geary_r"] - exp_c) < 1e-9
+        assert row["n"] == n and row["nw"] == nw
+    finally:
+        imgs.unpersist()

@@ -1308,6 +1308,44 @@ SELECT doc_id,
 FROM t"""
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + stopword-vote language-ID (the web-corpus
+    filter pair) as pure JVM Column expressions, oracle-checked."""
+    from .operators import text as TX
+
+    docs = _docs(spark, sf_dir)
+    q = TX.quality_score(docs)
+    l = TX.lang_id(docs)
+    return q.join(l, "doc_id")
+
+
+def sql_text_quality() -> str:
+    from .operators.text import STOPWORDS
+
+    hit_cols = []
+    for lang, sw in sorted(STOPWORDS.items()):
+        terms = " + ".join(
+            f"(CASE WHEN list_contains(w, '{s}') THEN 1 ELSE 0 END)" for s in sw
+        )
+        hit_cols.append(f"({terms}) AS h_{lang}")
+    langs = sorted(STOPWORDS)
+    g = "GREATEST(" + ", ".join(f"h_{x}" for x in langs) + ")"
+    pick = " ".join(
+        f"WHEN h_{x} = {g} THEN '{x}'" for x in langs[:-1]
+    )
+    return f"""WITH t AS (
+  SELECT doc_id, lang AS label_lang, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, label_lang,
+         ROUND((CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+               * LEAST(len(w) / 64.0, 1.0), 6) AS quality,
+         {", ".join(hit_cols)}
+  FROM t)
+SELECT doc_id, quality, label_lang,
+       CASE WHEN {g} = 0 THEN 'und' {pick} ELSE '{langs[-1]}' END AS pred_lang
+FROM s"""
+
+
 def q_local_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import autocorr as AC
 
@@ -1710,6 +1748,7 @@ QUERIES = {
     "jaccard_pairs": (q_jaccard_pairs, sql_jaccard_pairs),
     "minhash_dedup": (q_minhash_dedup, sql_minhash_dedup),
     "text_stats": (q_text_stats, sql_text_stats),
+    "text_quality": (q_text_quality, sql_text_quality),
     "event_rollup": (q_event_rollup, sql_event_rollup),
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),

@@ -134,6 +134,26 @@ def band_select(images: DataFrame, band: int) -> DataFrame:
     ).withColumn("fmt", F.lit("raw16")).withColumn("band", F.lit(band)).drop("n_bands")
 
 
+def audio_windows(audio: DataFrame, window_ms: int = 1000, hop_ms: int = 500) -> DataFrame:
+    """Audio column plumbing: overlapping analysis windows per clip from
+    (duration_ms, window/hop) — the STFT/feature-extraction batch shape.
+    Pure Column math (sequence + transform); the PCM decode itself is
+    the declared stub boundary (decode_any raises for 'mp3'/'wav' — no
+    audio codec in-sandbox), exactly like frame_sample for video."""
+    from pyspark.sql import functions as F
+
+    n = (F.greatest(F.col("duration_ms") - window_ms, F.lit(0)) / hop_ms).cast("int") + 1
+    offs = F.transform(F.sequence(F.lit(0), n - 1), lambda i: (i * hop_ms).cast("long"))
+    return audio.select(
+        "audio_id", "duration_ms",
+        F.posexplode(offs).alias("window_idx", "start_ms"),
+    ).select(
+        "audio_id", "window_idx", "start_ms",
+        F.least(F.col("start_ms") + window_ms, F.col("duration_ms"))
+        .cast("long").alias("end_ms"),
+    )
+
+
 def frame_sample(videos: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame sampling: deterministic frame offsets per video from
     (duration, n_frames); the real frame *extraction* is the stub

@@ -366,3 +366,24 @@ def test_expire_snapshots_and_orphan_gc(spark, tmp_path):
     # all three data dirs remain referenced by the surviving snapshot
     assert t.scan(spark).count() == 7
     assert len([d for d in os.listdir(os.path.join(str(tmp_path / "m"), "data"))]) == 3
+
+
+def test_audio_windows_plumbing(spark):
+    """Audio analysis windows: overlapping [start, end) spans covering
+    each clip, last window clamped to the clip duration."""
+    clips = spark.createDataFrame(
+        [(1, 2600), (2, 900), (3, 0)], "audio_id long, duration_ms long"
+    )
+    w = MM.audio_windows(clips, window_ms=1000, hop_ms=500).toPandas()
+    c1 = w[w.audio_id == 1].sort_values("window_idx")
+    assert list(c1.start_ms) == [0, 500, 1000, 1500]
+    assert list(c1.end_ms) == [1000, 1500, 2000, 2500]
+    c2 = w[w.audio_id == 2]
+    assert len(c2) == 1 and c2.end_ms.iloc[0] == 900  # clamped to duration
+    c3 = w[w.audio_id == 3]
+    assert len(c3) == 1 and c3.end_ms.iloc[0] == 0
+    # the decode side stays a declared stub boundary
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        MM.decode_any(b"\x00\x01", "mp3", 4, 4)

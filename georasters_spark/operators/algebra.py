@@ -78,6 +78,10 @@ def gini_agg(values: DataFrame, round_dp: int = 9, partitions: int = 32) -> Data
         off += r.tot
     if n <= 1:
         g = 1.0
+    elif total == 0:
+        # all-zero (or exactly-cancelling) input: the reference's
+        # B = sum(y)/(y_last*n) divides by zero and yields nan
+        g = float("nan")
     else:
         # exact ints -> correctly-rounded doubles; identical to the SQL
         # oracle's CAST(..AS DOUBLE) expressions at this magnitude
@@ -182,11 +186,11 @@ def map_vector(px: DataFrame, vec: DataFrame, partitions: int = 32) -> DataFrame
 # polygonize: connected components of equal-value cells
 # ---------------------------------------------------------------------------
 
-def polygonize(px: DataFrame, connectivity: int = 4) -> DataFrame:
+def polygonize(px: DataFrame, connectivity: int = 4, merge: str = "auto") -> DataFrame:
     """Label connected equal-value regions and aggregate one row per
     region: (region_id, value, n_cells, min_row, min_col, max_row,
     max_col). See polygonize_labels for the labeling algorithm."""
-    final = polygonize_labels(px, connectivity)
+    final = polygonize_labels(px, connectivity, merge=merge)
     return final.groupBy("region_id").agg(
         F.first("value").alias("value"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
@@ -197,19 +201,89 @@ def polygonize(px: DataFrame, connectivity: int = 4) -> DataFrame:
     )
 
 
-def polygonize_labels(px: DataFrame, connectivity: int = 4) -> DataFrame:
+def _merge_labels_distributed(eset: DataFrame) -> DataFrame:
+    """Connected components of the cross-tile label graph, entirely
+    executor-side: alternating min-neighbor propagation and pointer
+    jumping (hash-to-min style), O(log diameter) rounds, each round a
+    pair of hash joins on the (small relative to the raster) edge set.
+    Input: distinct (la, lb) edges. Returns (label, root) with root =
+    the component-minimum label, for every label on a cross-tile edge.
+
+    Correctness: comp values only decrease and are bounded below by the
+    component min; at a fixpoint each symmetric edge forces comp[a] ==
+    comp[b], so comp is constant per component, and the constant c is a
+    member label with comp[c] == c, hence c == min. localCheckpoint per
+    round truncates the lineage so round k doesn't replan rounds 1..k-1.
+    """
+    sym = eset.unionByName(
+        eset.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    comp = (
+        sym.groupBy("la")
+        .agg(F.min("lb").alias("m"))
+        .select(F.col("la").alias("node"), F.least("la", "m").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        # neighbor-min propagation: comp'[a] = min(comp[a], min_b comp[b])
+        nb = (
+            sym.join(
+                comp.select(F.col("node").alias("lb"), F.col("comp").alias("cb")), "lb"
+            )
+            .groupBy("la")
+            .agg(F.min("cb").alias("nmin"))
+        )
+        c1 = comp.join(nb.withColumnRenamed("la", "node"), "node", "left").select(
+            "node", F.least("comp", F.coalesce("nmin", "comp")).alias("comp")
+        )
+        # pointer jump: comp''[x] = comp'[comp'[x]] (comp' values are
+        # themselves nodes, so the inner self-join always matches)
+        c2 = (
+            c1.alias("x")
+            .join(c1.alias("p"), F.col("x.comp") == F.col("p.node"))
+            .select(F.col("x.node").alias("node"), F.col("p.comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            c2.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = c2
+        if changed == 0:
+            break
+    return comp.select(F.col("node").alias("label"), F.col("comp").alias("root"))
+
+
+def polygonize_labels(
+    px: DataFrame,
+    connectivity: int = 4,
+    merge: str = "auto",
+    driver_edge_cap: int = 500_000,
+) -> DataFrame:
     """Per-cell connected-component labels of equal-value regions
     (rasterio.features.shapes semantics: 4-connectivity, equal value).
     Returns (row, col, value, region_id).
 
     Two-phase distributed CC: per-tile labeling in numpy
-    (applyInPandas), then cross-tile label union-find on the border
-    adjacency set (small: O(perimeter), collected to the driver).
-    connectivity: 4 (edge-sharing, the rasterio default) or 8
-    (corner-sharing included).
+    (applyInPandas), then cross-tile label merging on the border
+    adjacency set. merge='distributed' runs executor-side min-label
+    propagation (_merge_labels_distributed) — the 100-TB path: the edge
+    set is O(cross-tile boundary length of equal-value runs), which for
+    a large uniform field is ~n_pixels/tile and must never land on the
+    driver. merge='driver' is the small-case fast path (collect +
+    union-find, one job instead of O(log diameter) rounds);
+    merge='auto' counts the edge set and picks driver iff it is under
+    `driver_edge_cap` rows. connectivity: 4 (edge-sharing, the
+    rasterio default) or 8 (corner-sharing included).
     """
     if connectivity not in (4, 8):
         raise ValueError("connectivity must be 4 or 8")
+    if merge not in ("auto", "driver", "distributed"):
+        raise ValueError("merge must be auto|driver|distributed")
     spark = px.sparkSession
     tile = 64
     bfs_steps = (
@@ -300,32 +374,46 @@ def polygonize_labels(px: DataFrame, connectivity: int = 4) -> DataFrame:
     eset = edges[0]
     for e in edges[1:]:
         eset = eset.unionByName(e)
-    eset = eset.distinct().toPandas()
+    eset = eset.distinct()
 
-    # driver union-find over the (small) cross-tile edge set
-    parent: dict[int, int] = {}
+    if merge == "auto":
+        # counting is one map-side-combined aggregate over the edge set;
+        # it decides driver vs distributed without materializing edges
+        merge = "driver" if eset.count() <= driver_edge_cap else "distributed"
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for la, lb in zip(eset["la"], eset["lb"]):
-        ra, rb = find(int(la)), find(int(lb))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    mapping = {k: find(k) for k in list(parent)}
-    if mapping:
-        map_df = spark.createDataFrame(
-            pd.DataFrame({"label": list(mapping), "root": [mapping[k] for k in mapping]}),
-            "label long, root long",
-        )
-        final = labeled.join(F.broadcast(map_df), "label", "left").withColumn(
+    map_df = None
+    if merge == "distributed":
+        map_df = _merge_labels_distributed(eset)
+        # roots table is O(#border labels); hash join, AQE may broadcast
+        final = labeled.join(map_df, "label", "left").withColumn(
             "region_id", F.coalesce("root", "label")
         )
     else:
-        final = labeled.withColumn("region_id", F.col("label"))
+        # small-case fast path: union-find on the driver (one job)
+        epdf = eset.toPandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for la, lb in zip(epdf["la"], epdf["lb"]):
+            ra, rb = find(int(la)), find(int(lb))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        mapping = {k: find(k) for k in list(parent)}
+        if mapping:
+            map_df = spark.createDataFrame(
+                pd.DataFrame({"label": list(mapping), "root": [mapping[k] for k in mapping]}),
+                "label long, root long",
+            )
+            final = labeled.join(F.broadcast(map_df), "label", "left").withColumn(
+                "region_id", F.coalesce("root", "label")
+            )
+        else:
+            final = labeled.withColumn("region_id", F.col("label"))
 
     return final.select("row", "col", "value", "region_id")
 
@@ -352,6 +440,7 @@ def polygonize_geoms(
     origin: tuple[float, float],
     cellsize: tuple[float, float],
     connectivity: int = 4,
+    merge: str = "auto",
 ) -> DataFrame:
     """Region POLYGON rings (to_geopandas parity, georasters.py:
     1723-1738): per-region WKT with outer ring + holes, assembled from
@@ -366,7 +455,7 @@ def polygonize_geoms(
     outer shell and the rest as holes. Per-task memory is O(region
     perimeter), not O(region area)."""
     spark = px.sparkSession
-    lab = polygonize_labels(px, connectivity).persist()
+    lab = polygonize_labels(px, connectivity, merge=merge).persist()
     lab.count()  # materialize BEFORE the 4 join branches race to compute it
     a = lab.select("region_id", "row", "col", "value")
     bn = lab.select(
@@ -464,6 +553,16 @@ def polygonize_geoms(
         areas = [area2(r) for r in rings]
         order = sorted(range(len(rings)), key=lambda i: -abs(areas[i]))
         net_cells = sum(areas) // 2  # holes subtract; |…| = n_cells (sign per frame)
+        # total stitched boundary length in unit steps — every input
+        # boundary edge must land in exactly one closed ring, so this
+        # equals 4·n_cells − 2·(internal 4-adjacencies); the SQL oracle
+        # recomputes that from the CC labels, making perim_steps an
+        # exact structural check on the ring stitching itself
+        perim = sum(
+            abs(x2 - x1) + abs(y2 - y1)
+            for r in rings
+            for (x1, y1), (x2, y2) in zip(r, r[1:])
+        )
 
         def fmt_ring(r):
             pts = ", ".join(
@@ -473,9 +572,10 @@ def polygonize_geoms(
 
         wkt = "POLYGON (" + ", ".join(fmt_ring(rings[i]) for i in order) + ")"
         return {"region_id": rid, "value": val, "n_rings": len(rings),
-                "area_cells": abs(int(net_cells)), "wkt": wkt}
+                "area_cells": abs(int(net_cells)), "perim_steps": int(perim),
+                "wkt": wkt}
 
-    cols = ["region_id", "value", "n_rings", "area_cells", "wkt"]
+    cols = ["region_id", "value", "n_rings", "area_cells", "perim_steps", "wkt"]
 
     def stitch_partition(batches):
         # one pandas groupby per PARTITION (regions are hash-complete
@@ -492,7 +592,8 @@ def polygonize_geoms(
 
     out = edges.repartition(32, "region_id").mapInPandas(
         stitch_partition,
-        schema="region_id long, value double, n_rings long, area_cells long, wkt string",
+        schema="region_id long, value double, n_rings long, area_cells long, "
+               "perim_steps long, wkt string",
     ).localCheckpoint(eager=True)  # small (one row per region)
     lab.unpersist()
     return out

@@ -384,12 +384,28 @@ def global_autocorr_rowstd(px: DataFrame, rook: bool = False) -> DataFrame:
     operation order as the SQL oracle — bit-identical, shipped
     unrounded. Returns one row (n, nw, moran_r, geary_r)."""
     scal = px.agg(F.count("value").alias("n"), F.sum("value").alias("s"),
-                  F.sum(F.col("value") * F.col("value")).alias("q")).collect()[0]
+                  F.sum(F.col("value") * F.col("value")).alias("q"),
+                  F.max(F.abs("value")).alias("vmax")).collect()[0]
     n, s, q = int(scal["n"]), int(scal["s"]), int(scal["q"])
+    vmax = int(scal["vmax"])
+    # decimal(19/20) widths hold |N| <= 2·n·vmax and |M| <= 16·n·vmax,
+    # and the per-row product |N·M·840| <= 26880·(n·vmax)² must fit the
+    # 38-digit product cap: with ANSI off an overflowing cast/multiply
+    # silently NULLs the term and F.sum DROPS it (wrong Moran/Geary, not
+    # an error) — refuse instead. n·vmax <= 6e16 keeps every per-row
+    # term exact (10^12 cells of 16-bit data passes with room). The
+    # final SUM can still overflow decimal(38) on adversarial inputs,
+    # but sum-overflow NULLs the whole aggregate -> int(None) raises —
+    # a crash, never a silently wrong value.
+    if n * vmax > 6 * 10**16:
+        raise ValueError(
+            f"n*max|value| = {n * vmax:.3g} exceeds the exact-integer "
+            "budget (6e16) of the 840-scaled decimal plan; rescale values"
+        )
     foc = focal_stats(px, rook=rook, include_self=False).filter(F.col("ncnt") > 0)
     wfac = F.expr(f"CAST({_LCM8} DIV ncnt AS DECIMAL(4,0))")
-    N = (F.col("value") * n - s).cast("decimal(14,0)")
-    M = (F.col("nsum") * n - F.col("ncnt") * s).cast("decimal(15,0)")
+    N = (F.col("value") * n - s).cast("decimal(19,0)")
+    M = (F.col("nsum") * n - F.col("ncnt") * s).cast("decimal(20,0)")
     c_num = (
         F.col("ncnt") * F.col("value") * F.col("value")
         - 2 * F.col("value") * F.col("nsum")

@@ -383,6 +383,7 @@ def cost_distance(
     cellsize: tuple[float, float],
     routes: bool = False,
     block: int = 288,
+    bbox: tuple[int, int, int, int] | None = None,
 ) -> DataFrame:
     """All-pairs least-cost travel time (the gated path).
 
@@ -390,6 +391,17 @@ def cost_distance(
     dist_weeks) for reachable pairs plus per-source isolation rows
     (id2 = -1, dist_weeks = mean reachable cumulative cost / 168,
     georasters.py:1438-1442).
+
+    bbox = (r0, r1, c0, c1) half-open pixel window clips the cost
+    surface first (clip-then-route; masked/outside cells impassable).
+
+    The isolation mean is DETERMINISTIC by design: per-cell dists are
+    quantized to exact micro-units (round(dist·1e6) as BIGINT) and
+    summed as integers, so the result is identical on any partitioning
+    or merge order — a reproducibility requirement at cluster scale,
+    where a naive float avg() is partition-order-dependent. The
+    quantization shifts the mean by < 5e-7/168 ≈ 3e-9 weeks, far below
+    the 6-dp output rounding.
 
     Runs the distributed block SSSP — the cost surface is never
     collected to the driver or broadcast whole. routes=True needs the
@@ -408,6 +420,12 @@ def cost_distance(
     px = PX.pixel_table(images, valid_only=True, with_coords=False).select(
         "row", "col", "value"
     )
+    if bbox is not None:
+        r0, r1, c0, c1 = bbox
+        px = px.filter(
+            (F.col("row") >= r0) & (F.col("row") < r1)
+            & (F.col("col") >= c0) & (F.col("col") < c1)
+        )
     src_pdf = sources.select("point_id", "x", "y").toPandas()
     sources_rc = [
         (int(p.point_id), int(np.round((p.y - y0) / cy)), int(np.round((p.x - x0) / cx)))
@@ -426,8 +444,14 @@ def cost_distance(
         F.col("src").alias("id1"), "id2",
         (F.col("dist") / HOURS_PER_WEEK).alias("dist_weeks"),
     )
+    # deterministic mean (see docstring): exact BIGINT micro-unit sum,
+    # association-free; division chain (S/c)/1e6/168 mirrors the SQL
+    # oracle token-for-token. Micro-units cap at ~9e18/1e6 = 9e12 raw
+    # cost per cell — far above any real surface.
+    micro = F.round(F.col("dist") * F.lit(1000000.0)).cast("long")
     iso = dist.groupBy("src").agg(
-        (F.avg("dist") / HOURS_PER_WEEK).alias("dist_weeks")
+        (F.sum(micro).cast("double") / F.count(F.lit(1))
+         / F.lit(1000000.0) / F.lit(168.0)).alias("dist_weeks")
     ).select(F.col("src").alias("id1"), F.lit(-1).cast("long").alias("id2"), "dist_weeks")
     return pairs.unionByName(iso).withColumn("dist_weeks", F.round("dist_weeks", 6))
 

@@ -335,6 +335,74 @@ def clip(
     return out
 
 
+def zonal_stats_extended(
+    images: DataFrame,
+    zones,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+    mode: str = "center",
+    base_plan: str = "fused",
+) -> DataFrame:
+    """zonal_stats + exact ``zmedian`` and ``zmajority`` — the remaining
+    rasterstats built-in stat names (median/majority,
+    georasters.py:908-947).
+
+    Scale design: both extras are computed from the per-(zone, value)
+    COUNT table, never from a whole-zone value vector. For integer
+    rasters that table is bounded by the value DOMAIN per zone (e.g.
+    2000 rows here), not the zone's pixel count, so a continent-sized
+    zone costs the same as a small one:
+
+    * median — zone-partitioned running sum over the counts (ordered by
+      value), then the k1/k2 middle elements via MIN(CASE); exact,
+      including the even-count two-middle average.
+    * majority — max_by(value, (cnt, -value)): most frequent value,
+      ties broken by the SMALLEST value (rasterstats keeps an arbitrary
+      mode; we pin a deterministic rule).
+
+    base_plan='fused' takes the base moments from the single-stage
+    fused kernel (the headline plan); 'agg' shares the decoded hits
+    with the extras (one decode, two shuffles).
+    """
+    from pyspark.sql import Window as W
+
+    pruned = prune_tiles(images, zones)
+    px = PX.pixel_table(
+        pruned, valid_only=True, origin=origin, cellsize=cellsize,
+        bboxes=[geom.rings_bbox(z.rings) for z in zones],
+    )
+    hits = pip_join(px, zones, mode=mode, cellsize=cellsize).select("zone_id", "value")
+    if base_plan == "fused":
+        base = zonal_stats_fused(images, zones, origin, cellsize, mode=mode)
+    else:
+        v = F.col("value")
+        base = _finalize_zonal(
+            hits.groupBy("zone_id").agg(
+                F.count(v).alias("zcount"), F.sum(v).alias("zsum"),
+                F.sum(v * v).alias("zsum2"), F.min(v).alias("zmin"),
+                F.max(v).alias("zmax"),
+            )
+        )
+    vc = hits.groupBy("zone_id", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    vc2 = vc.select(
+        "zone_id", "value", "cnt",
+        F.sum("cnt").over(W.partitionBy("zone_id").orderBy("value")).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("zone_id")).alias("tot"),
+    )
+    k1 = ((F.col("tot") + 1) / 2).cast("long")
+    k2 = (F.col("tot") / 2).cast("long") + 1
+    med = vc2.groupBy("zone_id").agg(
+        F.min(F.when(F.col("cum") >= k1, F.col("value"))).alias("m1"),
+        F.min(F.when(F.col("cum") >= k2, F.col("value"))).alias("m2"),
+    ).select("zone_id", ((F.col("m1") + F.col("m2")) / 2.0).alias("zmedian"))
+    maj = vc.groupBy("zone_id").agg(
+        F.max_by(
+            "value", F.struct(F.col("cnt").alias("c"), (-F.col("value")).alias("nv"))
+        ).cast("long").alias("zmajority")
+    )
+    return base.join(med, "zone_id").join(maj, "zone_id")
+
+
 def zonal_stats_custom(
     images: DataFrame,
     zones,
@@ -343,45 +411,88 @@ def zonal_stats_custom(
     mode: str = "center",
     add_stats: dict | None = None,
     name: str | None = None,
+    max_zone_cells: int = 50_000_000,
 ) -> DataFrame:
     """The reference stats() EXTENSIBILITY surface
-    (georasters.py:908-947): `add_stats` = {stat_name: callable over the
-    zone's value numpy array} evaluated per zone in a grouped
-    applyInPandas (the UDAF analog of rasterstats add_stats), and
-    `name` prefixes every output column like the reference's
-    name+'_'+stat rule. Base stats stay exact-int; custom stats are
-    whatever the callable returns (float64)."""
+    (georasters.py:908-947): `add_stats` = {stat_name: ...} custom
+    per-zone statistics plus the reference's name+'_'+stat column rule.
+
+    Scale contract (the base moments NEVER materialize a whole zone in
+    one task — they always come from the same exact partial-aggregate
+    plan as zonal_stats):
+
+    * ``stat: callable(v: np.ndarray) -> float`` — needs the zone's
+      full value vector in ONE task (rasterstats semantics, e.g.
+      np.percentile). Guarded by ``max_zone_cells``: the task RAISES
+      past the cap instead of silently OOMing an executor. Use only
+      when every zone is known to fit.
+    * ``stat: (map_fn, reduce_fn)`` — partial-combinable: map_fn runs
+      over each Arrow batch's slice of the zone (bounded memory),
+      reduce_fn folds the per-batch partials (one row per zone x batch
+      — tiny). The unbounded-safe form for continent-sized zones.
+    """
     import pandas as pd
 
     add_stats = add_stats or {}
-    pruned = prune_tiles(images, zones)
-    px = PX.pixel_table(
-        pruned, valid_only=True, origin=origin, cellsize=cellsize,
-        bboxes=[geom.rings_bbox(z.rings) for z in zones],
-    )
-    hits = pip_join(px, zones, mode=mode, cellsize=cellsize)
-    extra_cols = ", ".join(f"{k} double" for k in add_stats)
-    schema = "zone_id long, zcount long, zsum long, zmin long, zmax long, " \
-             "zmean double, zstd double" + (", " + extra_cols if extra_cols else "")
+    base = zonal_stats(images, zones, origin, cellsize, mode=mode)
+    if not add_stats:
+        out = base
+    else:
+        pruned = prune_tiles(images, zones)
+        px = PX.pixel_table(
+            pruned, valid_only=True, origin=origin, cellsize=cellsize,
+            bboxes=[geom.rings_bbox(z.rings) for z in zones],
+        )
+        hits = pip_join(px, zones, mode=mode, cellsize=cellsize).select(
+            "zone_id", "value"
+        )
+        whole = {k: f for k, f in add_stats.items() if not isinstance(f, tuple)}
+        comb = {k: f for k, f in add_stats.items() if isinstance(f, tuple)}
+        out = base
+        if whole:
+            wschema = "zone_id long, " + ", ".join(f"{k} double" for k in whole)
 
-    def per_zone(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"].to_numpy(np.float64)
-        iv = v.astype(np.int64)
-        rec = {
-            "zone_id": int(key[0]),
-            "zcount": int(iv.size),
-            "zsum": int(iv.sum()),
-            "zmin": int(iv.min()),
-            "zmax": int(iv.max()),
-            "zmean": round(float(iv.sum()) / iv.size, 6),
-            "zstd": round(float(np.sqrt((iv * iv).sum() / iv.size
-                                        - (iv.sum() / iv.size) ** 2)), 6),
-        }
-        for k, fn in add_stats.items():
-            rec[k] = float(fn(v))
-        return pd.DataFrame([rec])
+            def per_zone(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                if len(pdf) > max_zone_cells:
+                    raise ValueError(
+                        f"zone {int(key[0])} has {len(pdf)} cells > "
+                        f"max_zone_cells={max_zone_cells}; use the "
+                        "(map_fn, reduce_fn) combinable form for this stat"
+                    )
+                v = pdf["value"].to_numpy(np.float64)
+                rec = {"zone_id": int(key[0])}
+                for k, fn in whole.items():
+                    rec[k] = float(fn(v))
+                return pd.DataFrame([rec])
 
-    out = hits.groupBy("zone_id").applyInPandas(per_zone, schema=schema)
+            extra = hits.groupBy("zone_id").applyInPandas(per_zone, schema=wschema)
+            out = out.join(extra, "zone_id", "left")
+        if comb:
+            keys = list(comb)
+            pschema = "zone_id long, " + ", ".join(f"{k} double" for k in keys)
+
+            def partials(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    rows = []
+                    for zid, g in pdf.groupby("zone_id"):
+                        v = g["value"].to_numpy(np.float64)
+                        rec = {"zone_id": int(zid)}
+                        for k in keys:
+                            rec[k] = float(comb[k][0](v))
+                        rows.append(rec)
+                    yield pd.DataFrame(rows, columns=["zone_id"] + keys)
+
+            def reduce_zone(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                rec = {"zone_id": int(key[0])}
+                for k in keys:
+                    rec[k] = float(comb[k][1](pdf[k].to_numpy(np.float64)))
+                return pd.DataFrame([rec])
+
+            part = hits.mapInPandas(partials, schema=pschema)
+            extra2 = part.groupBy("zone_id").applyInPandas(reduce_zone, schema=pschema)
+            out = out.join(extra2, "zone_id", "left")
     if name:
         for c in out.columns:
             if c != "zone_id":

@@ -142,12 +142,15 @@ FROM tiles"""
 # ---------------------------------------------------------------------------
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused zonal base moments + exact zmedian/zmajority (the full
+    rasterstats built-in stat-name set, georasters.py:908-947)."""
     spec = SPEC
-    return SJ.zonal_stats_fused(
+    return SJ.zonal_stats_extended(
         images_for(spark, spec),
         synth.ZONES_T1,
         origin=(spec.x0, spec.y0),
         cellsize=(spec.cellx, spec.celly),
+        base_plan="fused",
     )
 
 
@@ -158,8 +161,9 @@ def sql_zonal_stats() -> str:
         + synth.zone_sql_predicate(z, "px.xc", "px.yc")
         for z in synth.ZONES_T1
     ]
-    return f"""WITH {synth.pixel_sql(spec)}, hits AS ({' UNION ALL '.join(preds)})
-SELECT zone_id,
+    return f"""WITH {synth.pixel_sql(spec)}, hits AS ({' UNION ALL '.join(preds)}),
+base AS (
+  SELECT zone_id,
        CAST(COUNT(value) AS BIGINT) AS zcount,
        CAST(SUM(value) AS BIGINT) AS zsum,
        CAST(MIN(value) AS BIGINT) AS zmin,
@@ -167,7 +171,13 @@ SELECT zone_id,
        ROUND(CAST(SUM(value) AS DOUBLE)/COUNT(value), 6) AS zmean,
        ROUND(SQRT(CAST(SUM(value*value) AS DOUBLE)/COUNT(value)
              - (CAST(SUM(value) AS DOUBLE)/COUNT(value))*(CAST(SUM(value) AS DOUBLE)/COUNT(value))), 6) AS zstd
-FROM hits GROUP BY zone_id"""
+  FROM hits GROUP BY zone_id),
+med AS (SELECT zone_id, CAST(MEDIAN(value) AS DOUBLE) AS zmedian FROM hits GROUP BY zone_id),
+vc AS (SELECT zone_id, value, COUNT(*) AS cnt FROM hits GROUP BY 1, 2),
+maj AS (SELECT zone_id, CAST(value AS BIGINT) AS zmajority FROM vc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY cnt DESC, value ASC) = 1)
+SELECT base.*, med.zmedian, maj.zmajority
+FROM base JOIN med USING (zone_id) JOIN maj USING (zone_id)"""
 
 
 # ---------------------------------------------------------------------------
@@ -752,23 +762,100 @@ FROM ranked JOIN vec ON vec.i = ranked.i"""
 
 
 # ---------------------------------------------------------------------------
-# q: cost_distance — per-source distributed Dijkstra (non-SQL; rows-only)
+# q: cost_distance — the operator's full pairs+isolation surface, EXACT
+# oracle: the same K-round unrolled Bellman-Ford pattern as
+# cost_distance_window, extended with a src dimension. Windowed to the
+# proven 48x48 sub-grid (BF fixpoint <= 61 rounds from each source,
+# numpy-verified == Dijkstra bit-for-bit; K = 120 pins 2x headroom).
+# Isolation means are exact-integer micro-unit sums on BOTH sides —
+# association-free, so they hash-match (see cost_distance docstring).
 # ---------------------------------------------------------------------------
+
+_CDP = {
+    "sources": [(0, 101, 200), (1, 120, 220), (2, 135, 235)],
+    # 7 valid dests + 1 masked cell (138, 228): exercises the
+    # unreachable-pair drop rule (georasters.py:1437) on both sides
+    "dests": [(10, 98, 196), (11, 105, 230), (12, 118, 205), (13, 130, 199),
+              (14, 140, 215), (15, 99, 238), (16, 125, 210), (17, 138, 228)],
+}
+
+
+def _window_points(spark: SparkSession, pts: list[tuple[int, int, int]]) -> DataFrame:
+    """(point_id, x, y) at +0.3-cell offsets so round((y-y0)/cy) lands
+    exactly on the intended pixel."""
+    spec = SPEC
+    rows = [
+        (pid, spec.x0 + (c + 0.3) * spec.cellx, spec.y0 + (r + 0.3) * spec.celly)
+        for pid, r, c in pts
+    ]
+    return spark.createDataFrame(rows, "point_id long, x double, y double")
+
 
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import distance as DI
 
-    pts = synth.points_df(spark, 25)
-    sources = pts.filter(F.col("point_id") < 5)
-    dests = pts.filter(F.col("point_id") >= 5)
+    p = _CDW
     spec = SPEC
     return DI.cost_distance(
         images_for(spark, spec),
-        sources,
-        dests,
+        _window_points(spark, _CDP["sources"]),
+        _window_points(spark, _CDP["dests"]),
         origin=(spec.x0, spec.y0),
         cellsize=(spec.cellx, spec.celly),
+        block=p["block"],
+        bbox=(p["r0"], p["r1"], p["c0"], p["c1"]),
     )
+
+
+def sql_cost_distance() -> str:
+    p = _CDW
+    offsets = ("(-1,-1,sqrt(2.0)), (-1,0,1.0), (-1,1,sqrt(2.0)), (0,-1,1.0), "
+               "(0,1,1.0), (1,-1,sqrt(2.0)), (1,0,1.0), (1,1,sqrt(2.0))")
+    srcs = ", ".join(
+        f"(CAST({s} AS BIGINT), CAST({r} AS BIGINT), CAST({c} AS BIGINT))"
+        for s, r, c in _CDP["sources"]
+    )
+    dsts = ", ".join(
+        f"(CAST({d} AS BIGINT), CAST({r} AS BIGINT), CAST({c} AS BIGINT))"
+        for d, r, c in _CDP["dests"]
+    )
+    ctes = [f"""win AS (
+  SELECT row, col, CAST(value AS DOUBLE) AS value FROM px
+  WHERE row >= {p['r0']} AND row < {p['r1']} AND col >= {p['c0']} AND col < {p['c1']}),
+offs(dr, dc, sl) AS (VALUES {offsets}),
+cand AS (
+  SELECT a.row, a.col, a.value AS va, a.row + o.dr AS r2, a.col + o.dc AS c2, o.sl
+  FROM win a CROSS JOIN offs o),
+e AS MATERIALIZED (
+  SELECT cand.row, cand.col, b.row AS row2, b.col AS col2,
+         (cand.va + b.value) / 2.0 * cand.sl AS wgt
+  FROM cand JOIN win b ON b.row = cand.r2 AND b.col = cand.c2),
+srcs(src, row, col) AS (VALUES {srcs}),
+dsts(id2, drow, dcol) AS (VALUES {dsts}),
+d0 AS (SELECT src, row, col, CAST(0.0 AS DOUBLE) AS dist FROM srcs)"""]
+    # MATERIALIZED: each d_i referenced twice; default inlining is
+    # exponential in K (see sql_cost_distance_window)
+    for i in range(1, p["K"] + 1):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+  SELECT src, row, col, MIN(dist) AS dist FROM (
+    SELECT src, row, col, dist FROM d{i - 1}
+    UNION ALL
+    SELECT d{i - 1}.src, e.row2 AS row, e.col2 AS col, d{i - 1}.dist + e.wgt AS dist
+    FROM d{i - 1} JOIN e ON e.row = d{i - 1}.row AND e.col = d{i - 1}.col
+  ) GROUP BY 1, 2, 3)""")
+    k = p["K"]
+    return (f"WITH {synth.pixel_sql(SPEC)},\n" + ",\n".join(ctes) + f""",
+pairs AS (
+  SELECT d.src AS id1, t.id2, ROUND(d.dist / 168, 6) AS dist_weeks
+  FROM d{k} d JOIN dsts t ON t.drow = d.row AND t.dcol = d.col),
+iso AS (
+  SELECT src AS id1, CAST(-1 AS BIGINT) AS id2,
+         ROUND(CAST(SUM(CAST(ROUND(dist * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1000000.0 / 168.0, 6) AS dist_weeks
+  FROM d{k} GROUP BY src)
+SELECT id1, id2, dist_weeks FROM pairs
+UNION ALL
+SELECT id1, id2, dist_weeks FROM iso""")
 
 
 # cost_distance_window: the VALUE-level oracle for the SSSP semantics —
@@ -1126,9 +1213,14 @@ FROM px"""
 
 
 def q_polygonize_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Region POLYGON rings (to_geopandas parity) — rows-only gate
-    (WKT strings; geometry is pytest-verified: ring closure, hole
-    count, shoelace area == n_cells·cell_area)."""
+    """Region POLYGON rings (to_geopandas parity). EXACT structural
+    oracle: the full ring-stitching pipeline runs, and its per-region
+    (value, area_cells, perim_steps) projection is hashed against the
+    recursive-CC oracle — area from the shoelace over the stitched
+    rings, perimeter from the stitched ring lengths, both of which are
+    independently recomputable from the CC labels (4·n − Σdeg). The WKT
+    string itself (ring ORDER is engine-specific) stays pytest-verified:
+    ring closure, hole count, shoelace area == n_cells·cell_area."""
     from .operators import algebra as AL
 
     spec = SPEC
@@ -1136,8 +1228,13 @@ def q_polygonize_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row", "col", (F.col("value").cast("long") / 500).cast("long").cast("double").alias("value")
     )
     return AL.polygonize_geoms(
-        px, origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly)
-    )
+        px, origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly),
+        merge="distributed",
+    ).select("value", "area_cells", "perim_steps")
+
+
+def sql_polygonize_geoms() -> str:
+    return _cc_sql(SPEC, 128, 128, divisor=500, struct=True)
 
 
 def q_polygonize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1151,19 +1248,24 @@ def q_polygonize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = _px(spark, SPEC).filter((F.col("row") < 128) & (F.col("col") < 128)).select(
         "row", "col", (F.col("value").cast("long") / 250).cast("long").cast("double").alias("value")
     )
-    return AL.polygonize(px).select(
+    return AL.polygonize(px, merge="distributed").select(
         F.col("value").cast("long").alias("value"),
         "n_cells", "min_row", "min_col", "max_row", "max_col",
     )
 
 
-def _cc_sql(spec: GridSpec, r_max: int, c_max: int) -> str:
-    """Recursive min-label connected-components oracle over the /250-
-    quantized field restricted to rows < r_max, cols < c_max. Viable
-    because UNION-dedup recursion costs sum(|region|^2) tuples — 260k
-    even on the full grid (max region = 4 cells at this quantization)."""
-    return f"""WITH RECURSIVE {synth.pixel_sql(spec)},
-win AS (SELECT row, col, value // 250 AS value FROM px WHERE row < {r_max} AND col < {c_max}),
+def _cc_sql(spec: GridSpec, r_max: int, c_max: int, divisor: int = 250,
+            struct: bool = False) -> str:
+    """Recursive min-label connected-components oracle over the
+    /divisor-quantized field restricted to rows < r_max, cols < c_max.
+    Viable because UNION-dedup recursion costs sum(|region|^2) tuples —
+    260k even on the full grid at /250. struct=True emits the
+    polygonize_geoms structural projection instead: (value DOUBLE,
+    area_cells, perim_steps) per region, with perim_steps = 4·n −
+    Σdeg recomputed from the 4-adjacency degree — the label-side
+    identity the stitched ring lengths must reproduce."""
+    head = f"""WITH RECURSIVE {synth.pixel_sql(spec)},
+win AS (SELECT row, col, value // {divisor} AS value FROM px WHERE row < {r_max} AND col < {c_max}),
 offs(dr, dc) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
 cand AS (SELECT a.row, a.col, a.value, a.row + o.dr AS r2, a.col + o.dc AS c2
          FROM win a CROSS JOIN offs o),
@@ -1174,7 +1276,18 @@ lab AS (
   SELECT row, col, row * 1000000 + col AS lbl FROM win
   UNION
   SELECT e.r2 AS row, e.c2 AS col, lab.lbl FROM lab JOIN e ON e.row = lab.row AND e.col = lab.col),
-final AS (SELECT row, col, MIN(lbl) AS region FROM lab GROUP BY 1, 2),
+final AS (SELECT row, col, MIN(lbl) AS region FROM lab GROUP BY 1, 2)"""
+    if struct:
+        return head + """,
+deg AS (SELECT row, col, COUNT(*) AS d FROM e GROUP BY 1, 2),
+j AS (SELECT win.row, win.col, win.value, final.region, COALESCE(deg.d, 0) AS d
+      FROM win JOIN final ON final.row = win.row AND final.col = win.col
+      LEFT JOIN deg ON deg.row = win.row AND deg.col = win.col)
+SELECT CAST(value AS DOUBLE) AS value,
+       CAST(COUNT(*) AS BIGINT) AS area_cells,
+       CAST(4 * COUNT(*) - SUM(d) AS BIGINT) AS perim_steps
+FROM j GROUP BY region, value"""
+    return head + """,
 j AS (SELECT win.row, win.col, win.value, final.region
       FROM win JOIN final ON final.row = win.row AND final.col = win.col)
 SELECT CAST(value AS BIGINT) AS value,
@@ -1201,7 +1314,9 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = _px(spark, SPEC).select(
         "row", "col", (F.col("value").cast("long") / 250).cast("long").alias("value")
     )
-    return AL.polygonize(px).select(
+    # merge='distributed': the gated plan IS the 100-TB plan — the
+    # cross-tile label merge runs executor-side (no driver union-find)
+    return AL.polygonize(px, merge="distributed").select(
         F.col("value").cast("long").alias("value"),
         "n_cells", "min_row", "min_col", "max_row", "max_col",
     )
@@ -1732,11 +1847,11 @@ QUERIES = {
     "resize_nearest": (q_resize, sql_resize),
     "align_grids": (q_align, sql_align),
     "map_vector": (q_map_vector, sql_map_vector),
-    "cost_distance": (q_cost_distance, None),
+    "cost_distance": (q_cost_distance, sql_cost_distance),
     "cost_distance_window": (q_cost_distance_window, sql_cost_distance_window),
     "polygonize": (q_polygonize, sql_polygonize),
     "polygonize_window": (q_polygonize_window, sql_polygonize_window),
-    "polygonize_geoms": (q_polygonize_geoms, None),
+    "polygonize_geoms": (q_polygonize_geoms, sql_polygonize_geoms),
     "squares": (q_squares, sql_squares),
     "clip_zones": (q_clip, sql_clip),
     "reproject_cea": (q_reproject, sql_reproject),

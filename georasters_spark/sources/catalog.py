@@ -39,11 +39,18 @@ class SnapshotTable:
             return int(f.read().strip())
 
     def snapshot(self, version: int | None = None) -> dict | None:
+        """Manifest dict for `version` (default: current). Returns None
+        for version 0 AND for versions whose manifest was removed by
+        expire_snapshots — an expired snapshot is end-of-chain for any
+        parent walk, not an error."""
         v = version if version is not None else self.current_version()
         if v == 0:
             return None
-        with open(os.path.join(self.root, "snapshots", f"v{v}.json")) as f:
-            return json.load(f)
+        try:
+            with open(os.path.join(self.root, "snapshots", f"v{v}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
 
     # -- commits ----------------------------------------------------------
     def append(self, df, props: dict | None = None) -> int:
@@ -113,10 +120,18 @@ class SnapshotTable:
                 expired.append(v)
         return expired
 
-    def remove_orphan_files(self) -> list[str]:
+    def remove_orphan_files(self, older_than_seconds: float = 3 * 3600) -> list[str]:
         """Delete data dirs referenced by NO surviving snapshot —
         the garbage left by crashed writers (unique attempt dirs) and
-        by expire_snapshots. Never touches a referenced dir."""
+        by expire_snapshots. Never touches a referenced dir.
+
+        Only dirs whose mtime is older than `older_than_seconds` are
+        deleted (Iceberg's remove_orphan_files `older_than` default):
+        an IN-FLIGHT concurrent append (parquet dir written, manifest
+        not yet committed) is indistinguishable from crash garbage by
+        reference-counting alone, so a fresh unreferenced dir is left
+        for a later GC pass rather than pulled out from under the
+        commit. Pass 0 only when the caller guarantees single-writer."""
         import shutil
 
         referenced: set[str] = set()
@@ -126,10 +141,11 @@ class SnapshotTable:
                 with open(os.path.join(snapdir, f)) as fh:
                     referenced.update(json.load(fh)["dirs"])
         removed = []
+        cutoff = time.time() - older_than_seconds
         datadir = os.path.join(self.root, "data")
         for d in sorted(os.listdir(datadir)):
             full = os.path.join(datadir, d)
-            if full not in referenced:
+            if full not in referenced and os.path.getmtime(full) < cutoff:
                 shutil.rmtree(full)
                 removed.append(full)
         return removed

@@ -166,6 +166,8 @@ def stream_ingest_to_catalog(spark, src_dir: str, schema, table_root: str,
         v = tbl.current_version()
         while v:
             snap = tbl.snapshot(v)
+            if snap is None:
+                return -1  # expired manifest: end of walkable chain
             props = snap.get("props") or {}
             if "max_batch_id" in props and props.get("source") == src_dir:
                 return int(props["max_batch_id"])

@@ -223,3 +223,107 @@ def test_t2_tier_round2_operators(spark):
         assert row["n"] == n and row["nw"] == nw
     finally:
         imgs.unpersist()
+
+
+def test_polygonize_distributed_merge_executor_side(spark, monkeypatch):
+    """The merge='distributed' path (the gated/100-TB plan) must produce
+    the identical component-min labels as the driver union-find WITHOUT
+    any driver-side edge collect: DataFrame.toPandas is poisoned for the
+    whole distributed build. Fixture: 256x256 with full-width bands
+    (each spanning 4 tile columns) plus a 4-tile-tall vertical strip, so
+    the cross-tile merge and pointer-jumping rounds really run."""
+    from pyspark.sql import DataFrame
+
+    n = 256
+    base = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("row"),
+        (F.col("id") % n).alias("col"),
+    )
+    px = base.withColumn(
+        "value",
+        F.when(F.col("col") < 2, F.lit(-5.0)).otherwise(
+            (F.col("row") / 40).cast("long").cast("double")
+        ),
+    )
+    exp = AL.polygonize_labels(px, merge="driver").toPandas()
+
+    def poisoned(self):
+        raise AssertionError("driver-side collect inside distributed merge")
+
+    orig = DataFrame.toPandas
+    monkeypatch.setattr(DataFrame, "toPandas", poisoned)
+    try:
+        got_df = AL.polygonize_labels(px, merge="distributed")
+        assert got_df.count() == n * n  # force execution while poisoned
+    finally:
+        monkeypatch.setattr(DataFrame, "toPandas", orig)
+    a = exp.sort_values(["row", "col"]).reset_index(drop=True)
+    b = got_df.toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    assert (a["region_id"].to_numpy() == b["region_id"].to_numpy()).all()
+    assert (a["value"].to_numpy() == b["value"].to_numpy()).all()
+    # the fixture really exercises multi-tile components
+    sizes = b.groupby("region_id").size()
+    assert sizes.max() >= 40 * (n - 2)
+
+
+def test_zonal_stats_custom_bounded_tasks(spark, images_t1):
+    """Base moments must never plan a zone-keyed grouped-map (no
+    add_stats -> no FlatMapGroupsInPandas at all); the combinable
+    (map_fn, reduce_fn) form matches the whole-zone callable; the
+    whole-zone path RAISES past max_zone_cells instead of OOMing."""
+    import pytest
+
+    spec = synth.T1
+    kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    base = SJ.zonal_stats_custom(images_t1, synth.ZONES_T1, **kw)
+    plan = _plan_of(base)
+    assert "FlatMapGroupsInPandas" not in plan, plan
+
+    a = SJ.zonal_stats_custom(
+        images_t1, synth.ZONES_T1, **kw,
+        add_stats={"vmx": lambda v: float(v.max())},
+    ).toPandas().sort_values("zone_id").reset_index(drop=True)
+    b = SJ.zonal_stats_custom(
+        images_t1, synth.ZONES_T1, **kw,
+        add_stats={"vmx": (lambda v: float(v.max()), lambda p: float(p.max()))},
+    ).toPandas().sort_values("zone_id").reset_index(drop=True)
+    assert (a["vmx"] == b["vmx"]).all()
+    assert (a["vmx"] == a["zmax"]).all()
+
+    capped = SJ.zonal_stats_custom(
+        images_t1, synth.ZONES_T1, **kw,
+        add_stats={"p50": lambda v: float(np.median(v))},
+        max_zone_cells=10,
+    )
+    with pytest.raises(Exception, match="max_zone_cells"):
+        capped.toPandas()
+
+
+def test_zonal_extended_median_majority_vs_numpy(spark, images_t1):
+    """zmedian/zmajority vs direct numpy on the stitched grid (exact,
+    including the even-count two-middle average and the smallest-value
+    tie-break for majority)."""
+    from georasters_spark.functions import geometry as geom
+
+    spec = synth.T1
+    out = SJ.zonal_stats_extended(
+        images_t1, synth.ZONES_T1,
+        origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly),
+        base_plan="agg",
+    ).toPandas().set_index("zone_id")
+    full = synth.stitched_array(spec).astype(np.float64)
+    valid = full != spec.ndv
+    rr, cc = np.meshgrid(np.arange(spec.height), np.arange(spec.width), indexing="ij")
+    xc = spec.x0 + (cc + 0.5) * spec.cellx
+    yc = spec.y0 + (rr + 0.5) * spec.celly
+    for z in synth.ZONES_T1:
+        rings = [np.asarray(r, dtype=np.float64) for r in z.rings]
+        hit = valid & geom.points_in_rings(xc.ravel(), yc.ravel(), rings).reshape(valid.shape)
+        if z.zone_id not in out.index:
+            assert hit.sum() == 0
+            continue
+        v = full[hit].astype(np.int64)
+        assert out.loc[z.zone_id, "zmedian"] == float(np.median(v))
+        vals, cnts = np.unique(v, return_counts=True)
+        want_maj = int(vals[np.lexsort((vals, -cnts))][0])
+        assert out.loc[z.zone_id, "zmajority"] == want_maj

@@ -40,10 +40,21 @@ def knn_tiles(
     points: DataFrame,
     res: int,
     k: int,
+    max_count_cells: int = 1 << 20,
 ) -> DataFrame:
     """k nearest tiles (by center euclidean distance in lon/lat) per
     query point. points: (point_id, x, y). Returns
-    (point_id, image_id, dist2, knn_rank)."""
+    (point_id, image_id, dist2, knn_rank).
+
+    The broadcast count table is HIERARCHICAL: when the occupied cells
+    at `res` exceed `max_count_cells`, counts are aggregated at the
+    parent level count_res = res − s (cells are a Morton quadtree, so
+    the parent id is pure integer arithmetic, computable JVM-side for
+    the join key too). Ring expansion then runs in parent units and
+    the radius bounds are widened by the child-per-parent factor
+    S = 2^s — conservative (a slightly larger candidate set) but exact,
+    since the final top-k rescores true distances. This bounds the
+    driver/broadcast footprint at any data scale."""
     spark = images.sparkSession
     n = 1 << res
     wx, wy = 360.0 / n, 180.0 / n
@@ -56,54 +67,72 @@ def knn_tiles(
         (F.col("ymax") + (F.col("h") * F.col("celly")) / 2).alias("center_y"),
     )
 
-    # 1. per-cell counts: small metadata aggregate (bounded by occupied
-    #    cells at the index resolution; hierarchical at scale),
-    #    broadcast to the executors
-    counts_pdf = tiles.groupBy("cell_id").count().toPandas()
+    # 1. pick the count level: one cheap scalar aggregate; occupied
+    #    parents shrink ~4x per step, so the step count is computed
+    #    directly instead of probing level by level
+    occ = tiles.select(F.countDistinct("cell_id")).collect()[0][0] or 0
+    s = 0
+    while occ > max_count_cells * (4 ** s) and (res - s) > 0:
+        s += 1
+    count_res = res - s
+    S = 1 << s
+    na = 1 << count_res
+    # parent cell id from the child id: res field swapped, morton >> 2s
+    acell = F.expr(
+        f"CAST({count_res} AS BIGINT) * {1 << C.RES_SHIFT} + "
+        f"(cell_id % {1 << C.RES_SHIFT}) DIV {1 << (2 * s)}"
+    )
+    counts_pdf = tiles.groupBy(acell.alias("_acell")).count().toPandas()
     cnt: dict[int, int] = dict(
-        zip(counts_pdf["cell_id"].astype(np.int64), counts_pdf["count"].astype(np.int64))
+        zip(counts_pdf["_acell"].astype(np.int64), counts_pdf["count"].astype(np.int64))
     )
     bc_cnt = spark.sparkContext.broadcast(cnt)
 
     # 2. per-point ring expansion over the broadcast count table INSIDE
     #    an Arrow stage — the expansion distributes with the point
-    #    table (a driver loop here would bottleneck at ~10^6 points)
+    #    table (a driver loop here would bottleneck at ~10^6 points).
+    #    Rings are in PARENT units; the fine-unit radius bound follows
+    #    from: a tile in a parent cell at parent-Chebyshev g sits at
+    #    fine-Chebyshev <= (g+1)·S − 1 from the query's fine cell.
     def expand(batches):
         cnt_ = bc_cnt.value
         for pdf in batches:
-            ix, iy = C.lonlat_to_ixiy(pdf["x"].to_numpy(), pdf["y"].to_numpy(), res)
+            ax, ay = C.lonlat_to_ixiy(pdf["x"].to_numpy(), pdf["y"].to_numpy(), count_res)
             pair_pid: list[int] = []
             pair_cell: list[int] = []
-            for pid, cx0, cy0 in zip(pdf["point_id"].astype(np.int64), ix, iy):
+            for pid, cx0, cy0 in zip(pdf["point_id"].astype(np.int64), ax, ay):
                 got = 0
-                r_k = None
-                r = 0
-                max_r = 2 * n  # hard stop: whole index swept
-                while r <= max_r:
-                    ring_cells = _ring_cells(int(cx0), int(cy0), r, res, n)
+                g_k = None
+                g = 0
+                g_max = 2 * na  # hard stop: whole index swept
+                while g <= g_max:
+                    ring_cells = _ring_cells(int(cx0), int(cy0), g, count_res, na)
                     got += sum(cnt_.get(c, 0) for c in ring_cells)
-                    if r_k is None and got >= k:
-                        r_k = r
-                    if r_k is not None:
-                        rho_max = int(math.floor((r_k + 1) * aspect)) + 1
-                        if r >= rho_max:
+                    if g_k is None and got >= k:
+                        g_k = g
+                    if g_k is not None:
+                        r_k_fine = (g_k + 1) * S - 1
+                        rho_fine = int(math.floor((r_k_fine + 1) * aspect)) + 1
+                        g_max_need = (rho_fine + S - 1) // S
+                        if g >= g_max_need:
                             break
-                    r += 1
-                rho = r
-                for rr in range(rho + 1):
-                    for c in _ring_cells(int(cx0), int(cy0), rr, res, n):
+                    g += 1
+                rho = g
+                for gg in range(rho + 1):
+                    for c in _ring_cells(int(cx0), int(cy0), gg, count_res, na):
                         if c in cnt_:  # only occupied cells join
                             pair_pid.append(int(pid))
                             pair_cell.append(int(c))
             yield pd.DataFrame({"point_id": pd.Series(pair_pid, dtype=np.int64),
-                                "cell_id": pd.Series(pair_cell, dtype=np.int64)})
+                                "_acell": pd.Series(pair_cell, dtype=np.int64)})
 
     cand = points.select("point_id", "x", "y").mapInPandas(
-        expand, schema="point_id long, cell_id long"
+        expand, schema="point_id long, _acell long"
     )
 
-    # 3. broadcast candidate pairs into the tile table, exact top-k
-    joined = tiles.join(F.broadcast(cand), "cell_id")
+    # 3. broadcast candidate pairs into the tile table (hash join on the
+    #    JVM-derived parent key), exact top-k
+    joined = tiles.withColumn("_acell", acell).join(F.broadcast(cand), "_acell")
     pts = points.select(
         F.col("point_id"), F.col("x").alias("qx"), F.col("y").alias("qy")
     )
@@ -133,21 +162,27 @@ def knn_pixels(
     origin: tuple[float, float],
     cellsize: tuple[float, float],
     tile: int = 64,
+    max_count_blocks: int = 1 << 20,
 ) -> DataFrame:
     """k nearest VALID pixels per query point — window expansion on the
     pixel lattice (the pixel grid is its own cell index; the reference
     analog is extract-radius growth, georasters.py:1016-1030).
 
-    Tile-pruned probes: each expansion round derives the candidate
-    (tile_row, tile_col) blocks covering every point's Chebyshev window
-    (tiny driver-side metadata), broadcast-HASH-joins them into the
-    pixel table on the tile keys, and only then applies the window
-    predicate — the big side is touched only on matching tile keys,
-    never full-scanned per round. Counts decide which radii double.
-    The final candidate set is widened by the anisotropy-safe factor
-    hypot(cx, cy)/min(cx, cy), then exact top-k on the rounded
-    center-distance with (row, col) tie-break. px must carry
-    (row, col, value, xc, yc)."""
+    Coordination is fully executor-side (no driver-resident point set,
+    no per-round jobs): per-(super-)tile valid-pixel counts are one
+    aggregate over px, broadcast as a dict bounded by
+    `max_count_blocks` (tiles collapse into S×S super-blocks when the
+    occupied-tile count exceeds the cap — the hierarchical-counts
+    mitigation, same as knn_tiles). ONE Arrow pass over the points then
+    ring-expands each point over the broadcast counts to a radius
+    guaranteed to contain >= k valid pixels, widened by the
+    anisotropy-safe factor hypot(cx, cy)/min(cx, cy). The candidate
+    probe replicates per tile key via a JVM explode and broadcast-HASH-
+    joins into the pixel table on (tile_row, tile_col) — the big side
+    is touched exactly twice (count aggregate + candidate join), never
+    cached, never collected. Exact top-k on the rounded center-distance
+    with (row, col) tie-break. px must carry (row, col, value, xc, yc).
+    """
     import math
 
     import pandas as pd
@@ -157,80 +192,108 @@ def knn_pixels(
     x0, y0 = origin
     aspect = math.hypot(cx, cy) / min(abs(cx), abs(cy))
     spark = px.sparkSession
-    pts = points.select("point_id", "x", "y").toPandas()
-    pts["r0"] = np.round((pts["y"].to_numpy() - y0) / cy).astype(np.int64)
-    pts["c0"] = np.round((pts["x"].to_numpy() - x0) / cx).astype(np.int64)
 
     px = px.withColumn("_trow", F.floor(F.col("row") / tile)).withColumn(
         "_tcol", F.floor(F.col("col") / tile)
-    ).cache()
-    # occupied tile bounds: clips the candidate-tile explosion for huge
-    # fallback radii (one tiny metadata aggregate)
-    tb = px.agg(
+    )
+    # per-tile counts: the ONLY metadata pass over the big table; cached
+    # briefly (it is small — occupied tiles), released before returning
+    tcnt = px.groupBy("_trow", "_tcol").count().persist()
+    occ = tcnt.count()
+    s = 0
+    while occ > max_count_blocks * (4 ** s):
+        s += 1
+    S = 1 << s
+    B = tile * S  # super-block edge in pixels
+    sup = (
+        tcnt.groupBy(
+            (F.col("_trow") - F.pmod("_trow", S)).alias("_srow"),
+            (F.col("_tcol") - F.pmod("_tcol", S)).alias("_scol"),
+        )
+        .agg(F.sum("count").alias("n"))
+        .toPandas()
+    )
+    bnd = tcnt.agg(
         F.min("_trow").alias("t0"), F.max("_trow").alias("t1"),
         F.min("_tcol").alias("u0"), F.max("_tcol").alias("u1"),
     ).collect()[0]
-    if tb["t0"] is None:
+    tcnt.unpersist()
+    if bnd["t0"] is None:
         t0b = t1b = u0b = u1b = 0
     else:
-        t0b, t1b, u0b, u1b = int(tb["t0"]), int(tb["t1"]), int(tb["u0"]), int(tb["u1"])
+        t0b, t1b, u0b, u1b = int(bnd["t0"]), int(bnd["t1"]), int(bnd["u0"]), int(bnd["u1"])
+    # super-block counts keyed by block index (tile index // S)
+    cnt: dict[tuple[int, int], int] = {
+        (int(r) // S, int(c) // S): int(v)
+        for r, c, v in zip(sup["_srow"], sup["_scol"], sup["n"])
+    }
+    bc_cnt = spark.sparkContext.broadcast(cnt)
+    # ring-expansion hard stop: the occupied super-block span
+    g_stop = max((t1b - t0b) // S, (u1b - u0b) // S, 0) + 2
+    full_r = max(t1b - t0b + 1, u1b - u0b + 1, 1) * tile + tile  # whole grid
 
-    def probe_df(pdf: pd.DataFrame, rcol: str) -> DataFrame:
-        """(point_id, window params) replicated per candidate tile key.
-        Only per-point METADATA ships from the driver; the point×tile
-        replication itself is a JVM sequence/explode (no driver-side
-        pair materialization — the knn_tiles lesson applied here)."""
-        base = spark.createDataFrame(
-            pdf[["point_id", "x", "y", "r0", "c0", rcol]].rename(
-                columns={rcol: "rad"}
-            ),
-            "point_id long, x double, y double, r0 long, c0 long, rad long",
-        )
-        tr_lo = F.greatest(F.floor((F.col("r0") - F.col("rad")) / tile), F.lit(t0b))
-        tr_hi = F.least(F.floor((F.col("r0") + F.col("rad")) / tile), F.lit(t1b))
-        tc_lo = F.greatest(F.floor((F.col("c0") - F.col("rad")) / tile), F.lit(u0b))
-        tc_hi = F.least(F.floor((F.col("c0") + F.col("rad")) / tile), F.lit(u1b))
-        return (
-            base.withColumn("_tr_lo", tr_lo).withColumn("_tr_hi", tr_hi)
-            .withColumn("_tc_lo", tc_lo).withColumn("_tc_hi", tc_hi)
-            # windows entirely off-grid generate nothing (a descending
-            # sequence() would otherwise emit bogus tiles)
-            .filter((F.col("_tr_lo") <= F.col("_tr_hi"))
-                    & (F.col("_tc_lo") <= F.col("_tc_hi")))
-            .withColumn("_trow", F.explode(F.sequence("_tr_lo", "_tr_hi")))
-            .withColumn("_tcol", F.explode(F.sequence("_tc_lo", "_tc_hi")))
-            .select("point_id", "x", "y", "r0", "c0", "rad", "_trow", "_tcol")
-        )
+    def estimate(batches):
+        """(point_id, x, y) -> (point_id, x, y, r0, c0, rad): one Arrow
+        pass computing each point's safe candidate radius from the
+        broadcast super-block counts. A block at super-Chebyshev g of
+        the point's home block lies entirely within pixel-Chebyshev
+        (g+1)·B of the point, so cum >= k at ring g_k gives the pixel
+        radius bound (g_k+1)·B."""
+        cnt_ = bc_cnt.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            r0 = np.round((pdf["y"].to_numpy() - y0) / cy).astype(np.int64)
+            c0 = np.round((pdf["x"].to_numpy() - x0) / cx).astype(np.int64)
+            rads = np.empty(len(pdf), dtype=np.int64)
+            for i in range(len(pdf)):
+                gr, gc = int(r0[i]) // B, int(c0[i]) // B
+                got = 0
+                need = None
+                for g in range(g_stop + 1):
+                    if g == 0:
+                        ring = [(gr, gc)]
+                    else:
+                        ring = (
+                            [(gr + dg, gc + dc) for dg in (-g, g)
+                             for dc in range(-g, g + 1)]
+                            + [(gr + dg, gc + dc) for dg in range(-g + 1, g)
+                               for dc in (-g, g)]
+                        )
+                    got += sum(cnt_.get(b, 0) for b in ring)
+                    if got >= k:
+                        need = (g + 1) * B
+                        break
+                if need is None:
+                    need = full_r  # fewer than k valid pixels on the grid
+                rads[i] = int(math.ceil((need + 1) * aspect)) + 1
+            out = pdf[["point_id", "x", "y"]].copy()
+            out["r0"] = r0
+            out["c0"] = c0
+            out["rad"] = rads
+            yield out
 
-    need_r = pd.Series(np.zeros(len(pts), dtype=np.int64), index=pts.point_id)
-    R = max(2 * k, 8)
-    remaining = pts
-    while len(remaining) and R < 1 << 20:
-        probe = probe_df(remaining.assign(rad=R), "rad")
-        counts = (
-            px.join(F.broadcast(probe), ["_trow", "_tcol"])  # hash join on tile keys
-            .filter(
-                (F.abs(F.col("row") - F.col("r0")) <= F.col("rad"))
-                & (F.abs(F.col("col") - F.col("c0")) <= F.col("rad"))
-            )
-            .groupBy("point_id")
-            .count()
-            .toPandas()
-            .set_index("point_id")["count"]
-        )
-        done = [
-            pid for pid in remaining.point_id
-            if counts.get(pid, 0) >= k
-        ]
-        for pid in done:
-            need_r[pid] = R
-        remaining = remaining[~remaining.point_id.isin(done)]
-        R *= 2
-    for pid in remaining.point_id:
-        need_r[pid] = 1 << 20  # fewer than k valid pixels on the grid
+    est = points.select("point_id", "x", "y").mapInPandas(
+        estimate, schema="point_id long, x double, y double, r0 long, c0 long, rad long"
+    )
 
-    pts["rsafe"] = [int(math.ceil((int(need_r[p]) + 1) * aspect)) + 1 for p in pts.point_id]
-    probe = probe_df(pts, "rsafe")
+    # candidate tile keys via JVM sequence/explode (no driver-side pair
+    # materialization), clipped to the occupied tile bounds
+    tr_lo = F.greatest(F.floor((F.col("r0") - F.col("rad")) / tile), F.lit(t0b))
+    tr_hi = F.least(F.floor((F.col("r0") + F.col("rad")) / tile), F.lit(t1b))
+    tc_lo = F.greatest(F.floor((F.col("c0") - F.col("rad")) / tile), F.lit(u0b))
+    tc_hi = F.least(F.floor((F.col("c0") + F.col("rad")) / tile), F.lit(u1b))
+    probe = (
+        est.withColumn("_tr_lo", tr_lo).withColumn("_tr_hi", tr_hi)
+        .withColumn("_tc_lo", tc_lo).withColumn("_tc_hi", tc_hi)
+        # windows entirely off-grid generate nothing (a descending
+        # sequence() would otherwise emit bogus tiles)
+        .filter((F.col("_tr_lo") <= F.col("_tr_hi"))
+                & (F.col("_tc_lo") <= F.col("_tc_hi")))
+        .withColumn("_trow", F.explode(F.sequence("_tr_lo", "_tr_hi")))
+        .withColumn("_tcol", F.explode(F.sequence("_tc_lo", "_tc_hi")))
+        .select("point_id", "x", "y", "r0", "c0", "rad", "_trow", "_tcol")
+    )
     cand = (
         px.join(F.broadcast(probe), ["_trow", "_tcol"])
         .filter(

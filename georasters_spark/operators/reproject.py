@@ -298,39 +298,25 @@ def warp_numpy_oracle(
 # resampling modes beyond nearest (reference modes dict georasters.py:592-606)
 # ---------------------------------------------------------------------------
 
-def wgs84_to_cea_grid_bilinear(
+def _bilinear_from_lonlat(
     px: DataFrame,
+    target: DataFrame,
+    lon,
+    lat,
     src_origin: tuple[float, float],
     src_cellsize: tuple[float, float],
-    src_shape: tuple[int, int],
-    out_shape: tuple[int, int],
-    phi_s: float = 0.0,
-) -> DataFrame:
-    """CEA warp with BILINEAR resampling: each target cell center maps
-    to fractional source coordinates; the 4 surrounding cell centers
-    join in with (1−du)(1−dv)-style weights; masked neighbors drop out
-    of the join and the weight mass renormalizes over the valid ones
-    (GDAL nodata-aware bilinear). Pure DataFrame ops: one explode(4) +
-    equi-join + groupBy — no UDF."""
-    spark = px.sparkSession
-    h, w = src_shape
-    th, tw = out_shape
+):
+    """Shared nodata-aware bilinear gather, target-CRS-AGNOSTIC: the
+    caller supplies the target lattice (trow, tcol) and the inverse-
+    projected lon/lat Column expressions; everything from the
+    fractional source index on is identical across target CRSs. Each
+    target cell center maps to fractional source coordinates; the 4
+    surrounding cell centers join in with (1−du)(1−dv)-style weights;
+    masked neighbors drop out of the join and the weight mass
+    renormalizes over the valid ones (GDAL nodata-aware bilinear).
+    Pure DataFrame ops: one explode(4) + equi-join + groupBy — no UDF."""
     x0g, y0g = src_origin
     cx, cy = src_cellsize
-    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
-    tcx = (X1 - X0) / tw
-    tcy = (Y1 - Y0) / th
-    k = math.cos(math.radians(phi_s))
-
-    target = (
-        spark.range(th)
-        .select(F.col("id").alias("trow"))
-        .crossJoin(spark.range(tw).select(F.col("id").alias("tcol")))
-    )
-    xm = F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
-    ym = F.lit(Y0) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
-    lon = xm / F.lit(R * k) * F.lit(180.0) / F.lit(math.pi)
-    lat = F.asin(ym * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
     # fractional CENTER-based source index (cell r center at y0+(r+.5)cy)
     u = F.round((lat - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
     v = F.round((lon - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
@@ -363,7 +349,149 @@ def wgs84_to_cea_grid_bilinear(
         ).alias("value"),
         F.count(F.lit(1)).cast("long").alias("n_contrib"),
     )
-    return target.join(out, ["trow", "tcol"], "left")
+    return target.select("trow", "tcol").join(out, ["trow", "tcol"], "left")
+
+
+def wgs84_to_cea_grid_bilinear(
+    px: DataFrame,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    phi_s: float = 0.0,
+) -> DataFrame:
+    """CEA warp with BILINEAR resampling (see _bilinear_from_lonlat for
+    the kernel; this wrapper supplies the CEA inverse)."""
+    spark = px.sparkSession
+    h, w = src_shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    k = math.cos(math.radians(phi_s))
+
+    target = (
+        spark.range(th)
+        .select(F.col("id").alias("trow"))
+        .crossJoin(spark.range(tw).select(F.col("id").alias("tcol")))
+    )
+    xm = F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
+    ym = F.lit(Y0) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
+    lon = xm / F.lit(R * k) * F.lit(180.0) / F.lit(math.pi)
+    lat = F.asin(ym * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
+    return _bilinear_from_lonlat(px, target, lon, lat, src_origin, src_cellsize)
+
+
+def wgs84_to_webmercator_grid_bilinear(
+    px: DataFrame,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    lat_clip: float = 85.05112878,
+) -> DataFrame:
+    """Web-Mercator (EPSG:3857) warp with BILINEAR resampling — the
+    same CRS-agnostic kernel as CEA with the Mercator inverse
+    φ = 2·atan(exp(Y/R)) − π/2 supplied as the lon/lat parameter
+    (ref modes dict georasters.py:592-606)."""
+    spark = px.sparkSession
+    h, w = src_shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    lat_top = min(y0g, lat_clip)
+    lat_bot = max(y0g + h * cy, -lat_clip)
+    X0 = R * math.radians(x0g)
+    X1 = R * math.radians(x0g + w * cx)
+    Y0 = R * math.log(math.tan(math.pi / 4 + math.radians(lat_top) / 2))
+    Y1 = R * math.log(math.tan(math.pi / 4 + math.radians(lat_bot) / 2))
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+
+    target = (
+        spark.range(th)
+        .select(F.col("id").alias("trow"))
+        .crossJoin(spark.range(tw).select(F.col("id").alias("tcol")))
+    )
+    xm = F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
+    ym = F.lit(Y0) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
+    lon = xm / F.lit(R) * F.lit(180.0) / F.lit(math.pi)
+    lat = (F.lit(2.0) * F.atan(F.exp(ym / F.lit(R))) - F.lit(math.pi / 2)) \
+        * F.lit(180.0) / F.lit(math.pi)
+    return _bilinear_from_lonlat(px, target, lon, lat, src_origin, src_cellsize)
+
+
+def webmercator_bilinear_numpy_oracle(
+    full: np.ndarray,
+    ndv: float,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    out_shape: tuple[int, int],
+    lat_clip: float = 85.05112878,
+):
+    """Independent numpy Mercator bilinear warp (differential pytest
+    oracle, same contract as cea_bilinear_numpy_oracle)."""
+    h, w = full.shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    lat_top = min(y0g, lat_clip)
+    lat_bot = max(y0g + h * cy, -lat_clip)
+    X0 = R * math.radians(x0g)
+    X1 = R * math.radians(x0g + w * cx)
+    Y0 = R * math.log(math.tan(math.pi / 4 + math.radians(lat_top) / 2))
+    Y1 = R * math.log(math.tan(math.pi / 4 + math.radians(lat_bot) / 2))
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    tr, tc = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+    xm = X0 + (tc + 0.5) * tcx
+    ym = Y0 + (tr + 0.5) * tcy
+    lon = xm / R * 180.0 / np.pi
+    lat = (2.0 * np.arctan(np.exp(ym / R)) - np.pi / 2) * 180.0 / np.pi
+    # HALF_UP on the shortest decimal repr — exactly Spark's F.round
+    # (BigDecimal.valueOf + setScale(HALF_UP)). np.round is HALF_EVEN
+    # and the linear Mercator lon hits exact 4-dp ties (e.g. 34.65625),
+    # where the two rules diverge by a whole quantum.
+    u = _round_half_up((lat - y0g) / cy - 0.5, _Q)
+    v = _round_half_up((lon - x0g) / cx - 0.5, _Q)
+    r0 = np.floor(u).astype(np.int64)
+    c0 = np.floor(v).astype(np.int64)
+    du, dv = u - r0, v - c0
+    num = np.zeros(out_shape)
+    den = np.zeros(out_shape)
+    cnt = np.zeros(out_shape, dtype=np.int64)
+    valid = full != ndv
+    for a in (0, 1):
+        for b in (0, 1):
+            rr, cc = r0 + a, c0 + b
+            ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+            ok &= valid[np.clip(rr, 0, h - 1), np.clip(cc, 0, w - 1)]
+            wgt = (du if a else 1 - du) * (dv if b else 1 - dv)
+            num[ok] += wgt[ok] * full[rr[ok], cc[ok]]
+            den[ok] += wgt[ok]
+            cnt[ok] += 1
+    out = np.full(out_shape, np.nan)
+    nz = den > 0
+    out[nz] = num[nz] / den[nz]
+    return out, cnt
+
+
+def _round_half_up(arr: np.ndarray, q: int) -> np.ndarray:
+    """Element-wise decimal round emulating Spark's F.round exactly:
+    Java BigDecimal.valueOf(double) parses Double.toString — the
+    SHORTEST uniquely-identifying decimal repr (== Python repr) — then
+    setScale(q, HALF_UP). Test-oracle code (per-element Decimal), not a
+    hot path."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quantum = Decimal(1).scaleb(-q)
+    flat = [
+        float(Decimal(repr(float(x))).quantize(quantum, ROUND_HALF_UP))
+        for x in np.asarray(arr, dtype=np.float64).ravel()
+    ]
+    return np.asarray(flat, dtype=np.float64).reshape(np.shape(arr))
 
 
 def wgs84_to_cea_grid_average(
@@ -477,11 +605,13 @@ def reproject(
     dst = parse_crs(dst_crs)
     args = (px, src_origin, src_cellsize, src_shape, out_shape)
     if dst == "webmerc":
-        if resampling != "nearest":
-            raise NotImplementedError(
-                "WebMercator target currently supports nearest resampling"
-            )
-        return wgs84_to_webmercator_grid(*args)
+        if resampling == "nearest":
+            return wgs84_to_webmercator_grid(*args)
+        if resampling == "bilinear":
+            return wgs84_to_webmercator_grid_bilinear(*args)
+        raise NotImplementedError(
+            "WebMercator target supports nearest/bilinear resampling"
+        )
     if dst == "wgs84":
         raise NotImplementedError("identity reproject: use resize/extract")
     if resampling == "nearest":

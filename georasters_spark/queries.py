@@ -1832,8 +1832,90 @@ WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= {_EMB_DUP_T}"""
 
 
+# ---------------------------------------------------------------------------
+# q: audio_features — the first multimodal gate whose bytes are a REAL
+# media format: clips are synthesized as genuine RIFF/WAVE PCM16 files
+# (stdlib wave), decoded back through the real codec, and windowed
+# RMS/zero-crossing features are hashed against a DuckDB oracle that
+# recomputes them straight from the sample formula. Equality proves the
+# encode→decode round-trip bit-for-bit (a header/layout bug would shift
+# every sample and break the integer energy sums).
+# ---------------------------------------------------------------------------
+
+_AUD = {"n_clips": 24, "rate": 8000, "window_ms": 500, "hop_ms": 250}
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as MM
+
+    p = _AUD
+    rate = p["rate"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for cid in pdf["id"]:
+                c = int(cid)
+                dur = 500 + (c % 7) * 300
+                n = dur * rate // 1000
+                i = np.arange(n, dtype=np.int64)
+                s = ((i * 2654435761 + c * 97 + 12345) % 65536) - 32768
+                rows.append({
+                    "audio_id": c,
+                    "bytes": MM.encode_wav_pcm16(s.astype(np.int16), rate),
+                    "fmt": "wav", "duration_ms": dur,
+                })
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt", "duration_ms"])
+
+    clips = spark.range(p["n_clips"]).mapInPandas(
+        gen, schema="audio_id long, bytes binary, fmt string, duration_ms long"
+    )
+    return MM.audio_features(clips, window_ms=p["window_ms"], hop_ms=p["hop_ms"])
+
+
+def sql_audio_features() -> str:
+    p = _AUD
+    spms = p["rate"] // 1000  # samples per millisecond
+    return f"""WITH clips AS (
+  SELECT CAST(c.range AS BIGINT) AS audio_id,
+         500 + (c.range % 7) * 300 AS dur
+  FROM range({p['n_clips']}) c),
+wins AS (
+  SELECT audio_id, dur,
+         CAST(unnest(range((GREATEST(dur - {p['window_ms']}, 0) // {p['hop_ms']}) + 1)) AS BIGINT) AS window_idx
+  FROM clips),
+winb AS (
+  SELECT audio_id, window_idx,
+         window_idx * {p['hop_ms']} AS start_ms,
+         LEAST(window_idx * {p['hop_ms']} + {p['window_ms']}, dur) AS end_ms
+  FROM wins),
+smp AS (
+  SELECT audio_id, window_idx, start_ms, end_ms,
+         CAST(unnest(range(start_ms * {spms}, end_ms * {spms})) AS BIGINT) AS k
+  FROM winb),
+sval AS (
+  SELECT audio_id, window_idx, start_ms, end_ms, k,
+         ((k * 2654435761 + audio_id * 97 + 12345) % 65536) - 32768 AS s,
+         (((k - 1) * 2654435761 + audio_id * 97 + 12345) % 65536) - 32768 AS sp,
+         k = start_ms * {spms} AS first
+  FROM smp),
+feat AS (
+  SELECT audio_id, window_idx, start_ms, end_ms,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(s * s) AS BIGINT) AS energy,
+         CAST(SUM(CASE WHEN NOT first AND ((s >= 0) != (sp >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+  FROM sval GROUP BY 1, 2, 3, 4)
+SELECT audio_id, window_idx, start_ms, end_ms, n_samples, energy, zcr,
+       SQRT(CAST(energy AS DOUBLE) / n_samples) AS rms
+FROM feat"""
+
+
 QUERIES = {
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
+    "audio_features": (q_audio_features, sql_audio_features),
     "knn_tiles": (q_knn, sql_knn),
     "knn_pixels": (q_knn_pixels, sql_knn_pixels),
     "autocorr_global": (q_autocorr_global, sql_autocorr_global),

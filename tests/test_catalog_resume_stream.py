@@ -387,3 +387,56 @@ def test_audio_windows_plumbing(spark):
 
     with _pt.raises(NotImplementedError):
         MM.decode_any(b"\x00\x01", "mp3", 4, 4)
+
+
+def test_wav_codec_real_roundtrip():
+    """The WAV leg is a REAL codec: encode emits a genuine RIFF/WAVE
+    PCM16 container (stdlib-independent header check), decode recovers
+    the samples and rate bit-for-bit; compressed formats still raise."""
+    import numpy as np
+    import pytest
+
+    from georasters_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32768, 4321).astype(np.int16)
+    buf = MM.encode_wav_pcm16(s, 8000)
+    # real RIFF/WAVE layout, not a bespoke blob
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    assert buf[12:16] == b"fmt "
+    got, rate = MM.decode_audio(buf, "wav")
+    assert rate == 8000
+    assert np.array_equal(got, s)
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(buf, "mp3")
+
+
+def test_audio_features_vs_numpy(spark):
+    """audio_features == direct numpy on the same decoded samples
+    (window slicing, integer energy, sign-flip zcr, unrounded rms)."""
+    import numpy as np
+    import pandas as pd
+
+    from georasters_spark.operators import multimodal as MM
+
+    rate, dur = 8000, 1300
+    n = dur * rate // 1000
+    i = np.arange(n, dtype=np.int64)
+    s = (((i * 31 + 7) % 4001) - 2000).astype(np.int16)
+    buf = MM.encode_wav_pcm16(s, rate)
+    df = spark.createDataFrame(
+        pd.DataFrame([{"audio_id": 1, "bytes": buf, "fmt": "wav", "duration_ms": dur}]),
+        "audio_id long, bytes binary, fmt string, duration_ms long",
+    )
+    got = MM.audio_features(df, window_ms=500, hop_ms=250).toPandas()
+    assert len(got) == (dur - 500) // 250 + 1
+    sl = s.astype(np.int64)
+    for t in got.itertuples(index=False):
+        a = t.start_ms * rate // 1000
+        b = t.end_ms * rate // 1000
+        win = sl[a:b]
+        assert t.n_samples == b - a
+        assert t.energy == int((win * win).sum())
+        pos = win >= 0
+        assert t.zcr == int((pos[1:] != pos[:-1]).sum())
+        assert t.rms == float(np.sqrt(int((win * win).sum()) / (b - a)))

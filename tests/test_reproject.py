@@ -236,3 +236,29 @@ def test_cea_lanczos_matches_numpy(spark, images_t1):
                      src_cellsize=(spec.cellx, spec.celly),
                      src_shape=(spec.height, spec.width), out_shape=out_shape)
     assert d.count() == out_shape[0] * out_shape[1]
+
+
+def test_webmercator_bilinear_matches_numpy(spark, images_t1):
+    """reproject(..., 'EPSG:3857', resampling='bilinear') through the
+    dispatcher == the independent numpy Mercator bilinear warp (ref
+    modes dict georasters.py:592-606); exercises the CRS-agnostic
+    kernel with the Mercator inverse."""
+    spec = synth.T1
+    out_shape = (96, 192)
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    got = RP.reproject(
+        px, "EPSG:4326", "EPSG:3857",
+        (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), out_shape,
+        resampling="bilinear",
+    ).toPandas()
+    exp, cnt = RP.webmercator_bilinear_numpy_oracle(
+        synth.stitched_array(spec).astype(np.float64), spec.ndv,
+        (spec.x0, spec.y0), (spec.cellx, spec.celly), out_shape,
+    )
+    vals = got.dropna(subset=["value"])
+    assert len(vals) == int(np.isfinite(exp).sum())
+    for t in vals.itertuples(index=False):
+        assert abs(t.value - round(float(exp[t.trow, t.tcol]), 6)) < 1e-6
+        assert t.n_contrib == cnt[t.trow, t.tcol]
+    assert (vals.n_contrib < 4).any() and (vals.n_contrib == 4).any()

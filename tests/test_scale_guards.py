@@ -327,3 +327,34 @@ def test_zonal_extended_median_majority_vs_numpy(spark, images_t1):
         vals, cnts = np.unique(v, return_counts=True)
         want_maj = int(vals[np.lexsort((vals, -cnts))][0])
         assert out.loc[z.zone_id, "zmajority"] == want_maj
+
+
+def test_knn_executor_coordination_and_hierarchical_counts(spark, images_t1):
+    """knn_pixels: no cache leak (persistent-RDD count unchanged after a
+    full run) and identical exact results when the hierarchical
+    super-block counts are forced on (cap=1). knn_tiles: identical
+    results when counts aggregate at a coarse parent cell level."""
+    from georasters_spark.operators import knn as KN
+
+    spec = synth.T1
+    kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    px = PX.pixel_table(images_t1, valid_only=True, **kw).select(
+        "row", "col", "value", "xc", "yc"
+    )
+    pts = synth.points_df(spark, 6)
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    a = KN.knn_pixels(px, pts, k=4, **kw).toPandas()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, "knn_pixels leaked a cached table"
+
+    b = KN.knn_pixels(px, pts, k=4, max_count_blocks=1, **kw).toPandas()
+    a = a.sort_values(["point_id", "knn_rank"]).reset_index(drop=True)
+    b = b.sort_values(["point_id", "knn_rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    t_fine = KN.knn_tiles(images_t1, pts, res=3, k=3).toPandas()
+    t_coarse = KN.knn_tiles(images_t1, pts, res=3, k=3, max_count_cells=1).toPandas()
+    t_fine = t_fine.sort_values(["point_id", "knn_rank"]).reset_index(drop=True)
+    t_coarse = t_coarse.sort_values(["point_id", "knn_rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(t_fine, t_coarse)

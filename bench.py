@@ -47,13 +47,16 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     spec = synth.BENCH
     times: dict[str, float] = {}
 
-    # UNTIMED warm-up: spin up the Python worker pool + JIT the codec
-    # path on a 45-tile grid so the timed queries measure the engine,
-    # not process startup (the measured numbers' run-to-run variance
-    # was dominated by first-use worker forking)
+    # warm-up OUTSIDE the total (reported as its own line): spin up the
+    # Python worker pool + JIT the codec path on a 45-tile grid so the
+    # timed queries measure the engine, not process startup (the
+    # measured numbers' run-to-run variance was dominated by first-use
+    # worker forking)
+    t0 = time.time()
     warm = _build(spark, synth.T1)
     PX.pixel_table(warm, valid_only=True).agg(F.count("value")).collect()
     warm.unpersist()
+    times["_warmup_not_in_total"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     imgs = _build(spark, spec)
@@ -106,40 +109,68 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     SM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5).count()
     times["ann_topk"] = round(time.time() - t0, 3)
 
-    return times, imgs
-
-
-def run_queries_extra(spark, sf_dir: str, imgs) -> dict[str, float]:
-    """Round-2 operator timings, reported OUTSIDE the headline total so
-    bench_total_wall stays comparable round-over-round."""
-    from pyspark.sql import functions as F
-
-    from georasters_spark.operators import pixels as PX
+    # --- round-2 extras, TIMED from round 3 on (they were reported
+    # outside the total in BENCH_r02; the 9 lines above remain a
+    # like-for-like r02 comparison, summed separately in main()) ------
     from georasters_spark.operators import reproject as RP
-    from georasters_spark.operators import similarity as SM
-    from georasters_spark.sources import synth
-
-    spec = synth.BENCH
-    extra: dict[str, float] = {}
 
     t0 = time.time()
-    px = PX.pixel_table(imgs, valid_only=True).select("row", "col", "value")
+    px9 = PX.pixel_table(imgs, valid_only=True).select("row", "col", "value")
     RP.wgs84_to_cea_grid(
-        px, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        px9, (spec.x0, spec.y0), (spec.cellx, spec.celly),
         (spec.height, spec.width), (1024, 2048),
     ).filter(F.col("value").isNotNull()).count()
-    extra["reproject_nearest_9M"] = round(time.time() - t0, 3)
+    times["reproject_nearest_9M"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     SM.cosine_pairs_blocked(emb, threshold=0.45, n_blocks=4).count()
-    extra["embed_near_dup_gemm"] = round(time.time() - t0, 3)
+    times["embed_near_dup_gemm"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     cents = SM.kmeans_fit(emb, k=8, iters=3)
     SM.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), cents, k=5, nprobe=3).count()
-    extra["ivf_ann_fit_and_search"] = round(time.time() - t0, 3)
-    return extra
+    times["ivf_ann_fit_and_search"] = round(time.time() - t0, 3)
+
+    # --- round-3 operators -------------------------------------------
+    from georasters_spark.operators import algebra as AL
+    from georasters_spark.operators import multimodal as MM
+
+    t0 = time.time()
+    SJ.zonal_stats_extended(imgs, synth.ZONES_T1, base_plan="fused", **kw).collect()
+    times["zonal_median_majority"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pxq = PX.pixel_table(imgs, valid_only=True).filter(
+        (F.col("row") < 1024) & (F.col("col") < 1024)
+    ).select("row", "col", (F.col("value").cast("long") / 250).cast("long").alias("value"))
+    AL.polygonize(pxq, merge="distributed").count()
+    times["polygonize_1M_distributed"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    import numpy as np
+    import pandas as pd
+
+    def gen_wav(batches):
+        for pdf in batches:
+            rows = []
+            for cid in pdf["id"]:
+                c = int(cid)
+                dur = 500 + (c % 7) * 300
+                n = dur * 8
+                i = np.arange(n, dtype=np.int64)
+                s = ((i * 2654435761 + c * 97 + 12345) % 65536) - 32768
+                rows.append({"audio_id": c,
+                             "bytes": MM.encode_wav_pcm16(s.astype(np.int16), 8000),
+                             "fmt": "wav", "duration_ms": dur})
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt", "duration_ms"])
+
+    clips = spark.range(512).repartition(32).mapInPandas(
+        gen_wav, schema="audio_id long, bytes binary, fmt string, duration_ms long"
+    )
+    MM.audio_features(clips, window_ms=500, hop_ms=250).count()
+    times["audio_wav_features_512"] = round(time.time() - t0, 3)
+
+    return times, imgs
 
 
 def scaling_build(spark):
@@ -322,9 +353,15 @@ at the pixels/sec above, zonal stats + codec audit included.
 
     spark = _spark(cpus)
     times, imgs = run_queries(spark, sf_dir)
-    extra = run_queries_extra(spark, sf_dir, imgs)
     imgs.unpersist()
+    warmup = times.pop("_warmup_not_in_total")
     total = round(sum(times.values()), 3)
+    # the 9 queries BENCH_r02 timed, summed separately for a strict
+    # round-over-round comparison (the r03 total is a superset: the
+    # former untimed extras + round-3 operators are now timed)
+    r02_set = ["ingest_tiles", "zonal_stats", "zonal_stats_unfused",
+               "zonal_skew_salted", "decode_scan_agg", "map_pixel_10k",
+               "knn_1k_points", "jaccard_dedup", "ann_topk"]
     npx = 9331200
     print(
         json.dumps(
@@ -333,7 +370,8 @@ at the pixels/sec above, zonal stats + codec audit included.
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "queries_extra_untimed_in_total": extra,
+                "total_r02_comparable_9q": round(sum(times[q] for q in r02_set), 3),
+                "warmup_sec_not_in_total": warmup,
                 "sf": sf,
                 "pixels": npx,
                 "decode_scan_pixels_per_sec": round(npx / times["decode_scan_agg"]),

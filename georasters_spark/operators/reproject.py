@@ -571,16 +571,37 @@ _CRS_TOKENS = {
 
 def parse_crs(crs) -> str:
     """Normalize an EPSG int, 'EPSG:n' string, or proj4 prefix to one
-    of the supported tokens (wgs84 | cea | webmerc)."""
-    key = str(crs).strip().lower()
+    of the supported tokens: wgs84 | cea | webmerc | 'utm:<zone><n|s>'.
+    UTM accepts EPSG:32601-32660 (north) / 32701-32760 (south) and
+    '+proj=utm +zone=N [+south]' proj4 strings."""
+    raw = str(crs).strip().lower()
+    key = raw
     if key.startswith("+"):
+        if key.split()[0] == "+proj=utm":
+            zone = None
+            south = "+south" in key.split()
+            for tokn in key.split():
+                if tokn.startswith("+zone="):
+                    zone = int(tokn.split("=", 1)[1])
+            if zone is None or not (1 <= zone <= 60):
+                raise NotImplementedError("+proj=utm needs +zone=1..60")
+            return f"utm:{zone}{'s' if south else 'n'}"
         key = key.split()[0]
+    num = key.removeprefix("epsg:")
+    if num.isdigit():
+        code = int(num)
+        if 32601 <= code <= 32660:
+            return f"utm:{code - 32600}n"
+        if 32701 <= code <= 32760:
+            return f"utm:{code - 32700}s"
     tok = _CRS_TOKENS.get(key)
     if tok is None:
         raise NotImplementedError(
             f"CRS {crs!r} not supported in-sandbox (no GDAL/osr); supported: "
-            "EPSG:4326 (source), EPSG:6933/+proj=cea, EPSG:3857/+proj=merc "
-            "(targets). On a cluster, swap in a GDAL-backed transform."
+            "EPSG:4326 (source), EPSG:6933/+proj=cea, EPSG:3857/+proj=merc, "
+            "EPSG:326xx/327xx and +proj=utm (Krüger-series transverse "
+            "Mercator) targets. On a cluster, swap in a GDAL-backed "
+            "transform for anything else."
         )
     return tok
 
@@ -594,16 +615,30 @@ def reproject(
     src_shape: tuple[int, int],
     out_shape: tuple[int, int],
     resampling: str = "nearest",
+    bbox_lonlat=None,
 ) -> DataFrame:
     """Reference-shaped entry point (georasters.py:559-667):
     reproject(px, 'EPSG:4326', 'EPSG:3857', ..., resampling='bilinear').
 
     resampling: nearest | bilinear | average | sum | min | max | count
-    | mode (GDAL mode-name parity for the aggregate family)."""
+    | mode (GDAL mode-name parity for the aggregate family).
+    bbox_lonlat = (lon_min, lat_min, lon_max, lat_max) windows the
+    target extent (GDAL -te analog; required for UTM targets of
+    wider-than-zone sources)."""
     if parse_crs(src_crs) != "wgs84":
         raise NotImplementedError("only WGS84 sources are supported in-sandbox")
     dst = parse_crs(dst_crs)
     args = (px, src_origin, src_cellsize, src_shape, out_shape)
+    if dst.startswith("utm:"):
+        zone = int(dst[4:-1])
+        south = dst.endswith("s")
+        if resampling == "nearest":
+            return wgs84_to_utm_grid(*args, zone=zone, south=south,
+                                     bbox_lonlat=bbox_lonlat)
+        if resampling == "bilinear":
+            return wgs84_to_utm_grid_bilinear(*args, zone=zone, south=south,
+                                              bbox_lonlat=bbox_lonlat)
+        raise NotImplementedError("UTM target supports nearest/bilinear resampling")
     if dst == "webmerc":
         if resampling == "nearest":
             return wgs84_to_webmercator_grid(*args)
@@ -1008,3 +1043,307 @@ def cea_lanczos_numpy_oracle(
     nz = np.abs(den) >= 0.05
     out[nz] = num[nz] / den[nz]
     return out, cnt
+
+
+# ---------------------------------------------------------------------------
+# UTM / transverse Mercator (EPSG:326xx / 327xx, +proj=utm) — the
+# ellipsoidal Krüger series (4th order in the third flattening n; the
+# standard public formulation, e.g. Karney 2011 "Transverse Mercator
+# with an accuracy of a few nanometers" §3 / the classic Krüger 1912
+# series). Truncation error at 4th order is sub-millimeter inside a UTM
+# zone. The reference reaches these CRSs through GDAL
+# (georasters.py:559-667); here both directions are closed-form series:
+# forward in numpy (driver-side target-bounds + test oracles), inverse
+# as pure JVM Column trig (sin/cos/sinh/cosh/asin/atan2 — whole-stage
+# codegen, no UDF), so the warp stays an inverse-projection gather.
+# ---------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_FE = 500000.0
+
+
+def _tm_series(f: float = _WGS84_F):
+    """Krüger-series constants for an ellipsoid with flattening f:
+    rectifying radius A and the alpha (forward), beta (inverse series),
+    delta (conformal->geographic latitude) coefficient triples."""
+    n = f / (2.0 - f)
+    n2, n3, n4 = n * n, n ** 3, n ** 4
+    A = _WGS84_A / (1 + n) * (1 + n2 / 4 + n4 / 64)
+    alpha = (
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440,
+        61 * n3 / 240 - 103 * n4 / 140,
+        49561 * n4 / 161280,
+    )
+    beta = (
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440,
+        17 * n3 / 480 - 37 * n4 / 840,
+        4397 * n4 / 161280,
+    )
+    delta = (
+        2 * n - 2 * n2 / 3 - 2 * n3 + 116 * n4 / 45,
+        7 * n2 / 3 - 8 * n3 / 5 - 227 * n4 / 45,
+        56 * n3 / 15 - 136 * n4 / 35,
+        4279 * n4 / 630,
+    )
+    return n, A, alpha, beta, delta
+
+
+def utm_lon0(zone: int) -> float:
+    return zone * 6.0 - 183.0
+
+
+def tm_forward_np(lon, lat, lon0: float, k0: float = _UTM_K0,
+                  fe: float = _UTM_FE, fn: float = 0.0, f: float = _WGS84_F):
+    """Ellipsoidal transverse-Mercator forward (numpy): (lon, lat)
+    degrees -> (E, N) meters."""
+    n, A, alpha, _, _ = _tm_series(f)
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    es = 2.0 * math.sqrt(n) / (1.0 + n)
+    sphi = np.sin(phi)
+    t = np.sinh(np.arctanh(sphi) - es * np.arctanh(es * sphi))
+    xip = np.arctan2(t, np.cos(lam))
+    etap = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    xi = xip.copy()
+    eta = etap.copy()
+    for j, a in enumerate(alpha, 1):
+        xi = xi + a * np.sin(2 * j * xip) * np.cosh(2 * j * etap)
+        eta = eta + a * np.cos(2 * j * xip) * np.sinh(2 * j * etap)
+    return fe + k0 * A * eta, fn + k0 * A * xi
+
+
+def tm_inverse_np(E, N, lon0: float, k0: float = _UTM_K0,
+                  fe: float = _UTM_FE, fn: float = 0.0, f: float = _WGS84_F):
+    """Ellipsoidal transverse-Mercator inverse (numpy test oracle):
+    (E, N) meters -> (lon, lat) degrees."""
+    n, A, _, beta, delta = _tm_series(f)
+    xi = (np.asarray(N, dtype=np.float64) - fn) / (k0 * A)
+    eta = (np.asarray(E, dtype=np.float64) - fe) / (k0 * A)
+    xip = xi.copy()
+    etap = eta.copy()
+    for j, b in enumerate(beta, 1):
+        xip = xip - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        etap = etap - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xip) / np.cosh(etap))
+    phi = chi.copy()
+    for j, d in enumerate(delta, 1):
+        phi = phi + d * np.sin(2 * j * chi)
+    lam = np.arctan2(np.sinh(etap), np.cos(xip))
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+def tm_inverse_cols(E, N, lon0: float, k0: float = _UTM_K0,
+                    fe: float = _UTM_FE, fn: float = 0.0, f: float = _WGS84_F):
+    """The same inverse as pyspark Column expressions: (E, N) Columns ->
+    (lon, lat) Columns in degrees. Every term is built in the SAME
+    order as tm_inverse_np / tm_inverse_sql so all three agree to
+    engine-trig ulps (the gather quantization absorbs those)."""
+    n, A, _, beta, delta = _tm_series(f)
+    xi = (N - F.lit(fn)) / F.lit(k0 * A)
+    eta = (E - F.lit(fe)) / F.lit(k0 * A)
+    xip = xi
+    etap = eta
+    for j, b in enumerate(beta, 1):
+        xip = xip - F.lit(b) * F.sin(F.lit(float(2 * j)) * xi) * F.cosh(F.lit(float(2 * j)) * eta)
+        etap = etap - F.lit(b) * F.cos(F.lit(float(2 * j)) * xi) * F.sinh(F.lit(float(2 * j)) * eta)
+    chi = F.asin(F.sin(xip) / F.cosh(etap))
+    phi = chi
+    for j, d in enumerate(delta, 1):
+        phi = phi + F.lit(d) * F.sin(F.lit(float(2 * j)) * chi)
+    lam = F.atan2(F.sinh(etap), F.cos(xip))
+    lon = lam * F.lit(180.0) / F.lit(math.pi) + F.lit(lon0)
+    lat = phi * F.lit(180.0) / F.lit(math.pi)
+    return lon, lat
+
+
+def tm_inverse_sql(e_expr: str, n_expr: str, lon0: float, k0: float = _UTM_K0,
+                   fe: float = _UTM_FE, fn: float = 0.0,
+                   f: float = _WGS84_F) -> tuple[str, str, str]:
+    """DuckDB SQL for the same inverse, emitted term-for-term in the
+    tm_inverse_cols order. Returns (cte_sql, lon_col, lat_col): a CTE
+    chain computing lon/lat from columns e_expr/n_expr of table `tgt`
+    (intermediate CTEs carry trow/tcol through)."""
+    n, A, _, beta, delta = _tm_series(f)
+
+    # DuckDB has no sinh/cosh — spell them with exp. The downstream
+    # gather quantizes u before floor, so the ulp-level difference vs
+    # JVM Math.sinh/cosh is absorbed like every other trig difference.
+    def cosh_s(y: str) -> str:
+        return f"((exp({y}) + exp(-({y}))) / 2.0)"
+
+    def sinh_s(y: str) -> str:
+        return f"((exp({y}) - exp(-({y}))) / 2.0)"
+
+    xi = f"(({n_expr}) - {dlit(fn)}) / {dlit(k0 * A)}"
+    eta = f"(({e_expr}) - {dlit(fe)}) / {dlit(k0 * A)}"
+    xip_terms = "xi" + "".join(
+        f" - {dlit(b)} * sin({dlit(float(2 * j))} * xi) * "
+        + cosh_s(f"{dlit(float(2 * j))} * eta")
+        for j, b in enumerate(beta, 1)
+    )
+    etap_terms = "eta" + "".join(
+        f" - {dlit(b)} * cos({dlit(float(2 * j))} * xi) * "
+        + sinh_s(f"{dlit(float(2 * j))} * eta")
+        for j, b in enumerate(beta, 1)
+    )
+    phi_terms = "chi" + "".join(
+        f" + {dlit(d)} * sin({dlit(float(2 * j))} * chi)"
+        for j, d in enumerate(delta, 1)
+    )
+    cte = f"""t1 AS (SELECT trow, tcol, em, nm, {xi} AS xi, {eta} AS eta FROM tgt),
+t2 AS (SELECT trow, tcol, em, nm, {xip_terms} AS xip, {etap_terms} AS etap FROM t1),
+t3 AS (SELECT trow, tcol, em, nm, xip, etap, asin(sin(xip) / {cosh_s('etap')}) AS chi FROM t2),
+loc0 AS (SELECT trow, tcol, em, nm,
+                atan2({sinh_s('etap')}, cos(xip)) * 180.0 / pi() + {dlit(lon0)} AS lon,
+                ({phi_terms}) * 180.0 / pi() AS lat
+         FROM t3)"""
+    return cte, "lon", "lat"
+
+
+def _utm_target_bounds(src_origin, src_cellsize, src_shape, lon0: float,
+                       fn: float = 0.0, n_samples: int = 64,
+                       bbox_lonlat=None):
+    """Projected bounds of the source bbox: densely sample the bbox
+    BOUNDARY and forward-project (the TM image of a graticule rectangle
+    is not a rectangle; corner-only bounds would clip). Driver-side
+    numpy over 4·n_samples points — metadata cost. bbox_lonlat =
+    (lon_min, lat_min, lon_max, lat_max) overrides the source extent —
+    REQUIRED when the source grid is wider than the UTM zone (the
+    Krüger series diverges past ~±40° of the central meridian; a UTM
+    warp of a global raster targets one zone window, like GDAL -te)."""
+    h, w = src_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    if bbox_lonlat is not None:
+        lon_a, lat_a, lon_b, lat_b = bbox_lonlat
+    else:
+        lon_a, lon_b = x0g, x0g + w * cx
+        lat_a, lat_b = y0g + h * cy, y0g
+    if max(abs(lon_a - lon0), abs(lon_b - lon0)) > 40.0:
+        raise NotImplementedError(
+            "UTM target: source extent reaches beyond ±40° of the zone's "
+            "central meridian, where the Krüger series diverges — pass "
+            "bbox_lonlat to window the warp to the zone"
+        )
+    t = np.linspace(0.0, 1.0, n_samples)
+    lons = np.concatenate([
+        lon_a + (lon_b - lon_a) * t, lon_a + (lon_b - lon_a) * t,
+        np.full_like(t, lon_a), np.full_like(t, lon_b),
+    ])
+    lats = np.concatenate([
+        np.full_like(t, lat_a), np.full_like(t, lat_b),
+        lat_a + (lat_b - lat_a) * t, lat_a + (lat_b - lat_a) * t,
+    ])
+    E, N = tm_forward_np(lons, lats, lon0, fn=fn)
+    return float(E.min()), float(N.min()), float(E.max()), float(N.max())
+
+
+def wgs84_to_utm_grid(
+    px: DataFrame,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    zone: int,
+    south: bool = False,
+    bbox_lonlat=None,
+) -> DataFrame:
+    """Warp onto a UTM target grid (nearest): same inverse-gather shape
+    as CEA/WebMercator with the Krüger-series inverse as JVM Columns.
+    bbox_lonlat windows the target to the zone (see _utm_target_bounds)."""
+    spark = px.sparkSession
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    lon0 = utm_lon0(zone)
+    fn = 10000000.0 if south else 0.0
+    E0, N0b, E1, N1b = _utm_target_bounds(src_origin, src_cellsize, src_shape, lon0, fn,
+                                          bbox_lonlat=bbox_lonlat)
+    tcx = (E1 - E0) / tw
+    tcy = (N0b - N1b) / th  # negative: row 0 = max northing (north-up)
+
+    target = (
+        spark.range(th)
+        .select(F.col("id").alias("trow"))
+        .crossJoin(spark.range(tw).select(F.col("id").alias("tcol")))
+    )
+    em = F.lit(E0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
+    # N1b = MAX northing; tcy < 0, so row 0 sits at the top (north-up)
+    nm = F.lit(N1b) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
+    lon, lat = tm_inverse_cols(em, nm, lon0, fn=fn)
+    srow = F.floor(F.round((lat - F.lit(y0g)) / F.lit(cy), _Q)).cast("long")
+    scol = F.floor(F.round((lon - F.lit(x0g)) / F.lit(cx), _Q)).cast("long")
+    tgt = target.select(
+        "trow", "tcol", em.alias("em"), nm.alias("nm"),
+        srow.alias("row"), scol.alias("col"),
+    )
+    return tgt.join(px.select("row", "col", "value"), ["row", "col"], "left").select(
+        "trow", "tcol", "em", "nm", "value"
+    )
+
+
+def wgs84_to_utm_grid_bilinear(
+    px: DataFrame,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    zone: int,
+    south: bool = False,
+    bbox_lonlat=None,
+) -> DataFrame:
+    """UTM warp with bilinear resampling via the CRS-agnostic kernel."""
+    spark = px.sparkSession
+    th, tw = out_shape
+    lon0 = utm_lon0(zone)
+    fn = 10000000.0 if south else 0.0
+    E0, N0b, E1, N1b = _utm_target_bounds(src_origin, src_cellsize, src_shape, lon0, fn,
+                                          bbox_lonlat=bbox_lonlat)
+    tcx = (E1 - E0) / tw
+    tcy = (N0b - N1b) / th
+    target = (
+        spark.range(th)
+        .select(F.col("id").alias("trow"))
+        .crossJoin(spark.range(tw).select(F.col("id").alias("tcol")))
+    )
+    em = F.lit(E0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
+    nm = F.lit(N1b) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
+    lon, lat = tm_inverse_cols(em, nm, lon0, fn=fn)
+    return _bilinear_from_lonlat(px, target, lon, lat, src_origin, src_cellsize)
+
+
+def utm_numpy_oracle(
+    full: np.ndarray,
+    ndv: float,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    out_shape: tuple[int, int],
+    zone: int,
+    south: bool = False,
+    bbox_lonlat=None,
+):
+    """Independent numpy nearest UTM warp (differential pytest oracle)."""
+    h, w = full.shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    lon0 = utm_lon0(zone)
+    fn = 10000000.0 if south else 0.0
+    E0, N0b, E1, N1b = _utm_target_bounds(src_origin, src_cellsize, (h, w), lon0, fn,
+                                          bbox_lonlat=bbox_lonlat)
+    tcx = (E1 - E0) / tw
+    tcy = (N0b - N1b) / th
+    tr, tc = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+    em = E0 + (tc + 0.5) * tcx
+    nm = N1b + (tr + 0.5) * tcy
+    lon, lat = tm_inverse_np(em, nm, lon0, fn=fn)
+    srow = np.floor(np.round((lat - y0g) / cy, _Q)).astype(np.int64)
+    scol = np.floor(np.round((lon - x0g) / cx, _Q)).astype(np.int64)
+    out = np.full(out_shape, ndv)
+    ok = (srow >= 0) & (srow < h) & (scol >= 0) & (scol < w)
+    out[ok] = full[srow[ok], scol[ok]]
+    return out

@@ -943,6 +943,61 @@ def sql_reproject() -> str:
     )
 
 
+# UTM gate: zone-31 window warp; DuckDB recomputes the full Krüger-
+# series inverse (tm_inverse_sql emits it term-for-term in the Spark
+# Column order), so the gate hash-checks the whole transverse-Mercator
+# math, not just the gather.
+_UTM_GATE = {"zone": 31, "bbox": (0.0, 36.0, 6.0, 54.0), "out": (64, 32)}
+
+
+def q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import reproject as RP
+
+    spec = SPEC
+    p = _UTM_GATE
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.wgs84_to_utm_grid(
+        px,
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=p["out"],
+        zone=p["zone"],
+        bbox_lonlat=p["bbox"],
+    )
+
+
+def sql_reproject_utm() -> str:
+    from .operators import reproject as RP
+    from .operators.reproject import dlit
+
+    spec = SPEC
+    p = _UTM_GATE
+    lon0 = RP.utm_lon0(p["zone"])
+    E0, N0b, E1, N1b = RP._utm_target_bounds(
+        (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), lon0, 0.0, bbox_lonlat=p["bbox"],
+    )
+    th, tw = p["out"]
+    tcx = (E1 - E0) / tw
+    tcy = (N0b - N1b) / th
+    inv_cte, lon_col, lat_col = RP.tm_inverse_sql("em", "nm", lon0)
+    return f"""WITH {synth.pixel_sql(spec)},
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(E0)} + (tc.range + 0.5) * {dlit(tcx)} AS em,
+         {dlit(N1b)} + (tr.range + 0.5) * {dlit(tcy)} AS nm
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+{inv_cte},
+loc AS (
+  SELECT trow, tcol, em, nm,
+         CAST(FLOOR(ROUND(({lat_col} - {dlit(spec.y0)}) / {dlit(spec.celly)}, {RP._Q})) AS BIGINT) AS row,
+         CAST(FLOOR(ROUND(({lon_col} - {dlit(spec.x0)}) / {dlit(spec.cellx)}, {RP._Q})) AS BIGINT) AS col
+  FROM loc0)
+SELECT loc.trow, loc.tcol, loc.em AS em, loc.nm AS nm, px.value
+FROM loc LEFT JOIN px ON px.row = loc.row AND px.col = loc.col"""
+
+
 def q_reproject_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import reproject as RP
 
@@ -1939,6 +1994,7 @@ QUERIES = {
     "reproject_cea": (q_reproject, sql_reproject),
     "reproject_webmerc": (q_reproject_webmerc, sql_reproject_webmerc),
     "reproject_bilinear": (q_reproject_bilinear, sql_reproject_bilinear),
+    "reproject_utm": (q_reproject_utm, sql_reproject_utm),
     "psnr_gate_q8": (q_psnr_gate, sql_psnr_gate),
     "phash_near_dup": (q_phash_near_dup, sql_phash_near_dup),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),

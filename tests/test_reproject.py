@@ -262,3 +262,108 @@ def test_webmercator_bilinear_matches_numpy(spark, images_t1):
         assert abs(t.value - round(float(exp[t.trow, t.tcol]), 6)) < 1e-6
         assert t.n_contrib == cnt[t.trow, t.tcol]
     assert (vals.n_contrib < 4).any() and (vals.n_contrib == 4).any()
+
+
+def test_tm_series_three_independent_oracles():
+    """The Krüger-series transverse Mercator is validated three
+    independent ways (no GDAL/pyproj in-sandbox):
+      1. inverse∘forward == identity to <1e-10 deg across a zone
+         (alpha vs beta/delta series are independent derivations — a
+         transcribed coefficient error breaks closure),
+      2. on the central meridian, N == k0 · the ellipsoidal meridian
+         arc integrated numerically (Simpson, 2M points) to <1e-4 m —
+         validates A, the conformal latitude and the alpha series,
+      3. the f→0 limit equals the closed-form SPHERICAL transverse
+         Mercator exactly — validates the series structure."""
+    import math
+
+    rng = np.random.default_rng(3)
+    lon0 = RP.utm_lon0(31)
+    lon = lon0 + rng.uniform(-3.5, 3.5, 5000)
+    lat = rng.uniform(-80, 84, 5000)
+    E, N = RP.tm_forward_np(lon, lat, lon0)
+    lon2, lat2 = RP.tm_inverse_np(E, N, lon0)
+    assert np.abs(lon2 - lon).max() < 1e-10
+    assert np.abs(lat2 - lat).max() < 1e-10
+
+    a, f = RP._WGS84_A, RP._WGS84_F
+    e2 = f * (2 - f)
+    for latd in (10.0, 45.0, 70.0, -33.0):
+        phi = math.radians(latd)
+        m = 2_000_001
+        t = np.linspace(0.0, phi, m)
+        integrand = a * (1 - e2) / np.power(1 - e2 * np.sin(t) ** 2, 1.5)
+        h = phi / (m - 1)
+        arc = (integrand[0] + integrand[-1] + 4 * integrand[1:-1:2].sum()
+               + 2 * integrand[2:-1:2].sum()) * h / 3
+        E, N = RP.tm_forward_np(np.array([lon0]), np.array([latd]), lon0)
+        assert abs(E[0] - 500000.0) < 1e-6
+        assert abs(N[0] - 0.9996 * arc) < 1e-4, latd
+
+    lonr = np.radians(lon - lon0)
+    latr = np.radians(lat)
+    xs = 500000 + 0.9996 * a * np.arctanh(np.cos(latr) * np.sin(lonr))
+    ys = 0.9996 * a * np.arctan2(np.tan(latr), np.cos(lonr))
+    E0, N0 = RP.tm_forward_np(lon, lat, lon0, f=1e-300)
+    assert np.abs(E0 - xs).max() < 1e-6
+    assert np.abs(N0 - ys).max() < 1e-6
+
+
+def test_utm_warp_matches_numpy(spark, images_t1):
+    """Spark UTM nearest warp (JVM Column series inverse) == the numpy
+    differential oracle cell-for-cell (quantized gather), zone window
+    over lon [0,6] x lat [36,54]; bilinear variant within quantization
+    wiggle. South-hemisphere false northing checked via zone 31S."""
+    spec = synth.T1
+    out_shape = (64, 32)
+    bbox = (0.0, 36.0, 6.0, 54.0)
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    got = RP.reproject(
+        px, 4326, 32631,
+        (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), out_shape,
+        resampling="nearest", bbox_lonlat=bbox,
+    ).toPandas()
+    full = synth.stitched_array(spec).astype(np.float64)
+    exp = RP.utm_numpy_oracle(
+        full, spec.ndv, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        out_shape, zone=31, bbox_lonlat=bbox,
+    )
+    grid = np.full(out_shape, spec.ndv)
+    vals = got.dropna(subset=["value"])
+    grid[vals.trow.to_numpy(), vals.tcol.to_numpy()] = vals.value.to_numpy()
+    assert (grid != exp).sum() == 0
+
+    # south: zone 56S around Sydney-ish lon/lat (false northing path)
+    bbox_s = (150.0, -40.0, 156.0, -30.0)
+    got_s = RP.reproject(
+        px, "EPSG:4326", "+proj=utm +zone=56 +south",
+        (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), (32, 32),
+        resampling="nearest", bbox_lonlat=bbox_s,
+    ).toPandas()
+    exp_s = RP.utm_numpy_oracle(
+        full, spec.ndv, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (32, 32), zone=56, south=True, bbox_lonlat=bbox_s,
+    )
+    grid_s = np.full((32, 32), spec.ndv)
+    vs = got_s.dropna(subset=["value"])
+    grid_s[vs.trow.to_numpy(), vs.tcol.to_numpy()] = vs.value.to_numpy()
+    assert (grid_s != exp_s).sum() == 0
+    assert (got_s["nm"] > 4_000_000).all()  # false northing applied
+
+    # bilinear through the dispatcher runs and covers the window
+    bl = RP.reproject(
+        px, 4326, 32631,
+        (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), out_shape,
+        resampling="bilinear", bbox_lonlat=bbox,
+    ).toPandas()
+    assert len(bl) == out_shape[0] * out_shape[1]
+    assert bl["value"].notna().sum() > 0.8 * len(bl)
+    # and a global-extent UTM warp refuses loudly instead of diverging
+    import pytest
+    with pytest.raises(NotImplementedError, match="central meridian"):
+        RP.reproject(px, 4326, 32631, (spec.x0, spec.y0),
+                     (spec.cellx, spec.celly), (spec.height, spec.width),
+                     out_shape).toPandas()

@@ -402,6 +402,11 @@ def global_autocorr_rowstd(px: DataFrame, rook: bool = False) -> DataFrame:
             f"n*max|value| = {n * vmax:.3g} exceeds the exact-integer "
             "budget (6e16) of the 840-scaled decimal plan; rescale values"
         )
+    if vmax > 4 * 10**8:
+        raise ValueError(
+            f"max|value| = {vmax:.3g} exceeds the per-row int64 budget of "
+            "the Geary numerator (|c_num| <= 32·vmax² must fit a BIGINT)"
+        )
     foc = focal_stats(px, rook=rook, include_self=False).filter(F.col("ncnt") > 0)
     wfac = F.expr(f"CAST({_LCM8} DIV ncnt AS DECIMAL(4,0))")
     N = (F.col("value") * n - s).cast("decimal(19,0)")
@@ -411,9 +416,13 @@ def global_autocorr_rowstd(px: DataFrame, rook: bool = False) -> DataFrame:
         - 2 * F.col("value") * F.col("nsum")
         + F.col("nsum2")
     )
+    # c840 accumulates in decimal: the per-row term fits int64 (guard
+    # above), but Σ over 10^10+ cells exceeds it, and a long SUM would
+    # WRAP silently with ANSI off — the same wrong-not-error failure
+    # mode as the decimal casts
     row = foc.agg(
         F.sum(N * M * wfac).alias("a840"),
-        F.sum(c_num * F.expr(f"{_LCM8} DIV ncnt")).alias("c840"),
+        F.sum(c_num.cast("decimal(25,0)") * F.expr(f"{_LCM8} DIV ncnt")).alias("c840"),
         F.count(F.lit(1)).alias("nw"),
     ).collect()[0]
     a840, c840, nw = int(row["a840"]), int(row["c840"]), int(row["nw"])

@@ -342,10 +342,14 @@ def zonal_stats_extended(
     cellsize: tuple[float, float],
     mode: str = "center",
     base_plan: str = "fused",
+    percentiles: list[float] | None = None,
 ) -> DataFrame:
-    """zonal_stats + exact ``zmedian`` and ``zmajority`` — the remaining
-    rasterstats built-in stat names (median/majority,
-    georasters.py:908-947).
+    """zonal_stats + exact ``zmedian`` and ``zmajority`` — plus
+    ``zp<q>`` columns for each q in `percentiles` — the remaining
+    rasterstats built-in stat names (median/majority/percentile_XX,
+    georasters.py:908-947). Percentiles use numpy's default linear
+    interpolation (rank = (n−1)·q/100, v = v_lo + frac·(v_hi − v_lo)),
+    computed exactly from the value-count order statistics.
 
     Scale design: both extras are computed from the per-(zone, value)
     COUNT table, never from a whole-zone value vector. For integer
@@ -391,10 +395,33 @@ def zonal_stats_extended(
     )
     k1 = ((F.col("tot") + 1) / 2).cast("long")
     k2 = (F.col("tot") / 2).cast("long") + 1
-    med = vc2.groupBy("zone_id").agg(
+    med_aggs = [
         F.min(F.when(F.col("cum") >= k1, F.col("value"))).alias("m1"),
         F.min(F.when(F.col("cum") >= k2, F.col("value"))).alias("m2"),
-    ).select("zone_id", ((F.col("m1") + F.col("m2")) / 2.0).alias("zmedian"))
+    ]
+    pct_cols = []
+    for q in percentiles or []:
+        # numpy-linear order statistics: j = floor((n-1)q/100), indexes
+        # j and min(j+1, n-1) (1-based ranks j+1 / min(j+2, n))
+        tag = f"zp{q:g}".replace(".", "_")
+        jq = F.floor((F.col("tot") - 1) * F.lit(float(q)) / F.lit(100.0))
+        med_aggs += [
+            F.min(F.when(F.col("cum") >= jq + 1, F.col("value"))).alias(f"_{tag}_lo"),
+            F.min(F.when(F.col("cum") >= F.least(jq + 2, F.col("tot")), F.col("value"))).alias(f"_{tag}_hi"),
+            F.first(
+                (F.col("tot") - 1) * F.lit(float(q)) / F.lit(100.0) - jq
+            ).alias(f"_{tag}_frac"),
+        ]
+        pct_cols.append(tag)
+    med = vc2.groupBy("zone_id").agg(*med_aggs)
+    med_sel = ["zone_id", ((F.col("m1") + F.col("m2")) / 2.0).alias("zmedian")]
+    for tag in pct_cols:
+        med_sel.append(
+            (F.col(f"_{tag}_lo")
+             + F.col(f"_{tag}_frac") * (F.col(f"_{tag}_hi") - F.col(f"_{tag}_lo"))
+             ).alias(tag)
+        )
+    med = med.select(*med_sel)
     maj = vc.groupBy("zone_id").agg(
         F.max_by(
             "value", F.struct(F.col("cnt").alias("c"), (-F.col("value")).alias("nv"))

@@ -142,8 +142,9 @@ FROM tiles"""
 # ---------------------------------------------------------------------------
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fused zonal base moments + exact zmedian/zmajority (the full
-    rasterstats built-in stat-name set, georasters.py:908-947)."""
+    """Fused zonal base moments + exact zmedian/zmajority/zp25/zp90
+    (the full rasterstats built-in stat-name set incl. percentile_XX,
+    georasters.py:908-947)."""
     spec = SPEC
     return SJ.zonal_stats_extended(
         images_for(spark, spec),
@@ -151,6 +152,7 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         origin=(spec.x0, spec.y0),
         cellsize=(spec.cellx, spec.celly),
         base_plan="fused",
+        percentiles=[25, 90],
     )
 
 
@@ -174,10 +176,24 @@ base AS (
   FROM hits GROUP BY zone_id),
 med AS (SELECT zone_id, CAST(MEDIAN(value) AS DOUBLE) AS zmedian FROM hits GROUP BY zone_id),
 vc AS (SELECT zone_id, value, COUNT(*) AS cnt FROM hits GROUP BY 1, 2),
+vc2 AS (SELECT zone_id, value, cnt,
+               SUM(cnt) OVER (PARTITION BY zone_id ORDER BY value) AS cum,
+               SUM(cnt) OVER (PARTITION BY zone_id) AS tot
+        FROM vc),
+pct AS (SELECT zone_id,
+  MIN(CASE WHEN cum >= CAST(FLOOR((tot - 1) * 25.0 / 100.0) AS BIGINT) + 1 THEN value END)
+    + MAX((tot - 1) * 25.0 / 100.0 - CAST(FLOOR((tot - 1) * 25.0 / 100.0) AS BIGINT))
+      * (MIN(CASE WHEN cum >= LEAST(CAST(FLOOR((tot - 1) * 25.0 / 100.0) AS BIGINT) + 2, tot) THEN value END)
+         - MIN(CASE WHEN cum >= CAST(FLOOR((tot - 1) * 25.0 / 100.0) AS BIGINT) + 1 THEN value END)) AS zp25,
+  MIN(CASE WHEN cum >= CAST(FLOOR((tot - 1) * 90.0 / 100.0) AS BIGINT) + 1 THEN value END)
+    + MAX((tot - 1) * 90.0 / 100.0 - CAST(FLOOR((tot - 1) * 90.0 / 100.0) AS BIGINT))
+      * (MIN(CASE WHEN cum >= LEAST(CAST(FLOOR((tot - 1) * 90.0 / 100.0) AS BIGINT) + 2, tot) THEN value END)
+         - MIN(CASE WHEN cum >= CAST(FLOOR((tot - 1) * 90.0 / 100.0) AS BIGINT) + 1 THEN value END)) AS zp90
+  FROM vc2 GROUP BY zone_id),
 maj AS (SELECT zone_id, CAST(value AS BIGINT) AS zmajority FROM vc
         QUALIFY ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY cnt DESC, value ASC) = 1)
-SELECT base.*, med.zmedian, maj.zmajority
-FROM base JOIN med USING (zone_id) JOIN maj USING (zone_id)"""
+SELECT base.*, med.zmedian, pct.zp25, pct.zp90, maj.zmajority
+FROM base JOIN med USING (zone_id) JOIN pct USING (zone_id) JOIN maj USING (zone_id)"""
 
 
 # ---------------------------------------------------------------------------

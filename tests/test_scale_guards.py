@@ -309,7 +309,7 @@ def test_zonal_extended_median_majority_vs_numpy(spark, images_t1):
     out = SJ.zonal_stats_extended(
         images_t1, synth.ZONES_T1,
         origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly),
-        base_plan="agg",
+        base_plan="agg", percentiles=[25, 90],
     ).toPandas().set_index("zone_id")
     full = synth.stitched_array(spec).astype(np.float64)
     valid = full != spec.ndv
@@ -324,6 +324,9 @@ def test_zonal_extended_median_majority_vs_numpy(spark, images_t1):
             continue
         v = full[hit].astype(np.int64)
         assert out.loc[z.zone_id, "zmedian"] == float(np.median(v))
+        # rasterstats percentile_XX parity: numpy's default linear rule
+        assert abs(out.loc[z.zone_id, "zp25"] - np.percentile(v, 25)) < 1e-9
+        assert abs(out.loc[z.zone_id, "zp90"] - np.percentile(v, 90)) < 1e-9
         vals, cnts = np.unique(v, return_counts=True)
         want_maj = int(vals[np.lexsort((vals, -cnts))][0])
         assert out.loc[z.zone_id, "zmajority"] == want_maj

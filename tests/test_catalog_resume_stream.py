@@ -358,10 +358,15 @@ def test_expire_snapshots_and_orphan_gc(spark, tmp_path):
     expired = t.expire_snapshots(keep_last=1)
     assert expired == [1, 2]
     assert t.scan(spark).count() == 7  # current contents untouched
-    with pytest.raises(FileNotFoundError):
-        t.snapshot(1)  # time travel to expired versions is gone
+    # time travel to expired versions is gone — None (end-of-chain for
+    # parent walks like the streaming high-water-mark), not an exception
+    assert t.snapshot(1) is None
 
-    removed = t.remove_orphan_files()
+    # retention window: a FRESH unreferenced dir (indistinguishable
+    # from an in-flight concurrent append) is NOT deleted...
+    assert t.remove_orphan_files() == []
+    # ...but crash garbage older than the window is
+    removed = t.remove_orphan_files(older_than_seconds=0)
     assert any("snap-99-deadbeef" in r for r in removed)
     # all three data dirs remain referenced by the surviving snapshot
     assert t.scan(spark).count() == 7

@@ -361,3 +361,11 @@ def test_knn_executor_coordination_and_hierarchical_counts(spark, images_t1):
     t_fine = t_fine.sort_values(["point_id", "knn_rank"]).reset_index(drop=True)
     t_coarse = t_coarse.sort_values(["point_id", "knn_rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(t_fine, t_coarse)
+
+
+def test_gini_all_zero_input_is_nan(spark):
+    """Zero value total: the reference's B = sum(y)/(y_last·n) divides
+    by zero and yields nan — not a ZeroDivisionError crash."""
+    vals = spark.range(10).select(F.lit(0).cast("long").alias("value"))
+    got = AL.gini_agg(vals).toPandas().iloc[0]
+    assert got["n"] == 10 and np.isnan(got["gini"])

@@ -134,17 +134,53 @@ def infer_grid_from_points(df: DataFrame, x_col: str = "x", y_col: str = "y") ->
       * origin = (min x, max y); grid reindexed to 0..max(row/col), so
         missing cells become ndv.
     Returns {'xmin','ymax','cellx','celly','nrows','ncols'} computed
-    distributed (window lag over sorted distinct coords)."""
-    from pyspark.sql import Window as W
+    distributed: range-partitioned per-partition max gaps over sorted
+    distinct coords + cross-partition boundary gaps combined from the
+    tiny (one row per partition) partials — the same two-phase pattern
+    as gini/map_vector; no unpartitioned Window (which would funnel
+    every distinct coordinate through ONE task at scale)."""
+    import pandas as pd
+    from pyspark import TaskContext
 
     def max_gap(col):
-        d = df.select(F.col(col).alias("v")).distinct()
-        w = W.orderBy("v")
-        g = d.withColumn("gap", F.col("v") - F.lag("v").over(w))
-        row = g.agg(
-            F.max("gap").alias("mx"), F.min("v").alias("lo"), F.max("v").alias("hi")
-        ).collect()[0]
-        return float(row["mx"]) if row["mx"] is not None else 1.0, float(row["lo"]), float(row["hi"])
+        d = (
+            df.select(F.col(col).cast("double").alias("v"))
+            .distinct()
+            .repartitionByRange(32, "v")
+            .sortWithinPartitions("v")
+        )
+
+        def partials(batches):
+            pid = TaskContext.get().partitionId()
+            lo = hi = None
+            mx = 0.0
+            prev = None
+            for pdf in batches:
+                v = pdf["v"].to_numpy()
+                if len(v) == 0:
+                    continue
+                if prev is not None:
+                    mx = max(mx, float(v[0] - prev))
+                if len(v) > 1:
+                    mx = max(mx, float(np.diff(v).max()))
+                lo = float(v[0]) if lo is None else lo
+                hi = float(v[-1])
+                prev = v[-1]
+            if lo is None:
+                return
+            yield pd.DataFrame({"pid": [pid], "lo": [lo], "hi": [hi], "mx": [mx]})
+
+        rows = sorted(
+            d.mapInPandas(partials, schema="pid int, lo double, hi double, mx double")
+            .collect(),
+            key=lambda r: r.pid,
+        )
+        if not rows:
+            return 1.0, 0.0, 0.0
+        mx = max(r.mx for r in rows)
+        for a, b in zip(rows, rows[1:]):  # cross-partition boundary gaps
+            mx = max(mx, b.lo - a.hi)
+        return (mx if mx > 0 else 1.0), rows[0].lo, rows[-1].hi
 
     cx, xlo, xhi = max_gap(x_col)
     cy, ylo, yhi = max_gap(y_col)

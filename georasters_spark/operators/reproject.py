@@ -566,6 +566,8 @@ _CRS_TOKENS = {
     "cea": "cea", "epsg:6933": "cea", "6933": "cea", "+proj=cea": "cea",
     "webmercator": "webmerc", "epsg:3857": "webmerc", "3857": "webmerc",
     "epsg:900913": "webmerc", "+proj=merc": "webmerc",
+    "sinusoidal": "sinu", "esri:54008": "sinu", "54008": "sinu",
+    "+proj=sinu": "sinu",
 }
 
 
@@ -646,6 +648,14 @@ def reproject(
             return wgs84_to_webmercator_grid_bilinear(*args)
         raise NotImplementedError(
             "WebMercator target supports nearest/bilinear resampling"
+        )
+    if dst == "sinu":
+        if resampling == "nearest":
+            return wgs84_to_sinusoidal_grid(*args)
+        if resampling == "bilinear":
+            return wgs84_to_sinusoidal_grid_bilinear(*args)
+        raise NotImplementedError(
+            "sinusoidal target supports nearest/bilinear resampling"
         )
     if dst == "wgs84":
         raise NotImplementedError("identity reproject: use resize/extract")
@@ -1341,6 +1351,123 @@ def utm_numpy_oracle(
     em = E0 + (tc + 0.5) * tcx
     nm = N1b + (tr + 0.5) * tcy
     lon, lat = tm_inverse_np(em, nm, lon0, fn=fn)
+    srow = np.floor(np.round((lat - y0g) / cy, _Q)).astype(np.int64)
+    scol = np.floor(np.round((lon - x0g) / cx, _Q)).astype(np.int64)
+    out = np.full(out_shape, ndv)
+    ok = (srow >= 0) & (srow < h) & (scol >= 0) & (scol < w)
+    out[ok] = full[srow[ok], scol[ok]]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sinusoidal (the MODIS land-grid projection, +proj=sinu / ESRI:54008):
+# spherical closed forms x = R·λ·cos(φ), y = R·φ; inverse φ = y/R,
+# λ = x/(R·cos φ). Equal-area; same inverse-gather shape as CEA.
+# ---------------------------------------------------------------------------
+
+def _sinu_bounds(src_origin, src_cellsize, src_shape, n_samples: int = 64):
+    """Projected bounds by boundary sampling (|x| peaks at the lowest-
+    |latitude| edge, so corners alone under-cover)."""
+    h, w = src_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    lon_a, lon_b = x0g, x0g + w * cx
+    lat_a, lat_b = y0g + h * cy, y0g
+    t = np.linspace(0.0, 1.0, n_samples)
+    lons = np.concatenate([
+        lon_a + (lon_b - lon_a) * t, lon_a + (lon_b - lon_a) * t,
+        np.full_like(t, lon_a), np.full_like(t, lon_b),
+    ])
+    lats = np.concatenate([
+        np.full_like(t, lat_a), np.full_like(t, lat_b),
+        lat_a + (lat_b - lat_a) * t, lat_a + (lat_b - lat_a) * t,
+    ])
+    X = R * np.radians(lons) * np.cos(np.radians(lats))
+    Y = R * np.radians(lats)
+    return float(X.min()), float(Y.min()), float(X.max()), float(Y.max())
+
+
+def wgs84_to_sinusoidal_grid(
+    px: DataFrame,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+) -> DataFrame:
+    """Warp onto a sinusoidal target grid (nearest) — pure Column trig."""
+    spark = px.sparkSession
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y0b, X1, Y1b = _sinu_bounds(src_origin, src_cellsize, src_shape)
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th  # negative: row 0 at max y (north-up)
+
+    target = (
+        spark.range(th)
+        .select(F.col("id").alias("trow"))
+        .crossJoin(spark.range(tw).select(F.col("id").alias("tcol")))
+    )
+    xm = F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
+    ym = F.lit(Y1b) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
+    lat = ym / F.lit(R) * F.lit(180.0) / F.lit(math.pi)
+    lon = xm / (F.lit(R) * F.cos(ym / F.lit(R))) * F.lit(180.0) / F.lit(math.pi)
+    srow = F.floor(F.round((lat - F.lit(y0g)) / F.lit(cy), _Q)).cast("long")
+    scol = F.floor(F.round((lon - F.lit(x0g)) / F.lit(cx), _Q)).cast("long")
+    tgt = target.select(
+        "trow", "tcol", xm.alias("xm"), ym.alias("ym"),
+        srow.alias("row"), scol.alias("col"),
+    )
+    return tgt.join(px.select("row", "col", "value"), ["row", "col"], "left").select(
+        "trow", "tcol", "xm", "ym", "value"
+    )
+
+
+def wgs84_to_sinusoidal_grid_bilinear(
+    px: DataFrame,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+) -> DataFrame:
+    """Sinusoidal warp, bilinear, via the CRS-agnostic kernel."""
+    spark = px.sparkSession
+    th, tw = out_shape
+    X0, Y0b, X1, Y1b = _sinu_bounds(src_origin, src_cellsize, src_shape)
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    target = (
+        spark.range(th)
+        .select(F.col("id").alias("trow"))
+        .crossJoin(spark.range(tw).select(F.col("id").alias("tcol")))
+    )
+    xm = F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
+    ym = F.lit(Y1b) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
+    lat = ym / F.lit(R) * F.lit(180.0) / F.lit(math.pi)
+    lon = xm / (F.lit(R) * F.cos(ym / F.lit(R))) * F.lit(180.0) / F.lit(math.pi)
+    return _bilinear_from_lonlat(px, target, lon, lat, src_origin, src_cellsize)
+
+
+def sinusoidal_numpy_oracle(
+    full: np.ndarray,
+    ndv: float,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    out_shape: tuple[int, int],
+) -> np.ndarray:
+    """Independent numpy sinusoidal nearest warp (pytest oracle)."""
+    h, w = full.shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y0b, X1, Y1b = _sinu_bounds(src_origin, src_cellsize, (h, w))
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    tr, tc = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+    xm = X0 + (tc + 0.5) * tcx
+    ym = Y1b + (tr + 0.5) * tcy
+    lat = ym / R * 180.0 / np.pi
+    lon = xm / (R * np.cos(ym / R)) * 180.0 / np.pi
     srow = np.floor(np.round((lat - y0g) / cy, _Q)).astype(np.int64)
     scol = np.floor(np.round((lon - x0g) / cx, _Q)).astype(np.int64)
     out = np.full(out_shape, ndv)

@@ -1014,6 +1014,48 @@ SELECT loc.trow, loc.tcol, loc.em AS em, loc.nm AS nm, px.value
 FROM loc LEFT JOIN px ON px.row = loc.row AND px.col = loc.col"""
 
 
+def q_reproject_sinu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sinusoidal (MODIS-grid) warp — closed-form equal-area target."""
+    from .operators import reproject as RP
+
+    spec = SPEC
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.wgs84_to_sinusoidal_grid(
+        px,
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=(90, 180),
+    )
+
+
+def sql_reproject_sinu() -> str:
+    from .operators import reproject as RP
+    from .operators.reproject import dlit
+
+    spec = SPEC
+    X0, Y0b, X1, Y1b = RP._sinu_bounds(
+        (spec.x0, spec.y0), (spec.cellx, spec.celly), (spec.height, spec.width)
+    )
+    th, tw = 90, 180
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    Rl = dlit(RP.R)
+    return f"""WITH {synth.pixel_sql(spec)},
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
+         {dlit(Y1b)} + (tr.range + 0.5) * {dlit(tcy)} AS ym
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+loc AS (
+  SELECT trow, tcol, xm, ym,
+         CAST(FLOOR(ROUND((ym / {Rl} * 180.0 / pi() - {dlit(spec.y0)}) / {dlit(spec.celly)}, {RP._Q})) AS BIGINT) AS row,
+         CAST(FLOOR(ROUND((xm / ({Rl} * cos(ym / {Rl})) * 180.0 / pi() - {dlit(spec.x0)}) / {dlit(spec.cellx)}, {RP._Q})) AS BIGINT) AS col
+  FROM tgt)
+SELECT loc.trow, loc.tcol, loc.xm AS xm, loc.ym AS ym, px.value
+FROM loc LEFT JOIN px ON px.row = loc.row AND px.col = loc.col"""
+
+
 def q_reproject_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import reproject as RP
 
@@ -2011,6 +2053,7 @@ QUERIES = {
     "reproject_webmerc": (q_reproject_webmerc, sql_reproject_webmerc),
     "reproject_bilinear": (q_reproject_bilinear, sql_reproject_bilinear),
     "reproject_utm": (q_reproject_utm, sql_reproject_utm),
+    "reproject_sinu": (q_reproject_sinu, sql_reproject_sinu),
     "psnr_gate_q8": (q_psnr_gate, sql_psnr_gate),
     "phash_near_dup": (q_phash_near_dup, sql_phash_near_dup),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),

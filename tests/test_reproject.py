@@ -146,7 +146,9 @@ def test_reproject_dispatcher_and_agg_modes(spark, images_t1):
     m = RP.reproject(px, "+proj=longlat +datum=WGS84", "+proj=merc", **kw)
     assert m.count() == out_shape[0] * out_shape[1]
     with pytest.raises(NotImplementedError):
-        RP.reproject(px, 4326, "EPSG:32633", **kw)  # arbitrary UTM: no GDAL
+        # UTM IS supported now (Krüger series) — but a GLOBAL-extent
+        # source must window to the zone via bbox_lonlat, else refuse
+        RP.reproject(px, 4326, "EPSG:32633", **kw)
     with pytest.raises(NotImplementedError):
         RP.reproject(px, 4326, 6933, resampling="cubicspline", **kw)
 
@@ -367,3 +369,36 @@ def test_utm_warp_matches_numpy(spark, images_t1):
         RP.reproject(px, 4326, 32631, (spec.x0, spec.y0),
                      (spec.cellx, spec.celly), (spec.height, spec.width),
                      out_shape).toPandas()
+
+
+def test_sinusoidal_matches_numpy(spark, images_t1):
+    """Sinusoidal (MODIS-grid) nearest warp through the dispatcher ==
+    the independent numpy oracle cell-for-cell; bilinear runs via the
+    CRS-agnostic kernel; proj4/ESRI aliases parse."""
+    spec = synth.T1
+    out_shape = (72, 144)
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    got = RP.reproject(
+        px, 4326, "+proj=sinu",
+        (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), out_shape,
+        resampling="nearest",
+    ).toPandas()
+    full = synth.stitched_array(spec).astype(np.float64)
+    exp = RP.sinusoidal_numpy_oracle(
+        full, spec.ndv, (spec.x0, spec.y0), (spec.cellx, spec.celly), out_shape
+    )
+    grid = np.full(out_shape, spec.ndv)
+    vals = got.dropna(subset=["value"])
+    grid[vals.trow.to_numpy(), vals.tcol.to_numpy()] = vals.value.to_numpy()
+    assert (grid != exp).sum() == 0
+    assert RP.parse_crs("ESRI:54008") == "sinu"
+
+    bl = RP.reproject(
+        px, 4326, "sinusoidal",
+        (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), (45, 90),
+        resampling="bilinear",
+    ).toPandas()
+    assert len(bl) == 45 * 90
+    assert bl["value"].notna().sum() > 0.4 * len(bl)  # globe in a sinusoid

@@ -665,13 +665,17 @@ def reproject(
         return wgs84_to_cea_grid_bilinear(*args)
     if resampling == "cubic":
         return wgs84_to_cea_grid_cubic(*args)
+    if resampling == "cubicspline":
+        return wgs84_to_cea_grid_cubic(*args, kernel="bspline")
     if resampling == "lanczos":
         return wgs84_to_cea_grid_lanczos(*args)
     agg = {"average": "mean", "sum": "sum", "min": "min", "max": "max",
            "count": "count", "mode": "mode"}.get(resampling)
     if agg is None:
-        raise NotImplementedError(f"resampling {resampling!r} not supported "
-                                  "(have nearest/bilinear/cubic/lanczos/average/sum/min/max/count/mode; cubicspline needs a global B-spline prefilter — out of scope)")
+        raise NotImplementedError(
+            f"resampling {resampling!r} not supported (have nearest/bilinear/"
+            "cubic/cubicspline/lanczos/average/sum/min/max/count/mode — the "
+            "FULL GDAL mode dict, georasters.py:592-606)")
     return wgs84_to_cea_grid_average(*args, how=agg)
 
 
@@ -810,11 +814,16 @@ def wgs84_to_cea_grid_cubic(
     src_shape: tuple[int, int],
     out_shape: tuple[int, int],
     phi_s: float = 0.0,
+    kernel: str = "catmull",
 ) -> DataFrame:
-    """CEA warp with CUBIC-convolution resampling (Catmull-Rom,
-    a = -0.5 — the GDAL 'cubic' kernel): 4×4 neighbor gather with the
+    """CEA warp with CUBIC resampling: 4×4 neighbor gather with
     piecewise-cubic weights, masked neighbors dropped and the weight
-    mass renormalized. explode(16) + equi-join + groupBy, no UDF."""
+    mass renormalized. explode(16) + equi-join + groupBy, no UDF.
+    kernel='catmull' (a = -0.5 — the GDAL 'cubic' kernel) or
+    'bspline' (the cubic B-spline basis — GDAL's 'cubicspline'
+    APPROXIMATING kernel: all-positive partition-of-unity weights,
+    smoothing rather than interpolating, hence LOCAL — no global
+    prefilter is involved in GDAL's mode either)."""
     spark = px.sparkSession
     h, w = src_shape
     th, tw = out_shape
@@ -850,6 +859,17 @@ def wgs84_to_cea_grid_cubic(
             .otherwise(F.lit(-0.5) * t3 + F.lit(2.5) * t2 - F.lit(4.0) * t + F.lit(2.0))
         )
 
+    def bspline(t):
+        """Cubic B-spline basis weight for distance column t."""
+        t2, t3 = t * t, t * t * t
+        two_t = F.lit(2.0) - t
+        return (
+            F.when(t <= 1.0, (F.lit(4.0) - F.lit(6.0) * t2 + F.lit(3.0) * t3) / F.lit(6.0))
+            .otherwise(two_t * two_t * two_t / F.lit(6.0))
+        )
+
+    wfun = catmull if kernel == "catmull" else bspline
+
     corners = tgt.select(
         "trow", "tcol", "r0", "c0", "du", "dv",
         F.explode(F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -858,8 +878,8 @@ def wgs84_to_cea_grid_cubic(
         "trow", "tcol",
         (F.col("r0") + F.col("o.a")).alias("row"),
         (F.col("c0") + F.col("o.b")).alias("col"),
-        (catmull(F.abs(F.col("o.a") - F.col("du")))
-         * catmull(F.abs(F.col("o.b") - F.col("dv")))).alias("wgt"),
+        (wfun(F.abs(F.col("o.a") - F.col("du")))
+         * wfun(F.abs(F.col("o.b") - F.col("dv")))).alias("wgt"),
     )
     j = corners.join(px.select("row", "col", "value"), ["row", "col"])
     # Catmull-Rom has NEGATIVE lobes: when nodata removes the positive
@@ -883,9 +903,11 @@ def cea_cubic_numpy_oracle(
     src_cellsize: tuple[float, float],
     out_shape: tuple[int, int],
     phi_s: float = 0.0,
+    kernel: str = "catmull",
 ):
-    """Independent numpy Catmull-Rom warp (same quantized index, same
-    valid-weight renormalization). Returns (value, n_contrib)."""
+    """Independent numpy cubic warp (same quantized index, same
+    valid-weight renormalization); kernel='catmull' | 'bspline'.
+    Returns (value, n_contrib)."""
     h, w = full.shape
     th, tw = out_shape
     x0g, y0g = src_origin
@@ -905,9 +927,15 @@ def cea_cubic_numpy_oracle(
     c0 = np.floor(v).astype(np.int64)
     du, dv = u - r0, v - c0
 
-    def cm(t):
+    def cm_catmull(t):
         return np.where(t <= 1.0, 1.5 * t**3 - 2.5 * t**2 + 1.0,
                         -0.5 * t**3 + 2.5 * t**2 - 4.0 * t + 2.0)
+
+    def cm_bspline(t):
+        return np.where(t <= 1.0, (4.0 - 6.0 * t**2 + 3.0 * t**3) / 6.0,
+                        (2.0 - t) ** 3 / 6.0)
+
+    cm = cm_catmull if kernel == "catmull" else cm_bspline
 
     valid = full != ndv
     num = np.zeros(out_shape)

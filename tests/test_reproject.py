@@ -150,7 +150,7 @@ def test_reproject_dispatcher_and_agg_modes(spark, images_t1):
         # source must window to the zone via bbox_lonlat, else refuse
         RP.reproject(px, 4326, "EPSG:32633", **kw)
     with pytest.raises(NotImplementedError):
-        RP.reproject(px, 4326, 6933, resampling="cubicspline", **kw)
+        RP.reproject(px, 4326, 6933, resampling="nope", **kw)
 
     # aggregate modes vs numpy forward-bucketing
     s, n = RP.cea_average_numpy_oracle(
@@ -402,3 +402,38 @@ def test_sinusoidal_matches_numpy(spark, images_t1):
     ).toPandas()
     assert len(bl) == 45 * 90
     assert bl["value"].notna().sum() > 0.4 * len(bl)  # globe in a sinusoid
+
+
+def test_cea_cubicspline_matches_numpy(spark, images_t1):
+    """resampling='cubicspline' (GDAL's APPROXIMATING cubic B-spline —
+    a local all-positive partition-of-unity 4x4 kernel, no global
+    prefilter in GDAL's mode either) == the independent numpy oracle;
+    B-spline weights never overshoot the local value range."""
+    spec = synth.T1
+    out_shape = (60, 120)
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    got = RP.reproject(
+        px, 4326, 6933,
+        (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), out_shape,
+        resampling="cubicspline",
+    ).toPandas()
+    exp, cnt = RP.cea_cubic_numpy_oracle(
+        synth.stitched_array(spec).astype(np.float64), spec.ndv,
+        (spec.x0, spec.y0), (spec.cellx, spec.celly), out_shape,
+        kernel="bspline",
+    )
+    vals = got.dropna(subset=["value"])
+    assert len(vals) == int(np.isfinite(exp).sum())
+    for t in vals.itertuples(index=False):
+        assert abs(t.value - round(float(exp[t.trow, t.tcol]), 6)) < 1e-6
+        assert t.n_contrib == cnt[t.trow, t.tcol]
+    # all-positive kernel: a convex combination -> inside the data range
+    assert vals.value.min() >= 0.0 and vals.value.max() <= 1996.0
+    # and it genuinely differs from the interpolating Catmull-Rom
+    exp_cm, _ = RP.cea_cubic_numpy_oracle(
+        synth.stitched_array(spec).astype(np.float64), spec.ndv,
+        (spec.x0, spec.y0), (spec.cellx, spec.celly), out_shape,
+    )
+    both = np.isfinite(exp) & np.isfinite(exp_cm)
+    assert np.abs(exp[both] - exp_cm[both]).max() > 1.0

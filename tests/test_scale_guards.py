@@ -369,3 +369,48 @@ def test_gini_all_zero_input_is_nan(spark):
     vals = spark.range(10).select(F.lit(0).cast("long").alias("value"))
     got = AL.gini_agg(vals).toPandas().iloc[0]
     assert got["n"] == 10 and np.isnan(got["gini"])
+
+
+def test_t2_tier_round3_operators(spark):
+    """4x-scale drill (2160x1080, 2.3M cells) for round-3 operators:
+    the distributed polygonize merge equals the driver union-find on a
+    T2-sized quantized field, and the UTM Krüger warp matches its numpy
+    oracle at T2 resolution."""
+    from georasters_spark.operators import reproject as RP
+
+    spec = synth.T2
+    imgs = synth.build_images(spark, spec).cache()
+    try:
+        px = PX.pixel_table(imgs, valid_only=True).select(
+            "row", "col", F.col("value").cast("long").alias("value")
+        )
+
+        # polygonize: distributed min-label propagation == driver
+        # union-find on the full T2 grid (quantized /250)
+        pq = px.select("row", "col", (F.col("value") / 250).cast("long").alias("value"))
+        a = AL.polygonize(pq, merge="driver").toPandas()
+        b = AL.polygonize(pq, merge="distributed").toPandas()
+        key = ["region_id"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 100_000  # genuinely large region set
+
+        # UTM zone-31 window warp at T2 vs the numpy oracle
+        out_shape = (128, 64)
+        bbox = (0.0, 30.0, 6.0, 60.0)
+        got = RP.wgs84_to_utm_grid(
+            px, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+            (spec.height, spec.width), out_shape, zone=31, bbox_lonlat=bbox,
+        ).toPandas()
+        full = synth.stitched_array(spec).astype(np.float64)
+        exp = RP.utm_numpy_oracle(
+            full, spec.ndv, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+            out_shape, zone=31, bbox_lonlat=bbox,
+        )
+        grid = np.full(out_shape, spec.ndv)
+        vals = got.dropna(subset=["value"])
+        grid[vals.trow.to_numpy(), vals.tcol.to_numpy()] = vals.value.to_numpy()
+        assert (grid != exp).sum() == 0
+    finally:
+        imgs.unpersist()

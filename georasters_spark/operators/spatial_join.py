@@ -425,9 +425,17 @@ def zonal_stats_extended(
     maj = vc.groupBy("zone_id").agg(
         F.max_by(
             "value", F.struct(F.col("cnt").alias("c"), (-F.col("value")).alias("nv"))
-        ).cast("long").alias("zmajority")
+        ).cast("long").alias("zmajority"),
+        # minority = LEAST frequent value, ties to the smallest value;
+        # unique = distinct value count (rasterstats minority/unique)
+        F.min_by(
+            "value", F.struct(F.col("cnt").alias("c"), F.col("value").alias("v"))
+        ).cast("long").alias("zminority"),
+        F.count(F.lit(1)).cast("long").alias("zunique"),
     )
-    return base.join(med, "zone_id").join(maj, "zone_id")
+    out = base.join(med, "zone_id").join(maj, "zone_id")
+    # rasterstats 'range'
+    return out.withColumn("zrange", (F.col("zmax") - F.col("zmin")).cast("long"))
 
 
 def zonal_stats_custom(

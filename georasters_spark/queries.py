@@ -191,9 +191,14 @@ pct AS (SELECT zone_id,
          - MIN(CASE WHEN cum >= CAST(FLOOR((tot - 1) * 90.0 / 100.0) AS BIGINT) + 1 THEN value END)) AS zp90
   FROM vc2 GROUP BY zone_id),
 maj AS (SELECT zone_id, CAST(value AS BIGINT) AS zmajority FROM vc
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY cnt DESC, value ASC) = 1)
-SELECT base.*, med.zmedian, pct.zp25, pct.zp90, maj.zmajority
-FROM base JOIN med USING (zone_id) JOIN pct USING (zone_id) JOIN maj USING (zone_id)"""
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY cnt DESC, value ASC) = 1),
+mnr AS (SELECT zone_id, CAST(value AS BIGINT) AS zminority FROM vc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY cnt ASC, value ASC) = 1),
+unq AS (SELECT zone_id, CAST(COUNT(*) AS BIGINT) AS zunique FROM vc GROUP BY zone_id)
+SELECT base.*, med.zmedian, pct.zp25, pct.zp90, maj.zmajority,
+       mnr.zminority, unq.zunique, CAST(base.zmax - base.zmin AS BIGINT) AS zrange
+FROM base JOIN med USING (zone_id) JOIN pct USING (zone_id)
+     JOIN maj USING (zone_id) JOIN mnr USING (zone_id) JOIN unq USING (zone_id)"""
 
 
 # ---------------------------------------------------------------------------

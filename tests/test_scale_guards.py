@@ -330,6 +330,10 @@ def test_zonal_extended_median_majority_vs_numpy(spark, images_t1):
         vals, cnts = np.unique(v, return_counts=True)
         want_maj = int(vals[np.lexsort((vals, -cnts))][0])
         assert out.loc[z.zone_id, "zmajority"] == want_maj
+        want_mnr = int(vals[np.lexsort((vals, cnts))][0])
+        assert out.loc[z.zone_id, "zminority"] == want_mnr
+        assert out.loc[z.zone_id, "zunique"] == len(vals)
+        assert out.loc[z.zone_id, "zrange"] == int(v.max() - v.min())
 
 
 def test_knn_executor_coordination_and_hierarchical_counts(spark, images_t1):

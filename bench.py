@@ -92,7 +92,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     from georasters_spark.operators import knn as KN
 
-    KN.knn_tiles(imgs, synth.points_df(spark, 1000), res=spec.cell_res, k=5).count()
+    KN.knn_tiles(imgs, synth.points_df(spark, 1000), res=spec.cell_res, k=5,
+                 count_res=spec.cell_res).count()
     times["knn_1k_points"] = round(time.time() - t0, 3)
 
     t0 = time.time()

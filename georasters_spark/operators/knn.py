@@ -41,6 +41,7 @@ def knn_tiles(
     res: int,
     k: int,
     max_count_cells: int = 1 << 20,
+    count_res: int | None = None,
 ) -> DataFrame:
     """k nearest tiles (by center euclidean distance in lon/lat) per
     query point. points: (point_id, x, y). Returns
@@ -69,12 +70,15 @@ def knn_tiles(
 
     # 1. pick the count level: one cheap scalar aggregate; occupied
     #    parents shrink ~4x per step, so the step count is computed
-    #    directly instead of probing level by level
-    occ = tiles.select(F.countDistinct("cell_id")).collect()[0][0] or 0
-    s = 0
-    while occ > max_count_cells * (4 ** s) and (res - s) > 0:
-        s += 1
-    count_res = res - s
+    #    directly instead of probing level by level. Callers that know
+    #    the index is small pass count_res explicitly and skip the job.
+    if count_res is None:
+        occ = tiles.select(F.countDistinct("cell_id")).collect()[0][0] or 0
+        s = 0
+        while occ > max_count_cells * (4 ** s) and (res - s) > 0:
+            s += 1
+        count_res = res - s
+    s = res - count_res
     S = 1 << s
     na = 1 << count_res
     # parent cell id from the child id: res field swapped, morton >> 2s

@@ -365,6 +365,10 @@ def test_knn_executor_coordination_and_hierarchical_counts(spark, images_t1):
     t_fine = t_fine.sort_values(["point_id", "knn_rank"]).reset_index(drop=True)
     t_coarse = t_coarse.sort_values(["point_id", "knn_rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(t_fine, t_coarse)
+    # explicit count_res skips the countDistinct job, same results
+    t_skip = KN.knn_tiles(images_t1, pts, res=3, k=3, count_res=3).toPandas()
+    t_skip = t_skip.sort_values(["point_id", "knn_rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(t_fine, t_skip)
 
 
 def test_gini_all_zero_input_is_nan(spark):

@@ -2031,9 +2031,53 @@ SELECT audio_id, window_idx, start_ms, end_ms, n_samples, energy, zcr,
 FROM feat"""
 
 
+# ---------------------------------------------------------------------------
+# q: terrain — Horn slope/aspect/hillshade (gdaldem algorithm) over the
+# synthetic field as a pseudo-DEM. Exact-integer weighted neighbor sums
+# feed an identical double/trig chain on both engines.
+# ---------------------------------------------------------------------------
+
+def q_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEM = the UNMASKED synthetic field (the nodata stripes leave
+    almost no full 3×3 window on the masked table, which would make the
+    gate trivially all-NULL; the decode path is covered by 20 other
+    gates — this one gates the terrain math on a dense surface)."""
+    from .operators import terrain as TR
+
+    spec = SPEC
+    dem = (
+        spark.range(spec.height)
+        .select(F.col("id").alias("row"))
+        .crossJoin(spark.range(spec.width).select(F.col("id").alias("col")))
+        .select(
+            "row", "col",
+            ((F.col("row") * 7919 + F.col("col") * 104729 + F.lit(spec.seed)) % 1997)
+            .alias("value"),
+        )
+    )
+    return TR.slope_aspect_hillshade(
+        dem, cellsize=(spec.cellx, spec.celly), zfactor=0.001
+    )
+
+
+def sql_terrain() -> str:
+    from .operators import terrain as TR
+
+    spec = SPEC
+    dem_cte = f"""px AS (
+  SELECT CAST(r.range AS BIGINT) AS row, CAST(c.range AS BIGINT) AS col,
+         CAST((r.range*7919 + c.range*104729 + {spec.seed}) % 1997 AS BIGINT) AS value
+  FROM range({spec.height}) r CROSS JOIN range({spec.width}) c
+)"""
+    return TR.terrain_sql(
+        dem_cte, cellsize=(spec.cellx, spec.celly), zfactor=0.001
+    )
+
+
 QUERIES = {
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
     "audio_features": (q_audio_features, sql_audio_features),
+    "terrain": (q_terrain, sql_terrain),
     "knn_tiles": (q_knn, sql_knn),
     "knn_pixels": (q_knn_pixels, sql_knn_pixels),
     "autocorr_global": (q_autocorr_global, sql_autocorr_global),

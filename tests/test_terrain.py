@@ -1,0 +1,74 @@
+"""Terrain derivatives (Horn slope/aspect/hillshade) vs an independent
+numpy shift-based implementation."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from georasters_spark.operators import pixels as PX
+from georasters_spark.operators import terrain as TR
+from georasters_spark.sources import synth
+
+
+def test_terrain_matches_numpy(spark, images_t1):
+    """Dense DEM = the unmasked formula field (the masked table's
+    nodata stripes leave ~no full 3x3 windows); the masked/edge NULL
+    rule is covered by test_terrain_flat_and_edge_rules and the
+    valid-table block below."""
+    spec = synth.T1
+    rr = np.arange(spec.height)[:, None]
+    cc = np.arange(spec.width)[None, :]
+    full = synth.field_value(rr, cc, spec.seed).astype(np.float64)
+    dem = (
+        spark.range(spec.height).select(F.col("id").alias("row"))
+        .crossJoin(spark.range(spec.width).select(F.col("id").alias("col")))
+        .select("row", "col",
+                ((F.col("row") * 7919 + F.col("col") * 104729 + F.lit(spec.seed))
+                 % 1997).alias("value"))
+    )
+    got = TR.slope_aspect_hillshade(
+        dem, cellsize=(spec.cellx, spec.celly), zfactor=0.001
+    ).toPandas()
+    slope, aspect, hs = TR.terrain_numpy_oracle(
+        full, -1.0, (spec.cellx, spec.celly), zfactor=0.001
+    )
+    assert len(got) > 100_000
+    n_full = 0
+    for t in got.itertuples(index=False):
+        es, ea, eh = slope[t.row, t.col], aspect[t.row, t.col], hs[t.row, t.col]
+        if t.slope_deg is None or np.isnan(t.slope_deg):
+            assert np.isnan(es)
+            continue
+        n_full += 1
+        assert abs(t.slope_deg - es) < 1e-5
+        assert abs(t.hillshade - eh) < 1e-4
+        if t.aspect_deg is None or (isinstance(t.aspect_deg, float) and np.isnan(t.aspect_deg)):
+            assert np.isnan(ea)
+        else:
+            # compass wrap: 0 == 360
+            d = abs(t.aspect_deg - ea) % 360.0
+            assert min(d, 360.0 - d) < 1e-5
+    assert n_full > 50_000  # interior cells really exercised
+    # sanity: slopes land in (0, 90), hillshade in [0, 255]
+    v = got.dropna(subset=["slope_deg"])
+    assert (v.slope_deg >= 0).all() and (v.slope_deg < 90).all()
+    assert (v.hillshade >= 0).all() and (v.hillshade <= 255).all()
+
+
+def test_terrain_flat_and_edge_rules(spark):
+    """A constant 5x5 patch: interior cells are FLAT (slope 0, aspect
+    NULL, hillshade = 255*cos(zen)); edge cells have NULL derivatives."""
+    import math
+
+    import pandas as pd
+
+    rows = [(r, c, 7) for r in range(5) for c in range(5)]
+    px = spark.createDataFrame(pd.DataFrame(rows, columns=["row", "col", "value"]),
+                               "row long, col long, value long")
+    out = TR.slope_aspect_hillshade(px, cellsize=(1.0, -1.0)).toPandas()
+    inner = out[(out.row.between(1, 3)) & (out.col.between(1, 3))]
+    assert (inner.slope_deg == 0.0).all()
+    assert inner.aspect_deg.isna().all()
+    want_hs = round(255.0 * math.cos(math.radians(45.0)), 6)
+    assert (inner.hillshade == want_hs).all()
+    edge = out[(out.row == 0)]
+    assert edge.slope_deg.isna().all()

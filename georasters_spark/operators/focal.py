@@ -1,0 +1,160 @@
+"""Generic focal (neighborhood) operators: distributed k×k stencils.
+
+The reference's escape hatch for neighborhood filters is `gr.raster`
++ scipy.ndimage on a single in-memory array (SURVEY §2.6 ufunc family);
+at 10^12 pixels that array does not exist. Here a stencil runs as ONE
+grouped-map stage over tiles with an m = k//2 cell halo (the same
+halo-replication trick as distance.block_sssp): every pixel is shipped
+to its home tile plus any adjacent tile whose window overlaps it, each
+task rebuilds its (tile+2m)² window in numpy, applies the kernel with
+numpy sliding windows, and emits only its interior cells — so results
+are exactly what a single giant array would produce, with per-task
+memory (tile+2m)² and a single hash exchange on the tile keys.
+
+`focal_sums` (sum/count/mean of valid cells in the k×k window,
+self-inclusive) is the exactly-gated instance: integer window sums are
+bit-reproducible, and the DuckDB oracle recomputes them with a
+(2m+1)²-offset neighbor join — an independent check that the halo
+assembly loses/duplicates nothing across tile seams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _halo_tiled(px: DataFrame, tile: int, m: int) -> DataFrame:
+    """Pixels replicated to home tile + any neighbor tile whose k×k
+    windows reach them (border band of width m)."""
+    if not (0 < m < tile):
+        raise ValueError("need 0 < k//2 < tile")
+    spark = px.sparkSession
+    offsets = spark.createDataFrame(
+        [(da, db) for da in (-1, 0, 1) for db in (-1, 0, 1)],
+        "da int, db int",
+    )
+    base = px.select(
+        "row", "col", "value",
+        F.floor(F.col("row") / tile).alias("_tr"),
+        F.floor(F.col("col") / tile).alias("_tc"),
+        F.pmod(F.col("row"), tile).alias("_br"),
+        F.pmod(F.col("col"), tile).alias("_bc"),
+    )
+    member = (
+        ((F.col("da") == -1) & (F.col("_br") < m))
+        | (F.col("da") == 0)
+        | ((F.col("da") == 1) & (F.col("_br") >= tile - m))
+    ) & (
+        ((F.col("db") == -1) & (F.col("_bc") < m))
+        | (F.col("db") == 0)
+        | ((F.col("db") == 1) & (F.col("_bc") >= tile - m))
+    )
+    return (
+        base.crossJoin(F.broadcast(offsets))
+        .filter(member)
+        .select(
+            "row", "col", "value",
+            (F.col("_tr") + F.col("da")).alias("trow"),
+            (F.col("_tc") + F.col("db")).alias("tcol"),
+        )
+    )
+
+
+def focal_apply(
+    px: DataFrame,
+    fn,
+    k: int,
+    tile: int = 64,
+    out_schema: str = "row long, col long, value double",
+    out_builder=None,
+) -> DataFrame:
+    """Run an arbitrary k×k stencil `fn` distributed with exact tile-
+    seam semantics. fn(win, valid) receives the k×k sliding-window
+    views of the tile's padded value array (shape (t, t, k, k), nan
+    outside the data) and the matching validity windows, and returns
+    one array (t, t) — or, with out_builder, a dict of named (t, t)
+    arrays matching out_schema. Only VALID interior cells emit rows."""
+    m = k // 2
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        r0, c0 = ty * tile - m, tx * tile - m
+        side = tile + 2 * m
+        val = np.full((side, side), np.nan)
+        lr = pdf["row"].to_numpy(np.int64) - r0
+        lc = pdf["col"].to_numpy(np.int64) - c0
+        val[lr, lc] = pdf["value"].to_numpy(np.float64)
+        valid = ~np.isnan(val)
+        swv = np.lib.stride_tricks.sliding_window_view(val, (k, k))
+        swm = np.lib.stride_tricks.sliding_window_view(valid, (k, k))
+        res = fn(swv, swm)  # (t, t) or dict of (t, t)
+        interior_valid = valid[m:-m, m:-m] if m else valid
+        rr, cc = np.nonzero(interior_valid)
+        out = {
+            "row": rr.astype(np.int64) + ty * tile,
+            "col": cc.astype(np.int64) + tx * tile,
+        }
+        if isinstance(res, dict):
+            for name, arr in res.items():
+                out[name] = arr[rr, cc]
+        else:
+            out["value"] = res[rr, cc]
+        return pd.DataFrame(out)
+
+    return _halo_tiled(px, tile, m).groupBy("trow", "tcol").applyInPandas(
+        kernel, schema=out_schema
+    )
+
+
+def focal_sums(px: DataFrame, k: int, tile: int = 64, round_dp: int = 6) -> DataFrame:
+    """Exact k×k focal sum/count/mean of VALID cells (self-inclusive):
+    (row, col, value, fsum, fcnt, fmean). Integer inputs stay exact
+    BIGINTs through the window sums; fmean = round(double(fsum)/fcnt)."""
+
+    def fn(swv, swm):
+        v = np.where(swm, swv, 0.0)
+        fsum = v.sum(axis=(2, 3))
+        fcnt = swm.sum(axis=(2, 3))
+        return {"fsum": fsum, "fcnt": fcnt.astype(np.float64)}
+
+    raw = focal_apply(
+        px.select("row", "col", F.col("value").cast("long").alias("value")),
+        fn, k, tile=tile,
+        out_schema="row long, col long, fsum double, fcnt double",
+    )
+    out = raw.select(
+        "row", "col",
+        F.col("fsum").cast("long").alias("fsum"),
+        F.col("fcnt").cast("long").alias("fcnt"),
+        F.round(F.col("fsum") / F.col("fcnt"), round_dp).alias("fmean"),
+    )
+    return out.join(
+        px.select("row", "col", F.col("value").cast("long").alias("value")),
+        ["row", "col"],
+    ).select("row", "col", "value", "fsum", "fcnt", "fmean")
+
+
+def focal_sums_sql(px_cte: str, k: int, round_dp: int = 6) -> str:
+    """DuckDB oracle: the same focal sums via a (2m+1)²-offset neighbor
+    join — independent of the tile/halo machinery."""
+    m = k // 2
+    offsets = ", ".join(
+        f"({dr}, {dc})" for dr in range(-m, m + 1) for dc in range(-m, m + 1)
+    )
+    return f"""WITH {px_cte},
+offs(dr, dc) AS (VALUES {offsets}),
+cand AS (
+  SELECT a.row, a.col, a.value, a.row + o.dr AS r2, a.col + o.dc AS c2
+  FROM px a CROSS JOIN offs o),
+s AS (
+  SELECT cand.row, cand.col, CAST(MIN(cand.value) AS BIGINT) AS value,
+         CAST(SUM(b.value) AS BIGINT) AS fsum,
+         CAST(COUNT(*) AS BIGINT) AS fcnt
+  FROM cand JOIN px b ON b.row = cand.r2 AND b.col = cand.c2
+  GROUP BY 1, 2)
+SELECT row, col, value, fsum, fcnt,
+       ROUND(CAST(fsum AS DOUBLE) / fcnt, {round_dp}) AS fmean
+FROM s"""

@@ -2074,10 +2074,30 @@ def sql_terrain() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# q: focal_mean_5x5 — distributed k×k stencil (tile + halo grouped-map);
+# the DuckDB 25-offset neighbor-join oracle independently proves the
+# halo assembly loses/duplicates nothing across tile seams.
+# ---------------------------------------------------------------------------
+
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import focal as FO
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return FO.focal_sums(px, k=5)
+
+
+def sql_focal_mean() -> str:
+    from .operators import focal as FO
+
+    return FO.focal_sums_sql(synth.pixel_sql(SPEC), k=5)
+
+
 QUERIES = {
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
     "audio_features": (q_audio_features, sql_audio_features),
     "terrain": (q_terrain, sql_terrain),
+    "focal_mean_5x5": (q_focal_mean, sql_focal_mean),
     "knn_tiles": (q_knn, sql_knn),
     "knn_pixels": (q_knn_pixels, sql_knn_pixels),
     "autocorr_global": (q_autocorr_global, sql_autocorr_global),

@@ -193,3 +193,170 @@ def terrain_numpy_oracle(full: np.ndarray, ndv: float, cellsize: tuple[float, fl
     )
     hs = np.where(full8, hs, np.nan)
     return slope, aspect, hs
+
+
+# ---------------------------------------------------------------------------
+# D8 hydrology: flow direction + flow accumulation.
+# ---------------------------------------------------------------------------
+
+# ESRI power-of-2 direction codes, with the exact-integer descent score:
+# steepest drop RATE Δ/d compared via Δ²·(2 if straight else 1) — both
+# sides integer (d² ∈ {1,2}; Δ ≥ 0 so squaring preserves order), so the
+# argmax is engine-exact with the (score DESC, code ASC) tie-break.
+D8_OFFSETS = [
+    (0, 1, 1, 2),     # E
+    (1, 1, 2, 1),     # SE
+    (1, 0, 4, 2),     # S
+    (1, -1, 8, 1),    # SW
+    (0, -1, 16, 2),   # W
+    (-1, -1, 32, 1),  # NW
+    (-1, 0, 64, 2),   # N
+    (-1, 1, 128, 1),  # NE
+]
+_D8_STEP = {code: (dr, dc) for dr, dc, code, _ in D8_OFFSETS}
+
+
+def d8_flow_direction(px: DataFrame) -> DataFrame:
+    """(row, col, value, d8): steepest-descent D8 code (0 = pit/flat —
+    no strictly lower neighbor). Unit-grid D8 (standard for square-ish
+    cells); STRICT descent only, ties to the smallest code."""
+    spark = px.sparkSession
+    offs = spark.createDataFrame(D8_OFFSETS, "dr int, dc int, code int, wt int")
+    a = px.select("row", "col", F.col("value").cast("long").alias("value"))
+    b = px.select(
+        F.col("row").alias("r2"), F.col("col").alias("c2"),
+        F.col("value").cast("long").alias("vb"),
+    )
+    cand = (
+        a.crossJoin(F.broadcast(offs))
+        .select("row", "col", "value",
+                (F.col("row") + F.col("dr")).alias("r2"),
+                (F.col("col") + F.col("dc")).alias("c2"),
+                "code", "wt")
+        .join(b, ["r2", "c2"])
+        .filter(F.col("vb") < F.col("value"))
+        .withColumn(
+            "score",
+            (F.col("value") - F.col("vb")) * (F.col("value") - F.col("vb")) * F.col("wt"),
+        )
+    )
+    best = cand.groupBy("row", "col").agg(
+        F.max_by("code", F.struct(F.col("score").alias("s"),
+                                  (-F.col("code")).alias("nc"))).alias("d8")
+    )
+    return a.join(best, ["row", "col"], "left").select(
+        "row", "col", "value",
+        F.coalesce(F.col("d8"), F.lit(0)).cast("long").alias("d8"),
+    )
+
+
+def d8_sql(px_cte: str) -> str:
+    """DuckDB oracle CTE chain ending in d8(row, col, value, d8)."""
+    offsets = ", ".join(f"({dr}, {dc}, {code}, {wt})" for dr, dc, code, wt in D8_OFFSETS)
+    return f"""{px_cte},
+d8offs(dr, dc, code, wt) AS (VALUES {offsets}),
+d8cand0 AS (
+  -- keys precomputed BEFORE the equi-join: putting a.row + o.dr inside
+  -- the join condition makes DuckDB nested-loop (100x slower)
+  SELECT a.row, a.col, a.value, o.code, o.wt,
+         a.row + o.dr AS r2, a.col + o.dc AS c2
+  FROM px a CROSS JOIN d8offs o),
+d8cand AS (
+  SELECT c0.row, c0.col, c0.value, c0.code,
+         (c0.value - b.value) * (c0.value - b.value) * c0.wt AS score
+  FROM d8cand0 c0 JOIN px b ON b.row = c0.r2 AND b.col = c0.c2
+  WHERE b.value < c0.value),
+d8best AS (
+  SELECT row, col, code FROM d8cand
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY row, col ORDER BY score DESC, code ASC) = 1),
+d8 AS (
+  SELECT px.row, px.col, CAST(px.value AS BIGINT) AS value,
+         CAST(COALESCE(d8best.code, 0) AS BIGINT) AS d8
+  FROM px LEFT JOIN d8best ON d8best.row = px.row AND d8best.col = px.col)"""
+
+
+def flow_accumulation(px: DataFrame, max_rounds: int = 10000) -> DataFrame:
+    """(row, col, acc): number of cells draining through each cell
+    INCLUDING itself (D8 steepest descent; pits absorb their basin).
+
+    The D8 graph is a forest (strict descent ⇒ acyclic, out-degree ≤
+    1), so acc_{k+1}(c) = 1 + Σ_{upstream n} acc_k(n) increases
+    monotonically to the exact fixpoint in longest-flow-path rounds —
+    each round is one hash join + aggregate, fully executor-side;
+    lineage is truncated periodically like the other fixpoint loops."""
+    d8 = d8_flow_direction(px).persist()
+    step = F.create_map(*[
+        x for code, (dr, dc) in _D8_STEP.items()
+        for x in (F.lit(code), F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc")))
+    ])
+    edges = (
+        d8.filter(F.col("d8") > 0)
+        .withColumn("_s", step[F.col("d8")])
+        .select(
+            F.col("row").alias("urow"), F.col("col").alias("ucol"),
+            (F.col("row") + F.col("_s.dr")).alias("row"),
+            (F.col("col") + F.col("_s.dc")).alias("col"),
+        )
+        # target must exist (border flow leaves the grid -> no edge)
+        .join(d8.select("row", "col"), ["row", "col"], "left_semi")
+        .persist()
+    )
+    edges.count()
+    acc = d8.select("row", "col", F.lit(1).cast("long").alias("acc"))
+    acc = acc.localCheckpoint(eager=True)
+    it = 0
+    while it < max_rounds:
+        it += 1
+        up = (
+            edges.join(
+                acc.select(F.col("row").alias("urow"), F.col("col").alias("ucol"),
+                           F.col("acc").alias("uacc")),
+                ["urow", "ucol"],
+            )
+            .groupBy("row", "col")
+            .agg(F.sum("uacc").alias("insum"))
+        )
+        nxt = (
+            acc.select("row", "col")
+            .join(up, ["row", "col"], "left")
+            .select("row", "col",
+                    (F.lit(1) + F.coalesce(F.col("insum"), F.lit(0))).cast("long").alias("acc"))
+        )
+        # checkpoint every round: the convergence check reads BOTH the
+        # old and new acc, and each round's plan must not replay the
+        # previous rounds' joins
+        nxt = nxt.localCheckpoint(eager=True)
+        changed = (
+            nxt.alias("n").join(acc.alias("o"), ["row", "col"])
+            .filter(F.col("n.acc") != F.col("o.acc")).limit(1).count()
+        )
+        acc = nxt
+        if changed == 0:
+            break
+    d8.unpersist()
+    edges.unpersist()
+    return acc
+
+
+def flow_accumulation_sql(px_cte: str) -> str:
+    """DuckDB oracle: downstream-reach recursive closure — acc(d) =
+    COUNT of cells c (including d) whose flow path passes through d.
+    Tuple count = Σ path lengths (short on rough fields)."""
+    return f"""WITH RECURSIVE {d8_sql(px_cte)},
+e AS MATERIALIZED (
+  SELECT d8.row AS urow, d8.col AS ucol,
+         d8.row + CASE d8.d8 WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1
+                             WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 END AS row,
+         d8.col + CASE d8.d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1
+                             WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 WHEN 128 THEN 1 END AS col
+  FROM d8 WHERE d8.d8 > 0),
+e2 AS MATERIALIZED (
+  SELECT e.urow, e.ucol, e.row, e.col FROM e
+  JOIN d8 t ON t.row = e.row AND t.col = e.col),
+reach AS (
+  SELECT row, col, row AS ar, col AS ac FROM d8
+  UNION
+  SELECT reach.row, reach.col, e2.row AS ar, e2.col AS ac
+  FROM reach JOIN e2 ON e2.urow = reach.ar AND e2.ucol = reach.ac)
+SELECT ar AS row, ac AS col, CAST(COUNT(*) AS BIGINT) AS acc
+FROM reach GROUP BY 1, 2"""

@@ -2093,11 +2093,66 @@ def sql_focal_mean() -> str:
     return FO.focal_sums_sql(synth.pixel_sql(SPEC), k=5)
 
 
+# ---------------------------------------------------------------------------
+# q: D8 hydrology — flow direction (exact-integer steepest-descent
+# argmax) and flow accumulation (distributed DAG fixpoint vs a
+# recursive downstream-closure oracle).
+# ---------------------------------------------------------------------------
+
+def _dem(spark: SparkSession, h: int, w: int) -> DataFrame:
+    spec = SPEC
+    return (
+        spark.range(h).select(F.col("id").alias("row"))
+        .crossJoin(spark.range(w).select(F.col("id").alias("col")))
+        .select(
+            "row", "col",
+            ((F.col("row") * 7919 + F.col("col") * 104729 + F.lit(spec.seed)) % 1997)
+            .alias("value"),
+        )
+    )
+
+
+def _dem_cte(h: int, w: int) -> str:
+    spec = SPEC
+    return f"""px AS (
+  SELECT CAST(r.range AS BIGINT) AS row, CAST(c.range AS BIGINT) AS col,
+         CAST((r.range*7919 + c.range*104729 + {spec.seed}) % 1997 AS BIGINT) AS value
+  FROM range({h}) r CROSS JOIN range({w}) c
+)"""
+
+
+def q_d8_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import terrain as TR
+
+    return TR.d8_flow_direction(_dem(spark, SPEC.height, SPEC.width))
+
+
+def sql_d8_flow() -> str:
+    from .operators import terrain as TR
+
+    return ("WITH " + TR.d8_sql(_dem_cte(SPEC.height, SPEC.width))
+            + "\nSELECT row, col, value, d8 FROM d8")
+
+
+def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import terrain as TR
+
+    return TR.flow_accumulation(_dem(spark, 128, 128))
+
+
+def sql_flow_accumulation() -> str:
+    from .operators import terrain as TR
+
+    return TR.flow_accumulation_sql(_dem_cte(128, 128))
+
+
 QUERIES = {
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
     "audio_features": (q_audio_features, sql_audio_features),
     "terrain": (q_terrain, sql_terrain),
     "focal_mean_5x5": (q_focal_mean, sql_focal_mean),
+    "d8_flow": (q_d8_flow, sql_d8_flow),
+    "flow_accumulation": (q_flow_accumulation, sql_flow_accumulation),
     "knn_tiles": (q_knn, sql_knn),
     "knn_pixels": (q_knn_pixels, sql_knn_pixels),
     "autocorr_global": (q_autocorr_global, sql_autocorr_global),

@@ -72,3 +72,52 @@ def test_terrain_flat_and_edge_rules(spark):
     assert (inner.hillshade == want_hs).all()
     edge = out[(out.row == 0)]
     assert edge.slope_deg.isna().all()
+
+
+def test_d8_and_flow_accumulation_vs_numpy(spark):
+    """D8 directions and accumulation vs a direct numpy topological
+    computation on a small dense DEM; accumulation conserves mass
+    (every cell contributes once to each pit it drains to)."""
+    h, w = 60, 80
+    rr = np.arange(h)[:, None]
+    cc = np.arange(w)[None, :]
+    full = synth.field_value(rr, cc, 42).astype(np.int64)
+    dem = spark.createDataFrame(
+        [(int(r), int(c), int(full[r, c])) for r in range(h) for c in range(w)],
+        "row long, col long, value long",
+    )
+    got_d8 = TR.d8_flow_direction(dem).toPandas()
+    # numpy D8: exact-integer steepest descent, smallest-code ties
+    exp_d8 = np.zeros((h, w), dtype=np.int64)
+    for r in range(h):
+        for c in range(w):
+            best = (0, 0)  # (score, -code) lexicographic max, code asc
+            for dr, dc, code, wt in TR.D8_OFFSETS:
+                nr, nc = r + dr, c + dc
+                if 0 <= nr < h and 0 <= nc < w and full[nr, nc] < full[r, c]:
+                    d = int(full[r, c] - full[nr, nc])
+                    score = d * d * wt
+                    if best == (0, 0) or (score, -code) > (best[0], -best[1]):
+                        best = (score, code)
+            exp_d8[r, c] = best[1]
+    for t in got_d8.itertuples(index=False):
+        assert t.d8 == exp_d8[t.row, t.col], (t.row, t.col)
+
+    acc = TR.flow_accumulation(dem).toPandas()
+    # numpy accumulation: walk every cell's flow path
+    exp_acc = np.zeros((h, w), dtype=np.int64)
+    for r in range(h):
+        for c in range(w):
+            cr, cc2 = r, c
+            exp_acc[cr, cc2] += 1
+            while exp_d8[cr, cc2] != 0:
+                dr, dc = TR._D8_STEP[int(exp_d8[cr, cc2])]
+                nr, nc = cr + dr, cc2 + dc
+                if not (0 <= nr < h and 0 <= nc < w):
+                    break
+                cr, cc2 = nr, nc
+                exp_acc[cr, cc2] += 1
+    assert len(acc) == h * w
+    for t in acc.itertuples(index=False):
+        assert t.acc == exp_acc[t.row, t.col], (t.row, t.col)
+    assert acc["acc"].max() > 5  # real confluence happens

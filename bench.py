@@ -171,6 +171,28 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     MM.audio_features(clips, window_ms=500, hop_ms=250).count()
     times["audio_wav_features_512"] = round(time.time() - t0, 3)
 
+    # terrain + focal stencil at full 9.3M-px scale, both in the
+    # tile+halo grouped-map form (the no-replication scale plan)
+    from georasters_spark.operators import terrain as TR
+    from georasters_spark.operators import focal as FO
+
+    dem9 = (
+        spark.range(spec.height).select(F.col("id").alias("row"))
+        .crossJoin(spark.range(spec.width).select(F.col("id").alias("col")))
+        .select("row", "col",
+                ((F.col("row") * 7919 + F.col("col") * 104729 + 42) % 1997)
+                .alias("value"))
+    )
+    t0 = time.time()
+    TR.slope_aspect_hillshade(
+        dem9, cellsize=(spec.cellx, spec.celly), zfactor=0.001, plan="halo"
+    ).agg(F.count("slope_deg"), F.sum("hillshade")).collect()
+    times["terrain_horn_9M_halo"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    FO.focal_sums(dem9, k=5).agg(F.count("fmean"), F.sum("fsum")).collect()
+    times["focal_mean5_9M"] = round(time.time() - t0, 3)
+
     return times, imgs
 
 

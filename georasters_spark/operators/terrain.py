@@ -70,6 +70,39 @@ def horn_sums(px: DataFrame) -> DataFrame:
     )
 
 
+def horn_sums_halo(px: DataFrame, tile: int = 64) -> DataFrame:
+    """The same exact Horn sums via the focal_apply tile+halo stencil —
+    the 100-TB fast path: ONE tile-keyed grouped-map instead of an
+    8x-replicated neighbor-join shuffle. Integer sums stay exact in
+    float64 (|sx| <= 8·max|z|), bit-equal to horn_sums (tested)."""
+    from .focal import focal_apply
+
+    WX = np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+    WY = WX.T
+
+    def fn(swv, swm):
+        v = np.where(swm, swv, 0.0)
+        return {
+            "value": swv[:, :, 1, 1],
+            "sx": (v * WX).sum(axis=(2, 3)),
+            "sy": (v * WY).sum(axis=(2, 3)),
+            "ncnt": (swm.sum(axis=(2, 3)) - swm[:, :, 1, 1]).astype(np.float64),
+        }
+
+    raw = focal_apply(
+        px.select("row", "col", F.col("value").cast("long").alias("value")),
+        fn, k=3, tile=tile,
+        out_schema="row long, col long, value double, sx double, sy double, ncnt double",
+    )
+    return raw.select(
+        "row", "col",
+        F.col("value").cast("long").alias("value"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        F.col("ncnt").cast("long").alias("ncnt"),
+    )
+
+
 def slope_aspect_hillshade(
     px: DataFrame,
     cellsize: tuple[float, float],
@@ -77,11 +110,14 @@ def slope_aspect_hillshade(
     azimuth: float = 315.0,
     altitude: float = 45.0,
     round_dp: int = 6,
+    plan: str = "join",
 ) -> DataFrame:
     """Per-cell (row, col, value, slope_deg, aspect_deg, hillshade) —
-    NULL derivatives on cells without a full 3×3 window."""
+    NULL derivatives on cells without a full 3×3 window. plan='join'
+    (the gated neighbor-join form) or 'halo' (tile+halo grouped-map —
+    no 8x row replication through the shuffle; identical results)."""
     cx, cy = cellsize
-    sums = horn_sums(px)
+    sums = horn_sums(px) if plan == "join" else horn_sums_halo(px)
     full = F.col("ncnt") == 8
     dzdx = F.col("sx") * F.lit(float(zfactor)) / F.lit(8.0 * abs(cx))
     dzdy = F.col("sy") * F.lit(float(zfactor)) / F.lit(8.0 * abs(cy))

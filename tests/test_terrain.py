@@ -121,3 +121,20 @@ def test_d8_and_flow_accumulation_vs_numpy(spark):
     for t in acc.itertuples(index=False):
         assert t.acc == exp_acc[t.row, t.col], (t.row, t.col)
     assert acc["acc"].max() > 5  # real confluence happens
+
+
+def test_terrain_halo_plan_equals_join_plan(spark, images_t1):
+    """horn_sums via the tile+halo stencil is bit-equal to the
+    neighbor-join form on the masked table (seams, edges, nodata)."""
+    import pandas as pd
+
+    spec = synth.T1
+    px = PX.pixel_table(images_t1, valid_only=True).select(
+        "row", "col", F.col("value").cast("long").alias("value")
+    )
+    kw = dict(cellsize=(spec.cellx, spec.celly), zfactor=0.001)
+    a = TR.slope_aspect_hillshade(px, plan="join", **kw).toPandas()
+    b = TR.slope_aspect_hillshade(px, plan="halo", **kw).toPandas()
+    a = a.sort_values(["row", "col"]).reset_index(drop=True)
+    b = b.sort_values(["row", "col"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

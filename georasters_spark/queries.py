@@ -2121,6 +2121,23 @@ def _dem_cte(h: int, w: int) -> str:
 )"""
 
 
+_CONTOUR_LEVELS = [500.0, 1000.0, 1500.0]
+
+
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares isolines (gdal_contour role) on a 96x96 dense
+    DEM window at three levels — endpoints AND lengths hashed."""
+    from .operators import contour as CT
+
+    return CT.contour_segments(_dem(spark, 96, 96), levels=_CONTOUR_LEVELS)
+
+
+def sql_contour() -> str:
+    from .operators import contour as CT
+
+    return CT.contour_sql(_dem_cte(96, 96), levels=_CONTOUR_LEVELS)
+
+
 def q_d8_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import terrain as TR
 
@@ -2153,6 +2170,7 @@ QUERIES = {
     "focal_mean_5x5": (q_focal_mean, sql_focal_mean),
     "d8_flow": (q_d8_flow, sql_d8_flow),
     "flow_accumulation": (q_flow_accumulation, sql_flow_accumulation),
+    "contour": (q_contour, sql_contour),
     "knn_tiles": (q_knn, sql_knn),
     "knn_pixels": (q_knn_pixels, sql_knn_pixels),
     "autocorr_global": (q_autocorr_global, sql_autocorr_global),

@@ -2121,6 +2121,22 @@ def _dem_cte(h: int, w: int) -> str:
 )"""
 
 
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Euclidean distance transform (gdal_proximity role) —
+    separable two-stage grouped-map vs a brute-force min-join oracle.
+    Targets: value % 89 == 0 (~1.3% of cells)."""
+    from .operators import proximity as PR
+
+    dem = _dem(spark, 96, 96)
+    return PR.proximity(dem, F.col("value") % 89 == 0)
+
+
+def sql_proximity() -> str:
+    from .operators import proximity as PR
+
+    return PR.proximity_sql(_dem_cte(96, 96), "value % 89 = 0")
+
+
 _CONTOUR_LEVELS = [500.0, 1000.0, 1500.0]
 
 
@@ -2171,6 +2187,7 @@ QUERIES = {
     "d8_flow": (q_d8_flow, sql_d8_flow),
     "flow_accumulation": (q_flow_accumulation, sql_flow_accumulation),
     "contour": (q_contour, sql_contour),
+    "proximity": (q_proximity, sql_proximity),
     "knn_tiles": (q_knn, sql_knn),
     "knn_pixels": (q_knn_pixels, sql_knn_pixels),
     "autocorr_global": (q_autocorr_global, sql_autocorr_global),

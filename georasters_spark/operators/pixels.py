@@ -388,3 +388,59 @@ def build_tile_record(
         "dtype": dtype,
         "cell_id": int(C.cell_of(xmin + tile * cx / 2, ymax + tile * cy / 2, cell_res)),
     }
+
+
+def build_overviews(
+    images: DataFrame,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+    levels: tuple[int, ...] = (2, 4, 8),
+    tile: int = 64,
+    ndv: float = -9999.0,
+    grid_id: str = "ovr",
+    how: str = "mean",
+) -> dict[int, DataFrame]:
+    """COG-style overview pyramid: per level L, the base grid block-
+    reduced L×L (valid-cell mean, HALF_EVEN-rounded back to the int16
+    tile dtype — or min/max), re-assembled into ordinary tile rows at
+    the scaled georeference. Pure composition: decode (pixel_table) →
+    one block aggregate per level → assemble_tiles; every level is an
+    independent lazy plan over the SAME decoded scan, so a cluster can
+    materialize all levels in one pass with a persisted pixel table.
+
+    Returns {level: images-schema DataFrame}. Serving pyramids are the
+    piece that makes 10^12-tile rasters browsable (each level is ~1/L²
+    of the one below, so the whole pyramid costs ~4/3 of the base)."""
+    from pyspark.sql import functions as F
+
+    x0, y0 = origin
+    cx, cy = cellsize
+    px = pixel_table(images, valid_only=True, with_coords=False).select(
+        "row", "col", "value"
+    )
+    out: dict[int, DataFrame] = {}
+    for lv in levels:
+        grouped = px.groupBy(
+            (F.col("row") - F.pmod("row", lv)).alias("_r0"),
+            (F.col("col") - F.pmod("col", lv)).alias("_c0"),
+        )
+        if how == "mean":
+            agg = grouped.agg(
+                # HALF_EVEN back to the integer dtype (bround == the
+                # reference's np.round rule for map_pixel)
+                F.bround(F.sum("value") / F.count("value"), 0).cast("long").alias("value")
+            )
+        elif how in ("min", "max"):
+            agg = grouped.agg(getattr(F, how)("value").cast("long").alias("value"))
+        else:
+            raise ValueError("how must be mean|min|max")
+        lvl_px = agg.select(
+            (F.col("_r0") / lv).cast("long").alias("row"),
+            (F.col("_c0") / lv).cast("long").alias("col"),
+            "value",
+        )
+        out[lv] = assemble_tiles(
+            lvl_px, f"{grid_id}_L{lv}", origin=(x0, y0),
+            cellsize=(cx * lv, cy * lv), tile=tile, ndv=ndv,
+        )
+    return out

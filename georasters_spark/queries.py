@@ -2121,6 +2121,28 @@ def _dem_cte(h: int, w: int) -> str:
 )"""
 
 
+def q_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG-style overview pyramid level 4: decode → block mean →
+    re-encode as tiles → decode BACK (the whole codec round-trip is in
+    the gated path, like clip_zones)."""
+    spec = SPEC
+    ovr = PX.build_overviews(
+        images_for(spark, spec), origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly), levels=(4,), ndv=spec.ndv,
+    )[4]
+    return PX.pixel_table(ovr, valid_only=True, with_coords=False).select(
+        "row", "col", F.col("value").cast("long").alias("value")
+    )
+
+
+def sql_overviews() -> str:
+    spec = SPEC
+    return f"""WITH {synth.pixel_sql(spec)}
+SELECT row // 4 AS row, col // 4 AS col,
+       CAST(round_even(CAST(SUM(value) AS DOUBLE) / COUNT(value), 0) AS BIGINT) AS value
+FROM px GROUP BY 1, 2"""
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Euclidean distance transform (gdal_proximity role) —
     separable two-stage grouped-map vs a brute-force min-join oracle.
@@ -2188,6 +2210,7 @@ QUERIES = {
     "flow_accumulation": (q_flow_accumulation, sql_flow_accumulation),
     "contour": (q_contour, sql_contour),
     "proximity": (q_proximity, sql_proximity),
+    "overviews": (q_overviews, sql_overviews),
     "knn_tiles": (q_knn, sql_knn),
     "knn_pixels": (q_knn_pixels, sql_knn_pixels),
     "autocorr_global": (q_autocorr_global, sql_autocorr_global),

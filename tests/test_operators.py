@@ -364,3 +364,36 @@ def test_clip_keep_merges_zone_attrs(spark, images_t1):
     got = dict(zip(out.zone_id, out.zone_name))
     assert all(got[k] == v for k, v in exp.items() if k in got)
     assert len(got) >= 2
+
+
+def test_build_overviews_pyramid(spark, images_t1):
+    """Overview levels decode back to the valid-cell block mean of the
+    base grid (HALF_EVEN to the tile dtype), georef scaled by L."""
+    from georasters_spark.operators.pixels import build_overviews, pixel_table
+    from georasters_spark.sources import synth
+
+    spec = synth.T1
+    ovr = build_overviews(
+        images_t1, origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly), levels=(4,), ndv=spec.ndv,
+    )[4]
+    got = pixel_table(ovr, valid_only=True).toPandas()
+    full = synth.stitched_array(spec).astype(np.float64)
+    valid = full != spec.ndv
+    import numpy as np_
+    h4 = (spec.height + 3) // 4
+    w4 = (spec.width + 3) // 4
+    exp = {}
+    for r0 in range(h4):
+        for c0 in range(w4):
+            blk = full[r0 * 4:(r0 + 1) * 4, c0 * 4:(c0 + 1) * 4]
+            vb = valid[r0 * 4:(r0 + 1) * 4, c0 * 4:(c0 + 1) * 4]
+            if vb.any():
+                # bround == banker's rounding (np.round)
+                exp[(r0, c0)] = int(np_.round(blk[vb].mean()))
+    assert len(got) == len(exp)
+    for t in got.itertuples(index=False):
+        assert exp[(t.row, t.col)] == t.value, (t.row, t.col)
+    # georef scaled
+    rec = ovr.limit(1).collect()[0]
+    assert abs(rec["cellx"] - spec.cellx * 4) < 1e-12

@@ -176,13 +176,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from georasters_spark.operators import terrain as TR
     from georasters_spark.operators import focal as FO
 
-    dem9 = (
-        spark.range(spec.height).select(F.col("id").alias("row"))
-        .crossJoin(spark.range(spec.width).select(F.col("id").alias("col")))
-        .select("row", "col",
-                ((F.col("row") * 7919 + F.col("col") * 104729 + 42) % 1997)
-                .alias("value"))
-    )
+    from georasters_spark.queries import _dem  # ONE copy of the formula
+
+    dem9 = _dem(spark, spec.height, spec.width)
     t0 = time.time()
     TR.slope_aspect_hillshade(
         dem9, cellsize=(spec.cellx, spec.celly), zfactor=0.001, plan="halo"

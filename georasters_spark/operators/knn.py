@@ -77,6 +77,18 @@ def knn_tiles(
         s = 0
         while occ > max_count_cells * (4 ** s) and (res - s) > 0:
             s += 1
+        # the 4x-per-level shrink is optimistic for sparse layouts —
+        # verify the occupied-parent count at the chosen level and
+        # coarsen further until the cap actually holds (s == 0 needs no
+        # check: occ itself is the exact count at res)
+        while s > 0 and (res - s) > 0:
+            probe = F.expr(
+                f"CAST({res - s} AS BIGINT) * {1 << C.RES_SHIFT} + "
+                f"(cell_id % {1 << C.RES_SHIFT}) DIV {1 << (2 * s)}"
+            )
+            if tiles.select(F.countDistinct(probe)).collect()[0][0] <= max_count_cells:
+                break
+            s += 1
         count_res = res - s
     s = res - count_res
     S = 1 << s
@@ -207,6 +219,21 @@ def knn_pixels(
     s = 0
     while occ > max_count_blocks * (4 ** s):
         s += 1
+    # the 4x-shrink-per-level estimate is optimistic for sparse layouts
+    # (diagonal tiles merge ~2x per level): VERIFY the actual occupied
+    # count at the chosen level and coarsen until the cap really holds
+    # — each check is one cheap aggregate over the (small) tcnt table.
+    # s == 0 needs no check: occ is already the exact tile count.
+    while 0 < s < 40:
+        S = 1 << s
+        occ_s = (
+            tcnt.select((F.col("_trow") - F.pmod("_trow", S)).alias("a"),
+                        (F.col("_tcol") - F.pmod("_tcol", S)).alias("b"))
+            .distinct().count()
+        )
+        if occ_s <= max_count_blocks:
+            break
+        s += 1
     S = 1 << s
     B = tile * S  # super-block edge in pixels
     sup = (
@@ -244,6 +271,8 @@ def knn_pixels(
         (g+1)·B of the point, so cum >= k at ring g_k gives the pixel
         radius bound (g_k+1)·B."""
         cnt_ = bc_cnt.value
+        g_lo, g_hi = t0b // S, t1b // S
+        h_lo, h_hi = u0b // S, u1b // S
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -251,7 +280,18 @@ def knn_pixels(
             c0 = np.round((pdf["x"].to_numpy() - x0) / cx).astype(np.int64)
             rads = np.empty(len(pdf), dtype=np.int64)
             for i in range(len(pdf)):
-                gr, gc = int(r0[i]) // B, int(c0[i]) // B
+                # expand from the home block CLAMPED into the occupied
+                # span — a point far outside the raster would otherwise
+                # sweep g_stop empty rings and silently get < k rows;
+                # the clamp offset is added back into the radius bound
+                gr = min(max(int(r0[i]) // B, g_lo), g_hi)
+                gc = min(max(int(c0[i]) // B, h_lo), h_hi)
+                # pixel Chebyshev distance from the point to the
+                # clamped home block's rectangle (0 when inside it)
+                dpix = max(
+                    gr * B - int(r0[i]), int(r0[i]) - ((gr + 1) * B - 1),
+                    gc * B - int(c0[i]), int(c0[i]) - ((gc + 1) * B - 1), 0,
+                )
                 got = 0
                 need = None
                 for g in range(g_stop + 1):
@@ -266,10 +306,10 @@ def knn_pixels(
                         )
                     got += sum(cnt_.get(b, 0) for b in ring)
                     if got >= k:
-                        need = (g + 1) * B
+                        need = dpix + (g + 1) * B
                         break
                 if need is None:
-                    need = full_r  # fewer than k valid pixels on the grid
+                    need = dpix + full_r  # fewer than k valid pixels on the grid
                 rads[i] = int(math.ceil((need + 1) * aspect)) + 1
             out = pdf[["point_id", "x", "y"]].copy()
             out["r0"] = r0

@@ -200,8 +200,12 @@ def audio_features(audio: DataFrame, window_ms: int = 1000, hop_ms: int = 500) -
                 for i in range(n_win):
                     a_ms = i * hop_ms
                     b_ms = min(a_ms + window_ms, dur)
-                    a = a_ms * rate // 1000
-                    b = b_ms * rate // 1000
+                    # clamp to the DECODED length: a duration_ms that
+                    # overstates the real clip must not fabricate
+                    # n_samples for empty/short windows (silent wrong
+                    # rms); counts always reflect actual samples
+                    a = min(a_ms * rate // 1000, len(sl))
+                    b = min(b_ms * rate // 1000, len(sl))
                     win = sl[a:b]
                     energy = int((win * win).sum())
                     pos = win >= 0

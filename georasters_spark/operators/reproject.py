@@ -1267,15 +1267,7 @@ def _utm_target_bounds(src_origin, src_cellsize, src_shape, lon0: float,
             "central meridian, where the Krüger series diverges — pass "
             "bbox_lonlat to window the warp to the zone"
         )
-    t = np.linspace(0.0, 1.0, n_samples)
-    lons = np.concatenate([
-        lon_a + (lon_b - lon_a) * t, lon_a + (lon_b - lon_a) * t,
-        np.full_like(t, lon_a), np.full_like(t, lon_b),
-    ])
-    lats = np.concatenate([
-        np.full_like(t, lat_a), np.full_like(t, lat_b),
-        lat_a + (lat_b - lat_a) * t, lat_a + (lat_b - lat_a) * t,
-    ])
+    lons, lats = _boundary_samples(lon_a, lat_a, lon_b, lat_b, n_samples)
     E, N = tm_forward_np(lons, lats, lon0, fn=fn)
     return float(E.min()), float(N.min()), float(E.max()), float(N.max())
 
@@ -1393,14 +1385,11 @@ def utm_numpy_oracle(
 # λ = x/(R·cos φ). Equal-area; same inverse-gather shape as CEA.
 # ---------------------------------------------------------------------------
 
-def _sinu_bounds(src_origin, src_cellsize, src_shape, n_samples: int = 64):
-    """Projected bounds by boundary sampling (|x| peaks at the lowest-
-    |latitude| edge, so corners alone under-cover)."""
-    h, w = src_shape
-    x0g, y0g = src_origin
-    cx, cy = src_cellsize
-    lon_a, lon_b = x0g, x0g + w * cx
-    lat_a, lat_b = y0g + h * cy, y0g
+def _boundary_samples(lon_a: float, lat_a: float, lon_b: float, lat_b: float,
+                      n_samples: int = 64):
+    """Dense samples of a lon/lat rectangle's BOUNDARY — the shared
+    scaffolding for projected-bounds estimation (a projection's image
+    of a graticule rectangle is not a rectangle; corners under-cover)."""
     t = np.linspace(0.0, 1.0, n_samples)
     lons = np.concatenate([
         lon_a + (lon_b - lon_a) * t, lon_a + (lon_b - lon_a) * t,
@@ -1410,6 +1399,16 @@ def _sinu_bounds(src_origin, src_cellsize, src_shape, n_samples: int = 64):
         np.full_like(t, lat_a), np.full_like(t, lat_b),
         lat_a + (lat_b - lat_a) * t, lat_a + (lat_b - lat_a) * t,
     ])
+    return lons, lats
+
+
+def _sinu_bounds(src_origin, src_cellsize, src_shape, n_samples: int = 64):
+    """Projected bounds by boundary sampling (|x| peaks at the lowest-
+    |latitude| edge, so corners alone under-cover)."""
+    h, w = src_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    lons, lats = _boundary_samples(x0g, y0g + h * cy, x0g + w * cx, y0g, n_samples)
     X = R * np.radians(lons) * np.cos(np.radians(lats))
     Y = R * np.radians(lats)
     return float(X.min()), float(Y.min()), float(X.max()), float(Y.max())

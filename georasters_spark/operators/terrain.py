@@ -55,18 +55,26 @@ def horn_sums(px: DataFrame) -> DataFrame:
     cand = (
         a.crossJoin(F.broadcast(offs))
         .select(
-            "row", "col", "value",
+            "row", "col",
             (F.col("row") + F.col("dr")).alias("r2"),
             (F.col("col") + F.col("dc")).alias("c2"),
             "wx", "wy",
         )
         .join(b, ["r2", "c2"])
     )
-    return cand.groupBy("row", "col").agg(
-        F.first("value").alias("value"),
+    agg = cand.groupBy("row", "col").agg(
         F.sum(F.col("wx") * F.col("vb")).alias("sx"),
         F.sum(F.col("wy") * F.col("vb")).alias("sy"),
         F.count(F.lit(1)).alias("ncnt"),
+    )
+    # LEFT join back onto the cells: an isolated valid cell (zero valid
+    # neighbors) must still emit a row (ncnt = 0, NULL derivatives) —
+    # identical to the halo plan's output, never silently dropped
+    return a.join(agg, ["row", "col"], "left").select(
+        "row", "col", "value",
+        F.coalesce("sx", F.lit(0)).alias("sx"),
+        F.coalesce("sy", F.lit(0)).alias("sy"),
+        F.coalesce("ncnt", F.lit(0)).alias("ncnt"),
     )
 
 
@@ -369,6 +377,14 @@ def flow_accumulation(px: DataFrame, max_rounds: int = 10000) -> DataFrame:
         acc = nxt
         if changed == 0:
             break
+    else:
+        d8.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"flow_accumulation did not converge within {max_rounds} rounds "
+            "(flow path longer than max_rounds); raise max_rounds — an "
+            "under-counted result must never be returned silently"
+        )
     d8.unpersist()
     edges.unpersist()
     return acc

@@ -2045,18 +2045,9 @@ def q_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import terrain as TR
 
     spec = SPEC
-    dem = (
-        spark.range(spec.height)
-        .select(F.col("id").alias("row"))
-        .crossJoin(spark.range(spec.width).select(F.col("id").alias("col")))
-        .select(
-            "row", "col",
-            ((F.col("row") * 7919 + F.col("col") * 104729 + F.lit(spec.seed)) % 1997)
-            .alias("value"),
-        )
-    )
     return TR.slope_aspect_hillshade(
-        dem, cellsize=(spec.cellx, spec.celly), zfactor=0.001
+        _dem(spark, spec.height, spec.width),
+        cellsize=(spec.cellx, spec.celly), zfactor=0.001,
     )
 
 
@@ -2064,13 +2055,9 @@ def sql_terrain() -> str:
     from .operators import terrain as TR
 
     spec = SPEC
-    dem_cte = f"""px AS (
-  SELECT CAST(r.range AS BIGINT) AS row, CAST(c.range AS BIGINT) AS col,
-         CAST((r.range*7919 + c.range*104729 + {spec.seed}) % 1997 AS BIGINT) AS value
-  FROM range({spec.height}) r CROSS JOIN range({spec.width}) c
-)"""
     return TR.terrain_sql(
-        dem_cte, cellsize=(spec.cellx, spec.celly), zfactor=0.001
+        _dem_cte(spec.height, spec.width),
+        cellsize=(spec.cellx, spec.celly), zfactor=0.001,
     )
 
 

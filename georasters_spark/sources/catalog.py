@@ -38,11 +38,15 @@ class SnapshotTable:
         with open(p) as f:
             return int(f.read().strip())
 
-    def snapshot(self, version: int | None = None) -> dict | None:
+    def snapshot(self, version: int | None = None, required: bool = False) -> dict | None:
         """Manifest dict for `version` (default: current). Returns None
         for version 0 AND for versions whose manifest was removed by
         expire_snapshots — an expired snapshot is end-of-chain for any
-        parent walk, not an error."""
+        parent walk, not an error. required=True restores the LOUD
+        failure for reads that must not treat a missing manifest as
+        emptiness (the CURRENT manifest disappearing is corruption, and
+        silently committing on top of it would drop the whole prior
+        lineage)."""
         v = version if version is not None else self.current_version()
         if v == 0:
             return None
@@ -50,6 +54,8 @@ class SnapshotTable:
             with open(os.path.join(self.root, "snapshots", f"v{v}.json")) as f:
                 return json.load(f)
         except FileNotFoundError:
+            if required:
+                raise
             return None
 
     # -- commits ----------------------------------------------------------
@@ -68,7 +74,9 @@ class SnapshotTable:
         )
         df.write.mode("errorifexists").parquet(data_dir)
         rows = None  # cheap: let metrics be optional; callers can count
-        prev = self.snapshot(parent)
+        # required: a MISSING current manifest must fail the commit, not
+        # silently found a new single-dir lineage over invisible data
+        prev = self.snapshot(parent, required=parent > 0)
         manifest = {
             "version": version,
             "parent": parent,
@@ -152,9 +160,15 @@ class SnapshotTable:
 
     # -- reads ------------------------------------------------------------
     def scan(self, spark, version: int | None = None):
-        snap = self.snapshot(version)
+        # reading the CURRENT version through a missing manifest is
+        # corruption (loud); an explicit expired version reads as a
+        # clear ValueError
+        snap = self.snapshot(
+            version, required=version is None and self.current_version() > 0
+        )
         if snap is None or not snap["dirs"]:
-            raise ValueError("empty table")
+            raise ValueError("empty table" if version is None
+                             else f"no snapshot v{version} (expired?)")
         return spark.read.parquet(*snap["dirs"])
 
 

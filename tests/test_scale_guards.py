@@ -422,3 +422,31 @@ def test_t2_tier_round3_operators(spark):
         assert (grid != exp).sum() == 0
     finally:
         imgs.unpersist()
+
+
+def test_knn_pixels_point_far_outside_extent(spark):
+    """A query point far beyond the raster extent must still get its k
+    true nearest pixels (the ring expansion clamps its home block into
+    the occupied span and adds the offset back into the radius) —
+    regression for the one-pass-estimate rewrite."""
+    from georasters_spark.operators import knn as KN
+
+    rows = [(r, c, r * 100 + c, c + 0.5, -(r + 0.5))
+            for r in range(40) for c in range(40)]
+    px = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["row", "col", "value", "xc", "yc"]),
+        "row long, col long, value long, xc double, yc double",
+    )
+    pts = spark.createDataFrame(
+        [(1, 5000.5, -5000.5), (2, 20.5, -20.5)],
+        "point_id long, x double, y double",
+    )
+    got = KN.knn_pixels(px, pts, k=3, origin=(0.0, 0.0), cellsize=(1.0, -1.0),
+                        tile=16).toPandas()
+    far = got[got.point_id == 1]
+    assert len(far) == 3
+    # true nearest to (5000, 5000) is the raster corner (39, 39)
+    assert far.sort_values("knn_rank").iloc[0][["row", "col"]].tolist() == [39, 39]
+    near = got[got.point_id == 2]
+    assert len(near) == 3
+    assert near.sort_values("knn_rank").iloc[0][["row", "col"]].tolist() == [20, 20]

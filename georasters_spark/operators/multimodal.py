@@ -8,7 +8,8 @@ decode used to exercise the pipeline — is real and tested. Swapping in
 a real codec is a one-function change inside the same mapInPandas.
 
 fmt dispatch:
-  'raw16'/'rawf32'/'png'/'q8' — real codecs (sources/codec.py)
+  'raw16'/'rawf32'/'png'/'q8'  — real codecs (sources/codec.py)
+  'tiff'                       — REAL GeoTIFF (sources/geotiff.py)
   'fake'                       — deterministic pseudo-image from the
                                  byte hash (pipeline testing)
   'jpeg'/'webp'/'mp3'/'mp4'... — NotImplementedError (stub boundary)
@@ -24,7 +25,7 @@ from pyspark.sql import DataFrame
 
 from ..sources import codec
 
-REAL_FMTS = {"raw16", "rawf32", "png", "q8"}
+REAL_FMTS = {"raw16", "rawf32", "png", "q8", "tiff"}
 
 
 def decode_any(buf: bytes, fmt: str, w: int, h: int, ndv: float = -9999.0) -> np.ndarray:

@@ -2130,6 +2130,95 @@ SELECT row // 4 AS row, col // 4 AS col,
 FROM px GROUP BY 1, 2"""
 
 
+_TIFF_VARIANTS = [
+    # (compression, predictor, byteorder, tiled, dtype) — the writer's
+    # full public matrix, every leg exercised inside ONE gated query
+    ("none", False, "<", False, "int16"),
+    ("deflate", True, "<", False, "int16"),
+    ("lzw", True, "<", False, "int16"),
+    ("deflate", True, ">", False, "int16"),
+    ("deflate", True, "<", True, "int16"),
+    ("lzw", False, ">", True, "int32"),
+    ("deflate", True, ">", True, "int32"),
+    ("none", False, ">", False, "int32"),
+    ("deflate", False, "<", False, "float32"),
+    ("lzw", False, "<", True, "float32"),
+    ("deflate", False, ">", False, "float64"),
+    ("none", False, "<", True, "float64"),
+]
+
+
+def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GeoTIFF codec end to end (reference load_tiff/to_tiff,
+    georasters.py:281-291, :535-557): 12 files spanning the writer's
+    full matrix — none/deflate/LZW, predictor on/off, LE/BE, strip and
+    tiled layout, int16/int32/float32/float64 — are written and parsed
+    back executor-side; every valid pixel plus the parsed georef/EPSG
+    is hashed against the formula oracle. All distributed: one Spark
+    task per batch of files, no driver arrays."""
+    import pandas as pd
+
+    from .sources import geotiff
+
+    spec = SPEC
+    h = w = 96
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            outs = []
+            for fid in pdf["id"].tolist():
+                f = int(fid)
+                comp, pred, bo, tiled, dt = _TIFF_VARIANTS[f % len(_TIFF_VARIANTS)]
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                v = (r * 7919 + c * 104729 + f * 131 + spec.seed) % 1997
+                masked = ((r * 31 + c * 17 + f * 7) % 97) < 24
+                a = np.where(masked, -9999, v).astype(np.dtype(dt))
+                buf = geotiff.write_tiff(
+                    a, x0=-180.0 + f, y0=90.0, cellx=0.1, celly=-0.1,
+                    ndv=-9999, epsg=3857 if f % 2 == 0 else 4326,
+                    compression=comp, predictor=pred, byteorder=bo,
+                    tiled=tiled, tile_size=32, rows_per_strip=13,
+                )
+                out, meta = geotiff.parse_tiff(buf)
+                assert str(out.dtype) == dt and meta["ndv"] == -9999.0
+                valid = out != -9999
+                rr, cc = np.nonzero(valid)
+                outs.append(pd.DataFrame({
+                    "file_id": f, "row": rr.astype(np.int64),
+                    "col": cc.astype(np.int64),
+                    "value": out[valid].astype(np.int64),
+                    "x0": float(meta["x0"]),
+                    "epsg": int(meta["epsg"]),
+                }))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=["file_id", "row", "col", "value", "x0", "epsg"])
+
+    return spark.range(12).repartition(4).mapInPandas(
+        gen, schema="file_id long, row long, col long, value long, "
+                    "x0 double, epsg long"
+    )
+
+
+def sql_geotiff_roundtrip() -> str:
+    spec = SPEC
+    return f"""
+WITH f AS (SELECT range AS file_id FROM range(12)),
+px AS (
+  SELECT f.file_id, r.range AS row, c.range AS col,
+         (r.range*7919 + c.range*104729 + f.file_id*131 + {spec.seed}) % 1997 AS value
+  FROM f CROSS JOIN range(96) r CROSS JOIN range(96) c
+  WHERE (r.range*31 + c.range*17 + f.file_id*7) % 97 >= 24
+)
+SELECT CAST(file_id AS BIGINT) AS file_id, CAST(row AS BIGINT) AS row,
+       CAST(col AS BIGINT) AS col, CAST(value AS BIGINT) AS value,
+       CAST(-180.0 + file_id AS DOUBLE) AS x0,
+       CAST(CASE WHEN file_id % 2 = 0 THEN 3857 ELSE 4326 END AS BIGINT) AS epsg
+FROM px"""
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Euclidean distance transform (gdal_proximity role) —
     separable two-stage grouped-map vs a brute-force min-join oracle.
@@ -2198,6 +2287,7 @@ QUERIES = {
     "contour": (q_contour, sql_contour),
     "proximity": (q_proximity, sql_proximity),
     "overviews": (q_overviews, sql_overviews),
+    "geotiff_roundtrip": (q_geotiff_roundtrip, sql_geotiff_roundtrip),
     "knn_tiles": (q_knn, sql_knn),
     "knn_pixels": (q_knn_pixels, sql_knn_pixels),
     "autocorr_global": (q_autocorr_global, sql_autocorr_global),

@@ -124,6 +124,13 @@ def encode_tile(arr: np.ndarray, fmt: str, ndv: float) -> bytes:
         return encode_png16(arr)
     if fmt == "q8":
         return encode_q8(arr, ndv)
+    if fmt == "tiff":
+        from . import geotiff
+
+        a = np.ascontiguousarray(arr)
+        return geotiff.write_tiff(
+            a, ndv=ndv, compression="deflate", predictor=a.dtype.kind in "iu"
+        )
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -137,6 +144,11 @@ def decode_tile(buf: bytes, fmt: str, w: int, h: int, ndv: float) -> np.ndarray:
         return decode_png16(buf)
     if fmt == "q8":
         return decode_q8(buf, w, h, ndv)
+    if fmt == "tiff":
+        from . import geotiff
+
+        a, _meta = geotiff.parse_tiff(buf)
+        return a if a.dtype == np.int16 else np.asarray(a, dtype=np.float64)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

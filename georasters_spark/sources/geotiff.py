@@ -1,0 +1,663 @@
+"""Real GeoTIFF codec — pure numpy + stdlib zlib, no GDAL/PIL.
+
+This closes the engine's biggest declared codec boundary: the reference
+library's core entry points are ``load_tiff``/``from_file`` and
+``create_geotiff``/``to_tiff`` (georasters.py:281-291, :179-205,
+:535-557, :1548-1566), all GDAL-backed. The TIFF 6.0 container and the
+GeoTIFF 1.1 key set are public specifications, and a single-band raster
+TIFF is a simple enough format to implement exactly:
+
+Reader (``parse_tiff``) — accepts what GDAL commonly writes:
+  * classic TIFF, little- OR big-endian (BigTIFF → NotImplementedError)
+  * strip- or tile-organized data
+  * compression: none (1), LZW (5), DEFLATE (8 / 32946), PackBits (32773)
+  * horizontal-differencing predictor (317 = 2), incl. multi-sample rows
+  * sample types: u1/i1/u2/i2/u4/i4/f4/f8 (BitsPerSample x SampleFormat)
+  * single-band → (h, w); chunky multi-band (PlanarConfig 1) → (bands, h, w)
+  * georeferencing: ModelPixelScale + ModelTiepoint, or an axis-aligned
+    ModelTransformation; EPSG from GeoKeyDirectory (geographic 2048 or
+    projected 3072); nodata from the GDAL_NODATA ASCII tag (42113)
+
+Writer (``write_tiff``) — emits files GDAL/QGIS can open:
+  * single-band, strip or tiled layout, LE or BE
+  * compression none/DEFLATE/LZW (+ predictor 2 for integer dtypes)
+  * GeoTIFF keys (model type, raster-is-area, geographic/projected EPSG),
+    ModelPixelScale/ModelTiepoint, GDAL_NODATA
+
+The LZW codec is the TIFF variant (MSB-first packing, 9→12 bit codes
+with *early change*, Clear=256/EOI=257) implemented from the TIFF 6.0
+spec §13; PackBits decode from spec §9.
+
+Scale notes: one FILE is the unit of parallelism (``load_tiff`` maps a
+``binaryFile`` scan, one task per file — the right shape for a lake of
+many rasters). A single file must fit in one task's memory; a 100-TB
+dataset should be many files, not one. ``assemble_tiff`` (one giant
+output array) is the documented small-raster path matching the
+reference's eager ``to_tiff``; the distributed sink is
+``tiles_to_tiff`` — every tile becomes a standalone, correctly
+georeferenced GeoTIFF part-file, the COG-tile layout a real pipeline
+would use.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# TIFF type id -> (struct char, byte size)
+_TYPES = {
+    1: ("B", 1), 2: ("s", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
+    6: ("b", 1), 7: ("B", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
+    11: ("f", 4), 12: ("d", 8),
+}
+
+_T_WIDTH, _T_HEIGHT, _T_BITS, _T_COMP, _T_PHOTO = 256, 257, 258, 259, 262
+_T_STRIP_OFF, _T_SPP, _T_RPS, _T_STRIP_CNT = 273, 277, 278, 279
+_T_PLANAR, _T_PREDICTOR = 284, 317
+_T_TILE_W, _T_TILE_H, _T_TILE_OFF, _T_TILE_CNT = 322, 323, 324, 325
+_T_SAMPLE_FMT = 339
+_T_PIXEL_SCALE, _T_TIEPOINT, _T_TRANSFORM = 33550, 33922, 34264
+_T_GEO_KEYS, _T_GEO_DOUBLES, _T_GEO_ASCII = 34735, 34736, 34737
+_T_GDAL_NODATA = 42113
+
+_GK_MODEL_TYPE, _GK_RASTER_TYPE = 1024, 1025
+_GK_GEOGRAPHIC, _GK_PROJECTED = 2048, 3072
+
+
+# --------------------------------------------------------------------------
+# LZW (TIFF variant, spec §13): MSB-first, early change, Clear/EOI codes
+# --------------------------------------------------------------------------
+
+_CLEAR, _EOI = 256, 257
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF LZW decode (MSB-first bit order, early code-width change)."""
+    out = bytearray()
+    table: list[bytes] = []
+    nbits = 9
+    prev: bytes | None = None
+    acc = 0
+    acc_bits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while acc_bits < nbits:
+            if pos >= n:
+                return bytes(out)  # no EOI: tolerate truncated tail
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            acc_bits += 8
+        code = (acc >> (acc_bits - nbits)) & ((1 << nbits) - 1)
+        acc_bits -= nbits
+        if code == _EOI:
+            return bytes(out)
+        if code == _CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+            out += entry
+            prev = entry
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table size")
+        table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        # early change: widen when the table reaches 2^nbits - 1
+        if len(table) == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encode — pairs exactly with lzw_decode (early change,
+    Clear emitted at start and whenever the table fills at 4094)."""
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+
+    def emit(code: int, nbits: int):
+        nonlocal acc, acc_bits
+        acc = (acc << nbits) | code
+        acc_bits += nbits
+        while acc_bits >= 8:
+            out.append((acc >> (acc_bits - 8)) & 0xFF)
+            acc_bits -= 8
+        acc &= (1 << acc_bits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    nbits = 9
+    emit(_CLEAR, nbits)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], nbits)
+        table[wc] = next_code
+        next_code += 1
+        # width change in lockstep with the decoder: the decoder (which
+        # appends AFTER reading, one entry behind this table) widens at
+        # len == 2^n - 1, which corresponds to next_code == 2^n here
+        if next_code == (1 << nbits) and nbits < 12:
+            nbits += 1
+        if next_code == 4094:
+            emit(_CLEAR, nbits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], nbits)
+    emit(_EOI, nbits)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE decode (TIFF spec §9 / Apple)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Reader
+# --------------------------------------------------------------------------
+
+
+def _read_ifd(buf: bytes, bo: str, off: int) -> tuple[dict[int, tuple], int]:
+    (n,) = struct.unpack_from(bo + "H", buf, off)
+    entries: dict[int, tuple] = {}
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, off + 2 + 12 * i)
+        entries[tag] = (typ, cnt, off + 2 + 12 * i + 8)
+    (nxt,) = struct.unpack_from(bo + "I", buf, off + 2 + 12 * n)
+    return entries, nxt
+
+
+def _tag_values(buf: bytes, bo: str, entry: tuple):
+    typ, cnt, vpos = entry
+    ch, size = _TYPES.get(typ, (None, None))
+    if ch is None:
+        raise ValueError(f"unsupported TIFF field type {typ}")
+    total = size * cnt
+    pos = vpos
+    if total > 4:
+        (pos,) = struct.unpack_from(bo + "I", buf, vpos)
+    if typ == 2:  # ASCII
+        return buf[pos : pos + cnt].split(b"\x00")[0].decode("ascii", "replace")
+    if typ in (5, 10):  # RATIONAL: return floats
+        raw = struct.unpack_from(bo + ("Ii"[typ == 10] * 2 * cnt), buf, pos)
+        return [raw[2 * i] / (raw[2 * i + 1] or 1) for i in range(cnt)]
+    vals = struct.unpack_from(bo + ch * cnt, buf, pos)
+    return list(vals)
+
+
+def _first(entries, buf, bo, tag, default=None):
+    if tag not in entries:
+        return default
+    v = _tag_values(buf, bo, entries[tag])
+    return v[0] if isinstance(v, list) else v
+
+
+_DTYPES = {
+    (8, 1): "u1", (8, 2): "i1", (16, 1): "u2", (16, 2): "i2",
+    (32, 1): "u4", (32, 2): "i4", (32, 3): "f4", (64, 3): "f8",
+}
+
+
+def _decompress(chunk: bytes, comp: int) -> bytes:
+    if comp == 1:
+        return chunk
+    if comp in (8, 32946):
+        return zlib.decompress(chunk)
+    if comp == 5:
+        return lzw_decode(chunk)
+    if comp == 32773:
+        return packbits_decode(chunk)
+    raise NotImplementedError(
+        f"TIFF compression {comp} not supported (have: none/LZW/DEFLATE/PackBits)"
+    )
+
+
+def _undo_predictor2(block: np.ndarray, spp: int) -> np.ndarray:
+    """Horizontal differencing inverse: cumsum per scanline per sample,
+    in the sample's native modular arithmetic. block: (rows, w, spp)."""
+    return np.cumsum(block, axis=1, dtype=block.dtype)
+
+
+def parse_tiff(buf: bytes, page: int = 0):
+    """Parse one page of a classic TIFF. Returns ``(array, meta)`` where
+    array is (h, w) for single-band or (bands, h, w) for chunky
+    multi-band, and meta has x0/y0/cellx/celly/epsg/model_type/ndv/dtype.
+    """
+    if buf[:2] == b"II":
+        bo = "<"
+    elif buf[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    (magic,) = struct.unpack_from(bo + "H", buf, 2)
+    if magic == 43:
+        raise NotImplementedError("BigTIFF (magic 43) not supported; classic only")
+    if magic != 42:
+        raise ValueError(f"not a TIFF (magic {magic})")
+    (off,) = struct.unpack_from(bo + "I", buf, 4)
+    for _ in range(page + 1):
+        if off == 0:
+            raise ValueError(f"TIFF has no page {page}")
+        entries, nxt = _read_ifd(buf, bo, off)
+        off = nxt
+
+    w = int(_first(entries, buf, bo, _T_WIDTH))
+    h = int(_first(entries, buf, bo, _T_HEIGHT))
+    spp = int(_first(entries, buf, bo, _T_SPP, 1))
+    comp = int(_first(entries, buf, bo, _T_COMP, 1))
+    planar = int(_first(entries, buf, bo, _T_PLANAR, 1))
+    predictor = int(_first(entries, buf, bo, _T_PREDICTOR, 1))
+    bits = _tag_values(buf, bo, entries[_T_BITS]) if _T_BITS in entries else [1]
+    sfmt = (
+        _tag_values(buf, bo, entries[_T_SAMPLE_FMT])
+        if _T_SAMPLE_FMT in entries
+        else [1] * spp
+    )
+    if len(set(bits)) != 1 or len(set(sfmt)) != 1:
+        raise NotImplementedError("mixed per-sample types not supported")
+    key = (int(bits[0]), int(sfmt[0]))
+    if key not in _DTYPES:
+        raise NotImplementedError(f"sample type bits={key[0]} fmt={key[1]}")
+    dt = np.dtype(bo + _DTYPES[key])
+    if planar != 1 and spp > 1:
+        raise NotImplementedError("planar (band-sequential) multi-band not supported")
+    if predictor == 3:
+        raise NotImplementedError("floating-point predictor (3) not supported")
+    if predictor not in (1, 2):
+        raise ValueError(f"unknown predictor {predictor}")
+
+    out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
+
+    if _T_TILE_OFF in entries:  # tiled layout
+        tw = int(_first(entries, buf, bo, _T_TILE_W))
+        th = int(_first(entries, buf, bo, _T_TILE_H))
+        offs = _tag_values(buf, bo, entries[_T_TILE_OFF])
+        cnts = _tag_values(buf, bo, entries[_T_TILE_CNT])
+        tiles_x = (w + tw - 1) // tw
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            ty, tx = divmod(i, tiles_x)
+            raw = _decompress(buf[o : o + c], comp)
+            block = np.frombuffer(raw, dtype=dt, count=tw * th * spp).reshape(
+                th, tw, spp
+            )
+            if predictor == 2:
+                block = _undo_predictor2(block, spp)
+            r0, c0 = ty * th, tx * tw
+            rr, cc = min(th, h - r0), min(tw, w - c0)
+            out[r0 : r0 + rr, c0 : c0 + cc] = block[:rr, :cc]
+    else:  # strips
+        rps = int(_first(entries, buf, bo, _T_RPS, h))
+        offs = _tag_values(buf, bo, entries[_T_STRIP_OFF])
+        cnts = _tag_values(buf, bo, entries[_T_STRIP_CNT])
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            r0 = i * rps
+            rows = min(rps, h - r0)
+            raw = _decompress(buf[o : o + c], comp)
+            block = np.frombuffer(raw, dtype=dt, count=rows * w * spp).reshape(
+                rows, w, spp
+            )
+            if predictor == 2:
+                block = _undo_predictor2(block, spp)
+            out[r0 : r0 + rows] = block
+
+    meta = {"dtype": str(out.dtype), "bands": spp}
+    # --- georeferencing -----------------------------------------------
+    if _T_PIXEL_SCALE in entries and _T_TIEPOINT in entries:
+        sx, sy = _tag_values(buf, bo, entries[_T_PIXEL_SCALE])[:2]
+        tp = _tag_values(buf, bo, entries[_T_TIEPOINT])
+        i, j, _, x, y = tp[0], tp[1], tp[2], tp[3], tp[4]
+        meta.update(x0=x - i * sx, y0=y + j * sy, cellx=sx, celly=-sy)
+    elif _T_TRANSFORM in entries:
+        m = _tag_values(buf, bo, entries[_T_TRANSFORM])
+        if m[1] != 0 or m[4] != 0:
+            raise NotImplementedError("rotated ModelTransformation not supported")
+        meta.update(x0=m[3], y0=m[7], cellx=m[0], celly=m[5])
+    if _T_GEO_KEYS in entries:
+        gk = _tag_values(buf, bo, entries[_T_GEO_KEYS])
+        nkeys = gk[3]
+        for k in range(nkeys):
+            kid, loc, cnt, val = gk[4 + 4 * k : 8 + 4 * k]
+            if loc == 0:
+                if kid == _GK_MODEL_TYPE:
+                    meta["model_type"] = val
+                elif kid in (_GK_GEOGRAPHIC, _GK_PROJECTED):
+                    meta["epsg"] = val
+    nd = _first(entries, buf, bo, _T_GDAL_NODATA)
+    if nd is not None:
+        meta["ndv"] = float(nd)
+    arr = out[:, :, 0] if spp == 1 else np.moveaxis(out, 2, 0)
+    return arr, meta
+
+
+# --------------------------------------------------------------------------
+# Writer
+# --------------------------------------------------------------------------
+
+_WFMT = {
+    "uint8": (8, 1), "int8": (8, 2), "uint16": (16, 1), "int16": (16, 2),
+    "uint32": (32, 1), "int32": (32, 2), "float32": (32, 3), "float64": (64, 3),
+}
+
+
+def _apply_predictor2(block: np.ndarray) -> np.ndarray:
+    d = block.copy()
+    d[:, 1:] = block[:, 1:] - block[:, :-1]  # modular wrap is correct for ints
+    return d
+
+
+def write_tiff(
+    arr: np.ndarray,
+    *,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    cellx: float = 1.0,
+    celly: float = -1.0,
+    ndv: float | None = None,
+    epsg: int = 4326,
+    compression: str = "deflate",
+    predictor: bool = False,
+    rows_per_strip: int | None = None,
+    tiled: bool = False,
+    tile_size: int = 256,
+    byteorder: str = "<",
+) -> bytes:
+    """Write a single-band GeoTIFF. ``celly`` is negative (north-up),
+    matching the engine's georef convention; the file stores |celly|
+    in ModelPixelScale per the GeoTIFF spec."""
+    a = np.ascontiguousarray(arr)
+    if a.ndim != 2:
+        raise ValueError("write_tiff: single-band (h, w) arrays only")
+    dname = str(a.dtype)
+    if dname not in _WFMT:
+        raise NotImplementedError(f"dtype {dname} not writable")
+    bits, sfmt = _WFMT[dname]
+    if predictor and sfmt == 3:
+        raise ValueError("predictor=2 is for integer dtypes (use False for floats)")
+    comp_id = {"none": 1, "deflate": 8, "lzw": 5}.get(compression)
+    if comp_id is None:
+        raise ValueError(f"compression {compression!r}: none|deflate|lzw")
+    bo = byteorder
+    if bo not in ("<", ">"):
+        raise ValueError("byteorder must be '<' or '>'")
+    h, w = a.shape
+    a = a.astype(np.dtype(bo + _DTYPES[(bits, sfmt)]))
+
+    def pack_block(block: np.ndarray) -> bytes:
+        if predictor:
+            block = _apply_predictor2(block)
+        raw = block.tobytes()
+        if comp_id == 8:
+            return zlib.compress(raw, 6)
+        if comp_id == 5:
+            return lzw_encode(raw)
+        return raw
+
+    chunks: list[bytes] = []
+    if tiled:
+        ts = tile_size
+        if ts % 16:
+            raise ValueError("TIFF tile size must be a multiple of 16")
+        tiles_x, tiles_y = (w + ts - 1) // ts, (h + ts - 1) // ts
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                block = np.zeros((ts, ts), dtype=a.dtype)
+                sub = a[ty * ts : ty * ts + ts, tx * ts : tx * ts + ts]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                chunks.append(pack_block(block))
+    else:
+        rps = rows_per_strip or max(1, min(h, (1 << 16) // max(w * bits // 8, 1) or 1))
+        for r0 in range(0, h, rps):
+            chunks.append(pack_block(a[r0 : r0 + rps]))
+
+    # layout: header(8) | chunk data | external tag values | IFD
+    header = struct.pack(bo + "2sH", b"II" if bo == "<" else b"MM", 42)
+    data_off = 8
+    offsets = []
+    pos = data_off
+    for c in chunks:
+        offsets.append(pos)
+        pos += len(c)
+    ext = bytearray()  # external tag value area, starts at `pos`
+    ext_base = pos
+
+    def ext_put(fmt: str, vals) -> int:
+        o = ext_base + len(ext)
+        ext.extend(struct.pack(bo + fmt * len(vals), *vals))
+        return o
+
+    tags: list[tuple[int, int, int, int]] = []  # (tag, type, count, value)
+
+    def tag_arr(tag: int, typ: int, vals: list):
+        ch, size = _TYPES[typ]
+        if size * len(vals) <= 4:
+            packed = struct.pack(bo + ch * len(vals), *vals)
+            packed += b"\x00" * (4 - len(packed))
+            (v,) = struct.unpack(bo + "I", packed)
+            tags.append((tag, typ, len(vals), v))
+        else:
+            tags.append((tag, typ, len(vals), ext_put(ch, vals)))
+
+    def tag_ascii(tag: int, s: str):
+        b = s.encode("ascii") + b"\x00"
+        if len(b) <= 4:
+            (v,) = struct.unpack(bo + "I", b + b"\x00" * (4 - len(b)))
+            tags.append((tag, 2, len(b), v))
+        else:
+            o = ext_base + len(ext)
+            ext.extend(b)
+            tags.append((tag, 2, len(b), o))
+
+    tag_arr(_T_WIDTH, 4, [w])
+    tag_arr(_T_HEIGHT, 4, [h])
+    tag_arr(_T_BITS, 3, [bits])
+    tag_arr(_T_COMP, 3, [comp_id])
+    tag_arr(_T_PHOTO, 3, [1])  # BlackIsZero
+    if tiled:
+        tag_arr(_T_SPP, 3, [1])
+        tag_arr(_T_TILE_W, 3, [tile_size])
+        tag_arr(_T_TILE_H, 3, [tile_size])
+        tag_arr(_T_TILE_OFF, 4, offsets)
+        tag_arr(_T_TILE_CNT, 4, [len(c) for c in chunks])
+    else:
+        tag_arr(_T_STRIP_OFF, 4, offsets)
+        tag_arr(_T_SPP, 3, [1])
+        tag_arr(_T_RPS, 4, [rps])
+        tag_arr(_T_STRIP_CNT, 4, [len(c) for c in chunks])
+    tag_arr(_T_PLANAR, 3, [1])
+    if predictor:
+        tag_arr(_T_PREDICTOR, 3, [2])
+    tag_arr(_T_SAMPLE_FMT, 3, [sfmt])
+    tag_arr(_T_PIXEL_SCALE, 12, [cellx, abs(celly), 0.0])
+    tag_arr(_T_TIEPOINT, 12, [0.0, 0.0, 0.0, x0, y0, 0.0])
+    model = 2 if epsg == 4326 else 1  # geographic vs projected
+    geo = [1, 1, 0, 3,
+           _GK_MODEL_TYPE, 0, 1, model,
+           _GK_RASTER_TYPE, 0, 1, 1,  # RasterPixelIsArea
+           (_GK_GEOGRAPHIC if model == 2 else _GK_PROJECTED), 0, 1, epsg]
+    tag_arr(_T_GEO_KEYS, 3, geo)
+    if ndv is not None:
+        nd = float(ndv)
+        tag_ascii(_T_GDAL_NODATA, str(int(nd)) if nd == int(nd) else repr(nd))
+
+    tags.sort()
+    ifd_off = ext_base + len(ext)
+    ifd = struct.pack(bo + "H", len(tags))
+    for tag, typ, cnt, val in tags:
+        ifd += struct.pack(bo + "HHII", tag, typ, cnt, val)
+    ifd += struct.pack(bo + "I", 0)  # no next IFD
+
+    head = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off)
+    return head + b"".join(chunks) + bytes(ext) + ifd
+
+
+# --------------------------------------------------------------------------
+# Spark surface
+# --------------------------------------------------------------------------
+
+IMAGES_TIFF_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, tile_row int, tile_col int, "
+    "xmin double, ymax double, cellx double, celly double, "
+    "crs string, ndv double, dtype string, cell_id long, source_path string"
+)
+
+
+def load_tiff(spark, path: str, tile: int = 256, cell_res: int = 3,
+              default_ndv: float = -9999.0):
+    """Read a directory/glob of GeoTIFF files into the standard images
+    table (reference load_tiff/from_file, georasters.py:281-291,
+    :1548-1566). One Spark task per FILE (binaryFile source); each file
+    is parsed executor-side and re-cut into ``tile`` x ``tile`` raw
+    tiles, so every downstream operator (zonal, terrain, reproject,
+    knn, ...) runs unchanged on real .tif input."""
+    import pandas as pd
+
+    from ..functions import cells
+    from . import codec
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                arr, meta = parse_tiff(bytes(rec.content))
+                if arr.ndim == 3:  # multi-band: band 0 (reference band=1 default)
+                    arr = arr[0]
+                ndv = float(meta.get("ndv", default_ndv))
+                x0 = float(meta.get("x0", 0.0))
+                y0 = float(meta.get("y0", 0.0))
+                cx = float(meta.get("cellx", 1.0))
+                cy = float(meta.get("celly", -1.0))
+                epsg = int(meta.get("epsg", 0))
+                is_f = arr.dtype.kind == "f"
+                fmt = "rawf32" if is_f else "raw16"
+                store = arr.astype(np.float32 if is_f else np.int16)
+                name = rec.path.rsplit("/", 1)[-1]
+                h, w = arr.shape
+                for ty in range((h + tile - 1) // tile):
+                    for tx in range((w + tile - 1) // tile):
+                        block = np.full((tile, tile), ndv, dtype=store.dtype)
+                        sub = store[ty * tile : ty * tile + tile,
+                                    tx * tile : tx * tile + tile]
+                        block[: sub.shape[0], : sub.shape[1]] = sub
+                        xmin = x0 + tx * tile * cx
+                        ymax = y0 + ty * tile * cy
+                        cid = int(cells.cell_of(
+                            xmin + tile * cx / 2, ymax + tile * cy / 2, cell_res
+                        ))
+                        rows.append({
+                            "image_id": f"{name}:r{ty}c{tx}",
+                            "bytes": codec.encode_tile(block, fmt, ndv),
+                            "w": tile, "h": tile, "fmt": fmt,
+                            "caption": name,
+                            "phash": codec.average_hash(block, ndv),
+                            "tile_row": ty, "tile_col": tx,
+                            "xmin": xmin, "ymax": ymax,
+                            "cellx": cx, "celly": cy,
+                            "crs": f"EPSG:{epsg}" if epsg else "unknown",
+                            "ndv": ndv, "dtype": str(arr.dtype),
+                            "cell_id": cid, "source_path": rec.path,
+                        })
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                "tile_row", "tile_col", "xmin", "ymax", "cellx", "celly",
+                "crs", "ndv", "dtype", "cell_id", "source_path",
+            ])
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(gen, schema=IMAGES_TIFF_SCHEMA)
+
+
+def tiles_to_tiff(images, *, epsg: int = 4326, compression: str = "deflate",
+                  predictor: bool = True):
+    """Distributed GeoTIFF sink: every tile row becomes a standalone,
+    correctly georeferenced single-band GeoTIFF (the COG-tile layout).
+    Fully executor-side — the scale path for writing a 100-TB mosaic as
+    many part files (reference to_tiff writes ONE file from one eager
+    array, georasters.py:535-557; see assemble_tiff for that shape)."""
+    import pandas as pd
+
+    from . import codec
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.bytes), t.fmt, int(t.w),
+                                        int(t.h), float(t.ndv))
+                a = np.asarray(arr)
+                pred = predictor and a.dtype.kind in "iu"
+                rows.append({
+                    "tile_row": int(t.tile_row), "tile_col": int(t.tile_col),
+                    "tiff": write_tiff(
+                        a, x0=float(t.xmin), y0=float(t.ymax),
+                        cellx=float(t.cellx), celly=float(t.celly),
+                        ndv=float(t.ndv), epsg=epsg,
+                        compression=compression, predictor=pred,
+                    ),
+                })
+            yield pd.DataFrame(rows, columns=["tile_row", "tile_col", "tiff"])
+
+    cols = ["bytes", "fmt", "w", "h", "ndv", "tile_row", "tile_col",
+            "xmin", "ymax", "cellx", "celly"]
+    return images.select(*cols).mapInPandas(
+        gen, schema="tile_row int, tile_col int, tiff binary"
+    )
+
+
+def assemble_tiff(images, *, origin, cellsize, shape, ndv: float,
+                  epsg: int = 4326, compression: str = "deflate") -> bytes:
+    """Assemble ALL tiles into one GeoTIFF byte string on the driver —
+    the reference's eager to_tiff shape (georasters.py:535-557).
+    DOCUMENTED small-raster path: the whole array is materialized
+    driver-side; use tiles_to_tiff for anything big."""
+    h, w = shape
+    from . import codec
+
+    full = np.full((h, w), ndv)
+    for t in images.select("bytes", "fmt", "w", "h", "ndv",
+                           "tile_row", "tile_col").collect():
+        arr = codec.decode_tile(bytes(t["bytes"]), t["fmt"], t["w"], t["h"],
+                                t["ndv"])
+        r0, c0 = t["tile_row"] * t["h"], t["tile_col"] * t["w"]
+        rr = min(t["h"], h - r0)
+        cc = min(t["w"], w - c0)
+        if rr > 0 and cc > 0:
+            full[r0 : r0 + rr, c0 : c0 + cc] = np.asarray(arr)[:rr, :cc]
+    is_int = np.all(full == np.floor(full)) and np.abs(full).max() < 2**31 - 1
+    out = full.astype(np.int32) if is_int else full.astype(np.float64)
+    return write_tiff(out, x0=origin[0], y0=origin[1], cellx=cellsize[0],
+                      celly=cellsize[1], ndv=ndv, epsg=epsg,
+                      compression=compression,
+                      predictor=bool(out.dtype.kind in "iu"))

@@ -1,0 +1,356 @@
+"""GeoTIFF codec tests — reader/writer matrix, hand-built spec fixtures
+(independent of our writer), LZW/PackBits codecs, and the Spark
+load_tiff / tiles_to_tiff / assemble_tiff surfaces.
+
+Reference parity: load_tiff/from_file (georasters.py:281-291,
+:1548-1566), create_geotiff/to_tiff (:179-205, :535-557).
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from georasters_spark.sources import geotiff as GT
+
+
+def _grid(h, w, seed=7, dtype=np.int16):
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    return (((r * 7919 + c * 104729 + seed) % 1997).astype(np.int64)).astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# LZW / PackBits
+# --------------------------------------------------------------------------
+
+
+def test_lzw_roundtrip_small():
+    data = b"\x07\x07\x07\x08\x08\x07\x07\x06\x06"
+    assert GT.lzw_decode(GT.lzw_encode(data)) == data
+
+
+def test_lzw_roundtrip_large_forces_width_changes_and_reset():
+    rng = np.random.default_rng(0)
+    # diverse bytes -> table grows past 511/1023/2047 and hits the 4094
+    # reset; then a long constant run exercises the KwKwK case
+    data = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes() + b"\xaa" * 5000
+    enc = GT.lzw_encode(data)
+    assert GT.lzw_decode(enc) == data
+    # incompressible data stays near 1.07x (9->12 bit codes over bytes)
+    assert len(enc) < len(data) * 1.6
+
+
+def test_lzw_known_bitstream_decodes():
+    # hand-packed stream for "07 07 07 08": codes CLEAR,7,258,8,EOI at
+    # 9 bits each, MSB-first -- packed here independently of lzw_encode
+    codes = [256, 7, 258, 8, 257]
+    acc = accbits = 0
+    out = bytearray()
+    for code in codes:
+        acc = (acc << 9) | code
+        accbits += 9
+        while accbits >= 8:
+            out.append((acc >> (accbits - 8)) & 0xFF)
+            accbits -= 8
+        acc &= (1 << accbits) - 1
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    assert GT.lzw_decode(bytes(out)) == b"\x07\x07\x07\x08"
+    assert GT.lzw_encode(b"\x07\x07\x07\x08") == bytes(out)
+
+
+def test_packbits_spec_example():
+    # the worked example from the TIFF 6.0 spec / Apple PackBits docs
+    enc = bytes.fromhex("FEAA0280002AFDAA038000 2A22F7AA".replace(" ", ""))
+    want = (b"\xaa" * 3 + bytes.fromhex("80002A") + b"\xaa" * 4
+            + bytes.fromhex("80002A22") + b"\xaa" * 10)
+    assert GT.packbits_decode(enc) == want
+
+
+# --------------------------------------------------------------------------
+# Writer -> reader roundtrip matrix
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "int16", "int32", "float32", "float64"])
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+def test_roundtrip_dtypes_compressions(dtype, compression):
+    arr = _grid(37, 53, dtype=np.dtype(dtype))
+    pred = np.dtype(dtype).kind in "iu"
+    buf = GT.write_tiff(
+        arr, x0=-180.0, y0=90.0, cellx=0.5, celly=-0.25, ndv=-9999.0,
+        compression=compression, predictor=pred, rows_per_strip=11,
+    )
+    out, meta = GT.parse_tiff(buf)
+    assert out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, arr)
+    assert (meta["x0"], meta["y0"]) == (-180.0, 90.0)
+    assert (meta["cellx"], meta["celly"]) == (0.5, -0.25)
+    assert meta["ndv"] == -9999.0
+    assert meta["epsg"] == 4326 and meta["model_type"] == 2
+
+
+@pytest.mark.parametrize("byteorder", ["<", ">"])
+@pytest.mark.parametrize("tiled", [False, True])
+def test_roundtrip_layout_byteorder(byteorder, tiled):
+    arr = _grid(70, 41, dtype=np.int16)
+    buf = GT.write_tiff(
+        arr, compression="deflate", predictor=True, byteorder=byteorder,
+        tiled=tiled, tile_size=32, rows_per_strip=13, epsg=3857,
+    )
+    assert buf[:2] == (b"II" if byteorder == "<" else b"MM")
+    out, meta = GT.parse_tiff(buf)
+    np.testing.assert_array_equal(out, arr)
+    assert meta["epsg"] == 3857 and meta["model_type"] == 1  # projected
+
+
+def test_roundtrip_non_integer_nodata_and_default_georef():
+    arr = _grid(9, 9, dtype=np.float32)
+    buf = GT.write_tiff(arr, ndv=-1.5, compression="none")
+    out, meta = GT.parse_tiff(buf)
+    assert meta["ndv"] == -1.5
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_writer_rejects_bad_input():
+    with pytest.raises(ValueError):
+        GT.write_tiff(np.zeros((2, 2, 2), dtype=np.int16))
+    with pytest.raises(ValueError):
+        GT.write_tiff(np.zeros((4, 4), np.float32), predictor=True)
+    with pytest.raises(ValueError):
+        GT.write_tiff(np.zeros((4, 4), np.int16), tiled=True, tile_size=20)
+    with pytest.raises(NotImplementedError):
+        GT.write_tiff(np.zeros((4, 4), np.complex64))
+
+
+# --------------------------------------------------------------------------
+# Hand-built fixtures (constructed WITHOUT the writer)
+# --------------------------------------------------------------------------
+
+
+def _entry(bo, tag, typ, cnt, val):
+    # inline values are LEFT-justified in the 4-byte field (TIFF spec),
+    # which matters for SHORTs in big-endian fixtures
+    if typ == 3 and cnt == 1:
+        return struct.pack(bo + "HHI", tag, typ, cnt) + struct.pack(bo + "H2x", val)
+    return struct.pack(bo + "HHII", tag, typ, cnt, val)
+
+
+def test_parse_handbuilt_minimal_le():
+    # 2x3 uint8, one uncompressed strip at offset 8, IFD after data
+    data = bytes([1, 2, 3, 4, 5, 6])
+    ifd_off = 8 + len(data)
+    n = 8
+    ifd = struct.pack("<H", n)
+    ifd += _entry("<", 256, 3, 1, 3)        # width (SHORT inline)
+    ifd += _entry("<", 257, 3, 1, 2)        # height
+    ifd += _entry("<", 258, 3, 1, 8)        # bits
+    ifd += _entry("<", 259, 3, 1, 1)        # no compression
+    ifd += _entry("<", 262, 3, 1, 1)
+    ifd += _entry("<", 273, 4, 1, 8)        # strip offset
+    ifd += _entry("<", 278, 4, 1, 2)        # rows per strip
+    ifd += _entry("<", 279, 4, 1, len(data))
+    ifd += struct.pack("<I", 0)
+    buf = struct.pack("<2sHI", b"II", 42, ifd_off) + data + ifd
+    out, meta = GT.parse_tiff(buf)
+    np.testing.assert_array_equal(out, np.array([[1, 2, 3], [4, 5, 6]], np.uint8))
+    assert meta["bands"] == 1
+
+
+def test_parse_handbuilt_bigendian_16bit_deflate_predictor():
+    arr = np.array([[100, 107, 103], [9, 9, 9]], dtype=">i2")
+    diff = arr.copy()
+    diff[:, 1:] = arr[:, 1:] - arr[:, :-1]
+    comp = zlib.compress(diff.tobytes())
+    ifd_off = 8 + len(comp)
+    ents = [
+        (256, 3, 1, 3), (257, 3, 1, 2), (258, 3, 1, 16), (259, 3, 1, 8),
+        (262, 3, 1, 1), (273, 4, 1, 8), (278, 4, 1, 2),
+        (279, 4, 1, len(comp)), (317, 3, 1, 2), (339, 3, 1, 2),
+    ]
+    ifd = struct.pack(">H", len(ents))
+    for e in ents:
+        ifd += _entry(">", *e)
+    ifd += struct.pack(">I", 0)
+    buf = struct.pack(">2sHI", b"MM", 42, ifd_off) + comp + ifd
+    out, _ = GT.parse_tiff(buf)
+    np.testing.assert_array_equal(out, arr.astype(np.int16))
+
+
+def test_parse_handbuilt_multiband_chunky():
+    # 2x2, 3 samples interleaved RGB-style, uint8
+    h, w, s = 2, 2, 3
+    px = np.arange(h * w * s, dtype=np.uint8).reshape(h, w, s)
+    data = px.tobytes()
+    # BitsPerSample needs 3 SHORTs -> external area right after data
+    bits_off = 8 + len(data)
+    ifd_off = bits_off + 6
+    ents = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 3, bits_off),
+        (259, 3, 1, 1), (262, 3, 1, 2), (273, 4, 1, 8), (277, 3, 1, s),
+        (278, 4, 1, h), (279, 4, 1, len(data)), (284, 3, 1, 1),
+    ]
+    ifd = struct.pack("<H", len(ents))
+    for e in ents:
+        ifd += _entry("<", *e)
+    ifd += struct.pack("<I", 0)
+    buf = (struct.pack("<2sHI", b"II", 42, ifd_off) + data
+           + struct.pack("<HHH", 8, 8, 8) + ifd)
+    out, meta = GT.parse_tiff(buf)
+    assert out.shape == (3, 2, 2) and meta["bands"] == 3
+    np.testing.assert_array_equal(out, np.moveaxis(px, 2, 0))
+
+
+def test_parse_rejects_non_tiff_and_bigtiff():
+    with pytest.raises(ValueError):
+        GT.parse_tiff(b"PK\x03\x04junkjunk")
+    with pytest.raises(NotImplementedError):
+        GT.parse_tiff(struct.pack("<2sHI", b"II", 43, 8))
+
+
+def test_parse_model_transformation_fallback():
+    data = bytes([5])
+    m_off = 8 + 1
+    ifd_off = m_off + 16 * 8
+    m = [2.0, 0.0, 0.0, 10.0,
+         0.0, -3.0, 0.0, 50.0,
+         0.0, 0.0, 0.0, 0.0,
+         0.0, 0.0, 0.0, 1.0]
+    ents = [
+        (256, 3, 1, 1), (257, 3, 1, 1), (258, 3, 1, 8), (259, 3, 1, 1),
+        (273, 4, 1, 8), (278, 4, 1, 1), (279, 4, 1, 1),
+        (34264, 12, 16, m_off),
+    ]
+    ifd = struct.pack("<H", len(ents))
+    for e in ents:
+        ifd += _entry("<", *e)
+    ifd += struct.pack("<I", 0)
+    buf = (struct.pack("<2sHI", b"II", 42, ifd_off) + data
+           + struct.pack("<16d", *m) + ifd)
+    out, meta = GT.parse_tiff(buf)
+    assert out[0, 0] == 5
+    assert (meta["x0"], meta["y0"], meta["cellx"], meta["celly"]) == (10.0, 50.0, 2.0, -3.0)
+
+
+def test_parse_packbits_strip():
+    # 1x8 uint8 row, PackBits-compressed: literal 3 bytes + run of 5
+    row = bytes([1, 2, 3]) + bytes([9] * 5)
+    comp = bytes([2, 1, 2, 3, 252, 9])  # 252 = 257-5 repeats
+    assert GT.packbits_decode(comp) == row
+    ifd_off = 8 + len(comp)
+    ents = [
+        (256, 3, 1, 8), (257, 3, 1, 1), (258, 3, 1, 8), (259, 3, 1, 32773),
+        (273, 4, 1, 8), (278, 4, 1, 1), (279, 4, 1, len(comp)),
+    ]
+    ifd = struct.pack("<H", len(ents))
+    for e in ents:
+        ifd += _entry("<", *e)
+    ifd += struct.pack("<I", 0)
+    buf = struct.pack("<2sHI", b"II", 42, ifd_off) + comp + ifd
+    out, _ = GT.parse_tiff(buf)
+    np.testing.assert_array_equal(out[0], np.frombuffer(row, np.uint8))
+
+
+# --------------------------------------------------------------------------
+# Spark surfaces
+# --------------------------------------------------------------------------
+
+
+def test_load_tiff_spark(spark, tmp_path):
+    h, w = 100, 130
+    specs = [("none", False, "<", False), ("deflate", True, ">", False),
+             ("lzw", True, "<", True)]
+    arrs = {}
+    for i, (comp, pred, bo, tiled) in enumerate(specs):
+        arr = _grid(h, w, seed=i, dtype=np.int16)
+        arr[arr % 11 == 0] = -9999  # carve nodata
+        arrs[f"f{i}.tif"] = arr
+        buf = GT.write_tiff(
+            arr, x0=-180.0 + i, y0=90.0, cellx=0.1, celly=-0.1, ndv=-9999,
+            compression=comp, predictor=pred, byteorder=bo, tiled=tiled,
+            tile_size=64, rows_per_strip=17,
+        )
+        (tmp_path / f"f{i}.tif").write_bytes(buf)
+
+    imgs = GT.load_tiff(spark, str(tmp_path), tile=64)
+    pdf = imgs.toPandas()
+    assert set(pdf["caption"]) == set(arrs)
+    assert (pdf["crs"] == "EPSG:4326").all()
+    from georasters_spark.operators import pixels as PX
+
+    px = PX.pixel_table(imgs, valid_only=True, with_coords=False).toPandas()
+    meta = pdf[["image_id", "caption"]]
+    for name, arr in arrs.items():
+        ids = set(meta[meta["caption"] == name]["image_id"])
+        sub = px[px["image_id"].isin(ids)]
+        valid = arr[arr != -9999]
+        assert sub["value"].sum() == valid.astype(np.int64).sum()
+        assert len(sub) == valid.size
+
+
+def test_tiles_to_tiff_roundtrip(spark, images_t1):
+    from georasters_spark.sources import codec
+
+    parts = GT.tiles_to_tiff(images_t1, compression="lzw").toPandas()
+    raw = images_t1.select("bytes", "fmt", "w", "h", "ndv", "tile_row",
+                           "tile_col", "xmin", "ymax").toPandas()
+    assert len(parts) == len(raw)
+    raw = raw.set_index(["tile_row", "tile_col"])
+    for t in parts.itertuples(index=False):
+        src = raw.loc[(t.tile_row, t.tile_col)]
+        want = codec.decode_tile(bytes(src["bytes"]), src["fmt"],
+                                 int(src["w"]), int(src["h"]), float(src["ndv"]))
+        out, meta = GT.parse_tiff(bytes(t.tiff))
+        np.testing.assert_array_equal(out, np.asarray(want))
+        assert meta["x0"] == src["xmin"] and meta["y0"] == src["ymax"]
+
+
+def test_images_table_with_tiff_fmt(spark):
+    """fmt='tiff' tile bytes flow through the whole images-table stack:
+    build_images encodes every tile as a standalone GeoTIFF and
+    pixel_table decodes them back bit-exactly vs the raw16 build."""
+    from pyspark.sql import functions as F
+
+    from georasters_spark.operators import pixels as PX
+    from georasters_spark.sources import synth
+
+    spec = synth.GridSpec(grid_id="tiffgrid", width=192, height=128, tile=64)
+    a = PX.pixel_table(synth.build_images(spark, spec, fmt="tiff"),
+                       valid_only=True, with_coords=False)
+    b = PX.pixel_table(synth.build_images(spark, spec, fmt="raw16"),
+                       valid_only=True, with_coords=False)
+    stats = lambda df: df.agg(  # noqa: E731
+        F.count("value").alias("n"), F.sum("value").alias("s"),
+        F.min("value").alias("lo"), F.max("value").alias("hi")).first()
+    assert stats(a) == stats(b)
+    assert a.exceptAll(b).isEmpty()
+
+
+def test_assemble_tiff_matches_pixels(spark, images_t1):
+    from georasters_spark.sources import synth
+
+    spec = synth.T1
+    buf = GT.assemble_tiff(
+        images_t1, origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly),
+        shape=(spec.height, spec.width), ndv=spec.ndv,
+    )
+    out, meta = GT.parse_tiff(buf)
+    assert out.shape == (spec.height, spec.width)
+    want = np.stack([
+        synth.tile_array(spec, ty, tx)
+        for ty in range(spec.tiles_y) for tx in range(spec.tiles_x)
+    ])
+    # reassemble expectation from synth tiles
+    full = np.full((spec.tiles_y * spec.tile, spec.tiles_x * spec.tile),
+                   spec.ndv)
+    i = 0
+    for ty in range(spec.tiles_y):
+        for tx in range(spec.tiles_x):
+            full[ty * spec.tile:(ty + 1) * spec.tile,
+                 tx * spec.tile:(tx + 1) * spec.tile] = want[i]
+            i += 1
+    np.testing.assert_array_equal(out, full[: spec.height, : spec.width])
+    assert meta["x0"] == spec.x0 and meta["cellx"] == spec.cellx

@@ -588,6 +588,20 @@ def parse_crs(crs) -> str:
             if zone is None or not (1 <= zone <= 60):
                 raise NotImplementedError("+proj=utm needs +zone=1..60")
             return f"utm:{zone}{'s' if south else 'n'}"
+        if key.split()[0] in ("+proj=aea", "+proj=lcc"):
+            kind = key.split()[0][-3:]
+            p = {"+lat_1": None, "+lat_2": None, "+lat_0": 0.0,
+                 "+lon_0": 0.0, "+x_0": 0.0, "+y_0": 0.0}
+            for tokn in key.split():
+                k2, _, v = tokn.partition("=")
+                if k2 in p and v:
+                    p[k2] = float(v)
+            if p["+lat_1"] is None:
+                raise NotImplementedError(f"+proj={kind} needs +lat_1 (and +lat_2)")
+            if p["+lat_2"] is None:
+                p["+lat_2"] = p["+lat_1"]  # 1SP form
+            return (f"{kind}:custom:{p['+lat_1']}:{p['+lat_2']}:{p['+lat_0']}"
+                    f":{p['+lon_0']}:{p['+x_0']}:{p['+y_0']}")
         key = key.split()[0]
     num = key.removeprefix("epsg:")
     if num.isdigit():
@@ -596,14 +610,18 @@ def parse_crs(crs) -> str:
             return f"utm:{code - 32600}n"
         if 32701 <= code <= 32760:
             return f"utm:{code - 32700}s"
+        if code in CONIC_EPSG:
+            return f"{CONIC_EPSG[code][0]}:{code}"
     tok = _CRS_TOKENS.get(key)
     if tok is None:
         raise NotImplementedError(
             f"CRS {crs!r} not supported in-sandbox (no GDAL/osr); supported: "
             "EPSG:4326 (source), EPSG:6933/+proj=cea, EPSG:3857/+proj=merc, "
             "EPSG:326xx/327xx and +proj=utm (Krüger-series transverse "
-            "Mercator) targets. On a cluster, swap in a GDAL-backed "
-            "transform for anything else."
+            "Mercator), ESRI:54008/+proj=sinu, EPSG:5070/3310 and +proj=aea "
+            "(Albers equal-area conic), EPSG:2154/3978 and +proj=lcc "
+            "(Lambert conformal conic) targets. On a cluster, swap in a "
+            "GDAL-backed transform for anything else."
         )
     return tok
 
@@ -631,6 +649,12 @@ def reproject(
         raise NotImplementedError("only WGS84 sources are supported in-sandbox")
     dst = parse_crs(dst_crs)
     args = (px, src_origin, src_cellsize, src_shape, out_shape)
+    if dst.startswith(("aea:", "lcc:")):
+        P = conic_params_of(dst)
+        if resampling not in ("nearest", "bilinear"):
+            raise NotImplementedError("conic targets support nearest/bilinear")
+        return wgs84_to_conic_grid(*args, P=P, bbox_lonlat=bbox_lonlat,
+                                   resampling=resampling)
     if dst.startswith("utm:"):
         zone = int(dst[4:-1])
         south = dst.endswith("s")
@@ -1501,3 +1525,319 @@ def sinusoidal_numpy_oracle(
     ok = (srow >= 0) & (srow < h) & (scol >= 0) & (scol < w)
     out[ok] = full[srow[ok], scol[ok]]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Conic targets: Albers equal-area (+proj=aea, e.g. EPSG:5070 CONUS)
+# and Lambert conformal conic (+proj=lcc, e.g. EPSG:2154 Lambert-93) —
+# ellipsoidal closed forms from the public Snyder formulary (USGS
+# Professional Paper 1395, "Map Projections: A Working Manual").
+# Both inverses are NON-iterative: AEA converts authalic latitude with
+# the sin(2kβ) series, LCC converts conformal latitude with the
+# sin(2kχ) series — so the whole warp stays the same pure-Column
+# inverse-gather as CEA/WebMercator/UTM (reference reproject role:
+# georasters.py:559-667; these CRSs are what GDAL users actually name
+# for regional equal-area / conformal work).
+# ---------------------------------------------------------------------------
+
+_GRS80_F = 1.0 / 298.257222101
+_GRS80_E2 = _GRS80_F * (2.0 - _GRS80_F)
+
+
+def _conic_m(phi: float, e2: float) -> float:
+    return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+
+
+def _conic_q(phi: float, e2: float) -> float:
+    e = math.sqrt(e2)
+    s = math.sin(phi)
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s) - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def _conic_t(phi: float, e2: float) -> float:
+    e = math.sqrt(e2)
+    s = math.sin(phi)
+    return math.tan(math.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * s) / (1.0 + e * s)
+    ) ** (e / 2.0)
+
+
+def aea_setup(lat1: float, lat2: float, lat0: float = 0.0, lon0: float = 0.0,
+              fe: float = 0.0, fn: float = 0.0, a: float = _WGS84_A,
+              e2: float = _GRS80_E2) -> dict:
+    """Fold the Albers constants (Snyder 14-3..14-7) plus the
+    authalic-latitude series coefficients (Snyder 3-18)."""
+    p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+    m1, m2 = _conic_m(p1, e2), _conic_m(p2, e2)
+    q1, q2, q0 = _conic_q(p1, e2), _conic_q(p2, e2), _conic_q(p0, e2)
+    if abs(q2 - q1) < 1e-12:  # single standard parallel limit
+        n = math.sin(p1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+    qp = _conic_q(math.pi / 2.0, e2)
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return {
+        "kind": "aea", "a": a, "e2": e2, "n": n, "C": C, "rho0": rho0,
+        "qp": qp, "lon0": lon0, "fe": fe, "fn": fn,
+        "sgn": 1.0 if n >= 0 else -1.0,
+        "A2": e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0,
+        "A4": 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0,
+        "A6": 761.0 * e6 / 45360.0,
+    }
+
+
+def lcc_setup(lat1: float, lat2: float, lat0: float = 0.0, lon0: float = 0.0,
+              fe: float = 0.0, fn: float = 0.0, a: float = _WGS84_A,
+              e2: float = _GRS80_E2) -> dict:
+    """Fold the LCC-2SP constants (Snyder 15-1..15-10) plus the
+    conformal-latitude series coefficients (Snyder 3-5)."""
+    p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+    m1, m2 = _conic_m(p1, e2), _conic_m(p2, e2)
+    t1, t2, t0 = _conic_t(p1, e2), _conic_t(p2, e2), _conic_t(p0, e2)
+    if abs(lat1 - lat2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    Fc = m1 / (n * t1**n)
+    rho0 = a * Fc * t0**n
+    e4, e6, e8 = e2 * e2, e2**3, e2**4
+    return {
+        "kind": "lcc", "a": a, "e2": e2, "n": n, "Fc": Fc, "rho0": rho0,
+        "lon0": lon0, "fe": fe, "fn": fn,
+        "sgn": 1.0 if n >= 0 else -1.0,
+        "B2": e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0,
+        "B4": 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0,
+        "B6": 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0,
+        "B8": 4279.0 * e8 / 161280.0,
+    }
+
+
+def conic_forward_np(lon, lat, P: dict):
+    """Forward projection (numpy), degrees -> meters, for either conic."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - P["lon0"])
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    n, a = P["n"], P["a"]
+    theta = n * lam
+    if P["kind"] == "aea":
+        e = math.sqrt(P["e2"])
+        s = np.sin(phi)
+        q = (1.0 - P["e2"]) * (
+            s / (1.0 - P["e2"] * s * s)
+            - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+        rho = a * np.sqrt(np.maximum(P["C"] - n * q, 0.0)) / n
+    else:
+        e = math.sqrt(P["e2"])
+        s = np.sin(phi)
+        t = np.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+        rho = a * P["Fc"] * t**n
+    x = P["fe"] + rho * np.sin(theta)
+    y = P["fn"] + P["rho0"] - rho * np.cos(theta)
+    return x, y
+
+
+def conic_inverse_np(x, y, P: dict):
+    """Inverse projection (numpy differential oracle), meters -> degrees."""
+    n, a, sgn = P["n"], P["a"], P["sgn"]
+    xr = np.asarray(x, dtype=np.float64) - P["fe"]
+    yr = P["rho0"] - (np.asarray(y, dtype=np.float64) - P["fn"])
+    rho = sgn * np.sqrt(xr * xr + yr * yr)
+    theta = np.arctan2(sgn * xr, sgn * yr)
+    if P["kind"] == "aea":
+        q = (P["C"] - (rho * n / a) ** 2) / n
+        beta = np.arcsin(np.clip(q / P["qp"], -1.0, 1.0))
+        phi = (beta + P["A2"] * np.sin(2 * beta) + P["A4"] * np.sin(4 * beta)
+               + P["A6"] * np.sin(6 * beta))
+    else:
+        t = (rho / (a * P["Fc"])) ** (1.0 / n)
+        chi = math.pi / 2.0 - 2.0 * np.arctan(t)
+        phi = (chi + P["B2"] * np.sin(2 * chi) + P["B4"] * np.sin(4 * chi)
+               + P["B6"] * np.sin(6 * chi) + P["B8"] * np.sin(8 * chi))
+    return np.degrees(theta / n) + P["lon0"], np.degrees(phi)
+
+
+def conic_inverse_cols(xm, ym, P: dict):
+    """The same inverse as pyspark Columns, term-for-term in the
+    conic_inverse_np / conic_inverse_sql order."""
+    n, a, sgn = P["n"], P["a"], P["sgn"]
+    xr = xm - F.lit(P["fe"])
+    yr = F.lit(P["rho0"]) - (ym - F.lit(P["fn"]))
+    rho = F.lit(sgn) * F.sqrt(xr * xr + yr * yr)
+    theta = F.atan2(F.lit(sgn) * xr, F.lit(sgn) * yr)
+    if P["kind"] == "aea":
+        q = (F.lit(P["C"]) - F.pow(rho * F.lit(n) / F.lit(a), F.lit(2.0))) / F.lit(n)
+        beta = F.asin(F.least(F.greatest(q / F.lit(P["qp"]), F.lit(-1.0)), F.lit(1.0)))
+        phi = (beta + F.lit(P["A2"]) * F.sin(F.lit(2.0) * beta)
+               + F.lit(P["A4"]) * F.sin(F.lit(4.0) * beta)
+               + F.lit(P["A6"]) * F.sin(F.lit(6.0) * beta))
+    else:
+        t = F.pow(rho / F.lit(a * P["Fc"]), F.lit(1.0 / n))
+        chi = F.lit(math.pi / 2.0) - F.lit(2.0) * F.atan(t)
+        phi = (chi + F.lit(P["B2"]) * F.sin(F.lit(2.0) * chi)
+               + F.lit(P["B4"]) * F.sin(F.lit(4.0) * chi)
+               + F.lit(P["B6"]) * F.sin(F.lit(6.0) * chi)
+               + F.lit(P["B8"]) * F.sin(F.lit(8.0) * chi))
+    lon = theta / F.lit(n) * F.lit(180.0) / F.lit(math.pi) + F.lit(P["lon0"])
+    lat = phi * F.lit(180.0) / F.lit(math.pi)
+    return lon, lat
+
+
+def conic_inverse_sql(x_expr: str, y_expr: str, P: dict) -> tuple[str, str, str]:
+    """DuckDB SQL for the same inverse (gate oracle), emitted
+    term-for-term in the conic_inverse_cols order. Returns
+    (cte_sql, lon_col, lat_col); the CTE chain reads columns
+    x_expr/y_expr of table `tgt` and carries trow/tcol/xm/ym through."""
+    n, a, sgn = P["n"], P["a"], P["sgn"]
+    xr = f"(({x_expr}) - {dlit(P['fe'])})"
+    yr = f"({dlit(P['rho0'])} - (({y_expr}) - {dlit(P['fn'])}))"
+    rho = f"({dlit(sgn)} * sqrt({xr} * {xr} + {yr} * {yr}))"
+    theta = f"atan2({dlit(sgn)} * {xr}, {dlit(sgn)} * {yr})"
+    if P["kind"] == "aea":
+        q = f"(({dlit(P['C'])} - pow({rho} * {dlit(n)} / {dlit(a)}, 2.0)) / {dlit(n)})"
+        beta = f"asin(least(greatest({q} / {dlit(P['qp'])}, -1.0), 1.0))"
+        phi = (f"(beta + {dlit(P['A2'])} * sin(2.0 * beta)"
+               f" + {dlit(P['A4'])} * sin(4.0 * beta)"
+               f" + {dlit(P['A6'])} * sin(6.0 * beta))")
+        mid = f"c1 AS (SELECT trow, tcol, xm, ym, {theta} AS theta, {beta} AS beta FROM tgt)"
+    else:
+        t = f"pow({rho} / {dlit(a * P['Fc'])}, {dlit(1.0 / n)})"
+        chi = f"({dlit(math.pi / 2.0)} - 2.0 * atan({t}))"
+        phi = (f"(chi + {dlit(P['B2'])} * sin(2.0 * chi)"
+               f" + {dlit(P['B4'])} * sin(4.0 * chi)"
+               f" + {dlit(P['B6'])} * sin(6.0 * chi)"
+               f" + {dlit(P['B8'])} * sin(8.0 * chi))")
+        mid = f"c1 AS (SELECT trow, tcol, xm, ym, {theta} AS theta, {chi} AS chi FROM tgt)"
+    cte = f"""{mid},
+loc0 AS (SELECT trow, tcol, xm, ym,
+                theta / {dlit(n)} * 180.0 / pi() + {dlit(P['lon0'])} AS lon,
+                {phi} * 180.0 / pi() AS lat
+         FROM c1)"""
+    return cte, "lon", "lat"
+
+
+def _conic_bounds(src_origin, src_cellsize, src_shape, P: dict,
+                  bbox_lonlat=None, n_samples: int = 64):
+    """Projected bounds by dense boundary sampling (a conic image of a
+    graticule rectangle bulges on the edge nearest the cone apex, so
+    corners alone under-cover — same scaffolding as UTM/sinusoidal)."""
+    h, w = src_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    if bbox_lonlat is not None:
+        lon_a, lat_a, lon_b, lat_b = bbox_lonlat
+    else:
+        lon_a, lon_b = x0g, x0g + w * cx
+        lat_a, lat_b = y0g + h * cy, y0g
+    if max(abs(lon_a - P["lon0"]), abs(lon_b - P["lon0"])) >= 180.0:
+        raise NotImplementedError(
+            "conic target: source spans the antimeridian of the projection "
+            "center — pass bbox_lonlat to window the warp"
+        )
+    lons, lats = _boundary_samples(lon_a, lat_a, lon_b, lat_b, n_samples)
+    X, Y = conic_forward_np(lons, lats, P)
+    return float(X.min()), float(Y.min()), float(X.max()), float(Y.max())
+
+
+def wgs84_to_conic_grid(
+    px: DataFrame,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    P: dict,
+    bbox_lonlat=None,
+    resampling: str = "nearest",
+) -> DataFrame:
+    """Warp onto an Albers/LCC target grid — identical inverse-gather
+    plan to CEA/UTM: target cells are a range×range cross join, the
+    inverse is pure Column trig, the gather is one equi-join against
+    the pixel table (broadcast when small, hash otherwise — Catalyst's
+    call). nearest or bilinear."""
+    spark = px.sparkSession
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y0b, X1, Y1b = _conic_bounds(src_origin, src_cellsize, src_shape, P,
+                                     bbox_lonlat=bbox_lonlat)
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th  # negative: row 0 = max northing
+    target = (
+        spark.range(th)
+        .select(F.col("id").alias("trow"))
+        .crossJoin(spark.range(tw).select(F.col("id").alias("tcol")))
+    )
+    xm = F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
+    ym = F.lit(Y1b) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
+    lon, lat = conic_inverse_cols(xm, ym, P)
+    if resampling == "bilinear":
+        tgt = target.select("trow", "tcol", xm.alias("xm"), ym.alias("ym"))
+        lon2, lat2 = conic_inverse_cols(F.col("xm"), F.col("ym"), P)
+        return _bilinear_from_lonlat(px, tgt, lon2, lat2, src_origin, src_cellsize)
+    if resampling != "nearest":
+        raise NotImplementedError("conic targets support nearest/bilinear")
+    srow = F.floor(F.round((lat - F.lit(y0g)) / F.lit(cy), _Q)).cast("long")
+    scol = F.floor(F.round((lon - F.lit(x0g)) / F.lit(cx), _Q)).cast("long")
+    tgt = target.select(
+        "trow", "tcol", xm.alias("xm"), ym.alias("ym"),
+        srow.alias("row"), scol.alias("col"),
+    )
+    return tgt.join(px.select("row", "col", "value"), ["row", "col"], "left").select(
+        "trow", "tcol", "xm", "ym", "value"
+    )
+
+
+def conic_numpy_oracle(full: np.ndarray, ndv: float, src_origin, src_cellsize,
+                       out_shape, P: dict, bbox_lonlat=None):
+    """Independent numpy nearest conic warp (differential pytest oracle)."""
+    h, w = full.shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y0b, X1, Y1b = _conic_bounds(src_origin, src_cellsize, (h, w), P,
+                                     bbox_lonlat=bbox_lonlat)
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    tr, tc = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+    xm = X0 + (tc + 0.5) * tcx
+    ym = Y1b + (tr + 0.5) * tcy
+    lon, lat = conic_inverse_np(xm, ym, P)
+    srow = np.floor(np.round((lat - y0g) / cy, _Q)).astype(np.int64)
+    scol = np.floor(np.round((lon - x0g) / cx, _Q)).astype(np.int64)
+    out = np.full(out_shape, ndv)
+    ok = (srow >= 0) & (srow < h) & (scol >= 0) & (scol < w)
+    out[ok] = full[srow[ok], scol[ok]]
+    return out
+
+
+# Public EPSG parameter registry for the supported conic CRSs (all
+# GRS80-ellipsoid systems: NAD83 / RGF93 — public EPSG registry values)
+CONIC_EPSG = {
+    5070: ("aea", dict(lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
+                       fe=0.0, fn=0.0)),            # NAD83 / Conus Albers
+    3310: ("aea", dict(lat1=34.0, lat2=40.5, lat0=0.0, lon0=-120.0,
+                       fe=0.0, fn=-4000000.0)),     # NAD83 / California Albers
+    2154: ("lcc", dict(lat1=49.0, lat2=44.0, lat0=46.5, lon0=3.0,
+                       fe=700000.0, fn=6600000.0)),  # RGF93 / Lambert-93
+    3978: ("lcc", dict(lat1=49.0, lat2=77.0, lat0=49.0, lon0=-95.0,
+                       fe=0.0, fn=0.0)),            # NAD83 / Canada Atlas LCC
+}
+
+
+def conic_params_of(token: str) -> dict:
+    """Resolve a parse_crs conic token ('aea:5070' or
+    'aea:custom:lat1:lat2:lat0:lon0:fe:fn') to folded parameters."""
+    parts = token.split(":")
+    kind = parts[0]
+    if parts[1] == "custom":
+        lat1, lat2, lat0, lon0, fe, fn = map(float, parts[2:8])
+        args = dict(lat1=lat1, lat2=lat2, lat0=lat0, lon0=lon0, fe=fe, fn=fn)
+    else:
+        k, args = CONIC_EPSG[int(parts[1])]
+        assert k == kind
+    return (aea_setup if kind == "aea" else lcc_setup)(**args)

@@ -1061,6 +1061,75 @@ SELECT loc.trow, loc.tcol, loc.xm AS xm, loc.ym AS ym, px.value
 FROM loc LEFT JOIN px ON px.row = loc.row AND px.col = loc.col"""
 
 
+_CONIC_GATES = {
+    # (crs, bbox_lonlat, out_shape) — CONUS Albers and Lambert-93
+    "reproject_albers": (5070, (-120.0, 25.0, -75.0, 50.0), (48, 96)),
+    "reproject_lcc": ("EPSG:2154", (-5.0, 41.0, 10.0, 51.5), (48, 72)),
+}
+
+
+def _q_conic(gate: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators import reproject as RP
+
+        spec = SPEC
+        crs, bbox, out_shape = _CONIC_GATES[gate]
+        px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+        return RP.reproject(
+            px, 4326, crs,
+            src_origin=(spec.x0, spec.y0),
+            src_cellsize=(spec.cellx, spec.celly),
+            src_shape=(spec.height, spec.width),
+            out_shape=out_shape,
+            bbox_lonlat=bbox,
+        )
+
+    q.__doc__ = (
+        f"Conic warp gate ({gate}): ellipsoidal Snyder inverse as pure "
+        "JVM Columns; DuckDB re-derives the series term-for-term.")
+    return q
+
+
+def _sql_conic(gate: str):
+    def sql() -> str:
+        from .operators import reproject as RP
+        from .operators.reproject import dlit
+
+        spec = SPEC
+        crs, bbox, out_shape = _CONIC_GATES[gate]
+        P = RP.conic_params_of(RP.parse_crs(crs))
+        X0, Y0b, X1, Y1b = RP._conic_bounds(
+            (spec.x0, spec.y0), (spec.cellx, spec.celly),
+            (spec.height, spec.width), P, bbox_lonlat=bbox,
+        )
+        th, tw = out_shape
+        tcx = (X1 - X0) / tw
+        tcy = (Y0b - Y1b) / th
+        inv_cte, lon_col, lat_col = RP.conic_inverse_sql("xm", "ym", P)
+        return f"""WITH {synth.pixel_sql(spec)},
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
+         {dlit(Y1b)} + (tr.range + 0.5) * {dlit(tcy)} AS ym
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+{inv_cte},
+loc AS (
+  SELECT trow, tcol, xm, ym,
+         CAST(FLOOR(ROUND(({lat_col} - {dlit(spec.y0)}) / {dlit(spec.celly)}, {RP._Q})) AS BIGINT) AS row,
+         CAST(FLOOR(ROUND(({lon_col} - {dlit(spec.x0)}) / {dlit(spec.cellx)}, {RP._Q})) AS BIGINT) AS col
+  FROM loc0)
+SELECT loc.trow, loc.tcol, loc.xm AS xm, loc.ym AS ym, px.value
+FROM loc LEFT JOIN px ON px.row = loc.row AND px.col = loc.col"""
+
+    return sql
+
+
+q_reproject_albers = _q_conic("reproject_albers")
+sql_reproject_albers = _sql_conic("reproject_albers")
+q_reproject_lcc = _q_conic("reproject_lcc")
+sql_reproject_lcc = _sql_conic("reproject_lcc")
+
+
 def q_reproject_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import reproject as RP
 
@@ -2313,6 +2382,8 @@ QUERIES = {
     "reproject_bilinear": (q_reproject_bilinear, sql_reproject_bilinear),
     "reproject_utm": (q_reproject_utm, sql_reproject_utm),
     "reproject_sinu": (q_reproject_sinu, sql_reproject_sinu),
+    "reproject_albers": (q_reproject_albers, sql_reproject_albers),
+    "reproject_lcc": (q_reproject_lcc, sql_reproject_lcc),
     "psnr_gate_q8": (q_psnr_gate, sql_psnr_gate),
     "phash_near_dup": (q_phash_near_dup, sql_phash_near_dup),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),

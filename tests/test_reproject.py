@@ -437,3 +437,111 @@ def test_cea_cubicspline_matches_numpy(spark, images_t1):
     )
     both = np.isfinite(exp) & np.isfinite(exp_cm)
     assert np.abs(exp[both] - exp_cm[both]).max() > 1.0
+
+
+def test_conic_formulary_invariants():
+    """Snyder-formulary invariants, independent of any warp: projection
+    center maps to (FE, FN); inverse∘forward is identity; scale factor
+    is 1 on both standard parallels; AEA is equal-area (k·h = 1) and
+    LCC is conformal (k = h) at an arbitrary off-axis point."""
+    import math
+
+    for token, lat0, parallels in (
+        ("aea:5070", 23.0, (29.5, 45.5)),
+        ("aea:3310", 0.0, (34.0, 40.5)),
+        ("lcc:2154", 46.5, (49.0, 44.0)),
+        ("lcc:3978", 49.0, (49.0, 77.0)),
+    ):
+        P = RP.conic_params_of(token)
+        x, y = RP.conic_forward_np(P["lon0"], lat0, P)
+        assert abs(float(x) - P["fe"]) < 1e-6
+        assert abs(float(y) - P["fn"]) < 1e-6
+
+        lons = np.linspace(P["lon0"] - 20, P["lon0"] + 20, 21)
+        lats = np.linspace(lat0 - 10, lat0 + 15, 19)
+        LO, LA = np.meshgrid(lons, lats)
+        X, Y = RP.conic_forward_np(LO, LA, P)
+        lo2, la2 = RP.conic_inverse_np(X, Y, P)
+        assert np.abs(lo2 - LO).max() < 1e-7
+        assert np.abs(la2 - LA).max() < 1e-7
+
+        a, e2 = P["a"], P["e2"]
+        d = 1e-6
+        for latp in parallels:
+            x1, y1 = RP.conic_forward_np(P["lon0"] + 10, latp, P)
+            x2, y2 = RP.conic_forward_np(P["lon0"] + 10 + d, latp, P)
+            m = math.cos(math.radians(latp)) / math.sqrt(
+                1 - e2 * math.sin(math.radians(latp)) ** 2)
+            k = math.hypot(float(x2 - x1), float(y2 - y1)) / (math.radians(d) * a * m)
+            assert abs(k - 1.0) < 1e-7, (token, latp)
+
+        lon_t, lat_t = P["lon0"] + 7.3, lat0 + 5.7
+        x0, y0 = RP.conic_forward_np(lon_t, lat_t, P)
+        xl, yl = RP.conic_forward_np(lon_t + d, lat_t, P)
+        xp, yp = RP.conic_forward_np(lon_t, lat_t + d, P)
+        m = math.cos(math.radians(lat_t)) / math.sqrt(
+            1 - e2 * math.sin(math.radians(lat_t)) ** 2)
+        Mrad = a * (1 - e2) / (1 - e2 * math.sin(math.radians(lat_t)) ** 2) ** 1.5
+        k_par = math.hypot(float(xl - x0), float(yl - y0)) / (math.radians(d) * a * m)
+        h_mer = math.hypot(float(xp - x0), float(yp - y0)) / (math.radians(d) * Mrad)
+        if token.startswith("aea"):
+            assert abs(k_par * h_mer - 1.0) < 1e-6   # equal-area
+        else:
+            assert abs(k_par / h_mer - 1.0) < 1e-6   # conformal
+
+
+def test_conic_warp_matches_numpy(spark, images_t1):
+    """Spark Albers/LCC nearest warps (pure-Column series inverse) ==
+    the independent numpy oracle cell-for-cell; proj4 forms parse;
+    bilinear runs through the CRS-agnostic kernel; antimeridian-
+    spanning sources refuse loudly."""
+    import pytest
+
+    spec = synth.T1
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    full = synth.stitched_array(spec).astype(np.float64)
+
+    cases = [
+        (5070, "aea:5070", (-120.0, 25.0, -75.0, 50.0), (48, 96)),
+        ("EPSG:2154", "lcc:2154", (-5.0, 41.0, 10.0, 51.5), (48, 72)),
+        ("+proj=aea +lat_1=34 +lat_2=40.5 +lat_0=0 +lon_0=-120 +y_0=-4000000",
+         "aea:3310", (-125.0, 32.0, -114.0, 42.0), (40, 40)),
+    ]
+    for crs, token, bbox, out_shape in cases:
+        assert RP.parse_crs(crs) == token or token.startswith(RP.parse_crs(crs)[:4])
+        P = RP.conic_params_of(RP.parse_crs(crs))
+        got = RP.reproject(
+            px, 4326, crs,
+            (spec.x0, spec.y0), (spec.cellx, spec.celly),
+            (spec.height, spec.width), out_shape,
+            resampling="nearest", bbox_lonlat=bbox,
+        ).toPandas()
+        exp = RP.conic_numpy_oracle(
+            full, spec.ndv, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+            out_shape, P, bbox_lonlat=bbox,
+        )
+        grid = np.full(out_shape, spec.ndv)
+        vals = got.dropna(subset=["value"])
+        grid[vals.trow.to_numpy(), vals.tcol.to_numpy()] = vals.value.to_numpy()
+        assert (grid != exp).sum() == 0, crs
+
+    # proj4 1SP form (lat_2 defaults to lat_1) parses and runs
+    tok = RP.parse_crs("+proj=lcc +lat_1=60 +lon_0=-100")
+    assert tok.startswith("lcc:custom:60.0:60.0:")
+    # bilinear through the dispatcher
+    bl = RP.reproject(
+        px, 4326, 5070,
+        (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), (32, 64),
+        resampling="bilinear", bbox_lonlat=(-120.0, 25.0, -75.0, 50.0),
+    ).toPandas()
+    assert len(bl) == 32 * 64 and bl["value"].notna().sum() > 0.8 * len(bl)
+    with pytest.raises(NotImplementedError, match="antimeridian"):
+        RP.reproject(px, 4326, 5070, (spec.x0, spec.y0),
+                     (spec.cellx, spec.celly), (spec.height, spec.width),
+                     (32, 64)).toPandas()
+    with pytest.raises(NotImplementedError):
+        RP.reproject(px, 4326, 5070, (spec.x0, spec.y0),
+                     (spec.cellx, spec.celly), (spec.height, spec.width),
+                     (32, 64), resampling="cubic",
+                     bbox_lonlat=(-120.0, 25.0, -75.0, 50.0))

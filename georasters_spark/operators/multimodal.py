@@ -10,9 +10,11 @@ a real codec is a one-function change inside the same mapInPandas.
 fmt dispatch:
   'raw16'/'rawf32'/'png'/'q8'  — real codecs (sources/codec.py)
   'tiff'                       — REAL GeoTIFF (sources/geotiff.py)
+  'jpeg'                       — REAL baseline grayscale JPEG
+                                 (sources/jpeg.py, pure numpy)
   'fake'                       — deterministic pseudo-image from the
                                  byte hash (pipeline testing)
-  'jpeg'/'webp'/'mp3'/'mp4'... — NotImplementedError (stub boundary)
+  'webp'/'mp3'/'mp4'...        — NotImplementedError (stub boundary)
 """
 
 from __future__ import annotations
@@ -25,10 +27,14 @@ from pyspark.sql import DataFrame
 
 from ..sources import codec
 
-REAL_FMTS = {"raw16", "rawf32", "png", "q8", "tiff"}
+REAL_FMTS = {"raw16", "rawf32", "png", "q8", "tiff", "jpeg"}
 
 
 def decode_any(buf: bytes, fmt: str, w: int, h: int, ndv: float = -9999.0) -> np.ndarray:
+    if fmt == "jpeg":
+        from ..sources import jpeg
+
+        return jpeg.decode_gray(buf).astype(np.float64)  # self-describing dims
     if fmt in REAL_FMTS:
         return np.asarray(codec.decode_tile(buf, fmt, w, h, ndv), dtype=np.float64)
     if fmt == "fake":

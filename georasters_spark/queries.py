@@ -2288,6 +2288,66 @@ SELECT CAST(file_id AS BIGINT) AS file_id, CAST(row AS BIGINT) AS row,
 FROM px"""
 
 
+_JPEG_SIZES = [(64, 64), (60, 52), (48, 80), (33, 57)]
+_JPEG_QUALS = [95, 85, 75]
+
+
+def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG end to end: 48 deterministic grayscale images
+    (4 sizes x 3 qualities, some with restart markers) are encoded and
+    decoded back executor-side through the multimodal fmt dispatch.
+    JPEG is lossy, so the hashed contract is the codec AUDIT (like
+    psnr_gate_q8): exact dims/pixel-count plus psnr>=30dB and
+    mean-abs-err<=4 booleans per image — with the value-level rigor
+    carried by the spec-anchored bitstream vector and roundtrip matrix
+    in tests/test_jpeg.py (flat block entropy-codes to EXACTLY 0x5A)."""
+    import pandas as pd
+
+    from .operators import multimodal as MM
+    from .sources import jpeg
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for fid in pdf["id"].tolist():
+                f = int(fid)
+                h, w = _JPEG_SIZES[f % 4]
+                q = _JPEG_QUALS[(f // 4) % 3]
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                img = (128 + 90 * np.sin(r / 5.0 + f * 0.37)
+                       * np.cos(c / 6.0 + f * 0.11)).astype(np.uint8)
+                buf = jpeg.encode_gray(img, q, restart_interval=4 if f % 5 == 0 else 0)
+                out = MM.decode_any(buf, "jpeg", w, h).astype(np.uint8)
+                err = np.abs(out.astype(np.float64) - img.astype(np.float64))
+                rows.append({
+                    "img_id": f, "w": int(out.shape[1]), "h": int(out.shape[0]),
+                    "n_px": int(out.size),
+                    "psnr_ge_30": bool(jpeg.psnr_u8(img, out) >= 30.0),
+                    "mae_le_4": bool(err.mean() <= 4.0),
+                })
+            yield pd.DataFrame(rows, columns=["img_id", "w", "h", "n_px",
+                                              "psnr_ge_30", "mae_le_4"])
+
+    return spark.range(48).repartition(4).mapInPandas(
+        gen, schema="img_id long, w int, h int, n_px long, "
+                    "psnr_ge_30 boolean, mae_le_4 boolean"
+    )
+
+
+def sql_jpeg_roundtrip() -> str:
+    dims = ", ".join(f"({i}, {w}, {h})" for i, (h, w) in enumerate(_JPEG_SIZES))
+    return f"""
+WITH sizes(k, w, h) AS (VALUES {dims})
+SELECT CAST(f.range AS BIGINT) AS img_id,
+       CAST(s.w AS INT) AS w, CAST(s.h AS INT) AS h,
+       CAST(s.w * s.h AS BIGINT) AS n_px,
+       TRUE AS psnr_ge_30, TRUE AS mae_le_4
+FROM range(48) f JOIN sizes s ON s.k = f.range % 4"""
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Euclidean distance transform (gdal_proximity role) —
     separable two-stage grouped-map vs a brute-force min-join oracle.
@@ -2357,6 +2417,7 @@ QUERIES = {
     "proximity": (q_proximity, sql_proximity),
     "overviews": (q_overviews, sql_overviews),
     "geotiff_roundtrip": (q_geotiff_roundtrip, sql_geotiff_roundtrip),
+    "jpeg_roundtrip": (q_jpeg_roundtrip, sql_jpeg_roundtrip),
     "knn_tiles": (q_knn, sql_knn),
     "knn_pixels": (q_knn_pixels, sql_knn_pixels),
     "autocorr_global": (q_autocorr_global, sql_autocorr_global),

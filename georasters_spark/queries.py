@@ -1786,6 +1786,39 @@ ranked AS (
 SELECT query_id, vec_id, cos, sim_rank FROM ranked WHERE sim_rank <= {_ANN_K}"""
 
 
+def q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 int8-quantized cosine top-k: per-vector symmetric scale,
+    HALF_EVEN codes, integer-dot scores (scales cancel) — the whole
+    quantize -> int-dot -> rank pipeline is deterministic, so DuckDB
+    recomputes it bit-for-bit (round_even == F.bround)."""
+    from .operators import similarity as SM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SM.quantized_topk(emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K)
+
+
+def sql_quantized_ann() -> str:
+    return f"""WITH sc AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         greatest(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)), 'max') / 127.0,
+                  1e-30) AS s
+  FROM embeddings),
+codes AS (
+  SELECT vec_id, list_transform(e, x -> round_even(x / s, 0)) AS c FROM sc),
+norm AS (
+  SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS n2 FROM codes),
+scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id,
+         ROUND(list_dot_product(d.c, q.c) / (d.n2 * q.n2), 6) AS qcos
+  FROM norm d CROSS JOIN norm q
+  WHERE q.vec_id < {_ANN_NQ} AND d.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, qcos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, vec_id) AS sim_rank
+  FROM scored)
+SELECT query_id, vec_id, qcos, sim_rank FROM ranked WHERE sim_rank <= {_ANN_K}"""
+
+
 _IVF_CLUSTERS = 8
 
 
@@ -2458,6 +2491,7 @@ QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
     "tile_entropy": (q_tile_entropy, sql_tile_entropy),
     "ann_cosine": (q_ann_cosine, sql_ann_cosine),
+    "quantized_ann": (q_quantized_ann, sql_quantized_ann),
     "ivf_ann": (q_ivf_ann, sql_ivf_ann),
     "embed_near_dup": (q_embed_near_dup, sql_embed_near_dup),
     "tile_cells": (q_tile_cells, sql_tile_cells),

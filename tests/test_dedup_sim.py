@@ -236,3 +236,34 @@ def test_lang_id_tiebreak_smallest(spark):
     # 'the'+'of' = 2 en hits; 'la'+'le'... la∈es(1), le∈fr(1) → en wins (2)
     assert out.loc[1, "pred_lang"] == "en"
     assert out.loc[2, "pred_lang"] == "und"
+
+
+def test_sq8_quantization_properties(spark, emb):
+    """SQ8 int8 quantization: (a) dequantized max error <= scale/2 per
+    vector (the half-ulp bound of round-half-even), (b) codes stay in
+    [-127, 127], (c) quantized top-k recall vs exact float top-k >= 0.8
+    at k=5 over 20 queries."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from georasters_spark.operators import similarity as SM
+
+    q = SM.quantize_int8(emb).join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e")),
+        "vec_id",
+    ).toPandas()
+    for t in q.itertuples(index=False):
+        codes = np.asarray(t.codes, dtype=np.float64)
+        e = np.asarray(t.e, dtype=np.float64)
+        assert np.abs(codes).max() <= 127
+        assert np.abs(codes * t.scale - e).max() <= t.scale / 2 + 1e-12
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = SM.brute_force_topk(emb, queries, k=5).toPandas()
+    quant = SM.quantized_topk(emb, queries, k=5).toPandas()
+    hits = 0
+    for qid in range(20):
+        a = set(exact[exact.query_id == qid].vec_id)
+        b = set(quant[quant.query_id == qid].vec_id)
+        hits += len(a & b)
+    assert hits / (20 * 5) >= 0.8, hits

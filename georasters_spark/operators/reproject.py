@@ -646,7 +646,10 @@ def reproject(
     target extent (GDAL -te analog; required for UTM targets of
     wider-than-zone sources)."""
     if parse_crs(src_crs) != "wgs84":
-        raise NotImplementedError("only WGS84 sources are supported in-sandbox")
+        # projected source: the general inverse(dst)∘forward(src) warp
+        return reproject_any(px, src_crs, dst_crs, src_origin, src_cellsize,
+                             src_shape, out_shape, resampling=resampling,
+                             bbox_lonlat=bbox_lonlat)
     dst = parse_crs(dst_crs)
     args = (px, src_origin, src_cellsize, src_shape, out_shape)
     if dst.startswith(("aea:", "lcc:")):
@@ -1841,3 +1844,292 @@ def conic_params_of(token: str) -> dict:
         k, args = CONIC_EPSG[int(parts[1])]
         assert k == kind
     return (aea_setup if kind == "aea" else lcc_setup)(**args)
+
+
+# ---------------------------------------------------------------------------
+# Any-CRS-to-any-CRS warps. The reference accepts arbitrary source AND
+# target CRSs (GDAL WarpedVRT, georasters.py:559-667); every family
+# this engine supports has closed-form forward AND inverse transforms,
+# so a general warp is the composition
+#     target cell center --inverse(dst)--> lon/lat --forward(src)--> x,y
+# evaluated as pure JVM Columns, followed by the same quantized affine
+# gather as everywhere else. No new machinery — just a registry of
+# (forward, inverse) pairs in all three dialects (numpy / Column).
+# ---------------------------------------------------------------------------
+
+_D2R = math.pi / 180.0
+
+
+def crs_funcs(token: str) -> dict:
+    """(fwd_np, inv_np, fwd_cols, inv_cols) for a parse_crs token.
+    fwd: (lon, lat) degrees -> (x, y) CRS units; inv: the reverse.
+    wgs84 is the identity (x=lon, y=lat)."""
+    if token == "wgs84":
+        ident = lambda a, b: (a, b)  # noqa: E731
+        return {"fwd_np": ident, "inv_np": ident,
+                "fwd_cols": ident, "inv_cols": ident}
+    if token == "cea":
+        k = 1.0  # standard parallel 0 (EPSG:6933-style lat_ts=0 form)
+
+        def fwd_np(lon, lat):
+            return (R * np.radians(np.asarray(lon, np.float64)) * k,
+                    R * np.sin(np.radians(np.asarray(lat, np.float64))) / k)
+
+        def inv_np(x, y):
+            return (np.asarray(x, np.float64) / (R * k) / _D2R,
+                    np.arcsin(np.clip(np.asarray(y, np.float64) * k / R, -1, 1)) / _D2R)
+
+        def fwd_cols(lon, lat):
+            return (F.lit(R * k) * lon * F.lit(_D2R),
+                    F.lit(R / k) * F.sin(lat * F.lit(_D2R)))
+
+        def inv_cols(x, y):
+            return (x / F.lit(R * k) / F.lit(_D2R),
+                    F.asin(F.least(F.greatest(y * F.lit(k / R), F.lit(-1.0)),
+                                   F.lit(1.0))) / F.lit(_D2R))
+
+        return {"fwd_np": fwd_np, "inv_np": inv_np,
+                "fwd_cols": fwd_cols, "inv_cols": inv_cols}
+    if token == "webmerc":
+
+        def fwd_np(lon, lat):
+            phi = np.radians(np.asarray(lat, np.float64))
+            return (R * np.radians(np.asarray(lon, np.float64)),
+                    R * np.arctanh(np.sin(phi)))
+
+        def inv_np(x, y):
+            return (np.asarray(x, np.float64) / R / _D2R,
+                    np.arctan(np.sinh(np.asarray(y, np.float64) / R)) / _D2R)
+
+        def fwd_cols(lon, lat):
+            s = F.sin(lat * F.lit(_D2R))
+            # atanh spelled via log for engine parity
+            return (F.lit(R) * lon * F.lit(_D2R),
+                    F.lit(R) * F.lit(0.5) * F.log((F.lit(1.0) + s) / (F.lit(1.0) - s)))
+
+        def inv_cols(x, y):
+            return (x / F.lit(R) / F.lit(_D2R),
+                    F.atan(F.sinh(y / F.lit(R))) / F.lit(_D2R))
+
+        return {"fwd_np": fwd_np, "inv_np": inv_np,
+                "fwd_cols": fwd_cols, "inv_cols": inv_cols}
+    if token == "sinu":
+
+        def fwd_np(lon, lat):
+            phi = np.radians(np.asarray(lat, np.float64))
+            return (R * np.radians(np.asarray(lon, np.float64)) * np.cos(phi), R * phi)
+
+        def inv_np(x, y):
+            phi = np.asarray(y, np.float64) / R
+            return (np.asarray(x, np.float64) / (R * np.cos(phi)) / _D2R, phi / _D2R)
+
+        def fwd_cols(lon, lat):
+            phi = lat * F.lit(_D2R)
+            return (F.lit(R) * lon * F.lit(_D2R) * F.cos(phi), F.lit(R) * phi)
+
+        def inv_cols(x, y):
+            phi = y / F.lit(R)
+            return (x / (F.lit(R) * F.cos(phi)) / F.lit(_D2R), phi / F.lit(_D2R))
+
+        return {"fwd_np": fwd_np, "inv_np": inv_np,
+                "fwd_cols": fwd_cols, "inv_cols": inv_cols}
+    if token.startswith("utm:"):
+        zone = int(token[4:-1])
+        south = token.endswith("s")
+        lon0 = utm_lon0(zone)
+        fn = 10000000.0 if south else 0.0
+
+        def fwd_np(lon, lat):
+            return tm_forward_np(lon, lat, lon0, fn=fn)
+
+        def inv_np(x, y):
+            return tm_inverse_np(x, y, lon0, fn=fn)
+
+        def fwd_cols(lon, lat):
+            return tm_forward_cols(lon, lat, lon0, fn=fn)
+
+        def inv_cols(x, y):
+            return tm_inverse_cols(x, y, lon0, fn=fn)
+
+        return {"fwd_np": fwd_np, "inv_np": inv_np,
+                "fwd_cols": fwd_cols, "inv_cols": inv_cols}
+    if token.startswith(("aea:", "lcc:")):
+        P = conic_params_of(token)
+
+        def fwd_np(lon, lat):
+            return conic_forward_np(lon, lat, P)
+
+        def inv_np(x, y):
+            return conic_inverse_np(x, y, P)
+
+        def fwd_cols(lon, lat):
+            return conic_forward_cols(lon, lat, P)
+
+        def inv_cols(x, y):
+            return conic_inverse_cols(x, y, P)
+
+        return {"fwd_np": fwd_np, "inv_np": inv_np,
+                "fwd_cols": fwd_cols, "inv_cols": inv_cols}
+    raise NotImplementedError(f"no transform functions for CRS token {token!r}")
+
+
+def tm_forward_cols(lon, lat, lon0: float, k0: float = _UTM_K0,
+                    fe: float = _UTM_FE, fn: float = 0.0, f: float = _WGS84_F):
+    """Krüger-series transverse-Mercator FORWARD as pyspark Columns —
+    term-for-term the tm_forward_np order (atanh spelled via log)."""
+    n, A, alpha, _, _ = _tm_series(f)
+    es = 2.0 * math.sqrt(n) / (1.0 + n)
+    lam = (lon - F.lit(lon0)) * F.lit(_D2R)
+    sphi = F.sin(lat * F.lit(_D2R))
+
+    def atanh_c(x):
+        return F.lit(0.5) * F.log((F.lit(1.0) + x) / (F.lit(1.0) - x))
+
+    t = F.sinh(atanh_c(sphi) - F.lit(es) * atanh_c(F.lit(es) * sphi))
+    xip = F.atan2(t, F.cos(lam))
+    etap = atanh_c(F.sin(lam) / F.sqrt(F.lit(1.0) + t * t))
+    xi = xip
+    eta = etap
+    for j, a in enumerate(alpha, 1):
+        xi = xi + F.lit(a) * F.sin(F.lit(float(2 * j)) * xip) * F.cosh(F.lit(float(2 * j)) * etap)
+        eta = eta + F.lit(a) * F.cos(F.lit(float(2 * j)) * xip) * F.sinh(F.lit(float(2 * j)) * etap)
+    return F.lit(fe) + F.lit(k0 * A) * eta, F.lit(fn) + F.lit(k0 * A) * xi
+
+
+def conic_forward_cols(lon, lat, P: dict):
+    """Albers / LCC FORWARD as pyspark Columns — term-for-term the
+    conic_forward_np order."""
+    n, a = P["n"], P["a"]
+    e = math.sqrt(P["e2"])
+    lam = (lon - F.lit(P["lon0"])) * F.lit(_D2R)
+    phi = lat * F.lit(_D2R)
+    theta = F.lit(n) * lam
+    s = F.sin(phi)
+    if P["kind"] == "aea":
+        q = F.lit(1.0 - P["e2"]) * (
+            s / (F.lit(1.0) - F.lit(P["e2"]) * s * s)
+            - F.lit(1.0 / (2.0 * e))
+            * F.log((F.lit(1.0) - F.lit(e) * s) / (F.lit(1.0) + F.lit(e) * s))
+        )
+        rho = F.lit(a) * F.sqrt(F.greatest(F.lit(P["C"]) - F.lit(n) * q, F.lit(0.0))) / F.lit(n)
+    else:
+        t = F.tan(F.lit(math.pi / 4.0) - phi / F.lit(2.0)) / F.pow(
+            (F.lit(1.0) - F.lit(e) * s) / (F.lit(1.0) + F.lit(e) * s), F.lit(e / 2.0)
+        )
+        rho = F.lit(a * P["Fc"]) * F.pow(t, F.lit(n))
+    x = F.lit(P["fe"]) + rho * F.sin(theta)
+    y = F.lit(P["fn"]) + F.lit(P["rho0"]) - rho * F.cos(theta)
+    return x, y
+
+
+def any_bounds(src_crs, dst_crs, src_origin, src_cellsize, src_shape,
+               bbox_lonlat=None, n_samples: int = 64):
+    """Target bounds in dst units: source boundary -> inv(src) ->
+    lon/lat extent (or the bbox window) -> dense boundary -> fwd(dst).
+    Shared by the plan, the numpy oracle and the gate SQL so all three
+    lattices are literal-identical."""
+    sfn = crs_funcs(parse_crs(src_crs))
+    dfn = crs_funcs(parse_crs(dst_crs))
+    h, w = src_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    if bbox_lonlat is not None:
+        lon_a, lat_a, lon_b, lat_b = bbox_lonlat
+    else:
+        xs, ys = _boundary_samples(x0g, y0g + h * cy, x0g + w * cx, y0g, n_samples)
+        lons, lats = sfn["inv_np"](xs, ys)
+        lon_a, lon_b = float(np.min(lons)), float(np.max(lons))
+        lat_a, lat_b = float(np.min(lats)), float(np.max(lats))
+    lons, lats = _boundary_samples(lon_a, lat_a, lon_b, lat_b, n_samples)
+    X, Y = dfn["fwd_np"](lons, lats)
+    return float(np.min(X)), float(np.min(Y)), float(np.max(X)), float(np.max(Y))
+
+
+def reproject_any(
+    px: DataFrame,
+    src_crs,
+    dst_crs,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+    src_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    resampling: str = "nearest",
+    bbox_lonlat=None,
+    n_samples: int = 64,
+) -> DataFrame:
+    """General warp between ANY two supported CRSs (wgs84, cea,
+    webmerc, sinu, utm:*, aea:*, lcc:*): the target lattice is built in
+    dst coordinates, inverse-projected to lon/lat, forward-projected to
+    src coordinates, and gathered with the standard quantized affine
+    join. src_origin/src_cellsize are in SRC CRS units. bbox_lonlat
+    windows the extent (required when either transform's domain is
+    narrower than the source, e.g. UTM). nearest | bilinear."""
+    spark = px.sparkSession
+    src = parse_crs(src_crs)
+    dst = parse_crs(dst_crs)
+    sfn = crs_funcs(src)
+    dfn = crs_funcs(dst)
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y0b, X1, Y1b = any_bounds(src_crs, dst_crs, src_origin, src_cellsize,
+                                  src_shape, bbox_lonlat, n_samples)
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th  # negative: row 0 at max y
+
+    target = (
+        spark.range(th)
+        .select(F.col("id").alias("trow"))
+        .crossJoin(spark.range(tw).select(F.col("id").alias("tcol")))
+    )
+    xm = F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
+    ym = F.lit(Y1b) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
+    lon, lat = dfn["inv_cols"](xm, ym)
+    sx, sy = sfn["fwd_cols"](lon, lat)
+    if resampling == "bilinear":
+        tgt = target.select("trow", "tcol", xm.alias("xm"), ym.alias("ym"))
+        xm2 = F.col("xm")
+        ym2 = F.col("ym")
+        lon2, lat2 = dfn["inv_cols"](xm2, ym2)
+        sx2, sy2 = sfn["fwd_cols"](lon2, lat2)
+        return _bilinear_from_lonlat(px, tgt, sx2, sy2, src_origin, src_cellsize)
+    if resampling != "nearest":
+        raise NotImplementedError("reproject_any supports nearest/bilinear")
+    srow = F.floor(F.round((sy - F.lit(y0g)) / F.lit(cy), _Q)).cast("long")
+    scol = F.floor(F.round((sx - F.lit(x0g)) / F.lit(cx), _Q)).cast("long")
+    tgt = target.select(
+        "trow", "tcol", xm.alias("xm"), ym.alias("ym"),
+        srow.alias("row"), scol.alias("col"),
+    )
+    return tgt.join(px.select("row", "col", "value"), ["row", "col"], "left").select(
+        "trow", "tcol", "xm", "ym", "value"
+    )
+
+
+def reproject_any_numpy_oracle(full: np.ndarray, ndv: float, src_crs, dst_crs,
+                               src_origin, src_cellsize, out_shape,
+                               bbox_lonlat=None, n_samples: int = 64):
+    """Independent numpy oracle for reproject_any (nearest)."""
+    src = parse_crs(src_crs)
+    dst = parse_crs(dst_crs)
+    sfn = crs_funcs(src)
+    dfn = crs_funcs(dst)
+    h, w = full.shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y0b, X1, Y1b = any_bounds(src_crs, dst_crs, src_origin, src_cellsize,
+                                  (h, w), bbox_lonlat, n_samples)
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    tr, tc = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+    xm = X0 + (tc + 0.5) * tcx
+    ym = Y1b + (tr + 0.5) * tcy
+    lon, lat = dfn["inv_np"](xm, ym)
+    sx, sy = sfn["fwd_np"](lon, lat)
+    srow = np.floor(np.round((sy - y0g) / cy, _Q)).astype(np.int64)
+    scol = np.floor(np.round((sx - x0g) / cx, _Q)).astype(np.int64)
+    out = np.full(out_shape, ndv)
+    ok = (srow >= 0) & (srow < h) & (scol >= 0) & (scol < w)
+    out[ok] = full[srow[ok], scol[ok]]
+    return out

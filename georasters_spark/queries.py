@@ -1130,6 +1130,60 @@ q_reproject_lcc = _q_conic("reproject_lcc")
 sql_reproject_lcc = _sql_conic("reproject_lcc")
 
 
+_FROM_CEA = dict(origin=(-2.0e7, 6.3e6),
+                 cell=(4.0e7 / 540, -1.26e7 / 270), out=(48, 96))
+
+
+def q_reproject_from_cea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROJECTED-source warp (the reference accepts any source CRS):
+    the synthetic grid reinterpreted as an EPSG:6933-style CEA raster,
+    warped back to WGS84 through the general inverse(dst)∘forward(src)
+    composition — DuckDB recomputes forward-CEA + the affine gather."""
+    from .operators import reproject as RP
+
+    spec = SPEC
+    p = _FROM_CEA
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.reproject(
+        px, "EPSG:6933", 4326,
+        src_origin=p["origin"], src_cellsize=p["cell"],
+        src_shape=(spec.height, spec.width), out_shape=p["out"],
+    )
+
+
+def sql_reproject_from_cea() -> str:
+    from .operators import reproject as RP
+    from .operators.reproject import dlit
+
+    spec = SPEC
+    p = _FROM_CEA
+    X0, Y0b, X1, Y1b = RP.any_bounds(
+        "EPSG:6933", 4326, p["origin"], p["cell"], (spec.height, spec.width))
+    th, tw = p["out"]
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    x0g, y0g = p["origin"]
+    cx, cy = p["cell"]
+    Rl = dlit(RP.R)
+    d2r = dlit(RP._D2R)
+    # forward CEA of the (lon=xm, lat=ym) target center, emitted with
+    # the SAME literals and multiply pairing as crs_funcs('cea')'s
+    # Columns so both engines agree to the gather quantization
+    return f"""WITH {synth.pixel_sql(spec)},
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
+         {dlit(Y1b)} + (tr.range + 0.5) * {dlit(tcy)} AS ym
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+loc AS (
+  SELECT trow, tcol, xm, ym,
+         CAST(FLOOR(ROUND(({Rl} * sin(ym * {d2r}) - {dlit(y0g)}) / {dlit(cy)}, {RP._Q})) AS BIGINT) AS row,
+         CAST(FLOOR(ROUND(({Rl} * xm * {d2r} - {dlit(x0g)}) / {dlit(cx)}, {RP._Q})) AS BIGINT) AS col
+  FROM tgt)
+SELECT loc.trow, loc.tcol, loc.xm AS xm, loc.ym AS ym, px.value
+FROM loc LEFT JOIN px ON px.row = loc.row AND px.col = loc.col"""
+
+
 def q_reproject_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import reproject as RP
 
@@ -2478,6 +2532,7 @@ QUERIES = {
     "reproject_sinu": (q_reproject_sinu, sql_reproject_sinu),
     "reproject_albers": (q_reproject_albers, sql_reproject_albers),
     "reproject_lcc": (q_reproject_lcc, sql_reproject_lcc),
+    "reproject_from_cea": (q_reproject_from_cea, sql_reproject_from_cea),
     "psnr_gate_q8": (q_psnr_gate, sql_psnr_gate),
     "phash_near_dup": (q_phash_near_dup, sql_phash_near_dup),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),

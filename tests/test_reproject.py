@@ -545,3 +545,69 @@ def test_conic_warp_matches_numpy(spark, images_t1):
                      (spec.cellx, spec.celly), (spec.height, spec.width),
                      (32, 64), resampling="cubic",
                      bbox_lonlat=(-120.0, 25.0, -75.0, 50.0))
+
+
+def test_reproject_any_matches_numpy(spark, images_t1):
+    """General any-CRS→any-CRS warp (inverse(dst)∘forward(src) as pure
+    Columns) == the independent numpy oracle cell-for-cell, across
+    projected sources and cross-projected combos."""
+    spec = synth.T1
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    full = synth.stitched_array(spec).astype(np.float64)
+
+    cases = [
+        # (src_crs, src_origin, src_cellsize, dst_crs, out, bbox)
+        ("EPSG:6933", (-2.0e7, 6.3e6), (4.0e7 / 540, -1.26e7 / 270),
+         4326, (48, 96), None),
+        (3857, (-2.0e7, 1.9e7), (4.0e7 / 540, -3.8e7 / 270),
+         "EPSG:4326", (40, 80), None),
+        ("+proj=cea", (-2.0e7, 6.3e6), (4.0e7 / 540, -1.26e7 / 270),
+         "EPSG:3857", (32, 64), (-120.0, -60.0, 120.0, 60.0)),
+        (32633, (200000.0, 6.5e6), (600000.0 / 540, -1.26e6 / 270),
+         4326, (36, 48), None),
+        ("+proj=sinu", (-1.0e7, 6.4e6), (2.0e7 / 540, -1.0e7 / 270),
+         "EPSG:2154", (32, 48), (-4.0, 41.0, 9.0, 51.0)),
+    ]
+    for src_crs, so, sc, dst_crs, out_shape, bbox in cases:
+        got = RP.reproject(
+            px, src_crs, dst_crs, so, sc,
+            (spec.height, spec.width), out_shape,
+            resampling="nearest", bbox_lonlat=bbox,
+        ).toPandas()
+        exp = RP.reproject_any_numpy_oracle(
+            full, spec.ndv, src_crs, dst_crs, so, sc, out_shape, bbox_lonlat=bbox,
+        )
+        grid = np.full(out_shape, spec.ndv)
+        vals = got.dropna(subset=["value"])
+        grid[vals.trow.to_numpy(), vals.tcol.to_numpy()] = vals.value.to_numpy()
+        assert (grid != exp).sum() == 0, (src_crs, dst_crs)
+        assert (grid != spec.ndv).sum() > 0.3 * grid.size, (src_crs, dst_crs)
+
+    # bilinear leg runs and covers
+    bl = RP.reproject(
+        px, "EPSG:6933", 4326, (-2.0e7, 6.3e6), (4.0e7 / 540, -1.26e7 / 270),
+        (spec.height, spec.width), (32, 64), resampling="bilinear",
+    ).toPandas()
+    assert len(bl) == 32 * 64 and bl["value"].notna().sum() > 0.5 * len(bl)
+
+
+def test_forward_cols_match_numpy(spark):
+    """Every family's Column FORWARD == its numpy forward at 1e-6 m,
+    evaluated through a real Spark plan (the composition contract of
+    reproject_any)."""
+    import pandas as pd
+
+    pts = pd.DataFrame({
+        "lon": np.linspace(-20, 25, 13) + 3.0,
+        "lat": np.linspace(28, 62, 13),
+    })
+    sdf = spark.createDataFrame(pts)
+    from pyspark.sql import functions as F
+
+    for token in ("cea", "webmerc", "sinu", "utm:33n", "aea:5070", "lcc:2154"):
+        fns = RP.crs_funcs(token)
+        xc, yc = fns["fwd_cols"](F.col("lon"), F.col("lat"))
+        got = sdf.select(xc.alias("x"), yc.alias("y")).toPandas()
+        ex, ey = fns["fwd_np"](pts.lon.to_numpy(), pts.lat.to_numpy())
+        assert np.abs(got.x.to_numpy() - ex).max() < 1e-6, token
+        assert np.abs(got.y.to_numpy() - ey).max() < 1e-6, token

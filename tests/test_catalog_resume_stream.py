@@ -283,8 +283,12 @@ def test_multimodal_fake_decode_deterministic_and_stub_boundary(spark):
     a2 = MM.decode_any(b"hello", "fake", 16, 16)
     assert np.array_equal(a1, a2)
     assert a1.shape == (16, 16)
-    with pytest.raises(NotImplementedError):
+    # jpeg is a REAL codec now (sources/jpeg.py): corrupt bytes raise
+    # ValueError; the remaining stub boundary is webp/mp3/mp4
+    with pytest.raises(ValueError):
         MM.decode_any(b"\xff\xd8\xff", "jpeg", 16, 16)
+    with pytest.raises(NotImplementedError):
+        MM.decode_any(b"\xff\xd8\xff", "webp", 16, 16)
 
 
 def test_frame_sample_plan(spark):

@@ -1647,6 +1647,58 @@ FROM pairs JOIN cnts ca ON ca.doc_id = doc_a JOIN cnts cb ON cb.doc_id = doc_b
 WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5"""
 
 
+_SPLIT_FRACS = {"train": 0.90, "val": 0.05, "test": 0.05}
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic layout-independent train/val/test split (Knuth
+    hash thresholds — df.randomSplit would move rows on repartition):
+    per-(split, source) counts + doc_id checksums, hash-exact."""
+    from .operators import sampling as SA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        SA.split(docs, "doc_id", _SPLIT_FRACS, salt=7)
+        .groupBy("split", "source")
+        .agg(F.count("doc_id").alias("n"),
+             F.sum("doc_id").alias("id_sum"))
+    )
+
+
+def sql_train_split() -> str:
+    from .operators import sampling as SA
+
+    case = SA.split_sql("doc_id", _SPLIT_FRACS, salt=7)
+    return f"""SELECT {case} AS split, source,
+       CAST(COUNT(doc_id) AS BIGINT) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY 1, 2"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic cap (hash-ordered top-20): the
+    class-balancing primitive of a training mix. The plan carries a
+    map-side WindowGroupLimit, so the group exchange is bounded by
+    cap x partitions, never the whole group."""
+    from .operators import sampling as SA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return SA.stratified_cap(docs, "source", "doc_id", cap=20, salt=3).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def sql_stratified_sample() -> str:
+    from .operators import sampling as SA
+
+    h = SA.hash_sql("doc_id", salt=3)
+    return f"""WITH ranked AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS r
+  FROM documents)
+SELECT doc_id, source, lang FROM ranked WHERE r <= 20"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text as TX
 
@@ -2538,6 +2590,8 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "jaccard_pairs": (q_jaccard_pairs, sql_jaccard_pairs),
     "minhash_dedup": (q_minhash_dedup, sql_minhash_dedup),
+    "train_split": (q_train_split, sql_train_split),
+    "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "text_stats": (q_text_stats, sql_text_stats),
     "text_quality": (q_text_quality, sql_text_quality),
     "event_rollup": (q_event_rollup, sql_event_rollup),

@@ -267,3 +267,56 @@ def test_sq8_quantization_properties(spark, emb):
         b = set(quant[quant.query_id == qid].vec_id)
         hits += len(a & b)
     assert hits / (20 * 5) >= 0.8, hits
+
+
+def test_deterministic_split_properties(spark):
+    """split(): layout-independent (repartition changes nothing),
+    append-stable (adding rows never moves an existing row), fractions
+    approximately honored, and the same id always lands in the same
+    split across DataFrames."""
+    from pyspark.sql import functions as F
+
+    from georasters_spark.operators import sampling as SA
+
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = SA.split(docs, "doc_id", fr, salt=7).select("doc_id", "split")
+    b = SA.split(docs.repartition(13), "doc_id", fr, salt=7).select("doc_id", "split")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    half = SA.split(docs.filter(F.col("doc_id") < 250), "doc_id", fr, salt=7)
+    joined = a.join(half.select("doc_id", F.col("split").alias("s2")), "doc_id")
+    assert joined.filter(F.col("split") != F.col("s2")).count() == 0
+
+    counts = dict(a.groupBy("split").count().collect())
+    n = sum(counts.values())
+    assert abs(counts.get("train", 0) / n - 0.9) < 0.06
+    # different salt -> different assignment (salting works)
+    c = SA.split(docs, "doc_id", fr, salt=8).select("doc_id", F.col("split").alias("s3"))
+    moved = a.join(c, "doc_id").filter(F.col("split") != F.col("s3")).count()
+    assert moved > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        SA.split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_cap_properties(spark):
+    """stratified_cap(): exactly min(cap, group size) rows per group,
+    deterministic across layouts, and the plan carries a map-side
+    WindowGroupLimit (partial top-k before the exchange)."""
+    from pyspark.sql import functions as F
+
+    from georasters_spark.operators import sampling as SA
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = SA.stratified_cap(docs, "source", "doc_id", cap=20, salt=3)
+    sizes = dict(out.groupBy("source").count().collect())
+    full = dict(docs.groupBy("source").count().collect())
+    for src, nfull in full.items():
+        assert sizes.get(src, 0) == min(20, nfull)
+    out2 = SA.stratified_cap(docs.repartition(7), "source", "doc_id", cap=20, salt=3)
+    assert out.select("doc_id").exceptAll(out2.select("doc_id")).isEmpty()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

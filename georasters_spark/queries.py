@@ -1699,6 +1699,31 @@ def sql_stratified_sample() -> str:
 SELECT doc_id, source, lang FROM ranked WHERE r <= 20"""
 
 
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked interval join (stream-stream shape, batch parity):
+    purchases x views of the same user within a 2h lookback."""
+    from .streaming import events as EV
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return EV.attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+def sql_event_attribution() -> str:
+    return """WITH v AS (
+  SELECT user_id, ts AS view_ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'),
+b AS (
+  SELECT user_id, ts AS buy_ts, event_id AS buy_id, ROUND(value, 6) AS buy_value
+  FROM events WHERE event_type = 'purchase')
+SELECT b.buy_id, b.user_id, b.buy_ts, b.buy_value, v.view_id, v.view_ts,
+       CAST(date_diff('second', v.view_ts, b.buy_ts) AS BIGINT) AS gap_s
+FROM b JOIN v ON b.user_id = v.user_id
+ AND v.view_ts <= b.buy_ts AND v.view_ts >= b.buy_ts - INTERVAL 2 HOUR"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text as TX
 
@@ -2595,6 +2620,7 @@ QUERIES = {
     "text_stats": (q_text_stats, sql_text_stats),
     "text_quality": (q_text_quality, sql_text_quality),
     "event_rollup": (q_event_rollup, sql_event_rollup),
+    "event_attribution": (q_event_attribution, sql_event_attribution),
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),
     "asof_join": (q_asof_join, sql_asof_join),

@@ -292,3 +292,70 @@ def run_sessionize_stream(spark, src_dir: str, query_name: str = "sessions"):
     return (
         t.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
+
+
+def attribution_join(views, buys, lookback: str = "2 hours",
+                     watermark: str = "1 hour"):
+    """Stream-stream (or batch-batch: same code path) attribution
+    join: each purchase joins every view by the SAME user within
+    `lookback` before it — the canonical watermarked interval join.
+    On streams, both sides carry watermarks so Spark can bound the
+    join state buffer (views older than watermark+lookback are
+    evicted); on static frames withWatermark is skipped and the plan
+    is a plain range-condition join. Output is identical either way
+    (parity-tested), so the batch form is the DuckDB-oracle gate."""
+    if views.isStreaming:
+        views = views.withWatermark("ts", watermark)
+    if buys.isStreaming:
+        buys = buys.withWatermark("ts", watermark)
+    v = views.select(
+        F.col("user_id"), F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    b = buys.select(
+        F.col("user_id"), F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+        F.round(F.col("value"), 6).alias("buy_value"),
+    )
+    j = b.join(
+        v,
+        (b.user_id == v.user_id)
+        & (F.col("view_ts") <= F.col("buy_ts"))
+        & (F.col("view_ts") >= F.col("buy_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).drop(v.user_id)
+    return j.select(
+        "buy_id", "user_id", "buy_ts", "buy_value", "view_id", "view_ts",
+        (F.unix_timestamp("buy_ts") - F.unix_timestamp("view_ts"))
+        .cast("long").alias("gap_s"),
+    )
+
+
+def run_attribution_stream(spark, sf_dir: str, query_name: str = "attrib"):
+    """Drive the stream-stream attribution join to completion (two
+    file-stream sources over the same landing dir, append sink)."""
+    import hashlib
+    import os
+
+    src_dir = f"/tmp/georasters_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+
+    def src():
+        return (spark.readStream.schema(EVENT_SCHEMA)
+                .option("maxFilesPerTrigger", 1).parquet(src_dir))
+
+    views = src().filter(F.col("event_type") == "view")
+    buys = src().filter(F.col("event_type") == "purchase")
+    q = (
+        attribution_join(views, buys)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)

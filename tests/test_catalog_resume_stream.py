@@ -449,3 +449,29 @@ def test_audio_features_vs_numpy(spark):
         pos = win >= 0
         assert t.zcr == int((pos[1:] != pos[:-1]).sum())
         assert t.rms == float(np.sqrt(int((win * win).sum()) / (b - a)))
+
+
+def test_stream_stream_attribution_matches_batch(spark):
+    """Watermarked stream-stream interval join (two file-stream
+    sources, append sink) produces EXACTLY the batch join's rows."""
+    from pyspark.sql import functions as F
+
+    got = (
+        EV.run_attribution_stream(spark, SF, query_name="t_attrib")
+        .toPandas()
+        .sort_values(["buy_id", "view_id"])
+        .reset_index(drop=True)
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exp = (
+        EV.attribution_join(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+        .toPandas()
+        .sort_values(["buy_id", "view_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 0
+    assert (got["gap_s"] >= 0).all() and (got["gap_s"] <= 7200).all()

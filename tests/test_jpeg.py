@@ -106,11 +106,16 @@ def test_refusals_and_corruption():
     i = buf.find(b"\xff\xc0")
     with pytest.raises(NotImplementedError, match="progressive"):
         J.decode_gray(buf[:i] + b"\xff\xc2" + buf[i + 2:])
-    # claim 3 components in SOF0
+    # claim 5 components in SOF0 (only 1 or 3 supported)
     bad = bytearray(buf)
-    bad[i + 9] = 3
-    with pytest.raises(NotImplementedError, match="color"):
+    bad[i + 9] = 5
+    with pytest.raises(NotImplementedError, match="components"):
         J.decode_gray(bytes(bad))
+    # claim 3 components but truncated component list -> corrupt
+    bad3 = bytearray(buf)
+    bad3[i + 9] = 3
+    with pytest.raises(ValueError, match="truncated SOF0"):
+        J.decode_gray(bytes(bad3))
     # truncate the scan mid-stream: either too few blocks decode or the
     # Huffman state desynchronizes — both must raise, never hang
     with pytest.raises(ValueError):
@@ -128,3 +133,54 @@ def test_decode_any_dispatch():
     assert J.psnr_u8(img, out.astype(np.uint8)) > 40
     with pytest.raises(NotImplementedError):
         MM.decode_any(b"xx", "webp", 1, 1)
+
+
+def _smooth_rgb(h, w):
+    r = np.arange(h)[:, None] + np.zeros((h, w))
+    c = np.arange(w)[None, :] + np.zeros((h, w))
+    return np.stack([
+        128 + 90 * np.sin(r / 5.0) * np.cos(c / 6.0),
+        128 + 70 * np.cos(r / 7.0),
+        128 + 60 * np.sin(c / 4.0),
+    ], axis=2).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(48, 72), (33, 57), (8, 8)])
+def test_color_roundtrip_psnr(shape):
+    h, w = shape
+    rgb = _smooth_rgb(h, w)
+    for q, thresh in [(95, 40), (75, 32)]:
+        out = J.decode(J.encode_color(rgb, q))
+        assert out.shape == (h, w, 3) and out.dtype == np.uint8
+        assert J.psnr_u8(rgb, out) > thresh, (shape, q)
+
+
+def test_color_chroma_tables_and_interleave():
+    rgb = _smooth_rgb(24, 40)
+    buf = J.encode_color(rgb, 85)
+    # DQT segment carries TWO tables (0: K.1 luma, 1: K.2 chroma)
+    i = buf.find(b"\xff\xdb")
+    ln = int.from_bytes(buf[i + 2 : i + 4], "big")
+    assert ln == 2 + 2 * 65
+    # a constant-color image decodes to (h, w, 3) of ~that color
+    flat = np.full((16, 16, 3), [200, 64, 120], np.uint8)
+    out = J.decode(J.encode_color(flat, 95))
+    assert np.abs(out.astype(float) - flat.astype(float)).max() <= 3
+
+
+def test_decode_gray_reduces_color_to_luma():
+    rgb = _smooth_rgb(32, 32)
+    g = J.decode_gray(J.encode_color(rgb, 95))
+    want = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    assert g.shape == (32, 32)
+    assert np.abs(g.astype(float) - want).max() < 6  # codec loss only
+
+
+def test_subsampled_color_refuses():
+    buf = bytearray(J.encode_color(_smooth_rgb(16, 16), 85))
+    i = bytes(buf).find(b"\xff\xc0")
+    buf[i + 11] = 0x22  # claim 2x2 sampling for Y (4:2:0)
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        J.decode(bytes(buf))
+    with pytest.raises(ValueError):
+        J.encode_color(np.zeros((4, 4), np.uint8))

@@ -9,7 +9,12 @@ These operators derive everything from a Knuth multiplicative hash in
 the 2^31-1 prime field (the same field dedup.py's MinHash uses), all
 in int64-safe arithmetic:
 
-    h(id) = (((id + salt) mod 2^31) * 2654435761) mod (2^31 - 1)
+    h(id) = ((pmod(id, 2^31) + salt) mod 2^31) * 2654435761 mod (2^31 - 1)
+
+(pmod = non-negative remainder: Spark/DuckDB % keeps the dividend's
+sign, and a negative hash would fall below every split threshold —
+signed 64-bit ids, common for hashed keys, would all land in the
+first split)
 
 (salt mixes BEFORE the multiply so a salt change reshuffles every
 assignment — added after, it would only nudge hashes by ±salt and
@@ -41,13 +46,20 @@ _MOD = 2147483647  # 2^31 - 1 (prime)
 
 def hash_col(id_col, salt: int = 0):
     """The shared deterministic hash Column: int64-safe everywhere
-    ((2^31 - 1)·KNUTH < 2^63)."""
-    return (((F.col(id_col) + F.lit(salt)) % F.lit(2147483648)) * F.lit(_KNUTH)) % F.lit(_MOD)
+    ((2^31 - 1)·KNUTH < 2^63), non-negative for ANY int64 id."""
+    if not 0 <= salt < 2147483648:
+        raise ValueError("salt must be in [0, 2^31)")
+    m = F.lit(2147483648)
+    # mod the id BEFORE adding salt: id + salt could overflow int64
+    # (silently wrapping in Spark, erroring in ANSI engines)
+    pm = ((F.col(id_col) % m) + m + F.lit(salt)) % m
+    return (pm * F.lit(_KNUTH)) % F.lit(_MOD)
 
 
 def hash_sql(id_col: str, salt: int = 0) -> str:
     """The same hash in ANSI SQL (DuckDB oracle dialect)."""
-    return f"(((({id_col}) + {salt}) % 2147483648) * {_KNUTH}) % {_MOD}"
+    pm = f"((({id_col}) % 2147483648) + 2147483648 + {salt}) % 2147483648"
+    return f"(({pm}) * {_KNUTH}) % {_MOD}"
 
 
 def split(df: DataFrame, id_col: str, fractions: dict[str, float],

@@ -2,7 +2,10 @@
 
 Formats (``fmt`` column):
   * ``raw16``   — little-endian int16, row-major, h*w*2 bytes. Lossless.
+  * ``rawi32``  — little-endian int32, row-major. Lossless (u2/i4 tiles).
   * ``rawf32``  — little-endian float32, row-major. Lossless.
+  * ``rawf64``  — little-endian float64, row-major. Lossless (u4 and
+                  doubles: every uint32 is exact in f8).
   * ``png``     — minimal 16-bit grayscale PNG (stdlib zlib, filter 0);
                   int16 values bit-cast to uint16. Lossless.
   * ``q8``      — 8-bit linear quantization of the tile's value range
@@ -118,8 +121,12 @@ def decode_q8(buf: bytes, w: int, h: int, ndv: float) -> np.ndarray:
 def encode_tile(arr: np.ndarray, fmt: str, ndv: float) -> bytes:
     if fmt == "raw16":
         return np.ascontiguousarray(arr, dtype="<i2").tobytes()
+    if fmt == "rawi32":
+        return np.ascontiguousarray(arr, dtype="<i4").tobytes()
     if fmt == "rawf32":
         return np.ascontiguousarray(arr, dtype="<f4").tobytes()
+    if fmt == "rawf64":
+        return np.ascontiguousarray(arr, dtype="<f8").tobytes()
     if fmt == "png":
         return encode_png16(arr)
     if fmt == "q8":
@@ -138,8 +145,12 @@ def decode_tile(buf: bytes, fmt: str, w: int, h: int, ndv: float) -> np.ndarray:
     """Decode tile bytes to a 2-D (h, w) numpy array (float64 or int16)."""
     if fmt == "raw16":
         return np.frombuffer(buf, dtype="<i2").reshape(h, w)
+    if fmt == "rawi32":
+        return np.frombuffer(buf, dtype="<i4").reshape(h, w).astype(np.float64)
     if fmt == "rawf32":
         return np.frombuffer(buf, dtype="<f4").reshape(h, w).astype(np.float64)
+    if fmt == "rawf64":
+        return np.frombuffer(buf, dtype="<f8").reshape(h, w)
     if fmt == "png":
         return decode_png16(buf)
     if fmt == "q8":

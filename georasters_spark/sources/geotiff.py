@@ -160,6 +160,14 @@ def lzw_encode(data: bytes) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w], nbits)
+        # the decoder APPENDS an entry for this final code too and may
+        # widen before reading EOI — mirror that bookkeeping (without
+        # it, an unlucky stream ending exactly at a width boundary has
+        # EOI written one bit narrower than the decoder reads it:
+        # silent corruption, fuzz-confirmed)
+        next_code += 1
+        if next_code == (1 << nbits) and nbits < 12:
+            nbits += 1
     emit(_EOI, nbits)
     if acc_bits:
         out.append((acc << (8 - acc_bits)) & 0xFF)
@@ -442,10 +450,8 @@ def write_tiff(
             chunks.append(pack_block(a[r0 : r0 + rps]))
 
     # layout: header(8) | chunk data | external tag values | IFD
-    header = struct.pack(bo + "2sH", b"II" if bo == "<" else b"MM", 42)
-    data_off = 8
     offsets = []
-    pos = data_off
+    pos = 8  # chunk data starts right after the 8-byte header
     for c in chunks:
         offsets.append(pos)
         pos += len(c)
@@ -501,7 +507,11 @@ def write_tiff(
     tag_arr(_T_SAMPLE_FMT, 3, [sfmt])
     tag_arr(_T_PIXEL_SCALE, 12, [cellx, abs(celly), 0.0])
     tag_arr(_T_TIEPOINT, 12, [0.0, 0.0, 0.0, x0, y0, 0.0])
-    model = 2 if epsg == 4326 else 1  # geographic vs projected
+    # geographic-2D CRS codes live in the EPSG 4xxx block (4326 WGS84,
+    # 4269 NAD83, 4258 ETRS89, ...); everything else here is projected.
+    # Writing a geographic code under ProjectedCSTypeGeoKey would make
+    # GDAL's registry lookup fail, so key choice follows the block.
+    model = 2 if 4000 <= epsg <= 4999 else 1  # geographic vs projected
     geo = [1, 1, 0, 3,
            _GK_MODEL_TYPE, 0, 1, model,
            _GK_RASTER_TYPE, 0, 1, 1,  # RasterPixelIsArea
@@ -526,12 +536,12 @@ def write_tiff(
 # Spark surface
 # --------------------------------------------------------------------------
 
-IMAGES_TIFF_SCHEMA = (
-    "image_id string, bytes binary, w int, h int, fmt string, "
-    "caption string, phash long, tile_row int, tile_col int, "
-    "xmin double, ymax double, cellx double, celly double, "
-    "crs string, ndv double, dtype string, cell_id long, source_path string"
-)
+def _images_tiff_schema() -> str:
+    """Canonical images schema + provenance column — composed, not
+    re-declared, so a synth.IMAGES_SCHEMA change can't drift."""
+    from .synth import IMAGES_SCHEMA
+
+    return IMAGES_SCHEMA + ", source_path string"
 
 
 def load_tiff(spark, path: str, tile: int = 256, cell_res: int = 3,
@@ -560,9 +570,19 @@ def load_tiff(spark, path: str, tile: int = 256, cell_res: int = 3,
                 cx = float(meta.get("cellx", 1.0))
                 cy = float(meta.get("celly", -1.0))
                 epsg = int(meta.get("epsg", 0))
-                is_f = arr.dtype.kind == "f"
-                fmt = "rawf32" if is_f else "raw16"
-                store = arr.astype(np.float32 if is_f else np.int16)
+                # LOSSLESS storage fmt by value range: i1/u1/i2 fit
+                # int16; u2/i4 need int32; u4 is exact in float64
+                # (every uint32 < 2^53); floats keep their width
+                k, sz = arr.dtype.kind, arr.dtype.itemsize
+                if k == "f":
+                    fmt = "rawf32" if sz <= 4 else "rawf64"
+                    store = arr.astype(np.float32 if sz <= 4 else np.float64)
+                elif (k == "i" and sz <= 2) or (k == "u" and sz == 1):
+                    fmt, store = "raw16", arr.astype(np.int16)
+                elif (k == "u" and sz == 2) or (k == "i" and sz == 4):
+                    fmt, store = "rawi32", arr.astype(np.int32)
+                else:  # u4
+                    fmt, store = "rawf64", arr.astype(np.float64)
                 name = rec.path.rsplit("/", 1)[-1]
                 h, w = arr.shape
                 for ty in range((h + tile - 1) // tile):
@@ -596,7 +616,7 @@ def load_tiff(spark, path: str, tile: int = 256, cell_res: int = 3,
             ])
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return files.mapInPandas(gen, schema=IMAGES_TIFF_SCHEMA)
+    return files.mapInPandas(gen, schema=_images_tiff_schema())
 
 
 def tiles_to_tiff(images, *, epsg: int = 4326, compression: str = "deflate",

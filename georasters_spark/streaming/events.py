@@ -42,20 +42,28 @@ def rollup_agg(df):
     )
 
 
-def run_rollup_stream(spark, sf_dir: str, query_name: str = "rollup"):
-    """Drive the streaming rollup to completion over the parquet events
-    table (memory sink, complete mode) and return the result DF."""
+
+
+def _landing_dir(sf_dir: str) -> str:
+    """File-stream sources need a DIRECTORY: expose the single parquet
+    file through a temp dir of symlinks (a real deployment points at a
+    landing directory / Kafka topic instead). Shared by every stream
+    driver in this module."""
     import hashlib
     import os
 
-    # the file-stream source needs a directory; expose the single
-    # parquet file through a temp dir of symlinks (a real deployment
-    # points at a landing directory / Kafka topic instead)
     src_dir = f"/tmp/georasters_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events-000.parquet")
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
+    return src_dir
+
+
+def run_rollup_stream(spark, sf_dir: str, query_name: str = "rollup"):
+    """Drive the streaming rollup to completion over the parquet events
+    table (memory sink, complete mode) and return the result DF."""
+    src_dir = _landing_dir(sf_dir)
 
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
@@ -106,14 +114,7 @@ def _user_totals_fn(key, pdf_iter, state):
 def run_user_totals_stream(spark, sf_dir: str, query_name: str = "usertotals"):
     """Stateful streaming: per-user cumulative event count + value sum,
     kept in explicit group state across micro-batches."""
-    import hashlib
-    import os
-
-    src_dir = f"/tmp/georasters_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "events-000.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    src_dir = _landing_dir(sf_dir)
 
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
@@ -334,14 +335,7 @@ def attribution_join(views, buys, lookback: str = "2 hours",
 def run_attribution_stream(spark, sf_dir: str, query_name: str = "attrib"):
     """Drive the stream-stream attribution join to completion (two
     file-stream sources over the same landing dir, append sink)."""
-    import hashlib
-    import os
-
-    src_dir = f"/tmp/georasters_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "events-000.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    src_dir = _landing_dir(sf_dir)
 
     def src():
         return (spark.readStream.schema(EVENT_SCHEMA)

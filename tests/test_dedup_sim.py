@@ -320,3 +320,33 @@ def test_stratified_cap_properties(spark):
     assert out.select("doc_id").exceptAll(out2.select("doc_id")).isEmpty()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_hash_col_negative_ids_match_sql_and_are_uniform(spark):
+    """hash_col == hash_sql for extreme/negative int64 ids (both
+    non-negative), and negative ids don't collapse into one split."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from georasters_spark.operators import sampling as SA
+
+    ids = [-5, -2147483649, 0, 12345, 9223372036854775806,
+           -9223372036854775807, -1]
+    sdf = spark.createDataFrame([(i,) for i in ids], "x long")
+    got = (sdf.select(SA.hash_col("x", 7).alias("h"))
+           .toPandas()["h"].tolist())
+    vals = ",".join(f"({i})" for i in ids)
+    exp = duckdb.sql(
+        f"SELECT {SA.hash_sql('x', 7)} AS h FROM (VALUES {vals}) t(x)"
+    ).df()["h"].tolist()
+    assert got == exp and all(h >= 0 for h in got)
+
+    neg = spark.range(1000).select((-F.col("id") - 1).alias("doc_id"))
+    fr = {"train": 0.5, "val": 0.5}
+    counts = dict(SA.split(neg, "doc_id", fr, salt=1)
+                  .groupBy("split").count().collect())
+    assert abs(counts.get("train", 0) - 500) < 120, counts
+    import pytest
+
+    with pytest.raises(ValueError, match="salt"):
+        SA.hash_col("doc_id", -1)

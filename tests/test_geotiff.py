@@ -354,3 +354,36 @@ def test_assemble_tiff_matches_pixels(spark, images_t1):
             i += 1
     np.testing.assert_array_equal(out, full[: spec.height, : spec.width])
     assert meta["x0"] == spec.x0 and meta["cellx"] == spec.cellx
+
+
+def test_load_tiff_preserves_wide_dtypes(spark, tmp_path):
+    """uint16/int32/uint32 rasters survive load_tiff LOSSLESSLY (the
+    int16 cast would wrap 40000 to -25536) via rawi32/rawf64 storage;
+    geographic non-4326 EPSG stays under the geographic GeoKey."""
+    cases = {
+        "u16.tif": (np.array([[40000, 1], [70, 0]], np.uint16), 4269),
+        "i32.tif": (np.array([[2**30, -5], [7, 0]], np.int32), 32633),
+        "u32.tif": (np.array([[2**31 + 9, 3], [1, 0]], np.uint32), 4326),
+    }
+    for name, (arr, epsg) in cases.items():
+        (tmp_path / name).write_bytes(GT.write_tiff(
+            arr.astype(arr.dtype), x0=0.0, y0=2.0, cellx=1.0, celly=-1.0,
+            ndv=-9999, epsg=epsg, compression="deflate"))
+    # geokey model-type: 4269 (NAD83, geographic) must read back as 2
+    _, meta = GT.parse_tiff((tmp_path / "u16.tif").read_bytes())
+    assert meta["epsg"] == 4269 and meta["model_type"] == 2
+    _, meta32 = GT.parse_tiff((tmp_path / "i32.tif").read_bytes())
+    assert meta32["model_type"] == 1
+
+    from georasters_spark.operators import pixels as PX
+
+    imgs = GT.load_tiff(spark, str(tmp_path), tile=2)
+    px = PX.pixel_table(imgs, valid_only=True, with_coords=False).toPandas()
+    meta_df = imgs.select("image_id", "caption", "fmt").toPandas()
+    fmts = dict(zip(meta_df["caption"], meta_df["fmt"]))
+    assert fmts["u16.tif"] == "rawi32" and fmts["i32.tif"] == "rawi32"
+    assert fmts["u32.tif"] == "rawf64"
+    for name, (arr, _e) in cases.items():
+        ids = set(meta_df[meta_df["caption"] == name]["image_id"])
+        sub = px[px["image_id"].isin(ids)]
+        assert sub["value"].astype(np.int64).sum() == int(arr.astype(np.int64).sum())

@@ -53,6 +53,7 @@ _TYPES = {
     11: ("f", 4), 12: ("d", 8),
 }
 
+_T_SUBFILE = 254
 _T_WIDTH, _T_HEIGHT, _T_BITS, _T_COMP, _T_PHOTO = 256, 257, 258, 259, 262
 _T_STRIP_OFF, _T_SPP, _T_RPS, _T_STRIP_CNT = 273, 277, 278, 279
 _T_PLANAR, _T_PREDICTOR = 284, 317
@@ -400,10 +401,16 @@ def write_tiff(
     tiled: bool = False,
     tile_size: int = 256,
     byteorder: str = "<",
+    overviews: list | None = None,
 ) -> bytes:
     """Write a single-band GeoTIFF. ``celly`` is negative (north-up),
     matching the engine's georef convention; the file stores |celly|
-    in ModelPixelScale per the GeoTIFF spec."""
+    in ModelPixelScale per the GeoTIFF spec.
+
+    ``overviews``: optional reduced-resolution arrays (e.g. from
+    pixels.build_overviews) appended as chained NewSubfileType=1 IFD
+    pages with level-scaled ModelPixelScale — the Cloud-Optimized
+    GeoTIFF overview layout; read back via parse_tiff(buf, page=n)."""
     a = np.ascontiguousarray(arr)
     if a.ndim != 2:
         raise ValueError("write_tiff: single-band (h, w) arrays only")
@@ -419,8 +426,41 @@ def write_tiff(
     bo = byteorder
     if bo not in ("<", ">"):
         raise ValueError("byteorder must be '<' or '>'")
-    h, w = a.shape
     a = a.astype(np.dtype(bo + _DTYPES[(bits, sfmt)]))
+    opts = dict(bits=bits, sfmt=sfmt, comp_id=comp_id, predictor=predictor,
+                tiled=tiled, tile_size=tile_size, rows_per_strip=rows_per_strip,
+                bo=bo, ndv=ndv, epsg=epsg)
+    pages = [(a, x0, y0, cellx, celly, False)]
+    for ov in overviews or []:
+        o = np.ascontiguousarray(ov).astype(a.dtype)
+        lvl = max(1, round(a.shape[1] / o.shape[1]))
+        # overview pages carry the SAME origin with level-scaled cells
+        # and NewSubfileType=1 (reduced-resolution), the COG layout
+        pages.append((o, x0, y0, cellx * lvl, celly * lvl, True))
+    out = bytearray(8)  # header patched at the end
+    ifd_offs = []
+    next_ptr_pos = []
+    for pa, px0, py0, pcx, pcy, reduced in pages:
+        blob, ifd_off = _encode_page(
+            pa, x0=px0, y0=py0, cellx=pcx, celly=pcy, reduced=reduced,
+            base=len(out), **opts)
+        ifd_offs.append(ifd_off)
+        next_ptr_pos.append(len(out) + len(blob) - 4)
+        out += blob
+    for i in range(len(pages) - 1):  # chain page i -> page i+1
+        struct.pack_into(bo + "I", out, next_ptr_pos[i], ifd_offs[i + 1])
+    struct.pack_into(bo + "2sHI", out, 0, b"II" if bo == "<" else b"MM", 42,
+                     ifd_offs[0])
+    return bytes(out)
+
+
+def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
+                 tile_size, rows_per_strip, bo, x0, y0, cellx, celly, ndv,
+                 epsg, base: int, reduced: bool) -> tuple[bytes, int]:
+    """Encode ONE IFD page (chunk data | ext values | IFD) positioned
+    at absolute offset `base`; returns (blob, absolute ifd offset).
+    The IFD's next-page pointer is the blob's last 4 bytes (0)."""
+    h, w = a.shape
 
     def pack_block(block: np.ndarray) -> bytes:
         if predictor:
@@ -449,9 +489,9 @@ def write_tiff(
         for r0 in range(0, h, rps):
             chunks.append(pack_block(a[r0 : r0 + rps]))
 
-    # layout: header(8) | chunk data | external tag values | IFD
+    # page layout: chunk data | external tag values | IFD
     offsets = []
-    pos = 8  # chunk data starts right after the 8-byte header
+    pos = base
     for c in chunks:
         offsets.append(pos)
         pos += len(c)
@@ -485,6 +525,8 @@ def write_tiff(
             ext.extend(b)
             tags.append((tag, 2, len(b), o))
 
+    if reduced:
+        tag_arr(_T_SUBFILE, 4, [1])  # reduced-resolution (overview) page
     tag_arr(_T_WIDTH, 4, [w])
     tag_arr(_T_HEIGHT, 4, [h])
     tag_arr(_T_BITS, 3, [bits])
@@ -526,10 +568,9 @@ def write_tiff(
     ifd = struct.pack(bo + "H", len(tags))
     for tag, typ, cnt, val in tags:
         ifd += struct.pack(bo + "HHII", tag, typ, cnt, val)
-    ifd += struct.pack(bo + "I", 0)  # no next IFD
+    ifd += struct.pack(bo + "I", 0)  # next-IFD pointer, patched by caller
 
-    head = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off)
-    return head + b"".join(chunks) + bytes(ext) + ifd
+    return b"".join(chunks) + bytes(ext) + ifd, ifd_off
 
 
 # --------------------------------------------------------------------------
@@ -657,11 +698,15 @@ def tiles_to_tiff(images, *, epsg: int = 4326, compression: str = "deflate",
 
 
 def assemble_tiff(images, *, origin, cellsize, shape, ndv: float,
-                  epsg: int = 4326, compression: str = "deflate") -> bytes:
+                  epsg: int = 4326, compression: str = "deflate",
+                  overview_levels: tuple = ()) -> bytes:
     """Assemble ALL tiles into one GeoTIFF byte string on the driver —
     the reference's eager to_tiff shape (georasters.py:535-557).
     DOCUMENTED small-raster path: the whole array is materialized
-    driver-side; use tiles_to_tiff for anything big."""
+    driver-side; use tiles_to_tiff for anything big.
+
+    ``overview_levels`` (e.g. (2, 4)): append COG-style reduced-
+    resolution pages, each the ndv-aware block mean at that level."""
     h, w = shape
     from . import codec
 
@@ -677,7 +722,21 @@ def assemble_tiff(images, *, origin, cellsize, shape, ndv: float,
             full[r0 : r0 + rr, c0 : c0 + cc] = np.asarray(arr)[:rr, :cc]
     is_int = np.all(full == np.floor(full)) and np.abs(full).max() < 2**31 - 1
     out = full.astype(np.int32) if is_int else full.astype(np.float64)
+
+    def block_mean(a: np.ndarray, lvl: int) -> np.ndarray:
+        hh = a.shape[0] // lvl * lvl
+        ww = a.shape[1] // lvl * lvl
+        b = a[:hh, :ww].astype(np.float64).reshape(hh // lvl, lvl, ww // lvl, lvl)
+        valid = b != ndv
+        n = valid.sum(axis=(1, 3))
+        sm = np.where(valid, b, 0.0).sum(axis=(1, 3))
+        with np.errstate(invalid="ignore"):
+            m = np.where(n > 0, sm / np.maximum(n, 1), ndv)
+        return np.round(m).astype(a.dtype) if a.dtype.kind in "iu" else m.astype(a.dtype)
+
+    ovs = [block_mean(out, int(lvl)) for lvl in overview_levels]
     return write_tiff(out, x0=origin[0], y0=origin[1], cellx=cellsize[0],
                       celly=cellsize[1], ndv=ndv, epsg=epsg,
                       compression=compression,
-                      predictor=bool(out.dtype.kind in "iu"))
+                      predictor=bool(out.dtype.kind in "iu"),
+                      overviews=ovs)

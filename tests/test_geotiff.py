@@ -387,3 +387,47 @@ def test_load_tiff_preserves_wide_dtypes(spark, tmp_path):
         ids = set(meta_df[meta_df["caption"] == name]["image_id"])
         sub = px[px["image_id"].isin(ids)]
         assert sub["value"].astype(np.int64).sum() == int(arr.astype(np.int64).sum())
+
+
+def test_multipage_cog_overviews():
+    """write_tiff(overviews=[...]) chains NewSubfileType=1 IFD pages
+    with level-scaled ModelPixelScale; parse_tiff(page=n) reads each
+    back bit-exactly and page-out-of-range raises."""
+    a = ((np.arange(64)[:, None] * 7 + np.arange(96)[None, :]) % 1997).astype(np.int16)
+    ov2 = a.reshape(32, 2, 48, 2).mean(axis=(1, 3)).round().astype(np.int16)
+    ov4 = a.reshape(16, 4, 24, 4).mean(axis=(1, 3)).round().astype(np.int16)
+    buf = GT.write_tiff(a, x0=-10.0, y0=20.0, cellx=0.5, celly=-0.5,
+                        ndv=-9999, compression="lzw", predictor=True,
+                        overviews=[ov2, ov4])
+    for page, (want, cx) in enumerate([(a, 0.5), (ov2, 1.0), (ov4, 2.0)]):
+        got, meta = GT.parse_tiff(buf, page=page)
+        np.testing.assert_array_equal(got, want)
+        assert meta["cellx"] == cx and meta["x0"] == -10.0 and meta["y0"] == 20.0
+    with pytest.raises(ValueError, match="no page"):
+        GT.parse_tiff(buf, page=3)
+
+
+def test_assemble_tiff_with_overview_pages(spark, images_t1):
+    from georasters_spark.sources import synth
+
+    spec = synth.T1
+    buf = GT.assemble_tiff(
+        images_t1, origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly),
+        shape=(spec.height, spec.width), ndv=spec.ndv,
+        overview_levels=(2, 4),
+    )
+    full, m0 = GT.parse_tiff(buf, page=0)
+    ov2, m1 = GT.parse_tiff(buf, page=1)
+    ov4, m2 = GT.parse_tiff(buf, page=2)
+    assert full.shape == (spec.height, spec.width)
+    assert ov2.shape == (spec.height // 2, spec.width // 2)
+    assert ov4.shape == (spec.height // 4, spec.width // 4)
+    assert m1["cellx"] == spec.cellx * 2 and m2["cellx"] == spec.cellx * 4
+    # overview page 1 == ndv-aware block mean of the full page
+    b = full[: 135 * 2, : 270 * 2].astype(np.float64).reshape(135, 2, 270, 2)
+    valid = b != spec.ndv
+    n = valid.sum(axis=(1, 3))
+    m = np.where(valid, b, 0.0).sum(axis=(1, 3)) / np.maximum(n, 1)
+    want = np.where(n > 0, np.round(m), spec.ndv).astype(full.dtype)
+    np.testing.assert_array_equal(ov2, want)

@@ -384,6 +384,12 @@ def quantized_topk(
     q = quantize_int8(queries, id_col).select(
         F.col("vec_id").alias("query_id"), F.col("codes").alias("qc"),
         F.col("n2").alias("qn"))
+    # Zero-norm (all-zero) vectors have no cosine: Spark yields NULL for
+    # 0/0 while DuckDB yields NaN, and the two order differently under
+    # ORDER BY DESC — filter them out of BOTH sides before scoring (the
+    # oracle SQL applies the same n2 > 0 predicate).
+    c = c.filter(F.col("cn") > 0)
+    q = q.filter(F.col("qn") > 0)
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "qcos", F.round(_dot(F.col("cc"), F.col("qc")) / (F.col("cn") * F.col("qn")), 6)
     )

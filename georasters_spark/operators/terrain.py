@@ -35,6 +35,7 @@ import math
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 HORN_OFFSETS = [
     (dr, dc, dc * (2 if dr == 0 else 1), dr * (2 if dc == 0 else 1))
@@ -319,20 +320,61 @@ d8 AS (
   FROM px LEFT JOIN d8best ON d8best.row = px.row AND d8best.col = px.col)"""
 
 
-def flow_accumulation(px: DataFrame, max_rounds: int = 10000) -> DataFrame:
+#: round count of the most recent flow_accumulation() pointer-jumping
+#: loop — read by the scale-guard test to pin the O(log n) bound.
+LAST_FLOW_ACC_ROUNDS = 0
+
+_CID_SHIFT = 30  # cell id = row << 30 | col; arc id = cell id * 2 + kind
+
+
+def flow_accumulation(px: DataFrame, max_rounds: int = 64) -> DataFrame:
     """(row, col, acc): number of cells draining through each cell
     INCLUDING itself (D8 steepest descent; pits absorb their basin).
 
-    The D8 graph is a forest (strict descent ⇒ acyclic, out-degree ≤
-    1), so acc_{k+1}(c) = 1 + Σ_{upstream n} acc_k(n) increases
-    monotonically to the exact fixpoint in longest-flow-path rounds —
-    each round is one hash join + aggregate, fully executor-side;
-    lineage is truncated periodically like the other fixpoint loops."""
+    acc(v) is the size of v's subtree in the drainage forest (edges
+    point upstream→downstream, so a cell's subtree is everything that
+    drains through it).  Computed scale-safely in **O(log n) Spark
+    rounds** — NOT one round per flow-path cell — via the classic
+    parallel Euler-tour technique:
+
+      1. Build the Euler tour of each drainage tree as a linked list of
+         2 arcs per non-root cell (down-arc ``parent→v`` id ``2v``,
+         up-arc ``v→parent`` id ``2v+1``); successor pointers come from
+         per-parent sibling windows (first-child / next-sibling), all
+         DataFrame ops.
+      2. List-rank the tour by pointer jumping: each round every arc's
+         pointer doubles its reach (``val += val[ptr]; ptr = ptr[ptr]``,
+         one self-equi-join per round), so ⌈log2 tour length⌉ rounds
+         total — the same doubling trick as the distributed polygonize
+         label merge (algebra.py `_merge_labels_distributed`).
+      3. subtree(v) = (rank_end(down_v) − rank_end(up_v) + 1) / 2; a
+         root's acc is 1 + Σ subtree(children); isolated cells are 1.
+
+    On a continental DEM whose major river is 10^5 cells long this is
+    ~2·log2(basin) ≈ 70 rounds instead of 10^5.  The round count of the
+    last call is published as ``LAST_FLOW_ACC_ROUNDS``."""
+    global LAST_FLOW_ACC_ROUNDS
     d8 = d8_flow_direction(px).persist()
+    bounds = d8.agg(
+        F.min("row").alias("r0"), F.max("row").alias("r1"),
+        F.min("col").alias("c0"), F.max("col").alias("c1"),
+    ).first()
+    if bounds.r1 is not None and (
+        bounds.r0 < 0 or bounds.c0 < 0
+        or bounds.r1 >= (1 << _CID_SHIFT) or bounds.c1 >= (1 << _CID_SHIFT)
+    ):
+        d8.unpersist()
+        raise ValueError(
+            "flow_accumulation cell-id packing needs 0 <= row, col < 2^30")
+
+    def cid(r, c):
+        return (F.col(r).cast("long") * F.lit(1 << _CID_SHIFT) + F.col(c)).alias("_cid")
+
     step = F.create_map(*[
         x for code, (dr, dc) in _D8_STEP.items()
         for x in (F.lit(code), F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc")))
     ])
+    # child → parent edges on packed cell ids (border outflow has no edge)
     edges = (
         d8.filter(F.col("d8") > 0)
         .withColumn("_s", step[F.col("d8")])
@@ -341,53 +383,100 @@ def flow_accumulation(px: DataFrame, max_rounds: int = 10000) -> DataFrame:
             (F.col("row") + F.col("_s.dr")).alias("row"),
             (F.col("col") + F.col("_s.dc")).alias("col"),
         )
-        # target must exist (border flow leaves the grid -> no edge)
         .join(d8.select("row", "col"), ["row", "col"], "left_semi")
-        .persist()
+        .select(cid("urow", "ucol").alias("child"), cid("row", "col").alias("parent"))
+        .localCheckpoint(eager=True)
     )
-    edges.count()
-    acc = d8.select("row", "col", F.lit(1).cast("long").alias("acc"))
-    acc = acc.localCheckpoint(eager=True)
+    # deterministic sibling order by child id: first child + next sibling
+    wsib = W.partitionBy("parent").orderBy("child")
+    sib = edges.select(
+        "child", "parent",
+        F.lead("child").over(wsib).alias("next_sib"),
+        F.row_number().over(wsib).alias("_rn"),
+    )
+    first_child = sib.filter(F.col("_rn") == 1).select(
+        F.col("parent").alias("child"), F.col("child").alias("fc"))
+    grandparent = edges.select(
+        F.col("child").alias("parent"), F.col("parent").alias("gp"))
+    base = (
+        sib.join(first_child, "child", "left")
+        .join(grandparent, "parent", "left")
+    )
+    # Euler-tour successor pointers (null = tour end at the root):
+    #   succ(down v) = first child's down-arc, else v's own up-arc
+    #   succ(up v)   = next sibling's down-arc, else parent's up-arc
+    #                  (null when the parent is a root)
+    down = base.select(
+        (F.col("child") * 2).alias("arc"),
+        F.coalesce(F.col("fc") * 2, F.col("child") * 2 + 1).alias("ptr"),
+    )
+    up = base.select(
+        (F.col("child") * 2 + 1).alias("arc"),
+        F.when(F.col("next_sib").isNotNull(), F.col("next_sib") * 2)
+        .otherwise(F.when(F.col("gp").isNotNull(), F.col("parent") * 2 + 1))
+        .alias("ptr"),
+    )
+    cur = down.unionByName(up).select(
+        "arc", "ptr", F.lit(1).cast("long").alias("val"))
+    cur = cur.localCheckpoint(eager=True)
+    # pointer jumping: invariant rank_end(x) = val(x) + rank_end(ptr(x))
     it = 0
-    while it < max_rounds:
+    while cur.filter(F.col("ptr").isNotNull()).limit(1).count() > 0:
         it += 1
-        up = (
-            edges.join(
-                acc.select(F.col("row").alias("urow"), F.col("col").alias("ucol"),
-                           F.col("acc").alias("uacc")),
-                ["urow", "ucol"],
+        if it > max_rounds:
+            d8.unpersist()
+            raise RuntimeError(
+                f"flow_accumulation pointer jumping exceeded {max_rounds} "
+                "rounds — impossible for any finite grid (rounds are "
+                "logarithmic in tour length); the D8 graph must be corrupt")
+        hop = cur.select(
+            F.col("arc").alias("ptr"),
+            F.col("ptr").alias("pptr"),
+            F.col("val").alias("pval"),
+        )
+        cur = (
+            cur.join(hop, "ptr", "left")
+            .select(
+                "arc",
+                F.when(F.col("ptr").isNull(), F.lit(None).cast("long"))
+                .otherwise(F.col("pptr")).alias("ptr"),
+                F.when(F.col("ptr").isNull(), F.col("val"))
+                .otherwise(F.col("val") + F.col("pval")).alias("val"),
             )
-            .groupBy("row", "col")
-            .agg(F.sum("uacc").alias("insum"))
+            .localCheckpoint(eager=True)
         )
-        nxt = (
-            acc.select("row", "col")
-            .join(up, ["row", "col"], "left")
-            .select("row", "col",
-                    (F.lit(1) + F.coalesce(F.col("insum"), F.lit(0))).cast("long").alias("acc"))
+    LAST_FLOW_ACC_ROUNDS = it
+    # subtree(v) = (rank_end(down) - rank_end(up) + 1) / 2
+    rank_d = cur.filter(F.col("arc") % 2 == 0).select(
+        (F.col("arc") / 2).cast("long").alias("child"), F.col("val").alias("rd"))
+    rank_u = cur.filter(F.col("arc") % 2 == 1).select(
+        ((F.col("arc") - 1) / 2).cast("long").alias("child"), F.col("val").alias("ru"))
+    sub = rank_d.join(rank_u, "child").select(
+        "child",
+        ((F.col("rd") - F.col("ru") + 1) / 2).cast("long").alias("acc"),
+    )
+    # roots: 1 + sum of children's subtrees (a root never appears as a child)
+    root_edges = edges.join(
+        edges.select(F.col("child").alias("parent")), "parent", "left_anti")
+    root_acc = (
+        root_edges.join(sub, "child")
+        .groupBy("parent")
+        .agg((F.lit(1) + F.sum("acc")).cast("long").alias("racc"))
+        .select(F.col("parent").alias("_cid"), "racc")
+    )
+    out = (
+        d8.select("row", "col", cid("row", "col"))
+        .join(sub.select(F.col("child").alias("_cid"), F.col("acc").alias("sacc")),
+              "_cid", "left")
+        .join(root_acc, "_cid", "left")
+        .select(
+            "row", "col",
+            F.coalesce(F.col("sacc"), F.col("racc"), F.lit(1)).cast("long").alias("acc"),
         )
-        # checkpoint every round: the convergence check reads BOTH the
-        # old and new acc, and each round's plan must not replay the
-        # previous rounds' joins
-        nxt = nxt.localCheckpoint(eager=True)
-        changed = (
-            nxt.alias("n").join(acc.alias("o"), ["row", "col"])
-            .filter(F.col("n.acc") != F.col("o.acc")).limit(1).count()
-        )
-        acc = nxt
-        if changed == 0:
-            break
-    else:
-        d8.unpersist()
-        edges.unpersist()
-        raise RuntimeError(
-            f"flow_accumulation did not converge within {max_rounds} rounds "
-            "(flow path longer than max_rounds); raise max_rounds — an "
-            "under-counted result must never be returned silently"
-        )
+    )
+    out = out.localCheckpoint(eager=True)
     d8.unpersist()
-    edges.unpersist()
-    return acc
+    return out
 
 
 def flow_accumulation_sql(px_cte: str) -> str:

@@ -1942,7 +1942,8 @@ scored AS (
   SELECT q.vec_id AS query_id, d.vec_id,
          ROUND(list_dot_product(d.c, q.c) / (d.n2 * q.n2), 6) AS qcos
   FROM norm d CROSS JOIN norm q
-  WHERE q.vec_id < {_ANN_NQ} AND d.vec_id <> q.vec_id),
+  WHERE q.vec_id < {_ANN_NQ} AND d.vec_id <> q.vec_id
+    AND d.n2 > 0 AND q.n2 > 0),
 ranked AS (
   SELECT query_id, vec_id, qcos,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, vec_id) AS sim_rank
@@ -2458,13 +2459,15 @@ _JPEG_QUALS = [95, 85, 75]
 
 def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG end to end: 48 deterministic grayscale images
-    (4 sizes x 3 qualities, some with restart markers) are encoded and
-    decoded back executor-side through the multimodal fmt dispatch.
-    JPEG is lossy, so the hashed contract is the codec AUDIT (like
-    psnr_gate_q8): exact dims/pixel-count plus psnr>=30dB and
-    mean-abs-err<=4 booleans per image — with the value-level rigor
-    carried by the spec-anchored bitstream vector and roundtrip matrix
-    in tests/test_jpeg.py (flat block entropy-codes to EXACTLY 0x5A)."""
+    (4 sizes x 3 qualities, some with restart markers) PLUS 12 color
+    images cycling 4:4:4 / 4:2:2 / 4:2:0 subsampling are encoded and
+    decoded back executor-side (gray via the multimodal fmt dispatch,
+    color through the full chroma-downsample + replication-upsample
+    path). JPEG is lossy, so the hashed contract is the codec AUDIT
+    (like psnr_gate_q8): exact dims/pixel-count plus psnr>=30dB and
+    mean-abs-err<=4 (gray) / <=6 (subsampled color) booleans per image
+    — with the value-level rigor carried by the spec-anchored bitstream
+    vector and roundtrip matrix in tests/test_jpeg.py."""
     import pandas as pd
 
     from .operators import multimodal as MM
@@ -2478,24 +2481,36 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             for fid in pdf["id"].tolist():
                 f = int(fid)
                 h, w = _JPEG_SIZES[f % 4]
-                q = _JPEG_QUALS[(f // 4) % 3]
                 r = np.arange(h)[:, None]
                 c = np.arange(w)[None, :]
-                img = (128 + 90 * np.sin(r / 5.0 + f * 0.37)
-                       * np.cos(c / 6.0 + f * 0.11)).astype(np.uint8)
-                buf = jpeg.encode_gray(img, q, restart_interval=4 if f % 5 == 0 else 0)
-                out = MM.decode_any(buf, "jpeg", w, h).astype(np.uint8)
+                base = 128 + 90 * np.sin(r / 5.0 + f * 0.37) * np.cos(c / 6.0 + f * 0.11)
+                if f < 48:
+                    q = _JPEG_QUALS[(f // 4) % 3]
+                    img = base.astype(np.uint8)
+                    buf = jpeg.encode_gray(img, q, restart_interval=4 if f % 5 == 0 else 0)
+                    out = MM.decode_any(buf, "jpeg", w, h).astype(np.uint8)
+                    mae_bound = 4.0
+                else:  # color rows: subsampling cycles 444 / 422 / 420
+                    ss = ("444", "422", "420")[(f - 48) % 3]
+                    img = np.stack([
+                        np.clip(base, 0, 255),
+                        np.clip(0.8 * base + 20, 0, 255),
+                        np.clip(255 - base, 0, 255),
+                    ], axis=2).astype(np.uint8)
+                    buf = jpeg.encode_color(img, quality=90, subsampling=ss)
+                    out = jpeg.decode(buf)
+                    mae_bound = 6.0
                 err = np.abs(out.astype(np.float64) - img.astype(np.float64))
                 rows.append({
                     "img_id": f, "w": int(out.shape[1]), "h": int(out.shape[0]),
                     "n_px": int(out.size),
                     "psnr_ge_30": bool(jpeg.psnr_u8(img, out) >= 30.0),
-                    "mae_le_4": bool(err.mean() <= 4.0),
+                    "mae_le_4": bool(err.mean() <= mae_bound),
                 })
             yield pd.DataFrame(rows, columns=["img_id", "w", "h", "n_px",
                                               "psnr_ge_30", "mae_le_4"])
 
-    return spark.range(48).repartition(4).mapInPandas(
+    return spark.range(60).repartition(4).mapInPandas(
         gen, schema="img_id long, w int, h int, n_px long, "
                     "psnr_ge_30 boolean, mae_le_4 boolean"
     )
@@ -2507,9 +2522,9 @@ def sql_jpeg_roundtrip() -> str:
 WITH sizes(k, w, h) AS (VALUES {dims})
 SELECT CAST(f.range AS BIGINT) AS img_id,
        CAST(s.w AS INT) AS w, CAST(s.h AS INT) AS h,
-       CAST(s.w * s.h AS BIGINT) AS n_px,
+       CAST(s.w * s.h * CASE WHEN f.range >= 48 THEN 3 ELSE 1 END AS BIGINT) AS n_px,
        TRUE AS psnr_ge_30, TRUE AS mae_le_4
-FROM range(48) f JOIN sizes s ON s.k = f.range % 4"""
+FROM range(60) f JOIN sizes s ON s.k = f.range % 4"""
 
 
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2571,6 +2586,30 @@ def sql_flow_accumulation() -> str:
 
 
 QUERIES = {
+    # --- round-4 driver-window rotation: the driver gates the FIRST 50
+    # entries, so the 19 gates that rotated out of the round-3 window
+    # (incl. quantized_ann, never driver-checked) come first, followed by
+    # gates new this round; round-3-checked gates fill the remainder.
+    "zonal_rank": (q_zonal_rank, sql_zonal_rank),
+    "sessionize": (q_sessionize, sql_sessionize),
+    "asof_join": (q_asof_join, sql_asof_join),
+    "tile_entropy": (q_tile_entropy, sql_tile_entropy),
+    "ann_cosine": (q_ann_cosine, sql_ann_cosine),
+    "quantized_ann": (q_quantized_ann, sql_quantized_ann),
+    "ivf_ann": (q_ivf_ann, sql_ivf_ann),
+    "embed_near_dup": (q_embed_near_dup, sql_embed_near_dup),
+    "tile_cells": (q_tile_cells, sql_tile_cells),
+    "zonal_stats": (q_zonal_stats, sql_zonal_stats),
+    "global_stats": (q_global_stats, sql_global_stats),
+    "gini": (q_gini, sql_gini),
+    "map_pixel": (q_map_pixel, sql_map_pixel),
+    "block_aggregate": (q_block_aggregate, sql_block_aggregate),
+    "union_mosaic": (q_union_mosaic, sql_union_mosaic),
+    "algebra": (q_algebra, sql_algebra),
+    "band_math": (q_band_math, sql_band_math),
+    "ufunc_math": (q_ufunc_math, sql_ufunc_math),
+    "extract_window": (q_extract, sql_extract),
+    # --- round-3-checked gates (CORRECTNESS_r03 green) ---
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
     "audio_features": (q_audio_features, sql_audio_features),
     "terrain": (q_terrain, sql_terrain),
@@ -2621,23 +2660,4 @@ QUERIES = {
     "text_quality": (q_text_quality, sql_text_quality),
     "event_rollup": (q_event_rollup, sql_event_rollup),
     "event_attribution": (q_event_attribution, sql_event_attribution),
-    "zonal_rank": (q_zonal_rank, sql_zonal_rank),
-    "sessionize": (q_sessionize, sql_sessionize),
-    "asof_join": (q_asof_join, sql_asof_join),
-    "tile_entropy": (q_tile_entropy, sql_tile_entropy),
-    "ann_cosine": (q_ann_cosine, sql_ann_cosine),
-    "quantized_ann": (q_quantized_ann, sql_quantized_ann),
-    "ivf_ann": (q_ivf_ann, sql_ivf_ann),
-    "embed_near_dup": (q_embed_near_dup, sql_embed_near_dup),
-    "tile_cells": (q_tile_cells, sql_tile_cells),
-    "zonal_stats": (q_zonal_stats, sql_zonal_stats),
-    "global_stats": (q_global_stats, sql_global_stats),
-    "gini": (q_gini, sql_gini),
-    "map_pixel": (q_map_pixel, sql_map_pixel),
-    "block_aggregate": (q_block_aggregate, sql_block_aggregate),
-    "union_mosaic": (q_union_mosaic, sql_union_mosaic),
-    "algebra": (q_algebra, sql_algebra),
-    "band_math": (q_band_math, sql_band_math),
-    "ufunc_math": (q_ufunc_math, sql_ufunc_math),
-    "extract_window": (q_extract, sql_extract),
 }

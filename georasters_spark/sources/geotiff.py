@@ -490,6 +490,12 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
             chunks.append(pack_block(a[r0 : r0 + rps]))
 
     # page layout: chunk data | external tag values | IFD
+    # TIFF 6.0 requires tag values and the IFD to begin on a word (2-byte)
+    # boundary, so odd-length compressed chunks and ASCII values are padded
+    # to even length before offsets are assigned.  The recorded byte counts
+    # stay at the true compressed lengths; only the layout gets the pad.
+    chunk_lens = [len(c) for c in chunks]
+    chunks = [c + b"\x00" * (len(c) & 1) for c in chunks]
     offsets = []
     pos = base
     for c in chunks:
@@ -501,6 +507,8 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
     def ext_put(fmt: str, vals) -> int:
         o = ext_base + len(ext)
         ext.extend(struct.pack(bo + fmt * len(vals), *vals))
+        if len(ext) & 1:
+            ext.append(0)
         return o
 
     tags: list[tuple[int, int, int, int]] = []  # (tag, type, count, value)
@@ -523,6 +531,8 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
         else:
             o = ext_base + len(ext)
             ext.extend(b)
+            if len(ext) & 1:
+                ext.append(0)
             tags.append((tag, 2, len(b), o))
 
     if reduced:
@@ -537,23 +547,26 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
         tag_arr(_T_TILE_W, 3, [tile_size])
         tag_arr(_T_TILE_H, 3, [tile_size])
         tag_arr(_T_TILE_OFF, 4, offsets)
-        tag_arr(_T_TILE_CNT, 4, [len(c) for c in chunks])
+        tag_arr(_T_TILE_CNT, 4, chunk_lens)
     else:
         tag_arr(_T_STRIP_OFF, 4, offsets)
         tag_arr(_T_SPP, 3, [1])
         tag_arr(_T_RPS, 4, [rps])
-        tag_arr(_T_STRIP_CNT, 4, [len(c) for c in chunks])
+        tag_arr(_T_STRIP_CNT, 4, chunk_lens)
     tag_arr(_T_PLANAR, 3, [1])
     if predictor:
         tag_arr(_T_PREDICTOR, 3, [2])
     tag_arr(_T_SAMPLE_FMT, 3, [sfmt])
     tag_arr(_T_PIXEL_SCALE, 12, [cellx, abs(celly), 0.0])
     tag_arr(_T_TIEPOINT, 12, [0.0, 0.0, 0.0, x0, y0, 0.0])
-    # geographic-2D CRS codes live in the EPSG 4xxx block (4326 WGS84,
-    # 4269 NAD83, 4258 ETRS89, ...); everything else here is projected.
-    # Writing a geographic code under ProjectedCSTypeGeoKey would make
-    # GDAL's registry lookup fail, so key choice follows the block.
-    model = 2 if 4000 <= epsg <= 4999 else 1  # geographic vs projected
+    # GeoKey choice: geographic-2D codes go under GeographicTypeGeoKey,
+    # projected under ProjectedCSTypeGeoKey.  The 4xxx block is NOT purely
+    # geographic (EPSG:4647 is projected, EPSG:4978 geocentric), so the
+    # decision uses an explicit allowlist of the geographic codes this
+    # writer can actually receive from parse_crs (WGS84/NAD83/ETRS89/NAD27
+    # and the WGS84 sphere), falling back to projected for everything else.
+    _GEOGRAPHIC_EPSG = {4326, 4269, 4258, 4267, 4047, 4035}
+    model = 2 if epsg in _GEOGRAPHIC_EPSG else 1  # geographic vs projected
     geo = [1, 1, 0, 3,
            _GK_MODEL_TYPE, 0, 1, model,
            _GK_RASTER_TYPE, 0, 1, 1,  # RasterPixelIsArea

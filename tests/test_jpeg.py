@@ -176,11 +176,42 @@ def test_decode_gray_reduces_color_to_luma():
     assert np.abs(g.astype(float) - want).max() < 6  # codec loss only
 
 
-def test_subsampled_color_refuses():
+@pytest.mark.parametrize("shape", [(48, 72), (33, 57), (17, 23)])
+@pytest.mark.parametrize("ss,thresh", [("422", 32), ("420", 30)])
+def test_subsampled_color_roundtrip(shape, ss, thresh):
+    """4:2:2 / 4:2:0 encode (box chroma decimation, interleaved MCUs)
+    -> decode (general HixVi MCU parse + replication upsample) keeps
+    full-resolution dims and bounded error on smooth content, and the
+    subsampled file is smaller than its 4:4:4 sibling."""
+    h, w = shape
+    rgb = _smooth_rgb(h, w)
+    full = J.encode_color(rgb, 90)
+    buf = J.encode_color(rgb, 90, subsampling=ss)
+    assert len(buf) < len(full), (ss, len(buf), len(full))
+    out = J.decode(buf)
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    assert J.psnr_u8(rgb, out) > thresh, (shape, ss)
+
+
+def test_subsampled_sof_fields():
+    """SOF0 carries Y=2x2 Cb=Cr=1x1 for 4:2:0 and Y=2x1 for 4:2:2."""
+    for ss, samp in [("420", 0x22), ("422", 0x21), ("444", 0x11)]:
+        buf = J.encode_color(_smooth_rgb(16, 16), 85, subsampling=ss)
+        i = buf.find(b"\xff\xc0")
+        assert buf[i + 11] == samp, ss
+        assert buf[i + 14] == 0x11 and buf[i + 17] == 0x11
+
+
+def test_sampling_mismatch_is_corrupt_not_silent():
+    """A 4:4:4 stream whose SOF is patched to claim 2x2 Y sampling has
+    too few coded blocks — the decoder must raise, never return a
+    half-decoded image."""
     buf = bytearray(J.encode_color(_smooth_rgb(16, 16), 85))
     i = bytes(buf).find(b"\xff\xc0")
     buf[i + 11] = 0x22  # claim 2x2 sampling for Y (4:2:0)
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    with pytest.raises(ValueError):
         J.decode(bytes(buf))
     with pytest.raises(ValueError):
         J.encode_color(np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError):
+        J.encode_color(np.zeros((4, 4, 3), np.uint8), subsampling="411")

@@ -450,3 +450,28 @@ def test_knn_pixels_point_far_outside_extent(spark):
     near = got[got.point_id == 2]
     assert len(near) == 3
     assert near.sort_values("knn_rank").iloc[0][["row", "col"]].tolist() == [20, 20]
+
+
+def test_flow_accumulation_logarithmic_rounds(spark):
+    """Scale guard for the Euler-tour flow accumulation: on a long
+    serpentine river (the hydrology worst case that made the old
+    Jacobi fixpoint take one Spark round PER CELL of the longest flow
+    path), the pointer-jumping loop must finish in O(log path) rounds
+    and still produce the exact per-cell accumulation."""
+    import math
+
+    from georasters_spark.operators import terrain as TR
+
+    # 1xN descending river: a single D8 flow path of length N (steepest
+    # descent is the only neighbor), the shape that made the old
+    # fixpoint run N rounds
+    n = 960
+    dem = spark.createDataFrame(
+        [(0, c, n - c) for c in range(n)], "row long, col long, value long")
+    acc = TR.flow_accumulation(dem).toPandas()
+    assert TR.LAST_FLOW_ACC_ROUNDS <= 2 * math.ceil(math.log2(n)) + 2, (
+        f"{TR.LAST_FLOW_ACC_ROUNDS} rounds for path length {n} — "
+        "round count must be logarithmic, not linear, in the flow path")
+    # exactness on the chain: cell c drains everything upstream of it
+    for t in acc.itertuples(index=False):
+        assert t.acc == t.col + 1, (t.col, t.acc)

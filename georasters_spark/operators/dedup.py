@@ -22,6 +22,12 @@ document side of the image+caption table).
   scale path, exactness comes from the verify step).
 * simhash64        — 64-bit SimHash over token hashes; near-dup =
   hamming distance <= d via 4-band exact-match blocking.
+* simhash_md5 / simhash_near_dup — 60-bit SimHash variant whose token
+  hash (first 15 hex chars of md5) both Spark and DuckDB compute
+  identically, so the banded near-dup pipeline is EXACTLY oracle-able;
+  banding with max_hamming < bands guarantees full recall (pigeonhole:
+  a pair differing in <= h bits has at least one intact band), and the
+  exact bit_count verify makes banded == brute force.
 """
 
 from __future__ import annotations
@@ -250,3 +256,83 @@ def simhash64(docs: DataFrame) -> DataFrame:
         term = F.shiftleft(bit, i)
         expr = term if expr is None else expr.bitwiseOR(term)
     return per_doc.select("doc_id", expr.alias("simhash"))
+
+
+# --- cross-engine-exact SimHash (md5 token hash, 60 bits) ------------------
+
+SIMHASH_BITS = 60  # 15 md5 hex chars: same value from Spark conv() and
+                   # DuckDB's ('0x'||substr(md5(t),1,15))::BIGINT
+
+
+def simhash_md5(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash long): sign-sum SimHash over a 60-bit md5-
+    derived token hash. Same locality behavior as simhash64 but the
+    token hash is reproducible in ANSI SQL, so the whole pipeline is
+    exactly oracle-able (simhash64/xxhash64 stays the fastest JVM
+    path). Token multiplicity counts, ties (sum == 0) give a 0 bit."""
+    tok = tokens(docs).select("doc_id", F.explode("w").alias("tok"))
+    th = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = th.groupBy("doc_id").agg(*bit_cols)
+    expr = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        expr = term if expr is None else expr.bitwiseOR(term)
+    return per_doc.select("doc_id", expr.alias("simhash"))
+
+
+def simhash_near_dup(
+    docs: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs whose 60-bit md5-SimHash differs
+    in <= max_hamming bits.  Scale path: band the signature into
+    `bands` equal slices and equi-join on (band, slice) — a pair
+    within max_hamming < bands MUST agree on some intact band
+    (pigeonhole), so banding is lossless; the bit_count verify then
+    drops every false candidate, making banded == brute force (the
+    DuckDB oracle IS brute force).  No doc x doc cross join ever."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded blocking needs max_hamming < bands for guaranteed "
+            f"recall (got hamming {max_hamming}, bands {bands})")
+    if SIMHASH_BITS % bands:
+        raise ValueError(f"bands must divide {SIMHASH_BITS}")
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    sh = simhash_md5(docs)
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask)).alias("slice"),
+            )
+            for i in range(bands)
+        ])).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.slice")
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sig_a"), "band", "slice")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sig_b"), "band", "slice")
+    cand = (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1617,6 +1617,36 @@ FROM pairs JOIN cnts ca ON ca.doc_id = doc_a JOIN cnts cb ON cb.doc_id = doc_b
 WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5"""
 
 
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup, exact-verified: 60-bit md5-token SimHash,
+    4-band equi-join blocking (lossless for hamming <= 3 by
+    pigeonhole), bit_count verify. Output EQUALS brute-force all-pairs
+    hamming <= 3 — which is what the DuckDB oracle computes, so the
+    whole signature + banding + verify pipeline is hash-gated."""
+    from .operators import dedup as DD
+
+    return DD.simhash_near_dup(_docs(spark, sf_dir), max_hamming=3, bands=4)
+
+
+def sql_simhash_dedup() -> str:
+    return """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+bits AS (
+  SELECT doc_id, r.range AS i,
+         SUM(CASE WHEN (h >> CAST(r.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN range(60) r GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN 1::BIGINT << CAST(i AS INT) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY 1)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH dedup, exact-verified: LSH candidates are
     re-scored with exact Jaccard, so the output EQUALS the brute-force
@@ -1915,6 +1945,24 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS sim_rank
   FROM scored)
 SELECT query_id, vec_id, cos, sim_rank FROM ranked WHERE sim_rank <= {_ANN_K}"""
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN end-to-end through the oracle: with
+    probe_hamming == bits every bucket is probed, so the signature +
+    multi-probe + exact-rescore machinery provably equals brute force
+    and the brute-force SQL is an exact oracle for it (partial-probe
+    recall stays pytest-gated, same pattern as ivf_ann)."""
+    from .operators import similarity as SM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    return SM.lsh_topk(emb, queries, k=_ANN_K, bits=6, probe_hamming=6,
+                       tables=1, dim=64)
+
+
+def sql_lsh_ann() -> str:
+    return sql_ann_cosine()
 
 
 def q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2386,10 +2434,11 @@ def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GeoTIFF codec end to end (reference load_tiff/to_tiff,
     georasters.py:281-291, :535-557): 12 files spanning the writer's
     full matrix — none/deflate/LZW, predictor on/off, LE/BE, strip and
-    tiled layout, int16/int32/float32/float64 — are written and parsed
-    back executor-side; every valid pixel plus the parsed georef/EPSG
-    is hashed against the formula oracle. All distributed: one Spark
-    task per batch of files, no driver arrays."""
+    tiled layout, int16/int32/float32/float64, and every third file a
+    BigTIFF (magic 43, LONG8 offsets) — are written and parsed back
+    executor-side; every valid pixel plus the parsed georef/EPSG is
+    hashed against the formula oracle. All distributed: one Spark task
+    per batch of files, no driver arrays."""
     import pandas as pd
 
     from .sources import geotiff
@@ -2415,7 +2464,9 @@ def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ndv=-9999, epsg=3857 if f % 2 == 0 else 4326,
                     compression=comp, predictor=pred, byteorder=bo,
                     tiled=tiled, tile_size=32, rows_per_strip=13,
+                    bigtiff=(f % 3 == 2),
                 )
+                assert (buf[2:4] in (b"+\x00", b"\x00+")) == (f % 3 == 2)
                 out, meta = geotiff.parse_tiff(buf)
                 assert str(out.dtype) == dt and meta["ndv"] == -9999.0
                 valid = out != -9999
@@ -2609,6 +2660,9 @@ QUERIES = {
     "band_math": (q_band_math, sql_band_math),
     "ufunc_math": (q_ufunc_math, sql_ufunc_math),
     "extract_window": (q_extract, sql_extract),
+    # --- gates new in round 4 ---
+    "simhash_dedup": (q_simhash_dedup, sql_simhash_dedup),
+    "lsh_ann": (q_lsh_ann, sql_lsh_ann),
     # --- round-3-checked gates (CORRECTNESS_r03 green) ---
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
     "audio_features": (q_audio_features, sql_audio_features),

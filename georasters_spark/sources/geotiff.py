@@ -8,18 +8,23 @@ GeoTIFF 1.1 key set are public specifications, and a single-band raster
 TIFF is a simple enough format to implement exactly:
 
 Reader (``parse_tiff``) — accepts what GDAL commonly writes:
-  * classic TIFF, little- OR big-endian (BigTIFF → NotImplementedError)
+  * classic TIFF (magic 42) AND BigTIFF (magic 43, 8-byte offsets,
+    LONG8/SLONG8/IFD8 field types), little- OR big-endian
   * strip- or tile-organized data
   * compression: none (1), LZW (5), DEFLATE (8 / 32946), PackBits (32773)
-  * horizontal-differencing predictor (317 = 2), incl. multi-sample rows
+  * horizontal-differencing predictor (317 = 2), incl. multi-sample rows,
+    AND the floating-point byte-plane predictor (317 = 3, TechNote 3)
   * sample types: u1/i1/u2/i2/u4/i4/f4/f8 (BitsPerSample x SampleFormat)
-  * single-band → (h, w); chunky multi-band (PlanarConfig 1) → (bands, h, w)
+  * single-band → (h, w); multi-band → (bands, h, w) for BOTH chunky
+    (PlanarConfig 1) and band-sequential (PlanarConfig 2) layouts
   * georeferencing: ModelPixelScale + ModelTiepoint, or an axis-aligned
     ModelTransformation; EPSG from GeoKeyDirectory (geographic 2048 or
     projected 3072); nodata from the GDAL_NODATA ASCII tag (42113)
 
 Writer (``write_tiff``) — emits files GDAL/QGIS can open:
-  * single-band, strip or tiled layout, LE or BE
+  * single-band, strip or tiled layout, LE or BE, classic or BigTIFF
+    (``bigtiff=True``: 16-byte header, 20-byte entries, LONG8 chunk
+    offsets — the layout large rasters need past 4 GiB)
   * compression none/DEFLATE/LZW (+ predictor 2 for integer dtypes)
   * GeoTIFF keys (model type, raster-is-area, geographic/projected EPSG),
     ModelPixelScale/ModelTiepoint, GDAL_NODATA
@@ -46,11 +51,12 @@ import zlib
 
 import numpy as np
 
-# TIFF type id -> (struct char, byte size)
+# TIFF type id -> (struct char, byte size); 16/17/18 are the BigTIFF
+# LONG8/SLONG8/IFD8 types
 _TYPES = {
     1: ("B", 1), 2: ("s", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
     6: ("b", 1), 7: ("B", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
-    11: ("f", 4), 12: ("d", 8),
+    11: ("f", 4), 12: ("d", 8), 16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8),
 }
 
 _T_SUBFILE = 254
@@ -198,25 +204,37 @@ def packbits_decode(data: bytes) -> bytes:
 # --------------------------------------------------------------------------
 
 
-def _read_ifd(buf: bytes, bo: str, off: int) -> tuple[dict[int, tuple], int]:
+def _read_ifd(buf: bytes, bo: str, off: int,
+              big: bool = False) -> tuple[dict[int, tuple], int]:
+    """One IFD -> {tag: (type, count, value-field position, big)} plus
+    the next-IFD pointer.  Classic: H count, 12-byte entries, I next;
+    BigTIFF: Q count, 20-byte entries (value field 8 bytes), Q next."""
+    if big:
+        (n,) = struct.unpack_from(bo + "Q", buf, off)
+        entries = {}
+        for i in range(n):
+            tag, typ, cnt = struct.unpack_from(bo + "HHQ", buf, off + 8 + 20 * i)
+            entries[tag] = (typ, cnt, off + 8 + 20 * i + 12, True)
+        (nxt,) = struct.unpack_from(bo + "Q", buf, off + 8 + 20 * n)
+        return entries, nxt
     (n,) = struct.unpack_from(bo + "H", buf, off)
-    entries: dict[int, tuple] = {}
+    entries = {}
     for i in range(n):
         tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, off + 2 + 12 * i)
-        entries[tag] = (typ, cnt, off + 2 + 12 * i + 8)
+        entries[tag] = (typ, cnt, off + 2 + 12 * i + 8, False)
     (nxt,) = struct.unpack_from(bo + "I", buf, off + 2 + 12 * n)
     return entries, nxt
 
 
 def _tag_values(buf: bytes, bo: str, entry: tuple):
-    typ, cnt, vpos = entry
+    typ, cnt, vpos, big = entry
     ch, size = _TYPES.get(typ, (None, None))
     if ch is None:
         raise ValueError(f"unsupported TIFF field type {typ}")
     total = size * cnt
     pos = vpos
-    if total > 4:
-        (pos,) = struct.unpack_from(bo + "I", buf, vpos)
+    if total > (8 if big else 4):
+        (pos,) = struct.unpack_from(bo + ("Q" if big else "I"), buf, vpos)
     if typ == 2:  # ASCII
         return buf[pos : pos + cnt].split(b"\x00")[0].decode("ascii", "replace")
     if typ in (5, 10):  # RATIONAL: return floats
@@ -259,6 +277,23 @@ def _undo_predictor2(block: np.ndarray, spp: int) -> np.ndarray:
     return np.cumsum(block, axis=1, dtype=block.dtype)
 
 
+def _undo_predictor3(raw: bytes, rows: int, wpx: int, spp: int,
+                     itemsize: int) -> np.ndarray:
+    """Floating-point predictor (TIFF Technical Note 3, predictor=3)
+    inverse: each scanline stores the float bytes split into byte
+    planes (most-significant plane first, regardless of file byte
+    order) and horizontally differenced as uint8.  Inverse = per-row
+    modular uint8 cumsum, de-plane, reinterpret big-endian."""
+    n = wpx * spp
+    b = np.frombuffer(raw, dtype=np.uint8, count=rows * n * itemsize).reshape(
+        rows, n * itemsize)
+    b = np.cumsum(b, axis=1, dtype=np.uint8)
+    interleaved = b.reshape(rows, itemsize, n).transpose(0, 2, 1)
+    be = np.ascontiguousarray(interleaved).reshape(rows, n * itemsize)
+    dt = np.dtype(">f4" if itemsize == 4 else ">f8")
+    return np.frombuffer(be.tobytes(), dtype=dt).reshape(rows, wpx, spp)
+
+
 def parse_tiff(buf: bytes, page: int = 0):
     """Parse one page of a classic TIFF. Returns ``(array, meta)`` where
     array is (h, w) for single-band or (bands, h, w) for chunky
@@ -271,15 +306,20 @@ def parse_tiff(buf: bytes, page: int = 0):
     else:
         raise ValueError("not a TIFF (bad byte-order mark)")
     (magic,) = struct.unpack_from(bo + "H", buf, 2)
-    if magic == 43:
-        raise NotImplementedError("BigTIFF (magic 43) not supported; classic only")
-    if magic != 42:
+    big = magic == 43
+    if big:
+        osize, pad = struct.unpack_from(bo + "HH", buf, 4)
+        if osize != 8 or pad != 0:
+            raise ValueError(f"BigTIFF with offset size {osize} (must be 8)")
+        (off,) = struct.unpack_from(bo + "Q", buf, 8)
+    elif magic == 42:
+        (off,) = struct.unpack_from(bo + "I", buf, 4)
+    else:
         raise ValueError(f"not a TIFF (magic {magic})")
-    (off,) = struct.unpack_from(bo + "I", buf, 4)
     for _ in range(page + 1):
         if off == 0:
             raise ValueError(f"TIFF has no page {page}")
-        entries, nxt = _read_ifd(buf, bo, off)
+        entries, nxt = _read_ifd(buf, bo, off, big)
         off = nxt
 
     w = int(_first(entries, buf, bo, _T_WIDTH))
@@ -300,14 +340,27 @@ def parse_tiff(buf: bytes, page: int = 0):
     if key not in _DTYPES:
         raise NotImplementedError(f"sample type bits={key[0]} fmt={key[1]}")
     dt = np.dtype(bo + _DTYPES[key])
-    if planar != 1 and spp > 1:
-        raise NotImplementedError("planar (band-sequential) multi-band not supported")
-    if predictor == 3:
-        raise NotImplementedError("floating-point predictor (3) not supported")
-    if predictor not in (1, 2):
+    if planar not in (1, 2):
+        raise ValueError(f"unknown planar configuration {planar}")
+    if predictor == 3 and sfmt[0] != 3:
+        raise ValueError("floating-point predictor (3) on non-float samples")
+    if predictor not in (1, 2, 3):
         raise ValueError(f"unknown predictor {predictor}")
+    # planar=2: chunks are band-sequential (all of band 0 first); each
+    # chunk then carries ONE sample per pixel
+    nplanes = spp if (planar == 2 and spp > 1) else 1
+    cspp = 1 if nplanes > 1 else spp
 
     out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
+
+    def undo_pred(raw: bytes, rows: int, wpx: int):
+        if predictor == 3:
+            return _undo_predictor3(raw, rows, wpx, cspp, dt.itemsize)
+        block = np.frombuffer(raw, dtype=dt, count=rows * wpx * cspp).reshape(
+            rows, wpx, cspp)
+        if predictor == 2:
+            block = _undo_predictor2(block, cspp)
+        return block
 
     if _T_TILE_OFF in entries:  # tiled layout
         tw = int(_first(entries, buf, bo, _T_TILE_W))
@@ -315,31 +368,31 @@ def parse_tiff(buf: bytes, page: int = 0):
         offs = _tag_values(buf, bo, entries[_T_TILE_OFF])
         cnts = _tag_values(buf, bo, entries[_T_TILE_CNT])
         tiles_x = (w + tw - 1) // tw
+        tiles_per_band = tiles_x * ((h + th - 1) // th)
         for i, (o, c) in enumerate(zip(offs, cnts)):
-            ty, tx = divmod(i, tiles_x)
-            raw = _decompress(buf[o : o + c], comp)
-            block = np.frombuffer(raw, dtype=dt, count=tw * th * spp).reshape(
-                th, tw, spp
-            )
-            if predictor == 2:
-                block = _undo_predictor2(block, spp)
+            band, ti = divmod(i, tiles_per_band) if nplanes > 1 else (0, i)
+            ty, tx = divmod(ti, tiles_x)
+            block = undo_pred(_decompress(buf[o : o + c], comp), th, tw)
             r0, c0 = ty * th, tx * tw
             rr, cc = min(th, h - r0), min(tw, w - c0)
-            out[r0 : r0 + rr, c0 : c0 + cc] = block[:rr, :cc]
+            if nplanes > 1:
+                out[r0 : r0 + rr, c0 : c0 + cc, band] = block[:rr, :cc, 0]
+            else:
+                out[r0 : r0 + rr, c0 : c0 + cc] = block[:rr, :cc]
     else:  # strips
         rps = int(_first(entries, buf, bo, _T_RPS, h))
         offs = _tag_values(buf, bo, entries[_T_STRIP_OFF])
         cnts = _tag_values(buf, bo, entries[_T_STRIP_CNT])
+        strips_per_band = (h + rps - 1) // rps
         for i, (o, c) in enumerate(zip(offs, cnts)):
-            r0 = i * rps
+            band, si = divmod(i, strips_per_band) if nplanes > 1 else (0, i)
+            r0 = si * rps
             rows = min(rps, h - r0)
-            raw = _decompress(buf[o : o + c], comp)
-            block = np.frombuffer(raw, dtype=dt, count=rows * w * spp).reshape(
-                rows, w, spp
-            )
-            if predictor == 2:
-                block = _undo_predictor2(block, spp)
-            out[r0 : r0 + rows] = block
+            block = undo_pred(_decompress(buf[o : o + c], comp), rows, w)
+            if nplanes > 1:
+                out[r0 : r0 + rows, :, band] = block[:, :, 0]
+            else:
+                out[r0 : r0 + rows] = block
 
     meta = {"dtype": str(out.dtype), "bands": spp}
     # --- georeferencing -----------------------------------------------
@@ -402,6 +455,7 @@ def write_tiff(
     tile_size: int = 256,
     byteorder: str = "<",
     overviews: list | None = None,
+    bigtiff: bool = False,
 ) -> bytes:
     """Write a single-band GeoTIFF. ``celly`` is negative (north-up),
     matching the engine's georef convention; the file stores |celly|
@@ -429,7 +483,7 @@ def write_tiff(
     a = a.astype(np.dtype(bo + _DTYPES[(bits, sfmt)]))
     opts = dict(bits=bits, sfmt=sfmt, comp_id=comp_id, predictor=predictor,
                 tiled=tiled, tile_size=tile_size, rows_per_strip=rows_per_strip,
-                bo=bo, ndv=ndv, epsg=epsg)
+                bo=bo, ndv=ndv, epsg=epsg, bigtiff=bigtiff)
     pages = [(a, x0, y0, cellx, celly, False)]
     for ov in overviews or []:
         o = np.ascontiguousarray(ov).astype(a.dtype)
@@ -437,7 +491,9 @@ def write_tiff(
         # overview pages carry the SAME origin with level-scaled cells
         # and NewSubfileType=1 (reduced-resolution), the COG layout
         pages.append((o, x0, y0, cellx * lvl, celly * lvl, True))
-    out = bytearray(8)  # header patched at the end
+    # BigTIFF: 16-byte header (magic 43, offset size 8), 8-byte pointers
+    out = bytearray(16 if bigtiff else 8)  # header patched at the end
+    ptr = "Q" if bigtiff else "I"
     ifd_offs = []
     next_ptr_pos = []
     for pa, px0, py0, pcx, pcy, reduced in pages:
@@ -445,21 +501,28 @@ def write_tiff(
             pa, x0=px0, y0=py0, cellx=pcx, celly=pcy, reduced=reduced,
             base=len(out), **opts)
         ifd_offs.append(ifd_off)
-        next_ptr_pos.append(len(out) + len(blob) - 4)
+        next_ptr_pos.append(len(out) + len(blob) - struct.calcsize(ptr))
         out += blob
     for i in range(len(pages) - 1):  # chain page i -> page i+1
-        struct.pack_into(bo + "I", out, next_ptr_pos[i], ifd_offs[i + 1])
-    struct.pack_into(bo + "2sHI", out, 0, b"II" if bo == "<" else b"MM", 42,
-                     ifd_offs[0])
+        struct.pack_into(bo + ptr, out, next_ptr_pos[i], ifd_offs[i + 1])
+    mark = b"II" if bo == "<" else b"MM"
+    if bigtiff:
+        struct.pack_into(bo + "2sHHHQ", out, 0, mark, 43, 8, 0, ifd_offs[0])
+    else:
+        struct.pack_into(bo + "2sHI", out, 0, mark, 42, ifd_offs[0])
     return bytes(out)
 
 
 def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
                  tile_size, rows_per_strip, bo, x0, y0, cellx, celly, ndv,
-                 epsg, base: int, reduced: bool) -> tuple[bytes, int]:
+                 epsg, base: int, reduced: bool,
+                 bigtiff: bool = False) -> tuple[bytes, int]:
     """Encode ONE IFD page (chunk data | ext values | IFD) positioned
     at absolute offset `base`; returns (blob, absolute ifd offset).
-    The IFD's next-page pointer is the blob's last 4 bytes (0)."""
+    The IFD's next-page pointer is the blob's last 4 (classic) or 8
+    (BigTIFF) bytes (0).  BigTIFF pages use 20-byte entries with 8-byte
+    inline values and LONG8 chunk offsets/counts, so files can exceed
+    4 GiB."""
     h, w = a.shape
 
     def pack_block(block: np.ndarray) -> bytes:
@@ -512,21 +575,27 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
         return o
 
     tags: list[tuple[int, int, int, int]] = []  # (tag, type, count, value)
+    cap = 8 if bigtiff else 4           # inline value-field capacity
+    vfmt = "Q" if bigtiff else "I"
+    t_off = 16 if bigtiff else 4        # chunk offset/count tag type
 
     def tag_arr(tag: int, typ: int, vals: list):
+        if bigtiff and typ == 4:
+            typ = t_off if tag in (_T_STRIP_OFF, _T_STRIP_CNT,
+                                   _T_TILE_OFF, _T_TILE_CNT) else typ
         ch, size = _TYPES[typ]
-        if size * len(vals) <= 4:
+        if size * len(vals) <= cap:
             packed = struct.pack(bo + ch * len(vals), *vals)
-            packed += b"\x00" * (4 - len(packed))
-            (v,) = struct.unpack(bo + "I", packed)
+            packed += b"\x00" * (cap - len(packed))
+            (v,) = struct.unpack(bo + vfmt, packed)
             tags.append((tag, typ, len(vals), v))
         else:
             tags.append((tag, typ, len(vals), ext_put(ch, vals)))
 
     def tag_ascii(tag: int, s: str):
         b = s.encode("ascii") + b"\x00"
-        if len(b) <= 4:
-            (v,) = struct.unpack(bo + "I", b + b"\x00" * (4 - len(b)))
+        if len(b) <= cap:
+            (v,) = struct.unpack(bo + vfmt, b + b"\x00" * (cap - len(b)))
             tags.append((tag, 2, len(b), v))
         else:
             o = ext_base + len(ext)
@@ -578,10 +647,16 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
 
     tags.sort()
     ifd_off = ext_base + len(ext)
-    ifd = struct.pack(bo + "H", len(tags))
-    for tag, typ, cnt, val in tags:
-        ifd += struct.pack(bo + "HHII", tag, typ, cnt, val)
-    ifd += struct.pack(bo + "I", 0)  # next-IFD pointer, patched by caller
+    if bigtiff:
+        ifd = struct.pack(bo + "Q", len(tags))
+        for tag, typ, cnt, val in tags:
+            ifd += struct.pack(bo + "HHQQ", tag, typ, cnt, val)
+        ifd += struct.pack(bo + "Q", 0)  # next-IFD pointer, patched by caller
+    else:
+        ifd = struct.pack(bo + "H", len(tags))
+        for tag, typ, cnt, val in tags:
+            ifd += struct.pack(bo + "HHII", tag, typ, cnt, val)
+        ifd += struct.pack(bo + "I", 0)  # next-IFD pointer, patched by caller
 
     return b"".join(chunks) + bytes(ext) + ifd, ifd_off
 

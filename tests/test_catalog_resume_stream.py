@@ -475,3 +475,70 @@ def test_stream_stream_attribution_matches_batch(spark):
     pd.testing.assert_frame_equal(got, exp)
     assert len(got) > 0
     assert (got["gap_s"] >= 0).all() and (got["gap_s"] <= 7200).all()
+
+
+def test_attribution_state_eviction_is_bounded(spark, tmp_path):
+    """Pins the bounded-state claim of the watermarked attribution
+    join: a 3-batch drill with event time advancing 4 hours per batch
+    must actually EVICT state older than watermark + lookback — the
+    join state may never accumulate every view ever seen, or a
+    100-TB/week stream would OOM its state store."""
+    import datetime as dt
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    n_views_per_batch = 40
+    for batch in range(3):
+        base = t0 + dt.timedelta(hours=4 * batch)
+        rows = [
+            (batch * 1000 + i, base + dt.timedelta(minutes=i % 30),
+             i % 7, "view", 0.0, "{}")
+            for i in range(n_views_per_batch)
+        ] + [
+            (batch * 1000 + 900 + u, base + dt.timedelta(minutes=45),
+             u, "purchase", 9.99, "{}")
+            for u in range(7)
+        ]
+        spark.createDataFrame(rows, EV.EVENT_SCHEMA).coalesce(1).write.parquet(
+            str(landing / f"b{batch}"))
+
+    def src():
+        return (spark.readStream.schema(EV.EVENT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(landing) + "/*"))
+
+    views = src().filter(F.col("event_type") == "view")
+    buys = src().filter(F.col("event_type") == "purchase")
+    q = (
+        EV.attribution_join(views, buys, lookback="2 hours", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_attrib_evict")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert progress, "no state-operator progress recorded"
+        removed = sum(
+            so.get("numRowsRemoved", 0)
+            for p in progress for so in p["stateOperators"]
+        )
+        final_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+    total_input = 3 * (n_views_per_batch + 7)
+    # eviction must have happened, and the final state must be smaller
+    # than the total input (batches 1-2 are beyond watermark+lookback
+    # of batch 3's event time, 8h later)
+    assert removed > 0, "watermark+lookback never evicted any state rows"
+    assert final_rows < total_input, (final_rows, total_input)
+    # joined output is still the exact batch answer
+    ev = spark.read.parquet(str(landing) + "/*")
+    exp = EV.attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        lookback="2 hours",
+    ).count()
+    assert spark.table("t_attrib_evict").count() == exp

@@ -203,11 +203,12 @@ def test_parse_handbuilt_multiband_chunky():
     np.testing.assert_array_equal(out, np.moveaxis(px, 2, 0))
 
 
-def test_parse_rejects_non_tiff_and_bigtiff():
+def test_parse_rejects_non_tiff_and_bad_bigtiff():
     with pytest.raises(ValueError):
         GT.parse_tiff(b"PK\x03\x04junkjunk")
-    with pytest.raises(NotImplementedError):
-        GT.parse_tiff(struct.pack("<2sHI", b"II", 43, 8))
+    # BigTIFF must declare 8-byte offsets; anything else is malformed
+    with pytest.raises(ValueError, match="offset size"):
+        GT.parse_tiff(struct.pack("<2sHHHQ", b"II", 43, 4, 0, 16))
 
 
 def test_parse_model_transformation_fallback():
@@ -431,3 +432,138 @@ def test_assemble_tiff_with_overview_pages(spark, images_t1):
     m = np.where(valid, b, 0.0).sum(axis=(1, 3)) / np.maximum(n, 1)
     want = np.where(n > 0, np.round(m), spec.ndv).astype(full.dtype)
     np.testing.assert_array_equal(ov2, want)
+
+
+def _classic_header(bo, ifd_off):
+    return struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off)
+
+
+def _classic_ifd(bo, tags, nxt=0):
+    out = struct.pack(bo + "H", len(tags))
+    for t in sorted(tags):
+        out += struct.pack(bo + "HHII", *t)
+    return out + struct.pack(bo + "I", nxt)
+
+
+def test_parse_handbuilt_bigtiff():
+    """Minimal spec-built BigTIFF (magic 43, 16-byte header, 20-byte
+    IFD entries, LONG8 offsets) — fixture independent of the writer."""
+    a = np.arange(9, dtype=np.uint16).reshape(3, 3)
+    data = a.tobytes()
+    data_off = 16
+    ifd_off = data_off + len(data)
+
+    def btag(tag, typ, cnt, val):
+        return struct.pack("<HHQQ", tag, typ, cnt, val)
+
+    entries = [
+        btag(256, 4, 1, 3), btag(257, 4, 1, 3), btag(258, 3, 1, 16),
+        btag(259, 3, 1, 1), btag(262, 3, 1, 1),
+        btag(273, 16, 1, data_off), btag(277, 3, 1, 1),
+        btag(278, 4, 1, 3), btag(279, 16, 1, len(data)),
+        btag(339, 3, 1, 1),
+    ]
+    buf = (struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off) + data
+           + struct.pack("<Q", len(entries)) + b"".join(entries)
+           + struct.pack("<Q", 0))
+    arr, meta = GT.parse_tiff(buf)
+    np.testing.assert_array_equal(arr, a)
+
+
+@pytest.mark.parametrize("byteorder", ["<", ">"])
+@pytest.mark.parametrize("tiled", [False, True])
+def test_bigtiff_writer_roundtrip(byteorder, tiled):
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 60000, (37, 53)).astype(np.uint16)
+    buf = GT.write_tiff(a, x0=1.0, y0=2.0, cellx=0.25, celly=-0.25,
+                        epsg=32633, compression="deflate", predictor=True,
+                        tiled=tiled, tile_size=16, byteorder=byteorder,
+                        bigtiff=True)
+    assert buf[:4] in (b"II+\x00", b"MM\x00+")
+    arr, meta = GT.parse_tiff(buf)
+    np.testing.assert_array_equal(arr, a)
+    assert meta["epsg"] == 32633 and abs(meta["x0"] - 1.0) < 1e-12
+
+
+def test_bigtiff_overview_chain_roundtrip():
+    a = np.arange(40 * 24, dtype=np.float32).reshape(40, 24)
+    ov = a[::2, ::2].copy()
+    buf = GT.write_tiff(a, overviews=[ov], bigtiff=True)
+    a0, _ = GT.parse_tiff(buf, page=0)
+    a1, m1 = GT.parse_tiff(buf, page=1)
+    np.testing.assert_array_equal(a0, a)
+    np.testing.assert_array_equal(a1, ov)
+    assert m1["cellx"] == 2.0
+
+
+def test_parse_handbuilt_planar_two_band():
+    """PlanarConfig=2 (band-sequential): StripOffsets carries all of
+    band 0's strips first (TIFF 6.0 §'PlanarConfiguration')."""
+    h, w, spp = 6, 4, 2
+    band0 = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    band1 = (band0 * 3 + 7).astype(np.uint8)
+    strips = [band0[:3].tobytes(), band0[3:].tobytes(),
+              band1[:3].tobytes(), band1[3:].tobytes()]
+    bo = "<"
+    offs, pos = [], 8
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ext = struct.pack(bo + "4I", *offs)
+    cnt_off = pos + len(ext)
+    ext += struct.pack(bo + "4I", *[len(s) for s in strips])
+    ifd_off = pos + len(ext)
+    tags = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 2, 8 | (8 << 16)),
+        (259, 3, 1, 1), (262, 3, 1, 1),
+        (273, 4, 4, pos), (277, 3, 1, spp), (278, 4, 1, 3),
+        (279, 4, 4, cnt_off), (284, 3, 1, 2),
+    ]
+    buf = _classic_header(bo, ifd_off) + b"".join(strips) + ext + _classic_ifd(bo, tags)
+    arr, meta = GT.parse_tiff(buf)
+    assert arr.shape == (2, h, w)
+    np.testing.assert_array_equal(arr[0], band0)
+    np.testing.assert_array_equal(arr[1], band1)
+
+
+def test_parse_handbuilt_float_predictor3():
+    """Predictor 3 (TIFF TechNote 3): big-endian byte planes per
+    scanline, horizontally differenced — forward transform built here
+    from the spec, decoder must invert it exactly."""
+    h, w = 5, 7
+    vals = np.linspace(-3.5, 9.25, h * w).astype(np.float32).reshape(h, w)
+    rowbytes = []
+    for r in range(h):
+        be = vals[r].astype(">f4").tobytes()
+        planes = np.frombuffer(be, np.uint8).reshape(w, 4).T.copy().reshape(-1)
+        diff = np.diff(planes.astype(np.int16),
+                       prepend=planes[0].astype(np.int16)).astype(np.uint8)
+        diff[0] = planes[0]
+        rowbytes.append(diff.tobytes())
+    comp = zlib.compress(b"".join(rowbytes))
+    data_off = 8
+    ifd_off = data_off + len(comp) + (len(comp) & 1)
+    tags = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 32), (259, 3, 1, 8),
+        (262, 3, 1, 1), (273, 4, 1, data_off), (277, 3, 1, 1),
+        (278, 4, 1, h), (279, 4, 1, len(comp)), (317, 3, 1, 3),
+        (339, 3, 1, 3),
+    ]
+    buf = (_classic_header("<", ifd_off) + comp + b"\x00" * (len(comp) & 1)
+           + _classic_ifd("<", tags))
+    arr, meta = GT.parse_tiff(buf)
+    assert arr.dtype == np.float32
+    np.testing.assert_array_equal(arr, vals)
+
+
+def test_predictor3_on_int_samples_rejected():
+    h, w = 2, 2
+    tags = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, h),
+        (279, 4, 1, 8), (317, 3, 1, 3), (339, 3, 1, 1),
+    ]
+    data = np.zeros((h, w), np.uint16).tobytes()
+    buf = _classic_header("<", 8 + len(data)) + data + _classic_ifd("<", tags)
+    with pytest.raises(ValueError, match="predictor"):
+        GT.parse_tiff(buf)

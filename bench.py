@@ -44,6 +44,29 @@ def _calibration() -> dict[str, float]:
     return {"gemm1200_best_sec": round(ts[0], 4), "gemm1200_median_sec": round(ts[2], 4)}
 
 
+_CAL_ARR = None
+
+
+def _cal_quick() -> float:
+    """One fast host-speed sample (best of 2 single-thread 1200x1200
+    GEMMs, ~0.05 s) taken immediately BEFORE each timed query so CPU
+    steal during the bench is visible per-query, not just once per
+    run — the round-3 verdict flagged that a single calibration instant
+    cannot explain a 58 s bench."""
+    global _CAL_ARR
+    import numpy as np
+
+    if _CAL_ARR is None:
+        _CAL_ARR = np.random.default_rng(0).random((1200, 1200))
+        _CAL_ARR @ _CAL_ARR  # warm BLAS
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _CAL_ARR @ _CAL_ARR
+        ts.append(time.perf_counter() - t0)
+    return round(min(ts), 4)
+
+
 def _spark(cores: int):
     from georasters_spark.session import get_spark
 
@@ -58,7 +81,68 @@ def _build(spark, spec):
     return imgs
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def _timed(times: dict, cal: dict, name: str, fn):
+    """Calibration sample immediately before the query, then the query."""
+    cal[name] = _cal_quick()
+    t0 = time.time()
+    fn()
+    times[name] = round(time.time() - t0, 3)
+
+
+def run_r02_block(spark, sf_dir: str, times: dict, cal: dict, suffix: str = ""):
+    """The 9 queries BENCH_r02 timed — extracted so the bench can run
+    the whole block TWICE (round-3 verdict: one pass cannot separate a
+    plan regression from host CPU steal; two passes + per-query
+    calibration can).  Returns the persisted bench-grid imgs."""
+    from pyspark.sql import functions as F
+
+    from georasters_spark.operators import dedup as DD
+    from georasters_spark.operators import knn as KN
+    from georasters_spark.operators import pixels as PX
+    from georasters_spark.operators import similarity as SM
+    from georasters_spark.operators import spatial_join as SJ
+    from georasters_spark.sources import synth
+
+    spec = synth.BENCH
+    kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    state = {}
+
+    def q_ingest():
+        state["imgs"] = _build(spark, spec)
+
+    _timed(times, cal, "ingest_tiles" + suffix, q_ingest)
+    imgs = state["imgs"]
+
+    _timed(times, cal, "zonal_stats" + suffix,
+           lambda: SJ.zonal_stats_fused(imgs, synth.ZONES_T1, **kw).collect())
+    _timed(times, cal, "zonal_stats_unfused" + suffix,
+           lambda: SJ.zonal_stats(imgs, synth.ZONES_T1, **kw).collect())
+    zskew = [zz for zz in synth.ZONES_EXTRA if zz.name == "skew_half_world"]
+    _timed(times, cal, "zonal_skew_salted" + suffix,
+           lambda: SJ.zonal_stats(imgs, zskew, salt=32, **kw).collect())
+    _timed(times, cal, "decode_scan_agg" + suffix,
+           lambda: PX.pixel_table(imgs, valid_only=True)
+           .agg(F.count("value"), F.sum("value")).collect())
+    _timed(times, cal, "map_pixel_10k" + suffix,
+           lambda: PX.lookup_points_fused(
+               imgs, synth.points_df(spark, 10000),
+               origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly),
+           ).agg(F.count("value")).collect())
+    _timed(times, cal, "knn_1k_points" + suffix,
+           lambda: KN.knn_tiles(imgs, synth.points_df(spark, 1000),
+                                res=spec.cell_res, k=5,
+                                count_res=spec.cell_res).count())
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _timed(times, cal, "jaccard_dedup" + suffix,
+           lambda: DD.jaccard_pairs(docs, n=3, threshold=0.5).count())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _timed(times, cal, "ann_topk" + suffix,
+           lambda: SM.brute_force_topk(
+               emb, emb.filter(F.col("vec_id") < 20), k=5).count())
+    return imgs
+
+
+def run_queries(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     from georasters_spark.operators import pixels as PX
@@ -67,6 +151,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     spec = synth.BENCH
     times: dict[str, float] = {}
+    cal: dict[str, float] = {}
 
     # warm-up OUTSIDE the total (reported as its own line): spin up the
     # Python worker pool + JIT the codec path on a 45-tile grid so the
@@ -79,96 +164,48 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     warm.unpersist()
     times["_warmup_not_in_total"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    imgs = _build(spark, spec)
-    times["ingest_tiles"] = round(time.time() - t0, 3)
-
+    imgs = run_r02_block(spark, sf_dir, times, cal)
     kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
-
-    t0 = time.time()
-    SJ.zonal_stats_fused(imgs, synth.ZONES_T1, **kw).collect()
-    times["zonal_stats"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    SJ.zonal_stats(imgs, synth.ZONES_T1, **kw).collect()
-    times["zonal_stats_unfused"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    z = [zz for zz in synth.ZONES_EXTRA if zz.name == "skew_half_world"]
-    SJ.zonal_stats(imgs, z, salt=32, **kw).collect()
-    times["zonal_skew_salted"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    px = PX.pixel_table(imgs, valid_only=True)
-    px.agg(F.count("value"), F.sum("value")).collect()
-    times["decode_scan_agg"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    pts = synth.points_df(spark, 10000)
-    PX.lookup_points_fused(
-        imgs, pts, origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly)
-    ).agg(F.count("value")).collect()
-    times["map_pixel_10k"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    from georasters_spark.operators import knn as KN
-
-    KN.knn_tiles(imgs, synth.points_df(spark, 1000), res=spec.cell_res, k=5,
-                 count_res=spec.cell_res).count()
-    times["knn_1k_points"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    from georasters_spark.operators import dedup as DD
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    DD.jaccard_pairs(docs, n=3, threshold=0.5).count()
-    times["jaccard_dedup"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
     from georasters_spark.operators import similarity as SM
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    SM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5).count()
-    times["ann_topk"] = round(time.time() - t0, 3)
 
     # --- round-2 extras, TIMED from round 3 on (they were reported
     # outside the total in BENCH_r02; the 9 lines above remain a
     # like-for-like r02 comparison, summed separately in main()) ------
     from georasters_spark.operators import reproject as RP
 
-    t0 = time.time()
     px9 = PX.pixel_table(imgs, valid_only=True).select("row", "col", "value")
-    RP.wgs84_to_cea_grid(
-        px9, (spec.x0, spec.y0), (spec.cellx, spec.celly),
-        (spec.height, spec.width), (1024, 2048),
-    ).filter(F.col("value").isNotNull()).count()
-    times["reproject_nearest_9M"] = round(time.time() - t0, 3)
+    _timed(times, cal, "reproject_nearest_9M",
+           lambda: RP.wgs84_to_cea_grid(
+               px9, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+               (spec.height, spec.width), (1024, 2048),
+           ).filter(F.col("value").isNotNull()).count())
 
-    t0 = time.time()
-    SM.cosine_pairs_blocked(emb, threshold=0.45, n_blocks=4).count()
-    times["embed_near_dup_gemm"] = round(time.time() - t0, 3)
+    _timed(times, cal, "embed_near_dup_gemm",
+           lambda: SM.cosine_pairs_blocked(emb, threshold=0.45, n_blocks=4).count())
 
-    t0 = time.time()
-    cents = SM.kmeans_fit(emb, k=8, iters=3)
-    SM.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), cents, k=5, nprobe=3).count()
-    times["ivf_ann_fit_and_search"] = round(time.time() - t0, 3)
+    def q_ivf():
+        cents = SM.kmeans_fit(emb, k=8, iters=3)
+        SM.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), cents, k=5,
+                    nprobe=3).count()
+
+    _timed(times, cal, "ivf_ann_fit_and_search", q_ivf)
 
     # --- round-3 operators -------------------------------------------
     from georasters_spark.operators import algebra as AL
     from georasters_spark.operators import multimodal as MM
 
-    t0 = time.time()
-    SJ.zonal_stats_extended(imgs, synth.ZONES_T1, base_plan="fused", **kw).collect()
-    times["zonal_median_majority"] = round(time.time() - t0, 3)
+    _timed(times, cal, "zonal_median_majority",
+           lambda: SJ.zonal_stats_extended(
+               imgs, synth.ZONES_T1, base_plan="fused", **kw).collect())
 
-    t0 = time.time()
     pxq = PX.pixel_table(imgs, valid_only=True).filter(
         (F.col("row") < 1024) & (F.col("col") < 1024)
     ).select("row", "col", (F.col("value").cast("long") / 250).cast("long").alias("value"))
-    AL.polygonize(pxq, merge="distributed").count()
-    times["polygonize_1M_distributed"] = round(time.time() - t0, 3)
+    _timed(times, cal, "polygonize_1M_distributed",
+           lambda: AL.polygonize(pxq, merge="distributed").count())
 
-    t0 = time.time()
     import numpy as np
     import pandas as pd
 
@@ -189,8 +226,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     clips = spark.range(512).repartition(32).mapInPandas(
         gen_wav, schema="audio_id long, bytes binary, fmt string, duration_ms long"
     )
-    MM.audio_features(clips, window_ms=500, hop_ms=250).count()
-    times["audio_wav_features_512"] = round(time.time() - t0, 3)
+    _timed(times, cal, "audio_wav_features_512",
+           lambda: MM.audio_features(clips, window_ms=500, hop_ms=250).count())
 
     # terrain + focal stencil at full 9.3M-px scale, both in the
     # tile+halo grouped-map form (the no-replication scale plan)
@@ -200,17 +237,22 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from georasters_spark.queries import _dem  # ONE copy of the formula
 
     dem9 = _dem(spark, spec.height, spec.width)
-    t0 = time.time()
-    TR.slope_aspect_hillshade(
-        dem9, cellsize=(spec.cellx, spec.celly), zfactor=0.001, plan="halo"
-    ).agg(F.count("slope_deg"), F.sum("hillshade")).collect()
-    times["terrain_horn_9M_halo"] = round(time.time() - t0, 3)
+    _timed(times, cal, "terrain_horn_9M_halo",
+           lambda: TR.slope_aspect_hillshade(
+               dem9, cellsize=(spec.cellx, spec.celly), zfactor=0.001,
+               plan="halo",
+           ).agg(F.count("slope_deg"), F.sum("hillshade")).collect())
+    _timed(times, cal, "focal_mean5_9M",
+           lambda: FO.focal_sums(dem9, k=5)
+           .agg(F.count("fmean"), F.sum("fsum")).collect())
 
-    t0 = time.time()
-    FO.focal_sums(dem9, k=5).agg(F.count("fmean"), F.sum("fsum")).collect()
-    times["focal_mean5_9M"] = round(time.time() - t0, 3)
+    # second pass of the r02-comparable block (fresh ingest, same
+    # queries, "#2" suffix): min(pass1, pass2) per query separates a
+    # persistent plan cost from transient host steal
+    imgs.unpersist()
+    imgs = run_r02_block(spark, sf_dir, times, cal, suffix="#2")
 
-    return times, imgs
+    return times, cal, imgs
 
 
 def scaling_build(spark):
@@ -393,16 +435,18 @@ at the pixels/sec above, zonal stats + codec audit included.
         return
 
     spark = _spark(cpus)
-    times, imgs = run_queries(spark, sf_dir)
+    times, cal, imgs = run_queries(spark, sf_dir)
     imgs.unpersist()
     warmup = times.pop("_warmup_not_in_total")
-    total = round(sum(times.values()), 3)
     # the 9 queries BENCH_r02 timed, summed separately for a strict
-    # round-over-round comparison (the r03 total is a superset: the
-    # former untimed extras + round-3 operators are now timed)
+    # round-over-round comparison (the totals exclude the "#2" re-run
+    # pass so `value` stays comparable with BENCH_r03)
     r02_set = ["ingest_tiles", "zonal_stats", "zonal_stats_unfused",
                "zonal_skew_salted", "decode_scan_agg", "map_pixel_10k",
                "knn_1k_points", "jaccard_dedup", "ann_topk"]
+    pass1 = {k: v for k, v in times.items() if not k.endswith("#2")}
+    total = round(sum(pass1.values()), 3)
+    best_r02 = {q: min(times[q], times[q + "#2"]) for q in r02_set}
     npx = 9331200
     print(
         json.dumps(
@@ -412,10 +456,18 @@ at the pixels/sec above, zonal stats + codec audit included.
                 "unit": "sec",
                 "queries": times,
                 "total_r02_comparable_9q": round(sum(times[q] for q in r02_set), 3),
+                "total_r02_comparable_9q_pass2": round(
+                    sum(times[q + "#2"] for q in r02_set), 3),
+                "total_r02_comparable_9q_best": round(sum(best_r02.values()), 3),
                 "warmup_sec_not_in_total": warmup,
                 "sf": sf,
                 "pixels": npx,
                 "decode_scan_pixels_per_sec": round(npx / times["decode_scan_agg"]),
+                # per-query host-speed samples taken immediately before
+                # each query (best-of-2 single-thread 1200^3 GEMM): a
+                # slow sample NEXT TO a slow query = host steal; a slow
+                # query with fast samples = a real plan cost
+                "per_query_calibration": cal,
                 "cpu_calibration": _calibration(),
             }
         )

@@ -572,13 +572,20 @@ _CRS_TOKENS = {
 
 
 def parse_crs(crs) -> str:
-    """Normalize an EPSG int, 'EPSG:n' string, or proj4 prefix to one
-    of the supported tokens: wgs84 | cea | webmerc | 'utm:<zone><n|s>'.
-    UTM accepts EPSG:32601-32660 (north) / 32701-32760 (south) and
+    """Normalize an EPSG int, 'EPSG:n' string, proj4 string, or WKT1
+    GEOGCS/PROJCS to a supported token: wgs84 | cea | webmerc | sinu |
+    'utm:<zone><n|s>' | 'aea:...'/'lcc:...' conics | 'geog:...' datum'd
+    geographics (non-WGS84 ellipsoid + towgs84 Helmert).  UTM accepts
+    EPSG:32601-32660 (north) / 32701-32760 (south) and
     '+proj=utm +zone=N [+south]' proj4 strings."""
+    if isinstance(crs, str) and crs.lstrip()[:7].upper() in (
+            "GEOGCS[", "PROJCS["):
+        return parse_wkt(crs)
     raw = str(crs).strip().lower()
     key = raw
     if key.startswith("+"):
+        if key.split()[0] == "+proj=longlat":
+            return _parse_longlat_proj4(key)
         if key.split()[0] == "+proj=utm":
             zone = None
             south = "+south" in key.split()
@@ -612,6 +619,10 @@ def parse_crs(crs) -> str:
             return f"utm:{code - 32700}s"
         if code in CONIC_EPSG:
             return f"{CONIC_EPSG[code][0]}:{code}"
+        if code in DATUM_EPSG:
+            ell, tow = DATUM_EPSG[code]
+            a, f = ELLIPSOIDS[ell]
+            return geog_token(a, f, tow)
     tok = _CRS_TOKENS.get(key)
     if tok is None:
         raise NotImplementedError(
@@ -620,8 +631,11 @@ def parse_crs(crs) -> str:
             "EPSG:326xx/327xx and +proj=utm (Krüger-series transverse "
             "Mercator), ESRI:54008/+proj=sinu, EPSG:5070/3310 and +proj=aea "
             "(Albers equal-area conic), EPSG:2154/3978 and +proj=lcc "
-            "(Lambert conformal conic) targets. On a cluster, swap in a "
-            "GDAL-backed transform for anything else."
+            "(Lambert conformal conic) targets; datum'd geographic CRSs "
+            "(EPSG:4267/4277/4269/4258/4230, '+proj=longlat +ellps/+a/+b/"
+            "+towgs84', WKT1 GEOGCS) via geocentric Helmert; WKT1 PROJCS "
+            "for the families above. On a cluster, swap in a GDAL-backed "
+            "transform for anything else."
         )
     return tok
 
@@ -1970,6 +1984,25 @@ def crs_funcs(token: str) -> dict:
 
         return {"fwd_np": fwd_np, "inv_np": inv_np,
                 "fwd_cols": fwd_cols, "inv_cols": inv_cols}
+    if token.startswith("geog:"):
+        # geographic CRS on another datum: the CRS's (x, y) ARE datum
+        # lon/lat degrees; fwd/inv are the Helmert datum shifts
+        P = datum_params(token)
+
+        def fwd_np(lon, lat):
+            return wgs84_to_datum_np(lon, lat, P)
+
+        def inv_np(x, y):
+            return datum_to_wgs84_np(x, y, P)
+
+        def fwd_cols(lon, lat):
+            return wgs84_to_datum_cols(lon, lat, P)
+
+        def inv_cols(x, y):
+            return datum_to_wgs84_cols(x, y, P)
+
+        return {"fwd_np": fwd_np, "inv_np": inv_np,
+                "fwd_cols": fwd_cols, "inv_cols": inv_cols}
     raise NotImplementedError(f"no transform functions for CRS token {token!r}")
 
 
@@ -2133,3 +2166,371 @@ def reproject_any_numpy_oracle(full: np.ndarray, ndv: float, src_crs, dst_crs,
     ok = (srow >= 0) & (srow < h) & (scol >= 0) & (scol < w)
     out[ok] = full[srow[ok], scol[ok]]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Datum shifts: non-WGS84 geographic CRSs via geocentric Helmert
+# transforms (reference: georasters.py:559-667 accepts ANY osr CRS —
+# GDAL applies +towgs84 the same way).  A datum'd geographic CRS is
+# the token "geog:a:f:dx:dy:dz:rx:ry:rz:ds" (ellipsoid semi-major a,
+# flattening f, 7-param position-vector Helmert to WGS84: meters,
+# arcseconds, ppm).  Pipeline, closed form end to end (no iteration —
+# Bowring's one-step inverse — so Spark Columns and DuckDB SQL compute
+# the identical operation sequence):
+#
+#   datum lon/lat --(geodetic->XYZ on datum ellipsoid)-->
+#   --(Helmert to WGS84)--> --(Bowring XYZ->geodetic on WGS84)--> lon/lat
+#
+# The reverse direction negates the Helmert parameters (the standard
+# approximation, exact to << the quantized-gather tolerance).
+# ---------------------------------------------------------------------------
+
+_ARCSEC = math.pi / 648000.0
+_WGS84_A = 6378137.0
+
+#: proj4 ellipsoid registry (a, 1/f supplied as f directly)
+ELLIPSOIDS = {
+    "wgs84": (6378137.0, 1.0 / 298.257223563),
+    "grs80": (6378137.0, 1.0 / 298.257222101),
+    "airy": (6377563.396, 1.0 / 299.3249646),
+    "clrk66": (6378206.4, 1.0 / 294.9786982),
+    "intl": (6378388.0, 1.0 / 297.0),
+    "krass": (6378245.0, 1.0 / 298.3),
+    "bessel": (6377397.155, 1.0 / 299.1528128),
+    "sphere": (6370997.0, 0.0),
+}
+
+#: geographic EPSG codes on non-WGS84 datums: (ellipsoid, towgs84)
+DATUM_EPSG = {
+    4267: ("clrk66", (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)),      # NAD27
+    4277: ("airy", (446.448, -125.157, 542.06,
+                    0.15, 0.247, 0.842, -20.489)),                    # OSGB36
+    4269: ("grs80", (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),             # NAD83
+    4258: ("grs80", (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),             # ETRS89
+    4230: ("intl", (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)),       # ED50
+}
+
+
+def geog_token(a: float, f: float, towgs84) -> str:
+    t = tuple(float(v) for v in towgs84)
+    if len(t) == 3:
+        t = t + (0.0, 0.0, 0.0, 0.0)
+    if len(t) != 7:
+        raise NotImplementedError("+towgs84 must have 3 or 7 parameters")
+    return "geog:" + ":".join(repr(float(v)) for v in (a, f) + t)
+
+
+def datum_params(token: str) -> dict:
+    vals = [float(v) for v in token.split(":")[1:]]
+    a, f = vals[0], vals[1]
+    b = a * (1.0 - f)
+    e2 = f * (2.0 - f)
+    ep2 = (a * a - b * b) / (b * b) if b else 0.0
+    return {
+        "a": a, "f": f, "b": b, "e2": e2, "ep2": ep2,
+        "dx": vals[2], "dy": vals[3], "dz": vals[4],
+        "rx": vals[5] * _ARCSEC, "ry": vals[6] * _ARCSEC,
+        "rz": vals[7] * _ARCSEC, "m": 1.0 + vals[8] * 1e-6,
+    }
+
+
+_WGS84_ELL = {
+    "a": _WGS84_A, "b": _WGS84_A * (1.0 - _WGS84_F),
+    "e2": _WGS84_F * (2.0 - _WGS84_F),
+    "ep2": (_WGS84_A ** 2 - (_WGS84_A * (1.0 - _WGS84_F)) ** 2)
+    / (_WGS84_A * (1.0 - _WGS84_F)) ** 2,
+}
+
+
+def _geodetic_to_xyz_np(lon, lat, a, e2):
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64))
+    sp, cp = np.sin(phi), np.cos(phi)
+    n = a / np.sqrt(1.0 - e2 * sp * sp)
+    return n * cp * np.cos(lam), n * cp * np.sin(lam), n * (1.0 - e2) * sp
+
+
+def _xyz_to_geodetic_np(X, Y, Z, a, b, e2, ep2):
+    p = np.sqrt(X * X + Y * Y)
+    th = np.arctan2(Z * a, p * b)
+    st, ct = np.sin(th), np.cos(th)
+    phi = np.arctan2(Z + ep2 * b * st * st * st, p - e2 * a * ct * ct * ct)
+    lam = np.arctan2(Y, X)
+    return lam / _D2R, phi / _D2R
+
+
+def _helmert_np(X, Y, Z, P, inverse: bool):
+    s = -1.0 if inverse else 1.0
+    m = 1.0 + s * (P["m"] - 1.0)
+    rx, ry, rz = s * P["rx"], s * P["ry"], s * P["rz"]
+    dx, dy, dz = s * P["dx"], s * P["dy"], s * P["dz"]
+    return (
+        dx + m * (X - rz * Y + ry * Z),
+        dy + m * (rz * X + Y - rx * Z),
+        dz + m * (-ry * X + rx * Y + Z),
+    )
+
+
+def datum_to_wgs84_np(lon, lat, P):
+    X, Y, Z = _geodetic_to_xyz_np(lon, lat, P["a"], P["e2"])
+    X, Y, Z = _helmert_np(X, Y, Z, P, inverse=False)
+    W = _WGS84_ELL
+    return _xyz_to_geodetic_np(X, Y, Z, W["a"], W["b"], W["e2"], W["ep2"])
+
+
+def wgs84_to_datum_np(lon, lat, P):
+    W = _WGS84_ELL
+    X, Y, Z = _geodetic_to_xyz_np(lon, lat, W["a"], W["e2"])
+    X, Y, Z = _helmert_np(X, Y, Z, P, inverse=True)
+    return _xyz_to_geodetic_np(X, Y, Z, P["a"], P["b"], P["e2"], P["ep2"])
+
+
+def _geodetic_to_xyz_cols(lon, lat, a, e2):
+    phi = lat * F.lit(_D2R)
+    lam = lon * F.lit(_D2R)
+    sp, cp = F.sin(phi), F.cos(phi)
+    n = F.lit(a) / F.sqrt(F.lit(1.0) - F.lit(e2) * sp * sp)
+    return n * cp * F.cos(lam), n * cp * F.sin(lam), n * F.lit(1.0 - e2) * sp
+
+
+def _xyz_to_geodetic_cols(X, Y, Z, a, b, e2, ep2):
+    p = F.sqrt(X * X + Y * Y)
+    th = F.atan2(Z * F.lit(a), p * F.lit(b))
+    st, ct = F.sin(th), F.cos(th)
+    phi = F.atan2(Z + F.lit(ep2 * b) * st * st * st,
+                  p - F.lit(e2 * a) * ct * ct * ct)
+    lam = F.atan2(Y, X)
+    return lam / F.lit(_D2R), phi / F.lit(_D2R)
+
+
+def _helmert_cols(X, Y, Z, P, inverse: bool):
+    s = -1.0 if inverse else 1.0
+    m = 1.0 + s * (P["m"] - 1.0)
+    rx, ry, rz = s * P["rx"], s * P["ry"], s * P["rz"]
+    dx, dy, dz = s * P["dx"], s * P["dy"], s * P["dz"]
+    return (
+        F.lit(dx) + F.lit(m) * (X - F.lit(rz) * Y + F.lit(ry) * Z),
+        F.lit(dy) + F.lit(m) * (F.lit(rz) * X + Y - F.lit(rx) * Z),
+        F.lit(dz) + F.lit(m) * (F.lit(-ry) * X + F.lit(rx) * Y + Z),
+    )
+
+
+def datum_to_wgs84_cols(lon, lat, P):
+    X, Y, Z = _geodetic_to_xyz_cols(lon, lat, P["a"], P["e2"])
+    X, Y, Z = _helmert_cols(X, Y, Z, P, inverse=False)
+    W = _WGS84_ELL
+    return _xyz_to_geodetic_cols(X, Y, Z, W["a"], W["b"], W["e2"], W["ep2"])
+
+
+def wgs84_to_datum_cols(lon, lat, P):
+    W = _WGS84_ELL
+    X, Y, Z = _geodetic_to_xyz_cols(lon, lat, W["a"], W["e2"])
+    X, Y, Z = _helmert_cols(X, Y, Z, P, inverse=True)
+    return _xyz_to_geodetic_cols(X, Y, Z, P["a"], P["b"], P["e2"], P["ep2"])
+
+
+def datum_to_wgs84_sql(lon: str, lat: str, P) -> tuple[str, str]:
+    """(lon_sql, lat_sql) — mirrors datum_to_wgs84_cols operation for
+    operation (same literals via dlit, same multiply pairing) so DuckDB
+    reproduces the Column pipeline to the gather quantization."""
+    d2r = dlit(_D2R)
+    phi = f"({lat} * {d2r})"
+    lam = f"({lon} * {d2r})"
+    sp, cp = f"sin({phi})", f"cos({phi})"
+    n = f"({dlit(P['a'])} / sqrt(1.0 - {dlit(P['e2'])} * {sp} * {sp}))"
+    X = f"({n} * {cp} * cos({lam}))"
+    Y = f"({n} * {cp} * sin({lam}))"
+    Z = f"({n} * {dlit(1.0 - P['e2'])} * {sp})"
+    m, rx, ry, rz = P["m"], P["rx"], P["ry"], P["rz"]
+    Xh = f"({dlit(P['dx'])} + {dlit(m)} * ({X} - {dlit(rz)} * {Y} + {dlit(ry)} * {Z}))"
+    Yh = f"({dlit(P['dy'])} + {dlit(m)} * ({dlit(rz)} * {X} + {Y} - {dlit(rx)} * {Z}))"
+    Zh = f"({dlit(P['dz'])} + {dlit(m)} * ({dlit(-ry)} * {X} + {dlit(rx)} * {Y} + {Z}))"
+    W = _WGS84_ELL
+    p = f"sqrt({Xh} * {Xh} + {Yh} * {Yh})"
+    th = f"atan2({Zh} * {dlit(W['a'])}, {p} * {dlit(W['b'])})"
+    st, ct = f"sin({th})", f"cos({th})"
+    phi2 = (f"atan2({Zh} + {dlit(W['ep2'] * W['b'])} * {st} * {st} * {st}, "
+            f"{p} - {dlit(W['e2'] * W['a'])} * {ct} * {ct} * {ct})")
+    lam2 = f"atan2({Yh}, {Xh})"
+    return f"({lam2} / {d2r})", f"({phi2} / {d2r})"
+
+
+def _parse_longlat_proj4(key: str) -> str:
+    """'+proj=longlat ...' -> 'wgs84' (WGS84/GRS80-no-shift/default) or
+    a geog datum token when +ellps/+a/+b/+towgs84 define another datum."""
+    p: dict[str, str] = {}
+    for tokn in key.split():
+        k2, _, v = tokn.partition("=")
+        p[k2] = v
+    a = f = None
+    if "+ellps" in p:
+        ell = p["+ellps"].lower()
+        if ell not in ELLIPSOIDS:
+            raise NotImplementedError(f"+ellps={p['+ellps']} not in registry "
+                                      f"({sorted(ELLIPSOIDS)})")
+        a, f = ELLIPSOIDS[ell]
+    if "+a" in p:
+        a = float(p["+a"])
+        if "+b" in p:
+            b = float(p["+b"])
+            f = (a - b) / a
+        elif "+f" in p:
+            f = float(p["+f"])
+        elif "+rf" in p:
+            f = 1.0 / float(p["+rf"])
+        else:
+            f = 0.0  # sphere
+    tow = (0.0,) * 7
+    if "+towgs84" in p:
+        tow = tuple(float(v) for v in p["+towgs84"].split(","))
+    if a is None:
+        a, f = ELLIPSOIDS["wgs84"]
+    if (a, f) == ELLIPSOIDS["wgs84"] and not any(tow):
+        return "wgs84"
+    return geog_token(a, f, tow)
+
+
+# ---------------------------------------------------------------------------
+# WKT1 CRS input (the reference accepts WKT/osr objects,
+# georasters.py:559-667): a small recursive parser for
+# GEOGCS[...DATUM[...SPHEROID, TOWGS84]...] and PROJCS[... PROJECTION,
+# PARAMETER*...], mapped onto the existing token families.
+# ---------------------------------------------------------------------------
+
+
+def _wkt_parse_node(s: str, i: int):
+    """Parse NAME[arg, arg, ...] at position i -> ((name, args), next_i);
+    args are floats, quoted strings, or nested nodes."""
+    j = i
+    while j < len(s) and s[j] not in "[":
+        j += 1
+    name = s[i:j].strip().upper()
+    if j >= len(s):
+        raise ValueError(f"WKT: expected '[' after {name!r}")
+    args = []
+    j += 1
+    while True:
+        while j < len(s) and s[j] in ", \t\r\n":
+            j += 1
+        if j >= len(s):
+            raise ValueError("WKT: unterminated node")
+        if s[j] == "]":
+            return (name, args), j + 1
+        if s[j] == '"':
+            k = s.index('"', j + 1)
+            args.append(s[j + 1 : k])
+            j = k + 1
+        elif s[j].isalpha():
+            node, j = _wkt_parse_node(s, j)
+            args.append(node)
+        else:
+            k = j
+            while k < len(s) and s[k] not in ",]":
+                k += 1
+            args.append(float(s[j:k]))
+            j = k
+    # unreachable
+
+
+def _wkt_find(node, name):
+    for a in node[1]:
+        if isinstance(a, tuple) and a[0] == name:
+            return a
+    return None
+
+
+def _wkt_params(node) -> dict:
+    out = {}
+    for a in node[1]:
+        if isinstance(a, tuple) and a[0] == "PARAMETER":
+            out[str(a[1][0]).lower()] = float(a[1][1])
+    return out
+
+
+def _wkt_authority_code(node):
+    auth = _wkt_find(node, "AUTHORITY")
+    if auth and len(auth[1]) == 2 and str(auth[1][0]).upper() == "EPSG":
+        try:
+            return int(str(auth[1][1]))
+        except ValueError:
+            return None
+    return None
+
+
+def _wkt_geogcs_token(g) -> str:
+    datum = _wkt_find(g, "DATUM")
+    if datum is None:
+        raise ValueError("WKT GEOGCS without DATUM")
+    sph = _wkt_find(datum, "SPHEROID")
+    if sph is None:
+        raise ValueError("WKT DATUM without SPHEROID")
+    a = float(sph[1][1])
+    invf = float(sph[1][2])
+    f = 1.0 / invf if invf else 0.0
+    tw = _wkt_find(datum, "TOWGS84")
+    tow = tuple(float(v) for v in tw[1]) if tw else (0.0,) * 7
+    if abs(a - ELLIPSOIDS["wgs84"][0]) < 1e-6 and \
+            abs(f - ELLIPSOIDS["wgs84"][1]) < 1e-12 and not any(tow):
+        return "wgs84"
+    return geog_token(a, f, tow)
+
+
+def parse_wkt(wkt: str) -> str:
+    """WKT1 GEOGCS/PROJCS -> parse_crs token. An EPSG AUTHORITY on the
+    top node short-circuits to the numeric path; otherwise the
+    structure is mapped: GEOGCS -> wgs84 or a geog datum token, PROJCS
+    -> the matching projection family (WGS84 datum only — the
+    projection kernels are WGS84/sphere-specific)."""
+    node, _ = _wkt_parse_node(wkt.strip(), 0)
+    code = _wkt_authority_code(node)
+    if code is not None:
+        return parse_crs(code)
+    if node[0] == "GEOGCS":
+        return _wkt_geogcs_token(node)
+    if node[0] != "PROJCS":
+        raise NotImplementedError(f"WKT node {node[0]} not supported")
+    g = _wkt_find(node, "GEOGCS")
+    if g is None:
+        raise ValueError("WKT PROJCS without GEOGCS")
+    if _wkt_geogcs_token(g) != "wgs84":
+        raise NotImplementedError(
+            "projected WKT on a non-WGS84 datum: the projection kernels "
+            "are WGS84-specific; reproject the datum'd geographic form")
+    proj = _wkt_find(node, "PROJECTION")
+    if proj is None:
+        raise ValueError("WKT PROJCS without PROJECTION")
+    pname = str(proj[1][0]).lower()
+    p = _wkt_params(node)
+    lat0 = p.get("latitude_of_origin", 0.0)
+    lon0 = p.get("central_meridian", p.get("longitude_of_center", 0.0))
+    k0 = p.get("scale_factor", 1.0)
+    fe = p.get("false_easting", 0.0)
+    fn = p.get("false_northing", 0.0)
+    if pname == "transverse_mercator":
+        zone = (lon0 + 183.0) / 6.0
+        if (lat0 == 0.0 and abs(k0 - 0.9996) < 1e-12 and fe == 500000.0
+                and fn in (0.0, 10000000.0) and abs(zone - round(zone)) < 1e-9
+                and 1 <= round(zone) <= 60):
+            return f"utm:{round(zone)}{'s' if fn else 'n'}"
+        raise NotImplementedError(
+            "WKT Transverse_Mercator only as standard UTM zones")
+    if pname in ("mercator_1sp", "popular_visualisation_pseudo_mercator",
+                 "mercator_auxiliary_sphere"):
+        return "webmerc"
+    if pname == "cylindrical_equal_area":
+        if p.get("standard_parallel_1", 0.0) != 0.0 or lon0 != 0.0:
+            raise NotImplementedError("WKT CEA only with lat_ts=0, lon0=0")
+        return "cea"
+    if pname == "sinusoidal":
+        if lon0 != 0.0:
+            raise NotImplementedError("WKT Sinusoidal only with lon0=0")
+        return "sinu"
+    if pname == "albers_conic_equal_area":
+        return (f"aea:custom:{p['standard_parallel_1']}"
+                f":{p.get('standard_parallel_2', p['standard_parallel_1'])}"
+                f":{lat0}:{lon0}:{fe}:{fn}")
+    if pname == "lambert_conformal_conic_2sp":
+        return (f"lcc:custom:{p['standard_parallel_1']}"
+                f":{p.get('standard_parallel_2', p['standard_parallel_1'])}"
+                f":{lat0}:{lon0}:{fe}:{fn}")
+    raise NotImplementedError(f"WKT PROJECTION {pname!r} not supported")

@@ -1134,6 +1134,64 @@ _FROM_CEA = dict(origin=(-2.0e7, 6.3e6),
                  cell=(4.0e7 / 540, -1.26e7 / 270), out=(48, 96))
 
 
+_DATUM_GATE = dict(out=(54, 108), bbox=(-130.0, 20.0, -60.0, 55.0))
+
+
+def q_reproject_datum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATUM-shifted warp (the reference applies +towgs84 through osr,
+    georasters.py:559-667): the WGS84 source grid windowed to CONUS is
+    warped onto a NAD27 (EPSG:4267) geographic lattice — each target
+    center runs the full closed-form geocentric pipeline (geodetic ->
+    XYZ on Clarke 1866, 3-param Helmert, Bowring inverse on WGS84)
+    before the quantized affine gather. DuckDB re-derives the whole
+    shift from the same literals, so the Helmert machinery is
+    hash-gated end to end."""
+    from .operators import reproject as RP
+
+    spec = SPEC
+    p = _DATUM_GATE
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.reproject_any(
+        px, 4326, 4267,
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=p["out"],
+        bbox_lonlat=p["bbox"],
+    )
+
+
+def sql_reproject_datum() -> str:
+    from .operators import reproject as RP
+    from .operators.reproject import dlit
+
+    spec = SPEC
+    p = _DATUM_GATE
+    X0, Y0b, X1, Y1b = RP.any_bounds(
+        4326, 4267, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), p["bbox"])
+    th, tw = p["out"]
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    P = RP.datum_params(RP.parse_crs(4267))
+    lon_sql, lat_sql = RP.datum_to_wgs84_sql("xm", "ym", P)
+    return f"""WITH {synth.pixel_sql(spec)},
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
+         {dlit(Y1b)} + (tr.range + 0.5) * {dlit(tcy)} AS ym
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+ll AS (
+  SELECT trow, tcol, xm, ym, {lon_sql} AS lon, {lat_sql} AS lat FROM tgt),
+loc AS (
+  SELECT trow, tcol, xm, ym,
+         CAST(FLOOR(ROUND((lat - {dlit(spec.y0)}) / {dlit(spec.celly)}, {RP._Q})) AS BIGINT) AS row,
+         CAST(FLOOR(ROUND((lon - {dlit(spec.x0)}) / {dlit(spec.cellx)}, {RP._Q})) AS BIGINT) AS col
+  FROM ll)
+SELECT loc.trow, loc.tcol, loc.xm AS xm, loc.ym AS ym, px.value
+FROM loc LEFT JOIN px ON px.row = loc.row AND px.col = loc.col"""
+
+
 def q_reproject_from_cea(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROJECTED-source warp (the reference accepts any source CRS):
     the synthetic grid reinterpreted as an EPSG:6933-style CEA raster,
@@ -2663,6 +2721,7 @@ QUERIES = {
     # --- gates new in round 4 ---
     "simhash_dedup": (q_simhash_dedup, sql_simhash_dedup),
     "lsh_ann": (q_lsh_ann, sql_lsh_ann),
+    "reproject_datum": (q_reproject_datum, sql_reproject_datum),
     # --- round-3-checked gates (CORRECTNESS_r03 green) ---
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
     "audio_features": (q_audio_features, sql_audio_features),

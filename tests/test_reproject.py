@@ -3,6 +3,7 @@
 identical masks, values within tolerance)."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from georasters_spark.operators import pixels as PX
@@ -611,3 +612,118 @@ def test_forward_cols_match_numpy(spark):
         ex, ey = fns["fwd_np"](pts.lon.to_numpy(), pts.lat.to_numpy())
         assert np.abs(got.x.to_numpy() - ex).max() < 1e-6, token
         assert np.abs(got.y.to_numpy() - ey).max() < 1e-6, token
+
+
+class TestDatumAndWkt:
+    def test_datum_epsg_tokens(self):
+        for code in (4267, 4277, 4269, 4258, 4230):
+            tok = RP.parse_crs(code)
+            assert tok.startswith("geog:"), code
+            RP.datum_params(tok)  # parses
+
+    def test_proj4_longlat_forms(self):
+        assert RP.parse_crs("+proj=longlat +datum=WGS84") == "wgs84"
+        assert RP.parse_crs("+proj=longlat +ellps=WGS84") == "wgs84"
+        t = RP.parse_crs("+proj=longlat +ellps=clrk66 +towgs84=-8,160,176")
+        assert t.startswith("geog:6378206.4:")
+        t2 = RP.parse_crs("+proj=longlat +a=6378249.145 +b=6356514.870 "
+                          "+towgs84=-143,-90,-294")
+        P = RP.datum_params(t2)
+        assert abs(P["a"] - 6378249.145) < 1e-6 and P["dx"] == -143.0
+        with pytest.raises(NotImplementedError):
+            RP.parse_crs("+proj=longlat +ellps=unknown_ellipsoid")
+
+    def test_nad27_shift_magnitude_and_roundtrip(self):
+        P = RP.datum_params(RP.parse_crs(4267))
+        lon = np.array([-98.0, -75.0, -120.0])
+        lat = np.array([39.0, 41.0, 35.0])
+        lo, la = RP.datum_to_wgs84_np(lon, lat, P)
+        dm = np.hypot((lo - lon) * 111320 * np.cos(np.radians(lat)),
+                      (la - lat) * 110540)
+        assert (dm > 5).all() and (dm < 300).all()  # CONUS NAD27 shifts
+        lo2, la2 = RP.wgs84_to_datum_np(lo, la, P)
+        assert np.abs(lo2 - lon).max() < 1e-7
+        assert np.abs(la2 - lat).max() < 1e-7
+
+    def test_osgb36_seven_param_roundtrip(self):
+        P = RP.datum_params(RP.parse_crs(4277))
+        lo, la = RP.wgs84_to_datum_np(np.array([-2.0]), np.array([53.0]), P)
+        # known ~100 m class OSGB36<->WGS84 offset near Manchester
+        assert 0.0005 < abs(lo[0] + 2.0) < 0.01
+        lo2, la2 = RP.datum_to_wgs84_np(lo, la, P)
+        assert abs(lo2[0] + 2.0) < 1e-6 and abs(la2[0] - 53.0) < 1e-6
+
+    def test_cols_match_numpy(self, spark):
+        P = RP.datum_params(RP.parse_crs(4267))
+        import pandas as pd
+        pdf = pd.DataFrame({"lon": [-98.0, -70.5, -112.25],
+                            "lat": [39.0, 44.5, 33.125]})
+        df = spark.createDataFrame(pdf)
+        lo_c, la_c = RP.datum_to_wgs84_cols(F.col("lon"), F.col("lat"), P)
+        got = df.select(lo_c.alias("lo"), la_c.alias("la")).toPandas()
+        lo_n, la_n = RP.datum_to_wgs84_np(pdf.lon.to_numpy(), pdf.lat.to_numpy(), P)
+        assert np.abs(got.lo.to_numpy() - lo_n).max() < 1e-12
+        assert np.abs(got.la.to_numpy() - la_n).max() < 1e-12
+
+    def test_wkt_geogcs_and_projcs(self):
+        wkt_geo = ('GEOGCS["NAD27",DATUM["North_American_Datum_1927",'
+                   'SPHEROID["Clarke 1866",6378206.4,294.9786982139006],'
+                   'TOWGS84[-8,160,176,0,0,0,0]],PRIMEM["Greenwich",0],'
+                   'UNIT["degree",0.0174532925199433]]')
+        assert RP.parse_crs(wkt_geo).startswith("geog:6378206.4:")
+        wkt_auth = ('GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+                    '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+                    'UNIT["degree",0.0174532925199433],'
+                    'AUTHORITY["EPSG","4326"]]')
+        assert RP.parse_crs(wkt_auth) == "wgs84"
+        wkt_utm = ('PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",'
+                   'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+                   '298.257223563]],PRIMEM["Greenwich",0],'
+                   'UNIT["degree",0.0174532925199433]],'
+                   'PROJECTION["Transverse_Mercator"],'
+                   'PARAMETER["latitude_of_origin",0],'
+                   'PARAMETER["central_meridian",15],'
+                   'PARAMETER["scale_factor",0.9996],'
+                   'PARAMETER["false_easting",500000],'
+                   'PARAMETER["false_northing",0],UNIT["metre",1]]')
+        assert RP.parse_crs(wkt_utm) == "utm:33n"
+        wkt_lcc = ('PROJCS["LCC",GEOGCS["WGS 84",DATUM["WGS_1984",'
+                   'SPHEROID["WGS 84",6378137,298.257223563]],'
+                   'PRIMEM["Greenwich",0],UNIT["degree",0.017453292519943]],'
+                   'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+                   'PARAMETER["standard_parallel_1",33],'
+                   'PARAMETER["standard_parallel_2",45],'
+                   'PARAMETER["latitude_of_origin",39],'
+                   'PARAMETER["central_meridian",-96],UNIT["metre",1]]')
+        assert RP.parse_crs(wkt_lcc) == "lcc:custom:33.0:45.0:39.0:-96.0:0.0:0.0"
+
+    def test_wkt_refusals(self):
+        # projected on a non-WGS84 datum: kernels are WGS84-specific
+        wkt = ('PROJCS["x",GEOGCS["OSGB36",DATUM["D",SPHEROID["Airy 1830",'
+               '6377563.396,299.3249646],TOWGS84[446.448,-125.157,542.06,'
+               '0.15,0.247,0.842,-20.489]],PRIMEM["Greenwich",0],'
+               'UNIT["degree",0.0174532925199433]],'
+               'PROJECTION["Transverse_Mercator"],'
+               'PARAMETER["central_meridian",-2],UNIT["metre",1]]')
+        with pytest.raises(NotImplementedError, match="non-WGS84"):
+            RP.parse_crs(wkt)
+        with pytest.raises(NotImplementedError):
+            RP.parse_crs('PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",'
+                         'SPHEROID["WGS 84",6378137,298.257223563]],'
+                         'PRIMEM["Greenwich",0],UNIT["degree",0.0174]],'
+                         'PROJECTION["Robinson"],UNIT["metre",1]]')
+
+    def test_reproject_any_datum_vs_numpy(self, spark):
+        h, w = 30, 44
+        full = ((np.arange(h)[:, None] * 7919 + np.arange(w)[None, :]
+                 * 104729) % 1997).astype(np.int64)
+        px = spark.createDataFrame(
+            [(r, c, int(full[r, c])) for r in range(h) for c in range(w)],
+            "row long, col long, value long")
+        org, cell = (-100.0, 40.0), (0.05, -0.05)
+        out = (RP.reproject_any(px, 4326, 4267, org, cell, (h, w), (24, 36))
+               .toPandas().sort_values(["trow", "tcol"]))
+        exp = RP.reproject_any_numpy_oracle(full, -1, 4326, 4267, org, cell,
+                                            (24, 36))
+        got = out.value.fillna(-1).to_numpy().reshape(24, 36)
+        np.testing.assert_array_equal(got, exp)

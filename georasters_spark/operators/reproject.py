@@ -586,6 +586,8 @@ def parse_crs(crs) -> str:
     if key.startswith("+"):
         if key.split()[0] == "+proj=longlat":
             return _parse_longlat_proj4(key)
+        if key.split()[0] == "+proj=tmerc":
+            return _parse_tmerc_proj4(key)
         if key.split()[0] == "+proj=utm":
             zone = None
             south = "+south" in key.split()
@@ -623,6 +625,8 @@ def parse_crs(crs) -> str:
             ell, tow = DATUM_EPSG[code]
             a, f = ELLIPSOIDS[ell]
             return geog_token(a, f, tow)
+        if code in TMD_EPSG:
+            return TMD_EPSG[code]
     tok = _CRS_TOKENS.get(key)
     if tok is None:
         raise NotImplementedError(
@@ -1143,13 +1147,14 @@ _UTM_K0 = 0.9996
 _UTM_FE = 500000.0
 
 
-def _tm_series(f: float = _WGS84_F):
-    """Krüger-series constants for an ellipsoid with flattening f:
-    rectifying radius A and the alpha (forward), beta (inverse series),
-    delta (conformal->geographic latitude) coefficient triples."""
+def _tm_series(f: float = _WGS84_F, a: float = _WGS84_A):
+    """Krüger-series constants for an ellipsoid with flattening f and
+    semi-major axis a: rectifying radius A and the alpha (forward),
+    beta (inverse series), delta (conformal->geographic latitude)
+    coefficient triples."""
     n = f / (2.0 - f)
     n2, n3, n4 = n * n, n ** 3, n ** 4
-    A = _WGS84_A / (1 + n) * (1 + n2 / 4 + n4 / 64)
+    A = a / (1 + n) * (1 + n2 / 4 + n4 / 64)
     alpha = (
         n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180,
         13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440,
@@ -1176,10 +1181,11 @@ def utm_lon0(zone: int) -> float:
 
 
 def tm_forward_np(lon, lat, lon0: float, k0: float = _UTM_K0,
-                  fe: float = _UTM_FE, fn: float = 0.0, f: float = _WGS84_F):
+                  fe: float = _UTM_FE, fn: float = 0.0, f: float = _WGS84_F,
+                  a: float = _WGS84_A):
     """Ellipsoidal transverse-Mercator forward (numpy): (lon, lat)
     degrees -> (E, N) meters."""
-    n, A, alpha, _, _ = _tm_series(f)
+    n, A, alpha, _, _ = _tm_series(f, a)
     lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     es = 2.0 * math.sqrt(n) / (1.0 + n)
@@ -1196,10 +1202,11 @@ def tm_forward_np(lon, lat, lon0: float, k0: float = _UTM_K0,
 
 
 def tm_inverse_np(E, N, lon0: float, k0: float = _UTM_K0,
-                  fe: float = _UTM_FE, fn: float = 0.0, f: float = _WGS84_F):
+                  fe: float = _UTM_FE, fn: float = 0.0, f: float = _WGS84_F,
+                  a: float = _WGS84_A):
     """Ellipsoidal transverse-Mercator inverse (numpy test oracle):
     (E, N) meters -> (lon, lat) degrees."""
-    n, A, _, beta, delta = _tm_series(f)
+    n, A, _, beta, delta = _tm_series(f, a)
     xi = (np.asarray(N, dtype=np.float64) - fn) / (k0 * A)
     eta = (np.asarray(E, dtype=np.float64) - fe) / (k0 * A)
     xip = xi.copy()
@@ -1216,12 +1223,13 @@ def tm_inverse_np(E, N, lon0: float, k0: float = _UTM_K0,
 
 
 def tm_inverse_cols(E, N, lon0: float, k0: float = _UTM_K0,
-                    fe: float = _UTM_FE, fn: float = 0.0, f: float = _WGS84_F):
+                    fe: float = _UTM_FE, fn: float = 0.0, f: float = _WGS84_F,
+                    a: float = _WGS84_A):
     """The same inverse as pyspark Column expressions: (E, N) Columns ->
     (lon, lat) Columns in degrees. Every term is built in the SAME
     order as tm_inverse_np / tm_inverse_sql so all three agree to
     engine-trig ulps (the gather quantization absorbs those)."""
-    n, A, _, beta, delta = _tm_series(f)
+    n, A, _, beta, delta = _tm_series(f, a)
     xi = (N - F.lit(fn)) / F.lit(k0 * A)
     eta = (E - F.lit(fe)) / F.lit(k0 * A)
     xip = xi
@@ -1241,12 +1249,13 @@ def tm_inverse_cols(E, N, lon0: float, k0: float = _UTM_K0,
 
 def tm_inverse_sql(e_expr: str, n_expr: str, lon0: float, k0: float = _UTM_K0,
                    fe: float = _UTM_FE, fn: float = 0.0,
-                   f: float = _WGS84_F) -> tuple[str, str, str]:
+                   f: float = _WGS84_F,
+                   a: float = _WGS84_A) -> tuple[str, str, str]:
     """DuckDB SQL for the same inverse, emitted term-for-term in the
     tm_inverse_cols order. Returns (cte_sql, lon_col, lat_col): a CTE
     chain computing lon/lat from columns e_expr/n_expr of table `tgt`
     (intermediate CTEs carry trow/tcol through)."""
-    n, A, _, beta, delta = _tm_series(f)
+    n, A, _, beta, delta = _tm_series(f, a)
 
     # DuckDB has no sinh/cosh — spell them with exp. The downstream
     # gather quantizes u before floor, so the ulp-level difference vs
@@ -1984,6 +1993,32 @@ def crs_funcs(token: str) -> dict:
 
         return {"fwd_np": fwd_np, "inv_np": inv_np,
                 "fwd_cols": fwd_cols, "inv_cols": inv_cols}
+    if token.startswith("tmd:"):
+        # transverse Mercator with a natural origin on a custom
+        # ellipsoid + datum (EPSG:27700-class): Helmert shift composed
+        # with the Krüger series on that ellipsoid
+        T = tmd_params(token)
+        P, lon0, k0, fe = T["P"], T["lon0"], T["k0"], T["fe"]
+        fn_eff, f_, a_ = T["fn_eff"], T["f"], T["a"]
+
+        def fwd_np(lon, lat):
+            lo, la = wgs84_to_datum_np(lon, lat, P)
+            return tm_forward_np(lo, la, lon0, k0, fe, fn_eff, f_, a_)
+
+        def inv_np(E, N):
+            lo, la = tm_inverse_np(E, N, lon0, k0, fe, fn_eff, f_, a_)
+            return datum_to_wgs84_np(lo, la, P)
+
+        def fwd_cols(lon, lat):
+            lo, la = wgs84_to_datum_cols(lon, lat, P)
+            return tm_forward_cols(lo, la, lon0, k0, fe, fn_eff, f_, a_)
+
+        def inv_cols(E, N):
+            lo, la = tm_inverse_cols(E, N, lon0, k0, fe, fn_eff, f_, a_)
+            return datum_to_wgs84_cols(lo, la, P)
+
+        return {"fwd_np": fwd_np, "inv_np": inv_np,
+                "fwd_cols": fwd_cols, "inv_cols": inv_cols}
     if token.startswith("geog:"):
         # geographic CRS on another datum: the CRS's (x, y) ARE datum
         # lon/lat degrees; fwd/inv are the Helmert datum shifts
@@ -2007,10 +2042,11 @@ def crs_funcs(token: str) -> dict:
 
 
 def tm_forward_cols(lon, lat, lon0: float, k0: float = _UTM_K0,
-                    fe: float = _UTM_FE, fn: float = 0.0, f: float = _WGS84_F):
+                    fe: float = _UTM_FE, fn: float = 0.0, f: float = _WGS84_F,
+                    a: float = _WGS84_A):
     """Krüger-series transverse-Mercator FORWARD as pyspark Columns —
     term-for-term the tm_forward_np order (atanh spelled via log)."""
-    n, A, alpha, _, _ = _tm_series(f)
+    n, A, alpha, _, _ = _tm_series(f, a)
     es = 2.0 * math.sqrt(n) / (1.0 + n)
     lam = (lon - F.lit(lon0)) * F.lit(_D2R)
     sphi = F.sin(lat * F.lit(_D2R))
@@ -2492,10 +2528,7 @@ def parse_wkt(wkt: str) -> str:
     g = _wkt_find(node, "GEOGCS")
     if g is None:
         raise ValueError("WKT PROJCS without GEOGCS")
-    if _wkt_geogcs_token(g) != "wgs84":
-        raise NotImplementedError(
-            "projected WKT on a non-WGS84 datum: the projection kernels "
-            "are WGS84-specific; reproject the datum'd geographic form")
+    geog = _wkt_geogcs_token(g)
     proj = _wkt_find(node, "PROJECTION")
     if proj is None:
         raise ValueError("WKT PROJCS without PROJECTION")
@@ -2506,14 +2539,23 @@ def parse_wkt(wkt: str) -> str:
     k0 = p.get("scale_factor", 1.0)
     fe = p.get("false_easting", 0.0)
     fn = p.get("false_northing", 0.0)
+    if geog != "wgs84" and pname != "transverse_mercator":
+        raise NotImplementedError(
+            "projected WKT on a non-WGS84 datum is only supported for "
+            "Transverse_Mercator (Helmert + Krüger on that ellipsoid); "
+            "reproject other projections via the datum'd geographic form")
     if pname == "transverse_mercator":
+        if geog != "wgs84":
+            gp = datum_params(geog)
+            return tmd_token(gp["a"], gp["f"], lat0, lon0, k0, fe, fn,
+                             tuple(float(x) for x in geog.split(":")[3:]))
         zone = (lon0 + 183.0) / 6.0
         if (lat0 == 0.0 and abs(k0 - 0.9996) < 1e-12 and fe == 500000.0
                 and fn in (0.0, 10000000.0) and abs(zone - round(zone)) < 1e-9
                 and 1 <= round(zone) <= 60):
             return f"utm:{round(zone)}{'s' if fn else 'n'}"
-        raise NotImplementedError(
-            "WKT Transverse_Mercator only as standard UTM zones")
+        a, f = ELLIPSOIDS["wgs84"]
+        return tmd_token(a, f, lat0, lon0, k0, fe, fn, (0.0,) * 7)
     if pname in ("mercator_1sp", "popular_visualisation_pseudo_mercator",
                  "mercator_auxiliary_sphere"):
         return "webmerc"
@@ -2534,3 +2576,87 @@ def parse_wkt(wkt: str) -> str:
                 f":{p.get('standard_parallel_2', p['standard_parallel_1'])}"
                 f":{lat0}:{lon0}:{fe}:{fn}")
     raise NotImplementedError(f"WKT PROJECTION {pname!r} not supported")
+
+
+# ---------------------------------------------------------------------------
+# Projected CRSs on non-WGS84 datums: transverse Mercator with a
+# natural origin on a custom ellipsoid (EPSG:27700 British National
+# Grid class).  Token "tmd:a:f:lat0:lon0:k0:fe:fn:dx:dy:dz:rx:ry:rz:ds"
+# composes the Helmert shift with the Krüger series on that ellipsoid.
+# The natural-origin latitude folds into an effective false northing
+# (fn_eff = fn - k0·A·ξ(lat0): the meridian arc from the equator to
+# lat0 in Krüger rectifying coordinates), so the zone kernels run
+# unchanged.
+# ---------------------------------------------------------------------------
+
+
+def tmd_token(a: float, f: float, lat0: float, lon0: float, k0: float,
+              fe: float, fn: float, towgs84) -> str:
+    t = tuple(float(v) for v in towgs84)
+    if len(t) == 3:
+        t = t + (0.0, 0.0, 0.0, 0.0)
+    if len(t) != 7:
+        raise NotImplementedError("+towgs84 must have 3 or 7 parameters")
+    return "tmd:" + ":".join(
+        repr(float(v)) for v in (a, f, lat0, lon0, k0, fe, fn) + t)
+
+
+def tm_xi0(lat0: float, f: float, a: float) -> float:
+    """Krüger rectifying coordinate ξ of latitude lat0 on the central
+    meridian (λ = 0) — the meridian arc is A·ξ."""
+    n, A, alpha, _, _ = _tm_series(f, a)
+    es = 2.0 * math.sqrt(n) / (1.0 + n)
+    sphi = math.sin(math.radians(lat0))
+    t = math.sinh(math.atanh(sphi) - es * math.atanh(es * sphi))
+    xip = math.atan2(t, 1.0)
+    return xip + sum(aj * math.sin(2 * j * xip)
+                     for j, aj in enumerate(alpha, 1))
+
+
+def tmd_params(token: str) -> dict:
+    v = [float(x) for x in token.split(":")[1:]]
+    a, f, lat0, lon0, k0, fe, fn = v[:7]
+    _, A, _, _, _ = _tm_series(f, a)
+    return {
+        "a": a, "f": f, "lat0": lat0, "lon0": lon0, "k0": k0, "fe": fe,
+        "fn": fn, "fn_eff": fn - k0 * A * tm_xi0(lat0, f, a),
+        "P": datum_params(geog_token(a, f, v[7:])),
+    }
+
+
+#: projected EPSG codes on non-WGS84 datums
+TMD_EPSG = {
+    # British National Grid: TM on Airy 1830, OSGB36 7-param Helmert
+    27700: tmd_token(*ELLIPSOIDS["airy"], 49.0, -2.0, 0.9996012717,
+                     400000.0, -100000.0, DATUM_EPSG[4277][1]),
+}
+
+
+def _parse_tmerc_proj4(key: str) -> str:
+    """'+proj=tmerc +lat_0 +lon_0 +k +x_0 +y_0 [+ellps/+a/+b]
+    [+towgs84]' -> utm-style token on WGS84, tmd token otherwise."""
+    p: dict[str, str] = {}
+    for tokn in key.split():
+        k2, _, val = tokn.partition("=")
+        p[k2] = val
+    lat0 = float(p.get("+lat_0", 0.0))
+    lon0 = float(p.get("+lon_0", 0.0))
+    k0 = float(p.get("+k", p.get("+k_0", 1.0)))
+    fe = float(p.get("+x_0", 0.0))
+    fn = float(p.get("+y_0", 0.0))
+    geog = _parse_longlat_proj4(
+        "+proj=longlat " + " ".join(
+            t for t in key.split()
+            if t.split("=")[0] in ("+ellps", "+a", "+b", "+f", "+rf",
+                                   "+towgs84", "+datum")))
+    if geog == "wgs84":
+        zone = (lon0 + 183.0) / 6.0
+        if (lat0 == 0.0 and abs(k0 - 0.9996) < 1e-12 and fe == 500000.0
+                and fn in (0.0, 10000000.0)
+                and abs(zone - round(zone)) < 1e-9 and 1 <= round(zone) <= 60):
+            return f"utm:{round(zone)}{'s' if fn else 'n'}"
+        a, f = ELLIPSOIDS["wgs84"]
+        return tmd_token(a, f, lat0, lon0, k0, fe, fn, (0.0,) * 7)
+    P = datum_params(geog)
+    return tmd_token(P["a"], P["f"], lat0, lon0, k0, fe, fn,
+                     tuple(float(x) for x in geog.split(":")[3:]))

@@ -1137,6 +1137,68 @@ _FROM_CEA = dict(origin=(-2.0e7, 6.3e6),
 _DATUM_GATE = dict(out=(54, 108), bbox=(-130.0, 20.0, -60.0, 55.0))
 
 
+_OSGB_GATE = dict(out=(64, 40), bbox=(-8.0, 49.8, 2.0, 59.0))
+
+
+def q_reproject_osgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROJECTED-on-datum warp (EPSG:27700 British National Grid): the
+    WGS84 source grid windowed to Britain lands on a BNG lattice —
+    each target center runs the Krüger inverse ON AIRY 1830 with the
+    lat0=49 natural origin folded into an effective false northing,
+    then the OSGB36 7-param Helmert to WGS84, then the quantized
+    gather. The TM kernel reproduces the Ordnance Survey worked
+    example to sub-mm (pytest); DuckDB re-derives the entire chain."""
+    from .operators import reproject as RP
+
+    spec = SPEC
+    p = _OSGB_GATE
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.reproject_any(
+        px, 4326, 27700,
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=p["out"],
+        bbox_lonlat=p["bbox"],
+    )
+
+
+def sql_reproject_osgb() -> str:
+    from .operators import reproject as RP
+    from .operators.reproject import dlit
+
+    spec = SPEC
+    p = _OSGB_GATE
+    T = RP.tmd_params(RP.parse_crs(27700))
+    X0, Y0b, X1, Y1b = RP.any_bounds(
+        4326, 27700, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), p["bbox"])
+    th, tw = p["out"]
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    inv_cte, lon_col, lat_col = RP.tm_inverse_sql(
+        "em", "nm", T["lon0"], T["k0"], T["fe"], T["fn_eff"], T["f"], T["a"])
+    lon_sql, lat_sql = RP.datum_to_wgs84_sql("lon36", "lat36", T["P"])
+    return f"""WITH {synth.pixel_sql(spec)},
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS em,
+         {dlit(Y1b)} + (tr.range + 0.5) * {dlit(tcy)} AS nm
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+{inv_cte},
+osgb AS (
+  SELECT trow, tcol, em, nm, {lon_col} AS lon36, {lat_col} AS lat36 FROM loc0),
+wgs AS (
+  SELECT trow, tcol, em, nm, {lon_sql} AS lon, {lat_sql} AS lat FROM osgb),
+loc AS (
+  SELECT trow, tcol, em, nm,
+         CAST(FLOOR(ROUND((lat - {dlit(spec.y0)}) / {dlit(spec.celly)}, {RP._Q})) AS BIGINT) AS row,
+         CAST(FLOOR(ROUND((lon - {dlit(spec.x0)}) / {dlit(spec.cellx)}, {RP._Q})) AS BIGINT) AS col
+  FROM wgs)
+SELECT loc.trow, loc.tcol, loc.em AS xm, loc.nm AS ym, px.value
+FROM loc LEFT JOIN px ON px.row = loc.row AND px.col = loc.col"""
+
+
 def q_reproject_datum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DATUM-shifted warp (the reference applies +towgs84 through osr,
     georasters.py:559-667): the WGS84 source grid windowed to CONUS is
@@ -2722,6 +2784,7 @@ QUERIES = {
     "simhash_dedup": (q_simhash_dedup, sql_simhash_dedup),
     "lsh_ann": (q_lsh_ann, sql_lsh_ann),
     "reproject_datum": (q_reproject_datum, sql_reproject_datum),
+    "reproject_osgb": (q_reproject_osgb, sql_reproject_osgb),
     # --- round-3-checked gates (CORRECTNESS_r03 green) ---
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
     "audio_features": (q_audio_features, sql_audio_features),

@@ -698,12 +698,13 @@ class TestDatumAndWkt:
         assert RP.parse_crs(wkt_lcc) == "lcc:custom:33.0:45.0:39.0:-96.0:0.0:0.0"
 
     def test_wkt_refusals(self):
-        # projected on a non-WGS84 datum: kernels are WGS84-specific
+        # projected on a non-WGS84 datum is supported ONLY for
+        # Transverse_Mercator; other projections still refuse
         wkt = ('PROJCS["x",GEOGCS["OSGB36",DATUM["D",SPHEROID["Airy 1830",'
                '6377563.396,299.3249646],TOWGS84[446.448,-125.157,542.06,'
                '0.15,0.247,0.842,-20.489]],PRIMEM["Greenwich",0],'
                'UNIT["degree",0.0174532925199433]],'
-               'PROJECTION["Transverse_Mercator"],'
+               'PROJECTION["Mercator_1SP"],'
                'PARAMETER["central_meridian",-2],UNIT["metre",1]]')
         with pytest.raises(NotImplementedError, match="non-WGS84"):
             RP.parse_crs(wkt)
@@ -727,3 +728,63 @@ class TestDatumAndWkt:
                                             (24, 36))
         got = out.value.fillna(-1).to_numpy().reshape(24, 36)
         np.testing.assert_array_equal(got, exp)
+
+
+class TestProjectedOnDatum:
+    def test_bng_tm_matches_os_worked_example(self):
+        """The Ordnance Survey's published worked example (Airy 1830,
+        BNG parameters): OSGB36 52°39'27.2531"N 1°43'4.5177"E ->
+        E 651409.903, N 313177.270 — sub-mm from the Krüger series
+        with the lat0=49 origin folded into fn_eff."""
+        T = RP.tmd_params(RP.parse_crs(27700))
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        lon = 1 + 43 / 60 + 4.5177 / 3600
+        E, N = RP.tm_forward_np(np.array([lon]), np.array([lat]), T["lon0"],
+                                T["k0"], T["fe"], T["fn_eff"], T["f"], T["a"])
+        assert abs(E[0] - 651409.903) < 0.005
+        assert abs(N[0] - 313177.270) < 0.005
+        lo, la = RP.tm_inverse_np(E, N, T["lon0"], T["k0"], T["fe"],
+                                  T["fn_eff"], T["f"], T["a"])
+        assert abs(lo[0] - lon) < 1e-9 and abs(la[0] - lat) < 1e-9
+
+    def test_bng_full_pipeline_roundtrip_and_shift(self):
+        fns = RP.crs_funcs(RP.parse_crs(27700))
+        lon = np.array([-0.12, -3.2, 1.3])
+        lat = np.array([51.5, 55.95, 52.63])
+        E, N = fns["fwd_np"](lon, lat)
+        # Britain lands inside the BNG kilometer grid
+        assert ((E > 0) & (E < 800000) & (N > 0) & (N < 1300000)).all()
+        lo, la = fns["inv_np"](E, N)
+        assert np.abs(lo - lon).max() < 1e-7
+        assert np.abs(la - lat).max() < 1e-7
+
+    def test_bng_wkt_and_proj4_agree_with_epsg(self):
+        tok = RP.parse_crs(27700)
+        assert tok.startswith("tmd:")
+        p4 = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+              "+x_0=400000 +y_0=-100000 +ellps=airy "
+              "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489")
+        assert RP.parse_crs(p4) == tok
+        wkt = ('PROJCS["OSGB 1936 / British National Grid",'
+               'GEOGCS["OSGB 1936",DATUM["OSGB_1936",'
+               'SPHEROID["Airy 1830",6377563.396,299.3249646],'
+               'TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],'
+               'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+               'PROJECTION["Transverse_Mercator"],'
+               'PARAMETER["latitude_of_origin",49],'
+               'PARAMETER["central_meridian",-2],'
+               'PARAMETER["scale_factor",0.9996012717],'
+               'PARAMETER["false_easting",400000],'
+               'PARAMETER["false_northing",-100000],UNIT["metre",1]]')
+        assert RP.parse_crs(wkt) == tok
+
+    def test_generic_tmerc_wgs84_is_utm_when_matching(self):
+        assert RP.parse_crs("+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 "
+                            "+x_0=500000 +y_0=0 +ellps=WGS84") == "utm:33n"
+        # non-UTM parameters -> tmd on WGS84 (datum shift is identity)
+        tok = RP.parse_crs("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 "
+                           "+x_0=3500000 +y_0=0 +ellps=WGS84")
+        assert tok.startswith("tmd:6378137.0:")
+        fns = RP.crs_funcs(tok)
+        E, N = fns["fwd_np"](np.array([9.0]), np.array([0.0]))
+        assert abs(E[0] - 3500000.0) < 1e-6 and abs(N[0]) < 1e-6

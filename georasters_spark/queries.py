@@ -2634,7 +2634,8 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     images cycling 4:4:4 / 4:2:2 / 4:2:0 subsampling are encoded and
     decoded back executor-side (gray via the multimodal fmt dispatch,
     color through the full chroma-downsample + replication-upsample
-    path). JPEG is lossy, so the hashed contract is the codec AUDIT
+    path), PLUS 12 progressive (SOF2) images whose pixels must equal
+    their baseline siblings bit-for-bit. JPEG is lossy, so the hashed contract is the codec AUDIT
     (like psnr_gate_q8): exact dims/pixel-count plus psnr>=30dB and
     mean-abs-err<=4 (gray) / <=6 (subsampled color) booleans per image
     — with the value-level rigor carried by the spec-anchored bitstream
@@ -2661,6 +2662,14 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     buf = jpeg.encode_gray(img, q, restart_interval=4 if f % 5 == 0 else 0)
                     out = MM.decode_any(buf, "jpeg", w, h).astype(np.uint8)
                     mae_bound = 4.0
+                elif f >= 60:  # progressive rows (SOF2, 4-scan SA script)
+                    q = _JPEG_QUALS[(f - 60) % 3]
+                    img = base.astype(np.uint8)
+                    buf = jpeg.encode_gray_progressive(img, q)
+                    out = jpeg.decode(buf)
+                    # progressive == baseline pixels: pin it in the gate
+                    assert (out == jpeg.decode(jpeg.encode_gray(img, q))).all()
+                    mae_bound = 4.0
                 else:  # color rows: subsampling cycles 444 / 422 / 420
                     ss = ("444", "422", "420")[(f - 48) % 3]
                     img = np.stack([
@@ -2681,7 +2690,7 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["img_id", "w", "h", "n_px",
                                               "psnr_ge_30", "mae_le_4"])
 
-    return spark.range(60).repartition(4).mapInPandas(
+    return spark.range(72).repartition(4).mapInPandas(
         gen, schema="img_id long, w int, h int, n_px long, "
                     "psnr_ge_30 boolean, mae_le_4 boolean"
     )
@@ -2693,9 +2702,9 @@ def sql_jpeg_roundtrip() -> str:
 WITH sizes(k, w, h) AS (VALUES {dims})
 SELECT CAST(f.range AS BIGINT) AS img_id,
        CAST(s.w AS INT) AS w, CAST(s.h AS INT) AS h,
-       CAST(s.w * s.h * CASE WHEN f.range >= 48 THEN 3 ELSE 1 END AS BIGINT) AS n_px,
+       CAST(s.w * s.h * CASE WHEN f.range >= 48 AND f.range < 60 THEN 3 ELSE 1 END AS BIGINT) AS n_px,
        TRUE AS psnr_ge_30, TRUE AS mae_le_4
-FROM range(60) f JOIN sizes s ON s.k = f.range % 4"""
+FROM range(72) f JOIN sizes s ON s.k = f.range % 4"""
 
 
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,9 +102,11 @@ def test_refusals_and_corruption():
     buf = J.encode_gray(img, 80)
     with pytest.raises(ValueError, match="SOI"):
         J.decode_gray(b"nope" + buf)
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF2: progressive is now SUPPORTED, but a baseline
+    # scan header (Ss=0, Se=63) is not a valid progressive scan — the
+    # mispatched stream must fail as corrupt, not decode silently
     i = buf.find(b"\xff\xc0")
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
         J.decode_gray(buf[:i] + b"\xff\xc2" + buf[i + 2:])
     # claim 5 components in SOF0 (only 1 or 3 supported)
     bad = bytearray(buf)
@@ -215,3 +217,44 @@ def test_sampling_mismatch_is_corrupt_not_silent():
         J.encode_color(np.zeros((4, 4), np.uint8))
     with pytest.raises(ValueError):
         J.encode_color(np.zeros((4, 4, 3), np.uint8), subsampling="411")
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (64, 64), (33, 57), (17, 9)])
+def test_progressive_equals_baseline(shape):
+    """Progressive (SOF2, 4-scan successive approximation) decodes to
+    the IDENTICAL pixels as baseline at the same quality — both carry
+    the same quantized coefficients, only the entropy layout differs."""
+    h, w = shape
+    img = _smooth(h, w)
+    for q in (95, 85, 50):
+        base = J.decode_gray(J.encode_gray(img, q))
+        buf = J.encode_gray_progressive(img, q)
+        assert buf[:2] == b"\xff\xd8" and b"\xff\xc2" in buf  # SOF2
+        assert buf.count(b"\xff\xda") == 4  # four scans
+        prog = J.decode_gray(buf)
+        np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_noise_and_sparse_exercise_eob_paths():
+    """Noise maximizes AC symbols + refinement corrections; a sparse
+    image maximizes cross-block EOB runs — both must round-trip to the
+    baseline pixels exactly."""
+    rng = np.random.default_rng(5)
+    noisy = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    for q in (95, 75, 30):
+        np.testing.assert_array_equal(
+            J.decode_gray(J.encode_gray_progressive(noisy, q)),
+            J.decode_gray(J.encode_gray(noisy, q)))
+    sparse = np.zeros((48, 48), np.uint8)
+    sparse[5, 7] = 255
+    sparse[40, 30] = 128
+    for q in (90, 40):
+        np.testing.assert_array_equal(
+            J.decode_gray(J.encode_gray_progressive(sparse, q)),
+            J.decode_gray(J.encode_gray(sparse, q)))
+
+
+def test_progressive_truncated_raises():
+    buf = J.encode_gray_progressive(_smooth(32, 32), 85)
+    with pytest.raises(ValueError):
+        J.decode(buf[: len(buf) * 2 // 3])

@@ -9,12 +9,19 @@ a real codec is a one-function change inside the same mapInPandas.
 
 fmt dispatch:
   'raw16'/'rawf32'/'png'/'q8'  — real codecs (sources/codec.py)
-  'tiff'                       — REAL GeoTIFF (sources/geotiff.py)
-  'jpeg'                       — REAL baseline grayscale JPEG
+  'tiff'                       — REAL GeoTIFF incl. BigTIFF
+                                 (sources/geotiff.py)
+  'jpeg'                       — REAL JPEG: baseline gray/color
+                                 (4:4:4/4:2:2/4:2:0) + progressive
                                  (sources/jpeg.py, pure numpy)
+  'wav'                        — REAL stdlib PCM16 codec (below)
+  'mp4'                        — REAL ISO-BMFF container demux
+                                 (sources/mp4.py: sample table,
+                                 keyframes, payload extraction);
+                                 coded-frame decode is the stub
   'fake'                       — deterministic pseudo-image from the
                                  byte hash (pipeline testing)
-  'webp'/'mp3'/'mp4'...        — NotImplementedError (stub boundary)
+  'webp'/'mp3'                 — NotImplementedError (stub boundary)
 """
 
 from __future__ import annotations
@@ -270,4 +277,39 @@ def frame_sample(videos: DataFrame, n_frames: int = 4) -> DataFrame:
     return videos.select(
         "video_id",
         F.posexplode(offs).alias("frame_idx", "offset_ms"),
+    )
+
+
+def video_samples(videos: DataFrame) -> DataFrame:
+    """REAL ISO-BMFF (MP4) demux per video — one row per coded sample:
+    (video_id, sample_idx, byte_offset, byte_size, pts_ms, is_sync,
+    checksum). The container layer (box walk, stsc x stco x stsz
+    sample-table resolution, stss keyframes — sources/mp4.py) is fully
+    implemented from ISO/IEC 14496-12; only decoding the coded-frame
+    PAYLOAD remains the stub boundary (no video codec libraries).
+    One Arrow pass, one task per batch of files — the same per-file
+    parallelism shape as load_tiff."""
+
+    def kernel(batches):
+        from ..sources import mp4 as M
+
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                _info, samples = M.extract_samples(bytes(t.bytes))
+                for si, off, size, pts_ms, is_sync, payload in samples:
+                    rows.append({
+                        "video_id": t.video_id, "sample_idx": si,
+                        "byte_offset": off, "byte_size": size,
+                        "pts_ms": pts_ms, "is_sync": bool(is_sync),
+                        "checksum": int(sum(payload)),
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "video_id", "sample_idx", "byte_offset", "byte_size",
+                "pts_ms", "is_sync", "checksum"])
+
+    return videos.select("video_id", "bytes").mapInPandas(
+        kernel,
+        schema="video_id long, sample_idx long, byte_offset long, "
+               "byte_size long, pts_ms long, is_sync boolean, checksum long",
     )

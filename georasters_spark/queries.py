@@ -2707,6 +2707,74 @@ SELECT CAST(f.range AS BIGINT) AS img_id,
 FROM range(72) f JOIN sizes s ON s.k = f.range % 4"""
 
 
+def q_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF (MP4) container demux end to end: 16 deterministic
+    single-track videos (formula-sized coded samples grouped 7 per
+    chunk) are BUILT and re-demuxed executor-side through the real box
+    walk + stsc x stco x stsz sample-table resolution + stss keyframes
+    (sources/mp4.py); every sample's absolute byte offset, size, pts,
+    sync flag and payload checksum is hashed against a DuckDB oracle
+    that re-derives the mdat layout arithmetically (fixed header + a
+    running sum of the size formula) — proving the demuxer reads back
+    exactly the bytes the spec-built file placed. Payload DECODE stays
+    the declared stub (no video codec libs)."""
+    import pandas as pd
+
+    from .operators import multimodal as MM
+    from .sources import mp4 as M4
+
+    def gen(batches):
+        for pdf in batches:
+            outs = []
+            for vid_ in pdf["id"].tolist():
+                v = int(vid_)
+                n = 12 + v % 9
+                payloads = [
+                    bytes((v + i * 7 + k) % 256
+                          for k in range(50 + ((v * 31 + i * 17) % 200)))
+                    for i in range(n)
+                ]
+                buf = M4.build_minimal_mp4(payloads)
+                outs.append(pd.DataFrame({"video_id": [v], "bytes": [buf]}))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=["video_id", "bytes"])
+
+    videos = spark.range(16).repartition(4).mapInPandas(
+        gen, schema="video_id long, bytes binary")
+    return MM.video_samples(videos)
+
+
+def sql_mp4_samples() -> str:
+    from .sources import mp4 as M4
+
+    start = M4.MDAT_PAYLOAD_START
+    return f"""WITH v AS (SELECT range AS video_id FROM range(16)),
+s AS (
+  SELECT v.video_id, i.range AS sample_idx,
+         50 + ((v.video_id * 31 + i.range * 17) % 200) AS byte_size
+  FROM v CROSS JOIN range(21) i
+  WHERE i.range < 12 + v.video_id % 9),
+placed AS (
+  SELECT video_id, sample_idx, byte_size,
+         {start} + COALESCE(SUM(byte_size) OVER (
+             PARTITION BY video_id ORDER BY sample_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS byte_offset
+  FROM s),
+sums AS (
+  SELECT p.video_id, p.sample_idx,
+         SUM((p.video_id + p.sample_idx * 7 + k.range) % 256) AS checksum
+  FROM placed p CROSS JOIN range(250) k
+  WHERE k.range < p.byte_size
+  GROUP BY 1, 2)
+SELECT p.video_id, p.sample_idx, CAST(p.byte_offset AS BIGINT) AS byte_offset,
+       CAST(p.byte_size AS BIGINT) AS byte_size,
+       CAST(p.sample_idx * 3000 * 1000 // 90000 AS BIGINT) AS pts_ms,
+       p.sample_idx % 10 = 0 AS is_sync,
+       CAST(sums.checksum AS BIGINT) AS checksum
+FROM placed p JOIN sums ON sums.video_id = p.video_id
+                       AND sums.sample_idx = p.sample_idx"""
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Euclidean distance transform (gdal_proximity role) —
     separable two-stage grouped-map vs a brute-force min-join oracle.
@@ -2794,6 +2862,7 @@ QUERIES = {
     "lsh_ann": (q_lsh_ann, sql_lsh_ann),
     "reproject_datum": (q_reproject_datum, sql_reproject_datum),
     "reproject_osgb": (q_reproject_osgb, sql_reproject_osgb),
+    "mp4_samples": (q_mp4_samples, sql_mp4_samples),
     # --- round-3-checked gates (CORRECTNESS_r03 green) ---
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
     "audio_features": (q_audio_features, sql_audio_features),

@@ -1,0 +1,99 @@
+"""ISO-BMFF (MP4) container codec tests — box walk, sample-table
+resolution (stsc x stco x stsz), keyframes, payload extraction, and the
+Spark demux operator. Reference parity: shrinks the 'mp4' multimodal
+leg to a real demuxer with only coded-frame decode stubbed
+(operators/multimodal.py fmt dispatch)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from georasters_spark.sources import mp4 as M
+
+
+def _payloads(v, n):
+    return [bytes((v + i * 7 + k) % 256
+                  for k in range(50 + ((v * 31 + i * 17) % 200)))
+            for i in range(n)]
+
+
+def test_build_parse_roundtrip_exact():
+    payloads = _payloads(3, 33)
+    buf = M.build_minimal_mp4(payloads)
+    info, samples = M.extract_samples(buf)
+    assert info.major_brand == "isom"
+    tr = info.tracks[0]
+    assert (tr.handler, tr.codec) == ("vide", "avc1")
+    assert (tr.width, tr.height) == (640.0, 360.0)
+    assert tr.n_samples == 33 and tr.timescale == 90000
+    assert info.duration_ms == 33 * 3000 * 1000 // 90000
+    pos = M.MDAT_PAYLOAD_START
+    for i, (si, off, size, pts_ms, is_sync, payload) in enumerate(samples):
+        assert si == i and off == pos
+        assert payload == payloads[i]
+        assert is_sync == (i % 10 == 0)  # stss every 10th, 1-based
+        assert pts_ms == i * 3000 * 1000 // 90000
+        pos += size
+
+
+def test_chunk_grouping_resolution():
+    """7-samples-per-chunk stsc runs (incl. a short last chunk) must
+    resolve to contiguous offsets inside each chunk and the recorded
+    stco offset at each chunk start."""
+    payloads = _payloads(5, 20)  # 2 full chunks of 7 + short chunk of 6
+    buf = M.build_minimal_mp4(payloads, samples_per_chunk=7)
+    info, samples = M.extract_samples(buf)
+    tr = info.tracks[0]
+    assert len(tr.chunk_offsets) == 3
+    # chunk boundaries: sample 0, 7, 14 start exactly at stco entries
+    for ci, first_sample in enumerate([0, 7, 14]):
+        assert samples[first_sample][1] == tr.chunk_offsets[ci]
+
+
+def test_largesize_and_co64_walk():
+    payloads = _payloads(1, 3)
+    buf = M.build_minimal_mp4(payloads)
+    mdat_body = b"".join(payloads)
+    small = M._box(b"mdat", mdat_body)
+    i = buf.index(small)
+    large = (struct.pack(">I", 1) + b"mdat"
+             + struct.pack(">Q", len(mdat_body) + 16) + mdat_body)
+    boxes = list(M._walk(large, 0, len(large)))
+    assert boxes[0][0] == "mdat" and boxes[0][1] == 16
+    assert i > 0  # mdat located in the real file too
+
+
+def test_refusals():
+    with pytest.raises(ValueError):
+        M.parse_mp4(b"\x00\x00\x00\x08free")  # no ftyp/moov
+    buf = M.build_minimal_mp4(_payloads(2, 5))
+    with pytest.raises(ValueError):
+        M.parse_mp4(buf[:40])  # truncated box
+    # a sample reaching past EOF must refuse, not return short bytes
+    with pytest.raises(ValueError):
+        M.extract_samples(buf[:-10])
+
+
+def test_video_samples_operator(spark):
+    from pyspark.sql import functions as F
+
+    from georasters_spark.operators import multimodal as MM
+
+    rows = [(v, M.build_minimal_mp4(_payloads(v, 12 + v % 9)))
+            for v in range(6)]
+    videos = spark.createDataFrame(rows, "video_id long, bytes binary")
+    out = MM.video_samples(videos).toPandas().sort_values(
+        ["video_id", "sample_idx"]).reset_index(drop=True)
+    for v in range(6):
+        sub = out[out.video_id == v]
+        n = 12 + v % 9
+        assert len(sub) == n
+        exp_sizes = [50 + ((v * 31 + i * 17) % 200) for i in range(n)]
+        assert sub.byte_size.tolist() == exp_sizes
+        assert sub.byte_offset.tolist() == [
+            M.MDAT_PAYLOAD_START + int(np.cumsum([0] + exp_sizes)[i])
+            for i in range(n)]
+        exp_ck = [sum((v + i * 7 + k) % 256 for k in range(exp_sizes[i]))
+                  for i in range(n)]
+        assert sub.checksum.tolist() == exp_ck

@@ -183,13 +183,19 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_audio(buf: bytes, fmt: str) -> tuple[np.ndarray, int]:
-    """Audio codec dispatch: 'wav' is REAL (stdlib); compressed formats
-    stay the declared stub boundary."""
+    """Audio codec dispatch: 'wav' (stdlib PCM16) and 'flac' (real
+    from-scratch lossless codec, sources/flac.py) are REAL; mp3 stays
+    the declared stub boundary."""
     if fmt == "wav":
         return decode_wav(bytes(buf))
+    if fmt == "flac":
+        from ..sources import flac
+
+        samples, rate = flac.decode_flac(bytes(buf))
+        return samples[:, 0].astype(np.int16), rate  # mono leg
     raise NotImplementedError(
         f"audio codec for fmt={fmt!r} not available in this environment "
-        "(no ffmpeg); 'wav' is supported via the stdlib codec"
+        "(no ffmpeg); 'wav' and 'flac' are supported via from-scratch codecs"
     )
 
 

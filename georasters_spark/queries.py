@@ -2396,6 +2396,55 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(clips, window_ms=p["window_ms"], hop_ms=p["hop_ms"])
 
 
+def q_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC codec end to end: the same formula clips as
+    audio_features, but each travels through from-scratch FLAC
+    encode -> decode (fixed predictors, Rice residuals, CRC-verified
+    frames, MD5-verified PCM; stereo_mode cycles indep/mid_side) before
+    the windowed features — FLAC is LOSSLESS, so the gate shares the
+    EXACT audio_features oracle: any coding error breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as MM
+    from .sources import flac
+
+    p = _AUD
+    rate = p["rate"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for cid in pdf["id"]:
+                c = int(cid)
+                dur = 500 + (c % 7) * 300
+                n = dur * rate // 1000
+                i = np.arange(n, dtype=np.int64)
+                s = ((i * 2654435761 + c * 97 + 12345) % 65536) - 32768
+                mono = s.astype(np.int16)
+                if c % 2 == 0:
+                    buf = flac.encode_flac(mono, rate, block_size=1024)
+                else:  # stereo mid/side with identical channels,
+                    # decoded back to the mono leg by decode_audio
+                    st = np.stack([mono, mono], axis=1)
+                    buf = flac.encode_flac(st, rate, block_size=1024,
+                                           stereo_mode="mid_side")
+                rows.append({
+                    "audio_id": c, "bytes": buf,
+                    "fmt": "flac", "duration_ms": dur,
+                })
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt", "duration_ms"])
+
+    clips = spark.range(p["n_clips"]).mapInPandas(
+        gen, schema="audio_id long, bytes binary, fmt string, duration_ms long"
+    )
+    return MM.audio_features(clips, window_ms=p["window_ms"], hop_ms=p["hop_ms"])
+
+
+def sql_flac_roundtrip() -> str:
+    return sql_audio_features()
+
+
 def sql_audio_features() -> str:
     p = _AUD
     spms = p["rate"] // 1000  # samples per millisecond
@@ -2863,6 +2912,7 @@ QUERIES = {
     "reproject_datum": (q_reproject_datum, sql_reproject_datum),
     "reproject_osgb": (q_reproject_osgb, sql_reproject_osgb),
     "mp4_samples": (q_mp4_samples, sql_mp4_samples),
+    "flac_roundtrip": (q_flac_roundtrip, sql_flac_roundtrip),
     # --- round-3-checked gates (CORRECTNESS_r03 green) ---
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
     "audio_features": (q_audio_features, sql_audio_features),

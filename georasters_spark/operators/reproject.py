@@ -2222,7 +2222,6 @@ def reproject_any_numpy_oracle(full: np.ndarray, ndv: float, src_crs, dst_crs,
 # ---------------------------------------------------------------------------
 
 _ARCSEC = math.pi / 648000.0
-_WGS84_A = 6378137.0
 
 #: proj4 ellipsoid registry (a, 1/f supplied as f directly)
 ELLIPSOIDS = {
@@ -2391,14 +2390,51 @@ def datum_to_wgs84_sql(lon: str, lat: str, P) -> tuple[str, str]:
     return f"({lam2} / {d2r})", f"({phi2} / {d2r})"
 
 
+#: +datum=NAME shorthand -> (ellipsoid, towgs84) — the proj4 names for
+#: the datums this engine's Helmert registry covers
+_PROJ4_DATUMS = {
+    "wgs84": ("wgs84", (0.0,) * 7),
+    "nad27": ("clrk66", (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)),
+    "nad83": ("grs80", (0.0,) * 7),
+    "osgb36": ("airy", (446.448, -125.157, 542.06,
+                        0.15, 0.247, 0.842, -20.489)),
+    "ed50": ("intl", (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)),
+}
+
+
+def _utm_token_if_standard(lat0, lon0, k0, fe, fn):
+    """Return 'utm:<zone><n|s>' when the TM parameters are exactly a
+    standard UTM zone, else None (shared by the WKT and proj4 paths)."""
+    zone = (lon0 + 183.0) / 6.0
+    if (lat0 == 0.0 and abs(k0 - 0.9996) < 1e-12 and fe == 500000.0
+            and fn in (0.0, 10000000.0) and abs(zone - round(zone)) < 1e-9
+            and 1 <= round(zone) <= 60):
+        return f"utm:{round(zone)}{'s' if fn else 'n'}"
+    return None
+
+
 def _parse_longlat_proj4(key: str) -> str:
     """'+proj=longlat ...' -> 'wgs84' (WGS84/GRS80-no-shift/default) or
-    a geog datum token when +ellps/+a/+b/+towgs84 define another datum."""
+    a geog datum token when +datum/+ellps/+a/+b/+towgs84 define another
+    datum. An unknown +datum NAME refuses — it must never silently
+    drop a 10-200 m shift."""
     p: dict[str, str] = {}
     for tokn in key.split():
         k2, _, v = tokn.partition("=")
         p[k2] = v
     a = f = None
+    if "+datum" in p:
+        name = p["+datum"].lower()
+        if name not in _PROJ4_DATUMS:
+            raise NotImplementedError(
+                f"+datum={p['+datum']} not in registry "
+                f"({sorted(_PROJ4_DATUMS)}); spell it out with "
+                "+ellps/+a/+b and +towgs84")
+        ell, tow = _PROJ4_DATUMS[name]
+        a, f = ELLIPSOIDS[ell]
+        if (a, f) == ELLIPSOIDS["wgs84"] and not any(tow):
+            return "wgs84"
+        return geog_token(a, f, tow)
     if "+ellps" in p:
         ell = p["+ellps"].lower()
         if ell not in ELLIPSOIDS:
@@ -2549,16 +2585,21 @@ def parse_wkt(wkt: str) -> str:
             gp = datum_params(geog)
             return tmd_token(gp["a"], gp["f"], lat0, lon0, k0, fe, fn,
                              tuple(float(x) for x in geog.split(":")[3:]))
-        zone = (lon0 + 183.0) / 6.0
-        if (lat0 == 0.0 and abs(k0 - 0.9996) < 1e-12 and fe == 500000.0
-                and fn in (0.0, 10000000.0) and abs(zone - round(zone)) < 1e-9
-                and 1 <= round(zone) <= 60):
-            return f"utm:{round(zone)}{'s' if fn else 'n'}"
+        utm = _utm_token_if_standard(lat0, lon0, k0, fe, fn)
+        if utm:
+            return utm
         a, f = ELLIPSOIDS["wgs84"]
         return tmd_token(a, f, lat0, lon0, k0, fe, fn, (0.0,) * 7)
-    if pname in ("mercator_1sp", "popular_visualisation_pseudo_mercator",
+    if pname in ("popular_visualisation_pseudo_mercator",
                  "mercator_auxiliary_sphere"):
         return "webmerc"
+    if pname == "mercator_1sp":
+        raise NotImplementedError(
+            "WKT Mercator_1SP is the ELLIPSOIDAL Mercator (EPSG:3395 "
+            "class) — only the spherical pseudo-Mercator "
+            "(Popular_Visualisation_Pseudo_Mercator / EPSG:3857) is "
+            "implemented; mapping 1SP onto it would be tens of km "
+            "wrong at mid latitudes")
     if pname == "cylindrical_equal_area":
         if p.get("standard_parallel_1", 0.0) != 0.0 or lon0 != 0.0:
             raise NotImplementedError("WKT CEA only with lat_ts=0, lon0=0")
@@ -2650,11 +2691,9 @@ def _parse_tmerc_proj4(key: str) -> str:
             if t.split("=")[0] in ("+ellps", "+a", "+b", "+f", "+rf",
                                    "+towgs84", "+datum")))
     if geog == "wgs84":
-        zone = (lon0 + 183.0) / 6.0
-        if (lat0 == 0.0 and abs(k0 - 0.9996) < 1e-12 and fe == 500000.0
-                and fn in (0.0, 10000000.0)
-                and abs(zone - round(zone)) < 1e-9 and 1 <= round(zone) <= 60):
-            return f"utm:{round(zone)}{'s' if fn else 'n'}"
+        utm = _utm_token_if_standard(lat0, lon0, k0, fe, fn)
+        if utm:
+            return utm
         a, f = ELLIPSOIDS["wgs84"]
         return tmd_token(a, f, lat0, lon0, k0, fe, fn, (0.0,) * 7)
     P = datum_params(geog)

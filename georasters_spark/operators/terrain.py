@@ -446,14 +446,17 @@ def flow_accumulation(px: DataFrame, max_rounds: int = 64) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     LAST_FLOW_ACC_ROUNDS = it
-    # subtree(v) = (rank_end(down) - rank_end(up) + 1) / 2
+    # subtree(v) = (rank_end(down) - rank_end(up) + 1) / 2 — all id
+    # arithmetic in INTEGER ops (shiftright, not '/': double division
+    # loses bits once packed arc ids pass 2^53, silently corrupting
+    # the join keys on large grids)
     rank_d = cur.filter(F.col("arc") % 2 == 0).select(
-        (F.col("arc") / 2).cast("long").alias("child"), F.col("val").alias("rd"))
+        F.shiftright(F.col("arc"), 1).alias("child"), F.col("val").alias("rd"))
     rank_u = cur.filter(F.col("arc") % 2 == 1).select(
-        ((F.col("arc") - 1) / 2).cast("long").alias("child"), F.col("val").alias("ru"))
+        F.shiftright(F.col("arc"), 1).alias("child"), F.col("val").alias("ru"))
     sub = rank_d.join(rank_u, "child").select(
         "child",
-        ((F.col("rd") - F.col("ru") + 1) / 2).cast("long").alias("acc"),
+        F.shiftright(F.col("rd") - F.col("ru") + 1, 1).alias("acc"),
     )
     # roots: 1 + sum of children's subtrees (a root never appears as a child)
     root_edges = edges.join(

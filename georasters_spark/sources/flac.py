@@ -131,11 +131,7 @@ def _utf8_number(n: int) -> bytes:
         return bytes([n])
     out = []
     bits = n.bit_length()
-    nbytes = 2
-    while bits > 5 * nbytes + (7 - nbytes) - 1 + 1 and nbytes < 7:
-        nbytes += 1
-    # simpler: find smallest nbytes with capacity
-    for nbytes in range(2, 8):
+    for nbytes in range(2, 8):  # smallest encoding with capacity
         cap = (7 - nbytes) + 6 * (nbytes - 1) if nbytes < 7 else 36
         if bits <= cap:
             break
@@ -222,8 +218,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 8000,
     frame_idx = 0
     for start in range(0, n, block_size):
         blk = s[start : start + block_size]
-        frames += _encode_frame(blk, frame_idx, sample_rate, block_size,
-                                stereo_mode)
+        frames += _encode_frame(blk, frame_idx, sample_rate, stereo_mode)
         frame_idx += 1
 
     streaminfo = (
@@ -246,7 +241,7 @@ _CH_ASGN = {"indep": None, "left_side": 8, "right_side": 9, "mid_side": 10}
 
 
 def _encode_frame(blk: np.ndarray, frame_idx: int, rate: int,
-                  nominal_bs: int, stereo_mode: str = "indep") -> bytes:
+                  stereo_mode: str = "indep") -> bytes:
     bs, nch = blk.shape
     if stereo_mode == "indep" or nch == 1:
         chmode = nch - 1
@@ -397,6 +392,9 @@ def _decode_frame(buf: bytes, pos: int, nch: int, bps: int,
         if ch_asgn + 1 != nch:
             raise ValueError("flac: channel count changed mid-stream")
         modes = [("indep", fbps)] * nch
+    elif ch_asgn <= 10 and nch != 2:
+        raise ValueError(
+            "flac: stereo channel assignment in a non-stereo stream")
     elif ch_asgn == 8:  # left/side
         modes = [("indep", fbps), ("side", fbps + 1)]
     elif ch_asgn == 9:  # right/side

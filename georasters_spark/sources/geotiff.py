@@ -634,7 +634,7 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
     # decision uses an explicit allowlist of the geographic codes this
     # writer can actually receive from parse_crs (WGS84/NAD83/ETRS89/NAD27
     # and the WGS84 sphere), falling back to projected for everything else.
-    _GEOGRAPHIC_EPSG = {4326, 4269, 4258, 4267, 4047, 4035}
+    _GEOGRAPHIC_EPSG = {4326, 4269, 4258, 4267, 4277, 4230, 4047, 4035}
     model = 2 if epsg in _GEOGRAPHIC_EPSG else 1  # geographic vs projected
     geo = [1, 1, 0, 3,
            _GK_MODEL_TYPE, 0, 1, model,

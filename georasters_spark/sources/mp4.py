@@ -290,8 +290,8 @@ def build_minimal_mp4(
             pos += sizes[si]
             si += 1
 
-    stsd_entry = (
-        struct.pack(">I", 86 + 8) + codec.encode("ascii")
+    entry_body = (
+        codec.encode("ascii")
         + b"\x00" * 6 + struct.pack(">H", 1)           # reserved + data ref
         + b"\x00" * 16
         + struct.pack(">HH", width, height)
@@ -300,12 +300,19 @@ def build_minimal_mp4(
         + b"\x00" * 32                                 # compressor name
         + struct.pack(">Hh", 24, -1)                   # depth, color table
     )
+    # declared size MUST equal the real entry length (86 for a
+    # standard VisualSampleEntry) or conformant readers overrun stsd
+    stsd_entry = struct.pack(">I", len(entry_body) + 4) + entry_body
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta))
     stsz = _full(b"stsz", 0, 0,
                  struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes))
-    if n % samples_per_chunk:
+    if nchunks > 1 and n % samples_per_chunk:
         stsc_runs = [(1, samples_per_chunk, 1), (nchunks, n % samples_per_chunk, 1)]
+    elif nchunks == 1:
+        # single (possibly short) chunk: ONE run — two runs with the
+        # same first_chunk would violate stsc's strictly-increasing rule
+        stsc_runs = [(1, n, 1)]
     else:
         stsc_runs = [(1, samples_per_chunk, 1)]
     stsc = _full(b"stsc", 0, 0, struct.pack(">I", len(stsc_runs))

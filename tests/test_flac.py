@@ -152,3 +152,21 @@ def test_multimodal_dispatch(spark):
     samples, rate = MM.decode_audio(FL.encode_flac(s, 8000), "flac")
     np.testing.assert_array_equal(samples, s)
     assert rate == 8000
+
+
+def test_mono_stream_with_stereo_frame_refuses():
+    """Code-review regression: a mono STREAMINFO whose frame claims a
+    stereo decorrelation mode must raise the flac ValueError contract,
+    not escape with an IndexError."""
+    buf = bytearray(FL.encode_flac(_sig(600), 8000))
+    # find the first frame (after the 4+4+34-byte header+STREAMINFO)
+    fpos = 4 + 4 + 34
+    assert buf[fpos] == 0xFF
+    hdr = bytearray(buf[fpos : fpos + 4])
+    hdr[3] = (8 << 4) | (hdr[3] & 0x0F)  # ch_asgn = 8 (left/side)
+    buf[fpos : fpos + 4] = hdr
+    # fix the header CRC-8 so the channel check (not the CRC) trips
+    hdr_len = 4 + 1 + 2 + 2  # sync.. + utf8(0) + bs16 + rate16
+    buf[fpos + hdr_len] = FL._crc8(bytes(buf[fpos : fpos + hdr_len]))
+    with pytest.raises(ValueError, match="flac"):
+        FL.decode_flac(bytes(buf))

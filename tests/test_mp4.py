@@ -97,3 +97,21 @@ def test_video_samples_operator(spark):
         exp_ck = [sum((v + i * 7 + k) % 256 for k in range(exp_sizes[i]))
                   for i in range(n)]
         assert sub.checksum.tolist() == exp_ck
+
+
+def test_stsd_entry_size_consistent_and_single_chunk_stsc():
+    """Code-review regressions: the VisualSampleEntry's declared size
+    must equal its real length (86), and a single-chunk file must emit
+    ONE stsc run (two runs with equal first_chunk violate the spec)."""
+    buf = M.build_minimal_mp4(_payloads(4, 5), samples_per_chunk=7)
+    # locate stsd: its entry size field must match the entry bytes
+    i = buf.index(b"stsd")
+    n_entries = struct.unpack_from(">I", buf, i + 8)[0]
+    entry_size = struct.unpack_from(">I", buf, i + 12)[0]
+    assert n_entries == 1 and entry_size == 86
+    assert buf[i + 16 : i + 20] == b"avc1"
+    info, samples = M.extract_samples(buf)
+    tr = info.tracks[0]
+    assert len(tr.sample_to_chunk) == 1
+    assert tr.sample_to_chunk[0] == (1, 5, 1)
+    assert len(samples) == 5

@@ -788,3 +788,22 @@ class TestProjectedOnDatum:
         fns = RP.crs_funcs(tok)
         E, N = fns["fwd_np"](np.array([9.0]), np.array([0.0]))
         assert abs(E[0] - 3500000.0) < 1e-6 and abs(N[0]) < 1e-6
+
+
+def test_proj4_datum_names_and_mercator_1sp_refusal():
+    """Code-review regressions: '+datum=NAD27' must apply the Helmert
+    shift (never silently resolve to wgs84), and WKT Mercator_1SP (the
+    ELLIPSOIDAL Mercator) must refuse rather than silently use the
+    spherical pseudo-Mercator kernel."""
+    t = RP.parse_crs("+proj=longlat +datum=NAD27")
+    assert t.startswith("geog:6378206.4:")
+    assert RP.parse_crs("+proj=longlat +datum=WGS84") == "wgs84"
+    with pytest.raises(NotImplementedError, match=r"\+datum"):
+        RP.parse_crs("+proj=longlat +datum=potsdam")
+    wkt = ('PROJCS["World Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+           'UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_1SP"],'
+           'PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],'
+           'UNIT["metre",1]]')
+    with pytest.raises(NotImplementedError, match="Mercator_1SP"):
+        RP.parse_crs(wkt)

@@ -566,6 +566,7 @@ _CRS_TOKENS = {
     "cea": "cea", "epsg:6933": "cea", "6933": "cea", "+proj=cea": "cea",
     "webmercator": "webmerc", "epsg:3857": "webmerc", "3857": "webmerc",
     "epsg:900913": "webmerc", "+proj=merc": "webmerc",
+    "epsg:3395": "merc3395", "3395": "merc3395",
     "sinusoidal": "sinu", "esri:54008": "sinu", "54008": "sinu",
     "+proj=sinu": "sinu",
 }
@@ -1993,6 +1994,10 @@ def crs_funcs(token: str) -> dict:
 
         return {"fwd_np": fwd_np, "inv_np": inv_np,
                 "fwd_cols": fwd_cols, "inv_cols": inv_cols}
+    if token == "merc3395":
+        return {"fwd_np": merc3395_forward_np, "inv_np": merc3395_inverse_np,
+                "fwd_cols": merc3395_forward_cols,
+                "inv_cols": merc3395_inverse_cols}
     if token.startswith("tmd:"):
         # transverse Mercator with a natural origin on a custom
         # ellipsoid + datum (EPSG:27700-class): Helmert shift composed
@@ -2594,12 +2599,12 @@ def parse_wkt(wkt: str) -> str:
                  "mercator_auxiliary_sphere"):
         return "webmerc"
     if pname == "mercator_1sp":
+        # TRUE (ellipsoidal) Mercator — EPSG:3395 form only
+        if k0 == 1.0 and lat0 == 0.0 and lon0 == 0.0 and fe == 0.0 and fn == 0.0:
+            return "merc3395"
         raise NotImplementedError(
-            "WKT Mercator_1SP is the ELLIPSOIDAL Mercator (EPSG:3395 "
-            "class) — only the spherical pseudo-Mercator "
-            "(Popular_Visualisation_Pseudo_Mercator / EPSG:3857) is "
-            "implemented; mapping 1SP onto it would be tens of km "
-            "wrong at mid latitudes")
+            "WKT Mercator_1SP only as EPSG:3395 World Mercator "
+            "(k0=1, natural origin at 0/0, no false origin)")
     if pname == "cylindrical_equal_area":
         if p.get("standard_parallel_1", 0.0) != 0.0 or lon0 != 0.0:
             raise NotImplementedError("WKT CEA only with lat_ts=0, lon0=0")
@@ -2699,3 +2704,65 @@ def _parse_tmerc_proj4(key: str) -> str:
     P = datum_params(geog)
     return tmd_token(P["a"], P["f"], lat0, lon0, k0, fe, fn,
                      tuple(float(x) for x in geog.split(":")[3:]))
+
+
+# ---------------------------------------------------------------------------
+# Ellipsoidal Mercator (EPSG:3395 World Mercator): the TRUE Mercator on
+# the WGS84 ellipsoid — x = a·λ, y = a·q with q the isometric latitude
+# q = atanh(sin φ) − e·atanh(e·sin φ); the inverse recovers the
+# conformal latitude χ = atan(sinh(y/a)) and rectifies it with the SAME
+# delta series the Krüger transverse-Mercator inverse uses
+# (_tm_series), so both engines share a closed form with no iteration.
+# ---------------------------------------------------------------------------
+
+_E_WGS84 = math.sqrt(_WGS84_F * (2.0 - _WGS84_F))
+
+
+def merc3395_forward_np(lon, lat):
+    lam = np.radians(np.asarray(lon, np.float64))
+    sphi = np.sin(np.radians(np.asarray(lat, np.float64)))
+    q = np.arctanh(sphi) - _E_WGS84 * np.arctanh(_E_WGS84 * sphi)
+    return _WGS84_A * lam, _WGS84_A * q
+
+
+def merc3395_inverse_np(x, y):
+    _n, _A, _a, _b, delta = _tm_series()
+    lam = np.asarray(x, np.float64) / _WGS84_A
+    chi = np.arctan(np.sinh(np.asarray(y, np.float64) / _WGS84_A))
+    phi = chi.copy()
+    for j, d in enumerate(delta, 1):
+        phi = phi + d * np.sin(2 * j * chi)
+    return lam / _D2R, phi / _D2R
+
+
+def merc3395_forward_cols(lon, lat):
+    lam = lon * F.lit(_D2R)
+    sphi = F.sin(lat * F.lit(_D2R))
+    atanh = lambda v: F.lit(0.5) * F.log((F.lit(1.0) + v) / (F.lit(1.0) - v))  # noqa: E731
+    q = atanh(sphi) - F.lit(_E_WGS84) * atanh(F.lit(_E_WGS84) * sphi)
+    return F.lit(_WGS84_A) * lam, F.lit(_WGS84_A) * q
+
+
+def merc3395_inverse_cols(x, y):
+    _n, _A, _a, _b, delta = _tm_series()
+    lam = x / F.lit(_WGS84_A)
+    chi = F.atan(F.sinh(y / F.lit(_WGS84_A)))
+    phi = chi
+    for j, d in enumerate(delta, 1):
+        phi = phi + F.lit(d) * F.sin(F.lit(float(2 * j)) * chi)
+    return lam / F.lit(_D2R), phi / F.lit(_D2R)
+
+
+def merc3395_inverse_sql(x_expr: str, y_expr: str) -> tuple[str, str]:
+    """(lon_sql, lat_sql) mirroring merc3395_inverse_cols term for term
+    (sinh spelled with exp for DuckDB, like tm_inverse_sql)."""
+    _n, _A, _a, _b, delta = _tm_series()
+    Al = dlit(_WGS84_A)
+    d2r = dlit(_D2R)
+    sinh_s = f"((exp(({y_expr}) / {Al}) - exp(-(({y_expr}) / {Al}))) / 2.0)"
+    chi = f"atan({sinh_s})"
+    phi = "chi" + "".join(
+        f" + {dlit(d)} * sin({dlit(float(2 * j))} * chi)"
+        for j, d in enumerate(delta, 1))
+    lon = f"(({x_expr}) / {Al} / {d2r})"
+    return lon, f"(({phi.replace('chi', chi)}) / {d2r})"

@@ -1140,6 +1140,56 @@ _DATUM_GATE = dict(out=(54, 108), bbox=(-130.0, 20.0, -60.0, 55.0))
 _OSGB_GATE = dict(out=(64, 40), bbox=(-8.0, 49.8, 2.0, 59.0))
 
 
+def q_reproject_merc3395(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE (ellipsoidal) Mercator target — EPSG:3395 World Mercator,
+    ~34 km south of the spherical pseudo-Mercator at lat 52: isometric-
+    latitude forward, conformal-latitude + Krüger delta-series inverse,
+    all closed-form Column trig; DuckDB re-derives the inverse term for
+    term."""
+    from .operators import reproject as RP
+
+    spec = SPEC
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.reproject_any(
+        px, 4326, 3395,
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=(96, 128),
+        bbox_lonlat=(-170.0, -80.0, 170.0, 80.0),
+    )
+
+
+def sql_reproject_merc3395() -> str:
+    from .operators import reproject as RP
+    from .operators.reproject import dlit
+
+    spec = SPEC
+    bbox = (-170.0, -80.0, 170.0, 80.0)
+    X0, Y0b, X1, Y1b = RP.any_bounds(
+        4326, 3395, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), bbox)
+    th, tw = 96, 128
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    lon_sql, lat_sql = RP.merc3395_inverse_sql("xm", "ym")
+    return f"""WITH {synth.pixel_sql(spec)},
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
+         {dlit(Y1b)} + (tr.range + 0.5) * {dlit(tcy)} AS ym
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+ll AS (
+  SELECT trow, tcol, xm, ym, {lon_sql} AS lon, {lat_sql} AS lat FROM tgt),
+loc AS (
+  SELECT trow, tcol, xm, ym,
+         CAST(FLOOR(ROUND((lat - {dlit(spec.y0)}) / {dlit(spec.celly)}, {RP._Q})) AS BIGINT) AS row,
+         CAST(FLOOR(ROUND((lon - {dlit(spec.x0)}) / {dlit(spec.cellx)}, {RP._Q})) AS BIGINT) AS col
+  FROM ll)
+SELECT loc.trow, loc.tcol, loc.xm AS xm, loc.ym AS ym, px.value
+FROM loc LEFT JOIN px ON px.row = loc.row AND px.col = loc.col"""
+
+
 def q_reproject_osgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROJECTED-on-datum warp (EPSG:27700 British National Grid): the
     WGS84 source grid windowed to Britain lands on a BNG lattice —
@@ -2683,8 +2733,8 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     images cycling 4:4:4 / 4:2:2 / 4:2:0 subsampling are encoded and
     decoded back executor-side (gray via the multimodal fmt dispatch,
     color through the full chroma-downsample + replication-upsample
-    path), PLUS 12 progressive (SOF2) images whose pixels must equal
-    their baseline siblings bit-for-bit. JPEG is lossy, so the hashed contract is the codec AUDIT
+    path), PLUS 12 gray and 6 color progressive (SOF2) images whose
+    pixels must equal their baseline siblings bit-for-bit. JPEG is lossy, so the hashed contract is the codec AUDIT
     (like psnr_gate_q8): exact dims/pixel-count plus psnr>=30dB and
     mean-abs-err<=4 (gray) / <=6 (subsampled color) booleans per image
     — with the value-level rigor carried by the spec-anchored bitstream
@@ -2711,13 +2761,24 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     buf = jpeg.encode_gray(img, q, restart_interval=4 if f % 5 == 0 else 0)
                     out = MM.decode_any(buf, "jpeg", w, h).astype(np.uint8)
                     mae_bound = 4.0
-                elif f >= 60:  # progressive rows (SOF2, 4-scan SA script)
+                elif 60 <= f < 72:  # gray progressive (SOF2, 4-scan SA)
                     q = _JPEG_QUALS[(f - 60) % 3]
                     img = base.astype(np.uint8)
                     buf = jpeg.encode_gray_progressive(img, q)
                     out = jpeg.decode(buf)
                     # progressive == baseline pixels: pin it in the gate
                     assert (out == jpeg.decode(jpeg.encode_gray(img, q))).all()
+                    mae_bound = 4.0
+                elif f >= 72:  # COLOR progressive (8-scan, interleaved DC)
+                    q = _JPEG_QUALS[(f - 72) % 3]
+                    img = np.stack([
+                        np.clip(base, 0, 255),
+                        np.clip(0.8 * base + 20, 0, 255),
+                        np.clip(255 - base, 0, 255),
+                    ], axis=2).astype(np.uint8)
+                    buf = jpeg.encode_color_progressive(img, q)
+                    out = jpeg.decode(buf)
+                    assert (out == jpeg.decode(jpeg.encode_color(img, q))).all()
                     mae_bound = 4.0
                 else:  # color rows: subsampling cycles 444 / 422 / 420
                     ss = ("444", "422", "420")[(f - 48) % 3]
@@ -2739,7 +2800,7 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["img_id", "w", "h", "n_px",
                                               "psnr_ge_30", "mae_le_4"])
 
-    return spark.range(72).repartition(4).mapInPandas(
+    return spark.range(78).repartition(4).mapInPandas(
         gen, schema="img_id long, w int, h int, n_px long, "
                     "psnr_ge_30 boolean, mae_le_4 boolean"
     )
@@ -2751,9 +2812,9 @@ def sql_jpeg_roundtrip() -> str:
 WITH sizes(k, w, h) AS (VALUES {dims})
 SELECT CAST(f.range AS BIGINT) AS img_id,
        CAST(s.w AS INT) AS w, CAST(s.h AS INT) AS h,
-       CAST(s.w * s.h * CASE WHEN f.range >= 48 AND f.range < 60 THEN 3 ELSE 1 END AS BIGINT) AS n_px,
+       CAST(s.w * s.h * CASE WHEN (f.range >= 48 AND f.range < 60) OR f.range >= 72 THEN 3 ELSE 1 END AS BIGINT) AS n_px,
        TRUE AS psnr_ge_30, TRUE AS mae_le_4
-FROM range(72) f JOIN sizes s ON s.k = f.range % 4"""
+FROM range(78) f JOIN sizes s ON s.k = f.range % 4"""
 
 
 def q_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2913,6 +2974,7 @@ QUERIES = {
     "reproject_osgb": (q_reproject_osgb, sql_reproject_osgb),
     "mp4_samples": (q_mp4_samples, sql_mp4_samples),
     "flac_roundtrip": (q_flac_roundtrip, sql_flac_roundtrip),
+    "reproject_merc3395": (q_reproject_merc3395, sql_reproject_merc3395),
     # --- round-3-checked gates (CORRECTNESS_r03 green) ---
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
     "audio_features": (q_audio_features, sql_audio_features),

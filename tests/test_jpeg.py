@@ -258,3 +258,18 @@ def test_progressive_truncated_raises():
     buf = J.encode_gray_progressive(_smooth(32, 32), 85)
     with pytest.raises(ValueError):
         J.decode(buf[: len(buf) * 2 // 3])
+
+
+def test_color_progressive_equals_baseline():
+    """8-scan color progressive (interleaved DC scans, per-component
+    AC scans) decodes to the IDENTICAL pixels as baseline 4:4:4."""
+    rgb = _smooth_rgb(48, 72)
+    for q in (95, 75):
+        buf = J.encode_color_progressive(rgb, q)
+        assert b"\xff\xc2" in buf and buf.count(b"\xff\xda") == 8
+        np.testing.assert_array_equal(
+            J.decode(buf), J.decode(J.encode_color(rgb, q)))
+    noisy = np.random.default_rng(9).integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        J.decode(J.encode_color_progressive(noisy, 85)),
+        J.decode(J.encode_color(noisy, 85)))

@@ -273,3 +273,19 @@ def test_color_progressive_equals_baseline():
     np.testing.assert_array_equal(
         J.decode(J.encode_color_progressive(noisy, 85)),
         J.decode(J.encode_color(noisy, 85)))
+
+
+@pytest.mark.parametrize("ss", ["422", "420"])
+@pytest.mark.parametrize("shape", [(48, 72), (33, 57), (17, 23)])
+def test_subsampled_progressive_equals_subsampled_baseline(ss, shape):
+    """Progressive + chroma subsampling together: interleaved DC scans
+    carry vs*hs Y data units per MCU while AC scans cover each
+    component's TRUE block grid (excluding MCU padding) — for odd
+    dimensions the true and padded grids genuinely differ, pinning the
+    decoder's hardest geometry branch. Pixels must equal the baseline
+    subsampled encoding exactly."""
+    img = _smooth_rgb(*shape)
+    p = J.decode(J.encode_color_progressive(img, 85, subsampling=ss))
+    b = J.decode(J.encode_color(img, 85, subsampling=ss))
+    assert p.shape == img.shape
+    np.testing.assert_array_equal(p, b)

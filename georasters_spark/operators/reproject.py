@@ -705,6 +705,18 @@ def reproject(
         )
     if dst == "wgs84":
         raise NotImplementedError("identity reproject: use resize/extract")
+    if dst == "merc3395" or dst.startswith(("geog:", "tmd:")):
+        # ellipsoidal Mercator / datum'd geographic / TM-on-datum
+        # targets route through the general composed warp — they must
+        # NEVER fall through to the CEA kernel below
+        if resampling not in ("nearest", "bilinear"):
+            raise NotImplementedError(
+                f"{dst.split(':')[0]} targets support nearest/bilinear")
+        return reproject_any(px, src_crs, dst_crs, src_origin, src_cellsize,
+                             src_shape, out_shape, resampling=resampling,
+                             bbox_lonlat=bbox_lonlat)
+    if dst != "cea":
+        raise NotImplementedError(f"no warp route for CRS token {dst!r}")
     if resampling == "nearest":
         return wgs84_to_cea_grid(*args)
     if resampling == "bilinear":

@@ -805,5 +805,36 @@ def test_proj4_datum_names_and_mercator_1sp_refusal():
            'UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_1SP"],'
            'PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],'
            'UNIT["metre",1]]')
+    # the EPSG:3395 form IS supported (true ellipsoidal Mercator) —
+    # but a scaled/offset 1SP variant must refuse, never silently
+    # degrade to either the spherical or the k0=1 kernel
+    assert RP.parse_crs(wkt) == "merc3395"
+    scaled = wkt.replace('PARAMETER["scale_factor",1]',
+                         'PARAMETER["scale_factor",0.994]')
     with pytest.raises(NotImplementedError, match="Mercator_1SP"):
-        RP.parse_crs(wkt)
+        RP.parse_crs(scaled)
+
+
+def test_dispatcher_routes_new_targets_and_never_falls_through(spark):
+    """reproject() must route merc3395/datum/tmd targets through the
+    composed warp — never silently fall through to the CEA kernel —
+    and unknown tokens refuse."""
+    h, w = 12, 18
+    full = ((np.arange(h)[:, None] * 7919 + np.arange(w)[None, :]
+             * 104729) % 1997).astype(np.int64)
+    px = spark.createDataFrame(
+        [(r, c, int(full[r, c])) for r in range(h) for c in range(w)],
+        "row long, col long, value long")
+    org, cell = (-100.0, 40.0), (0.05, -0.05)
+    for dst in (3395, 4267, 27700):
+        got = (RP.reproject(px, 4326, dst, org, cell, (h, w), (8, 12),
+                            bbox_lonlat=(-100.0, 39.4, -99.1, 40.0))
+               .toPandas().sort_values(["trow", "tcol"]))
+        exp = RP.reproject_any_numpy_oracle(
+            full, -1, 4326, dst, org, cell, (8, 12),
+            bbox_lonlat=(-100.0, 39.4, -99.1, 40.0))
+        np.testing.assert_array_equal(
+            got.value.fillna(-1).to_numpy().reshape(8, 12), exp)
+    with pytest.raises(NotImplementedError):
+        RP.reproject(px, 4326, 3395, org, cell, (h, w), (8, 12),
+                     resampling="lanczos")

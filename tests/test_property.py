@@ -88,3 +88,90 @@ def test_affine_roundtrip_property(col, cellx, x0):
     x = x0 + col * cellx
     back = int(np.round((x - x0) / cellx))
     assert back == col
+
+
+# --- round-4 codec fuzz (the round-3 LZW bug was found exactly here) ---
+
+from georasters_spark.sources import flac as _flac
+from georasters_spark.sources import geotiff as _gt
+from georasters_spark.sources import jpeg as _jpeg
+from georasters_spark.sources import mp4 as _mp4
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arrays(np.int16, st.integers(1, 2200).map(lambda n: (n,)),
+           elements=st.integers(-32768, 32767)),
+    st.sampled_from([256, 1024, 4096]),
+)
+def test_flac_mono_roundtrip_fuzz(samples, block_size):
+    out, _ = _flac.decode_flac(_flac.encode_flac(samples, 8000,
+                                                 block_size=block_size))
+    assert np.array_equal(out[:, 0], samples)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    arrays(np.int16, st.integers(2, 900).map(lambda n: (n, 2)),
+           elements=st.integers(-32768, 32767)),
+    st.sampled_from(["indep", "mid_side", "left_side", "right_side"]),
+)
+def test_flac_stereo_roundtrip_fuzz(samples, mode):
+    out, _ = _flac.decode_flac(
+        _flac.encode_flac(samples, 44100, block_size=576, stereo_mode=mode))
+    assert np.array_equal(out, samples)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 40), st.integers(1, 40)),
+           elements=st.integers(0, 255)),
+    st.sampled_from([30, 75, 95]),
+)
+def test_progressive_jpeg_equals_baseline_fuzz(img, quality):
+    base = _jpeg.decode_gray(_jpeg.encode_gray(img, quality))
+    prog = _jpeg.decode_gray(_jpeg.encode_gray_progressive(img, quality))
+    assert np.array_equal(prog, base)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 33), st.integers(1, 33),
+                               st.just(3)),
+           elements=st.integers(0, 255)),
+    st.sampled_from(["444", "422", "420"]),
+)
+def test_color_progressive_equals_baseline_fuzz(img, ss):
+    base = _jpeg.decode(_jpeg.encode_color(img, 85, subsampling=ss))
+    prog = _jpeg.decode(_jpeg.encode_color_progressive(img, 85, subsampling=ss))
+    assert np.array_equal(prog, base)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arrays(np.uint16, st.tuples(st.integers(1, 60), st.integers(1, 60)),
+           elements=st.integers(0, 65535)),
+    st.sampled_from(["none", "deflate", "lzw"]),
+    st.booleans(),
+    st.booleans(),
+)
+def test_bigtiff_roundtrip_fuzz(arr, compression, tiled, bigtiff):
+    buf = _gt.write_tiff(arr, compression=compression, predictor=True,
+                         tiled=tiled, tile_size=16, bigtiff=bigtiff)
+    out, _meta = _gt.parse_tiff(buf)
+    assert np.array_equal(out, arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.binary(min_size=1, max_size=300), min_size=1, max_size=40),
+    st.integers(1, 9),
+)
+def test_mp4_sample_table_fuzz(payloads, spc):
+    buf = _mp4.build_minimal_mp4(payloads, samples_per_chunk=spc)
+    _info, samples = _mp4.extract_samples(buf)
+    assert len(samples) == len(payloads)
+    pos = _mp4.MDAT_PAYLOAD_START
+    for i, (si, off, size, _pts, _sync, payload) in enumerate(samples):
+        assert (si, off) == (i, pos) and payload == payloads[i]
+        pos += size

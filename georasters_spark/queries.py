@@ -2885,6 +2885,68 @@ FROM placed p JOIN sums ON sums.video_id = p.video_id
                        AND sums.sample_idx = p.sample_idx"""
 
 
+def q_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video END TO END — no stub on this path: 8 Motion-JPEG
+    MP4s (12 formula frames each, JPEG-coded, spec-built container)
+    are demuxed by the real ISO-BMFF parser, 4 sync frames picked per
+    video, and each coded sample decoded by the real JPEG codec.
+    Dims, sample/pts arithmetic, and the PSNR>=30 audit vs the formula
+    original are hashed (JPEG is lossy — same audit contract as
+    jpeg_roundtrip). Inter-frame codecs (avc1/hevc) stay the declared
+    stub; MJPEG is a real, complete video family."""
+    import pandas as pd
+
+    from .sources import jpeg as J
+    from .sources import mp4 as M4
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for vid_ in pdf["id"].tolist():
+                v = int(vid_)
+                h, w = 32, 48
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                frames = [
+                    (128 + 90 * np.sin(r / 5.0 + v * 0.3 + i * 0.17)
+                     * np.cos(c / 6.0)).astype(np.uint8)
+                    for i in range(12)
+                ]
+                buf = M4.build_minimal_mp4(
+                    [J.encode_gray(f, 90) for f in frames],
+                    codec="mjpg", sync_every=3)
+                _info, samples = M4.extract_samples(buf)
+                sync = [s for s in samples if s[4]]
+                picks = [sync[i * len(sync) // 4] for i in range(4)]
+                for fi, (si, _o, _sz, pts_ms, _sy, payload) in enumerate(picks):
+                    img = J.decode_gray(payload)
+                    rows.append({
+                        "video_id": v, "frame_idx": fi, "sample_idx": si,
+                        "pts_ms": pts_ms,
+                        "w": int(img.shape[1]), "h": int(img.shape[0]),
+                        "psnr_ge_30": bool(J.psnr_u8(frames[si], img) >= 30.0),
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "video_id", "frame_idx", "sample_idx", "pts_ms",
+                "w", "h", "psnr_ge_30"])
+
+    return spark.range(8).repartition(4).mapInPandas(
+        gen, schema="video_id long, frame_idx long, sample_idx long, "
+                    "pts_ms long, w int, h int, psnr_ge_30 boolean")
+
+
+def sql_mjpeg_frames() -> str:
+    return """SELECT CAST(v.range AS BIGINT) AS video_id,
+       CAST(i.range AS BIGINT) AS frame_idx,
+       CAST(i.range * 3 AS BIGINT) AS sample_idx,
+       CAST(i.range * 3 * 3000 * 1000 // 90000 AS BIGINT) AS pts_ms,
+       CAST(48 AS INT) AS w, CAST(32 AS INT) AS h,
+       TRUE AS psnr_ge_30
+FROM range(8) v CROSS JOIN range(4) i"""
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Euclidean distance transform (gdal_proximity role) —
     separable two-stage grouped-map vs a brute-force min-join oracle.
@@ -2975,6 +3037,7 @@ QUERIES = {
     "mp4_samples": (q_mp4_samples, sql_mp4_samples),
     "flac_roundtrip": (q_flac_roundtrip, sql_flac_roundtrip),
     "reproject_merc3395": (q_reproject_merc3395, sql_reproject_merc3395),
+    "mjpeg_frames": (q_mjpeg_frames, sql_mjpeg_frames),
     # --- round-3-checked gates (CORRECTNESS_r03 green) ---
     "pixel_decode": (q_pixel_decode, sql_pixel_decode),
     "audio_features": (q_audio_features, sql_audio_features),

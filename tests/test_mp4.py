@@ -115,3 +115,37 @@ def test_stsd_entry_size_consistent_and_single_chunk_stsc():
     assert len(tr.sample_to_chunk) == 1
     assert tr.sample_to_chunk[0] == (1, 5, 1)
     assert len(samples) == 5
+
+
+def test_video_frames_mjpeg_end_to_end(spark):
+    """No stub anywhere: spec-built MJPEG mp4 -> real demux -> real
+    JPEG decode; pixel sums equal decoding the payloads directly, and
+    an inter-frame codec fourcc refuses."""
+    from georasters_spark.operators import multimodal as MM
+    from georasters_spark.sources import jpeg as J
+
+    def frame(v, i, h=32, w=48):
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        return (128 + 90 * np.sin(r / 5.0 + v * 0.3 + i * 0.17)
+                * np.cos(c / 6.0)).astype(np.uint8)
+
+    rows = []
+    for v in range(3):
+        payloads = [J.encode_gray(frame(v, i), 90) for i in range(12)]
+        rows.append((v, M.build_minimal_mp4(payloads, codec="mjpg",
+                                            sync_every=3)))
+    videos = spark.createDataFrame(rows, "video_id long, bytes binary")
+    out = (MM.video_frames(videos, n_frames=4).toPandas()
+           .sort_values(["video_id", "frame_idx"]))
+    assert len(out) == 12 and (out.w == 48).all() and (out.h == 32).all()
+    assert out.sample_idx.tolist() == [0, 3, 6, 9] * 3
+    for t in out.itertuples(index=False):
+        img = J.decode_gray(J.encode_gray(frame(t.video_id, t.sample_idx), 90))
+        assert t.px_sum == int(img.astype(np.int64).sum())
+    # avc1 fourcc refuses (inter-frame codecs are the stub boundary)
+    avc = spark.createDataFrame(
+        [(9, M.build_minimal_mp4([b"\x00" * 50], codec="avc1"))],
+        "video_id long, bytes binary")
+    with pytest.raises(Exception, match="Motion-JPEG|NotImplemented"):
+        MM.video_frames(avc).collect()

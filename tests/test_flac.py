@@ -170,3 +170,34 @@ def test_mono_stream_with_stereo_frame_refuses():
     buf[fpos + hdr_len] = FL._crc8(bytes(buf[fpos : fpos + hdr_len]))
     with pytest.raises(ValueError, match="flac"):
         FL.decode_flac(bytes(buf))
+
+
+def test_wasted_bits_and_verbatim_subframe_decode():
+    """Hand-built spec frame for the two decode paths the encoder never
+    emits together: a VERBATIM subframe with 2 wasted bits (samples
+    stored >>2 in bps-2 bits, shifted back on output)."""
+    bs = 6
+    true_samples = [-1000, 4, 2048, -4, 0, 512]  # multiples of 4
+    stored = [s >> 2 for s in true_samples]
+    bw = FL._BitWriter()
+    hdr = bytearray(b"\xff\xf8")
+    hdr.append((0b0111 << 4) | 0b1101)
+    hdr.append((0 << 4) | (0b100 << 1))
+    hdr += FL._utf8_number(0)
+    hdr += struct.pack(">H", bs - 1)
+    hdr += struct.pack(">H", 8000)
+    hdr.append(FL._crc8(bytes(hdr)))
+    bw.put(0, 1)
+    bw.put(0b000001, 6)   # VERBATIM
+    bw.put(1, 1)          # wasted-bits flag
+    bw.put_unary(2 - 1)   # k = 2 wasted bits (unary of k-1)
+    for v in stored:
+        bw.put(v & 0x3FFF, 14)  # bps - wasted = 14 bits
+    bw.align()
+    body = bytes(hdr) + bytes(bw.out)
+    frame = body + struct.pack(">H", FL._crc16(body))
+    si = (struct.pack(">HH", bs, bs) + b"\x00\x00\x00" * 2
+          + FL._pack_streaminfo_tail(8000, 1, 16, bs) + b"\x00" * 16)
+    buf = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si + frame
+    out, _ = FL.decode_flac(buf)
+    assert out[:, 0].tolist() == true_samples

@@ -289,3 +289,53 @@ def test_subsampled_progressive_equals_subsampled_baseline(ss, shape):
     b = J.decode(J.encode_color(img, 85, subsampling=ss))
     assert p.shape == img.shape
     np.testing.assert_array_equal(p, b)
+
+
+def test_progressive_noninterleaved_dc_scans_decode():
+    """T.81 allows DC scans to be NON-interleaved (ns=1 per component)
+    — a path the color encoder never emits (it interleaves). Assemble
+    a 6-DC-scan + AC-scan variant from the module's scan encoders and
+    assert it decodes to the same pixels as the interleaved form."""
+    import struct
+
+    rgb = _smooth_rgb(24, 40)
+    q = 85
+    h, w = 24, 40
+    a = rgb.astype(np.float64)
+    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    qly = J.quality_tables(q)
+    qlc = J._scale_table(J.QTABLE_CHROM, q)
+    zzs = [J._plane_to_zz(p - 128.0, qly if i == 0 else qlc)
+           for i, p in enumerate(planes)]
+    scans = []
+    for ci in range(3):  # DC first, one scan per component
+        scans.append((bytes([1, ci + 1, 0]), 0, 0, 0, 1,
+                      J._enc_dc_first(zzs[ci], 1)))
+    for ci in range(3):
+        scans.append((bytes([1, ci + 1, 0]), 1, 63, 0, 1,
+                      J._enc_ac_first(zzs[ci], 1, 63, 1)))
+    for ci in range(3):  # DC refine, non-interleaved
+        scans.append((bytes([1, ci + 1, 0]), 0, 0, 1, 0,
+                      J._enc_dc_refine(zzs[ci], 0)))
+    for ci in range(3):
+        scans.append((bytes([1, ci + 1, 0]), 1, 63, 1, 0,
+                      J._enc_ac_refine(zzs[ci], 1, 63, 0)))
+    out = b"\xff\xd8"
+    out += J._seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += J._seg(0xFFDB, b"\x00" + qly.reshape(64)[J.ZIGZAG].astype(np.uint8).tobytes()
+                  + b"\x01" + qlc.reshape(64)[J.ZIGZAG].astype(np.uint8).tobytes())
+    out += J._seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 3)
+                  + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    out += J._seg(0xFFC4, b"\x00" + bytes(J.DC_BITS) + bytes(J.DC_VALS))
+    out += J._seg(0xFFC4, b"\x10" + bytes(J.PROG_AC_BITS) + bytes(J.PROG_AC_VALS))
+    for comps, ss, se, ah, al, data in scans:
+        out += J._seg(0xFFDA, comps + bytes([ss, se, (ah << 4) | al]))
+        out += data
+    out += b"\xff\xd9"
+    np.testing.assert_array_equal(
+        J.decode(out), J.decode(J.encode_color_progressive(rgb, q)))

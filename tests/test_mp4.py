@@ -149,3 +149,43 @@ def test_video_frames_mjpeg_end_to_end(spark):
         "video_id long, bytes binary")
     with pytest.raises(Exception, match="Motion-JPEG|NotImplemented"):
         MM.video_frames(avc).collect()
+
+
+def test_version1_boxes_parse():
+    """mvhd/tkhd/mdhd version-1 (64-bit time) layouts — the writer
+    emits v0, so v1 is built here by rewrapping a v0 file's stbl under
+    v1 headers (stco offsets stay valid: ftyp+mdat are unchanged)."""
+    payloads = _payloads(6, 9)
+    buf0 = M.build_minimal_mp4(payloads)
+    base = M.extract_samples(buf0)[1]
+    # locate moov -> trak -> mdia children in the v0 file
+    moov = [b for b in M._walk(buf0, 0, len(buf0)) if b[0] == "moov"][0]
+    trak = [b for b in M._walk(buf0, moov[1], moov[2]) if b[0] == "trak"][0]
+    mdia = [b for b in M._walk(buf0, trak[1], trak[2]) if b[0] == "mdia"][0]
+    kids = {fc: buf0[a - 8: b] for fc, a, b in M._walk(buf0, mdia[1], mdia[2])}
+    dur = 9 * 3000
+    mdhd1 = M._full(b"mdhd", 1, 0,
+                    struct.pack(">QQIQ", 0, 0, 90000, dur)
+                    + struct.pack(">HH", 0x55C4, 0))
+    tkhd1 = M._full(b"tkhd", 1, 7,
+                    struct.pack(">QQI", 0, 0, 1) + b"\x00" * 4
+                    + struct.pack(">Q", dur) + b"\x00" * 8
+                    + struct.pack(">HHHH", 0, 0, 0, 0)
+                    + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                                  0x40000000)
+                    + struct.pack(">II", 640 << 16, 360 << 16))
+    mvhd1 = M._full(b"mvhd", 1, 0,
+                    struct.pack(">QQIQ", 0, 0, 90000, dur)
+                    + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+                    + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                                  0x40000000)
+                    + b"\x00" * 24 + struct.pack(">I", 2))
+    mdia1 = M._box(b"mdia", mdhd1 + kids["hdlr"] + kids["minf"])
+    moov1 = M._box(b"moov", mvhd1 + M._box(b"trak", tkhd1 + mdia1))
+    i = buf0.index(b"moov") - 4
+    buf1 = buf0[:i] + moov1
+    info, samples = M.extract_samples(buf1)
+    tr = info.tracks[0]
+    assert info.movie_timescale == 90000 and tr.track_id == 1
+    assert (tr.width, tr.height) == (640.0, 360.0)
+    assert [(s[1], s[2]) for s in samples] == [(s[1], s[2]) for s in base]

@@ -2510,8 +2510,18 @@ def _wkt_parse_node(s: str, i: int):
             args.append(s[j + 1 : k])
             j = k + 1
         elif s[j].isalpha():
-            node, j = _wkt_parse_node(s, j)
-            args.append(node)
+            # Bare enum keywords (NORTH/EAST in AXIS[...], etc.) are atoms,
+            # not nested nodes: only recurse when a '[' opens before the
+            # next ',' or ']' delimiter.
+            k = j
+            while k < len(s) and s[k] not in "[,]":
+                k += 1
+            if k < len(s) and s[k] == "[":
+                node, j = _wkt_parse_node(s, j)
+                args.append(node)
+            else:
+                args.append(s[j:k].strip())
+                j = k
         else:
             k = j
             while k < len(s) and s[k] not in ",]":

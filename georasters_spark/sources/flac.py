@@ -436,6 +436,8 @@ def _decode_subframe(br: _BitReader, bs: int, bps: int) -> list:
     wasted = 0
     if br.get(1):
         wasted = 1 + br.get_unary()
+        if wasted >= bps:
+            raise ValueError("flac: wasted bits exceed sample size")
         bps -= wasted
     if t == 0:  # CONSTANT
         v = br.get_signed(bps)
@@ -457,6 +459,8 @@ def _decode_subframe(br: _BitReader, bs: int, bps: int) -> list:
         if prec == 16:
             raise ValueError("flac: invalid qlp precision")
         shift = br.get_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative qlp shift")
         coefs = [br.get_signed(prec) for _ in range(order)]
         res = _decode_residual(br, bs, order)
         for i, r in enumerate(res):

@@ -201,3 +201,30 @@ def test_wasted_bits_and_verbatim_subframe_decode():
     buf = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si + frame
     out, _ = FL.decode_flac(buf)
     assert out[:, 0].tolist() == true_samples
+
+
+def test_corrupt_subframe_guards():
+    """Crafted corrupt subframes fail with clear errors, not bare
+    ValueError('negative shift count') / nonsense bps (advisor r4)."""
+    # LPC subframe (order 1) with a negative quantization shift (-1).
+    bw = FL._BitWriter()
+    bw.put(0, 1)           # padding bit
+    bw.put(32, 6)          # LPC, order = 32 - 31 = 1
+    bw.put(0, 1)           # no wasted bits
+    bw.put(5 & 0xFFFF, 16)  # warm-up sample, bps=16
+    bw.put(3, 4)           # precision-1 = 3 -> prec 4
+    bw.put(0b11111, 5)     # shift = -1 (signed 5-bit)
+    bw.align()
+    br = FL._BitReader(bytes(bw.out) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="negative qlp shift"):
+        FL._decode_subframe(br, 4, 16)
+    # Wasted bits >= bps: unary 16 -> wasted 17 on a 16-bit stream.
+    bw = FL._BitWriter()
+    bw.put(0, 1)
+    bw.put(0b000001, 6)    # VERBATIM
+    bw.put(1, 1)           # wasted flag
+    bw.put_unary(17 - 1)
+    bw.align()
+    br = FL._BitReader(bytes(bw.out) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="wasted bits"):
+        FL._decode_subframe(br, 4, 16)

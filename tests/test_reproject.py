@@ -697,6 +697,34 @@ class TestDatumAndWkt:
                    'PARAMETER["central_meridian",-96],UNIT["metre",1]]')
         assert RP.parse_crs(wkt_lcc) == "lcc:custom:33.0:45.0:39.0:-96.0:0.0:0.0"
 
+    def test_wkt_axis_bare_keywords(self):
+        # Standard GDAL ExportToWkt() output carries AXIS["Latitude",NORTH]
+        # nodes whose second argument is a bare (unquoted) enum keyword —
+        # the parser must treat NORTH/EAST as string atoms, not nested
+        # nodes (advisor finding r4).
+        wkt4326 = ('GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+                   '6378137,298.257223563,AUTHORITY["EPSG","7030"]],'
+                   'AUTHORITY["EPSG","6326"]],PRIMEM["Greenwich",0,'
+                   'AUTHORITY["EPSG","8901"]],UNIT["degree",'
+                   '0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+                   'AXIS["Latitude",NORTH],AXIS["Longitude",EAST],'
+                   'AUTHORITY["EPSG","4326"]]')
+        assert RP.parse_crs(wkt4326) == "wgs84"
+        wkt_utm = ('PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",'
+                   'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+                   '298.257223563]],PRIMEM["Greenwich",0],'
+                   'UNIT["degree",0.0174532925199433]],'
+                   'PROJECTION["Transverse_Mercator"],'
+                   'PARAMETER["latitude_of_origin",0],'
+                   'PARAMETER["central_meridian",15],'
+                   'PARAMETER["scale_factor",0.9996],'
+                   'PARAMETER["false_easting",500000],'
+                   'PARAMETER["false_northing",0],'
+                   'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+                   'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+                   'AUTHORITY["EPSG","32633"]]')
+        assert RP.parse_crs(wkt_utm) == "utm:33n"
+
     def test_wkt_refusals(self):
         # projected on a non-WGS84 datum is supported ONLY for
         # Transverse_Mercator; other projections still refuse

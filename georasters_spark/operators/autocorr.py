@@ -538,3 +538,148 @@ def moran_rowstd(px: DataFrame, rook: bool = False) -> float:
     ).collect()[0]
     den = px.agg(F.sum((F.col("value") - mean) * (F.col("value") - mean))).collect()[0][0]
     return (n / float(row["nw"])) * float(row["num"]) / float(den)
+
+
+def local_permutation_test(
+    px: DataFrame,
+    n_perm: int = 19,
+    seed: int = 211,
+    rook: bool = False,
+    stat: str = "moran",
+) -> DataFrame:
+    """Per-cell CONDITIONAL permutation p-values for LISA / G*-local
+    (reference georasters.py:1310-1341, 1343-1378: esda Moran_Local /
+    G_Local accept permutations= and return per-cell p_sim — the
+    standard LISA significance filter).
+
+    esda holds v_i fixed and redraws i's neighborhood from the other
+    cells; this engine's draws are seeded modular affine probes (the
+    deterministic cross-engine-exact analog of the global test's
+    permutations): for cell at rank k, permutation p samples ranks
+        m_t = (a_p·(k + t) + b_p) mod n,  t = 1..ncnt_i
+    (affine in t and a_p coprime with n ⇒ all distinct); if some m_t
+    hits k itself, that draw is remapped to the t = ncnt_i + 1 probe
+    (still distinct, provably != k). All comparisons are exact
+    integers: with N = n·v − S invariant under value permutation,
+        moran: li_perm >= li_obs  ⇔  zi·(n·Σvb − ncnt·S) >= zi·lag_obs
+        gstar: num_perm >= num_obs ⇔  Σvb >= nsum_obs   (v_i fixed)
+    Two-sided fold follows esda: larger = min(n_ge, n_perm − n_ge),
+    p_sim = (larger + 1) / (n_perm + 1).
+
+    Scale: n_cells × n_perm × ≤9 candidate rows, one equi-join on the
+    sampled rank and two grouped aggregates — no window, no collect
+    beyond the 3 scalar moments.
+    """
+    from pyspark.sql import Window as W
+
+    if stat not in ("moran", "gstar"):
+        raise ValueError(f"unknown local stat {stat!r}")
+    spark = px.sparkSession
+    scal = px.agg(F.count("value").alias("n"), F.sum("value").alias("s")).collect()[0]
+    n, s = int(scal["n"]), int(scal["s"])
+    perms = permutation_params(n, n_perm, seed)[1:]  # skip the identity
+
+    w = W.orderBy("row", "col")
+    ranked = px.select("row", "col", "value").withColumn(
+        "k", F.row_number().over(w) - 1)
+    foc = focal_stats(px, rook=rook, include_self=False)
+    base = foc.join(ranked.select("row", "col", "k"), ["row", "col"]).select(
+        "row", "col", "k", "ncnt",
+        (F.col("value") * n - s).alias("zi"),
+        (F.col("nsum") * n - F.col("ncnt") * s).alias("lag_obs"),
+        F.col("nsum").alias("nsum_obs"),
+    )
+    perm_df = spark.createDataFrame(perms, "p int, amul long, badd long")
+    ts = spark.createDataFrame([(t,) for t in range(1, 9)], "t int")
+    cand = (
+        base.crossJoin(F.broadcast(perm_df))
+        .crossJoin(F.broadcast(ts))
+        .filter(F.col("t") <= F.col("ncnt"))
+    )
+    m0 = (F.col("amul") * (F.col("k") + F.col("t")) + F.col("badd")) % n
+    m_alt = (F.col("amul") * (F.col("k") + F.col("ncnt") + 1) + F.col("badd")) % n
+    cand = cand.select(
+        "row", "col", "p", "k", "ncnt", "zi", "lag_obs", "nsum_obs",
+        F.when(m0 == F.col("k"), m_alt).otherwise(m0).alias("m"),
+    )
+    vals = ranked.select(F.col("k").alias("m"), F.col("value").alias("vb"))
+    j = cand.join(vals, "m")
+    per = j.groupBy("row", "col", "p").agg(
+        F.first("zi").alias("zi"), F.first("lag_obs").alias("lag_obs"),
+        F.first("nsum_obs").alias("nsum_obs"), F.first("ncnt").alias("ncnt"),
+        F.sum("vb").alias("sumvb"),
+    )
+    if stat == "moran":
+        ge = (F.col("zi") * (F.col("sumvb") * n - F.col("ncnt") * s)
+              >= F.col("zi") * F.col("lag_obs"))
+        obs_num = F.col("zi") * F.col("lag_obs")
+    else:
+        ge = F.col("sumvb") >= F.col("nsum_obs")
+        obs_num = F.col("nsum_obs")
+    cell = per.groupBy("row", "col").agg(
+        F.first(obs_num).alias("stat_num"),
+        F.sum(ge.cast("long")).alias("n_ge"),
+    )
+    folded = F.when(F.lit(n_perm) - F.col("n_ge") < F.col("n_ge"),
+                    F.lit(n_perm) - F.col("n_ge")).otherwise(F.col("n_ge"))
+    return cell.select(
+        "row", "col",
+        F.col("stat_num").cast("long").alias("stat_num"),
+        F.col("n_ge").cast("long").alias("n_ge"),
+        F.round((folded + F.lit(1.0)) / F.lit(float(n_perm + 1)), 6).alias("p_sim"),
+    )
+
+
+def local_permutation_sql(px_cte: str, n: int, n_perm: int = 19,
+                          seed: int = 211, rook: bool = False,
+                          stat: str = "moran") -> str:
+    """DuckDB oracle for local_permutation_test: identical modular
+    probes, identical integer comparisons (n must equal the valid-cell
+    count of px so the permutation params match the engine's)."""
+    offs = ROOK if rook else QUEEN
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in offs)
+    perms = permutation_params(n, n_perm, seed)[1:]
+    pvals = ", ".join(f"({p}, {a}, {b})" for p, a, b in perms)
+    tvals = ", ".join(f"({t})" for t in range(1, 9))
+    if stat == "moran":
+        ge = "CASE WHEN per.zi * (per.sumvb * per.n - per.ncnt * per.s) >= per.zi * per.lag_obs THEN 1 ELSE 0 END"
+        obs = "zi * lag_obs"
+    elif stat == "gstar":
+        ge = "CASE WHEN per.sumvb >= per.nsum_obs THEN 1 ELSE 0 END"
+        obs = "nsum_obs"
+    else:
+        raise ValueError(f"unknown local stat {stat!r}")
+    return f"""WITH {px_cte},
+offsets(dr, dc) AS (VALUES {offsets}),
+perms(p, amul, badd) AS (VALUES {pvals}),
+ts(t) AS (VALUES {tvals}),
+scal AS (SELECT CAST(COUNT(value) AS BIGINT) AS n, CAST(SUM(value) AS BIGINT) AS s FROM px),
+ranked AS (SELECT row, col, value, ROW_NUMBER() OVER (ORDER BY row, col) - 1 AS k FROM px),
+candn AS (SELECT a.row, a.col, a.row + o.dr AS r2, a.col + o.dc AS c2 FROM px a CROSS JOIN offsets o),
+foc AS (SELECT candn.row, candn.col, CAST(SUM(b.value) AS BIGINT) AS nsum, CAST(COUNT(*) AS BIGINT) AS ncnt
+        FROM candn JOIN px b ON b.row = candn.r2 AND b.col = candn.c2 GROUP BY 1, 2),
+base AS (SELECT r.row, r.col, r.k, f.ncnt,
+                (r.value * scal.n - scal.s) AS zi,
+                (f.nsum * scal.n - f.ncnt * scal.s) AS lag_obs,
+                f.nsum AS nsum_obs, scal.n AS n, scal.s AS s
+         FROM ranked r JOIN foc f ON f.row = r.row AND f.col = r.col, scal),
+cand AS (SELECT base.row, base.col, pe.p, base.k, base.ncnt, base.zi,
+                base.lag_obs, base.nsum_obs, base.n, base.s,
+                CASE WHEN (pe.amul * (base.k + ts.t) + pe.badd) % {n} = base.k
+                     THEN (pe.amul * (base.k + base.ncnt + 1) + pe.badd) % {n}
+                     ELSE (pe.amul * (base.k + ts.t) + pe.badd) % {n} END AS m
+         FROM base CROSS JOIN perms pe CROSS JOIN ts
+         WHERE ts.t <= base.ncnt),
+per AS (SELECT cand.row, cand.col, cand.p,
+               ANY_VALUE(cand.zi) AS zi, ANY_VALUE(cand.lag_obs) AS lag_obs,
+               ANY_VALUE(cand.nsum_obs) AS nsum_obs, ANY_VALUE(cand.ncnt) AS ncnt,
+               ANY_VALUE(cand.n) AS n, ANY_VALUE(cand.s) AS s,
+               CAST(SUM(v.value) AS BIGINT) AS sumvb
+        FROM cand JOIN ranked v ON v.k = cand.m GROUP BY 1, 2, 3),
+cell AS (SELECT per.row, per.col, ANY_VALUE({obs}) AS stat_num,
+                CAST(SUM({ge}) AS BIGINT) AS n_ge
+         FROM per GROUP BY 1, 2)
+SELECT row, col, CAST(stat_num AS BIGINT) AS stat_num, n_ge,
+       ROUND((CASE WHEN {n_perm} - n_ge < n_ge THEN {n_perm} - n_ge ELSE n_ge END + 1.0)
+             / {float(n_perm + 1)}, 6) AS p_sim
+FROM cell"""

@@ -528,27 +528,7 @@ def wgs84_to_cea_grid_average(
         (F.col("trow") >= 0) & (F.col("trow") < th)
         & (F.col("tcol") >= 0) & (F.col("tcol") < tw)
     )
-    if how == "mode":
-        per_val = binned.groupBy("trow", "tcol", "value").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        return per_val.groupBy("trow", "tcol").agg(
-            F.expr("max_by(value, struct(cnt, -value))").alias("value"),
-            F.sum("cnt").cast("long").alias("n_contrib"),
-        )
-    aggs = {
-        "mean": F.round(F.sum("value") / F.count("value"), 6),
-        "sum": F.sum("value"),
-        "min": F.min("value"),
-        "max": F.max("value"),
-        "count": F.count("value").cast("long"),
-    }
-    if how not in aggs:
-        raise ValueError(f"unknown resampling aggregate {how!r}")
-    return binned.groupBy("trow", "tcol").agg(
-        aggs[how].alias("value"),
-        F.count("value").cast("long").alias("n_contrib"),
-    )
+    return _bucket_agg(binned, how)
 
 
 # ---------------------------------------------------------------------------
@@ -671,12 +651,20 @@ def reproject(
                              bbox_lonlat=bbox_lonlat)
     dst = parse_crs(dst_crs)
     args = (px, src_origin, src_cellsize, src_shape, out_shape)
+    # every family × the COMPLETE GDAL mode dict: the specialized
+    # single-projection plans serve nearest/bilinear (their target
+    # lattices predate reproject_any and stay byte-stable); all other
+    # modes route through reproject_any's composed warp, which carries
+    # the full kernel + aggregate matrix for any CRS pair
+    _any = lambda: reproject_any(  # noqa: E731
+        px, src_crs, dst_crs, src_origin, src_cellsize, src_shape,
+        out_shape, resampling=resampling, bbox_lonlat=bbox_lonlat)
     if dst.startswith(("aea:", "lcc:")):
-        P = conic_params_of(dst)
-        if resampling not in ("nearest", "bilinear"):
-            raise NotImplementedError("conic targets support nearest/bilinear")
-        return wgs84_to_conic_grid(*args, P=P, bbox_lonlat=bbox_lonlat,
-                                   resampling=resampling)
+        if resampling in ("nearest", "bilinear"):
+            P = conic_params_of(dst)
+            return wgs84_to_conic_grid(*args, P=P, bbox_lonlat=bbox_lonlat,
+                                       resampling=resampling)
+        return _any()
     if dst.startswith("utm:"):
         zone = int(dst[4:-1])
         south = dst.endswith("s")
@@ -686,35 +674,26 @@ def reproject(
         if resampling == "bilinear":
             return wgs84_to_utm_grid_bilinear(*args, zone=zone, south=south,
                                               bbox_lonlat=bbox_lonlat)
-        raise NotImplementedError("UTM target supports nearest/bilinear resampling")
+        return _any()
     if dst == "webmerc":
         if resampling == "nearest":
             return wgs84_to_webmercator_grid(*args)
         if resampling == "bilinear":
             return wgs84_to_webmercator_grid_bilinear(*args)
-        raise NotImplementedError(
-            "WebMercator target supports nearest/bilinear resampling"
-        )
+        return _any()
     if dst == "sinu":
         if resampling == "nearest":
             return wgs84_to_sinusoidal_grid(*args)
         if resampling == "bilinear":
             return wgs84_to_sinusoidal_grid_bilinear(*args)
-        raise NotImplementedError(
-            "sinusoidal target supports nearest/bilinear resampling"
-        )
+        return _any()
     if dst == "wgs84":
         raise NotImplementedError("identity reproject: use resize/extract")
     if dst == "merc3395" or dst.startswith(("geog:", "tmd:")):
         # ellipsoidal Mercator / datum'd geographic / TM-on-datum
         # targets route through the general composed warp — they must
         # NEVER fall through to the CEA kernel below
-        if resampling not in ("nearest", "bilinear"):
-            raise NotImplementedError(
-                f"{dst.split(':')[0]} targets support nearest/bilinear")
-        return reproject_any(px, src_crs, dst_crs, src_origin, src_cellsize,
-                             src_shape, out_shape, resampling=resampling,
-                             bbox_lonlat=bbox_lonlat)
+        return _any()
     if dst != "cea":
         raise NotImplementedError(f"no warp route for CRS token {dst!r}")
     if resampling == "nearest":
@@ -865,6 +844,188 @@ SELECT tgt.trow, tgt.tcol, agg.value, agg.n_contrib
 FROM tgt LEFT JOIN agg ON agg.trow = tgt.trow AND agg.tcol = tgt.tcol"""
 
 
+def _kernel_offsets_wfun(kernel: str, a: int = 3):
+    """(neighbor offsets, weight-Column function) for a named
+    convolution kernel. catmull = GDAL 'cubic' (a = -0.5 Catmull-Rom,
+    4x4); bspline = GDAL 'cubicspline' (approximating cubic B-spline
+    basis, 4x4); lanczos = GDAL 'lanczos' (a=3 windowed sinc, 6x6).
+    The weight function takes a |offset - frac| distance Column."""
+    if kernel in ("catmull", "bspline"):
+
+        def catmull(t):
+            t2, t3 = t * t, t * t * t
+            return (
+                F.when(t <= 1.0, F.lit(1.5) * t3 - F.lit(2.5) * t2 + F.lit(1.0))
+                .otherwise(F.lit(-0.5) * t3 + F.lit(2.5) * t2 - F.lit(4.0) * t
+                           + F.lit(2.0))
+            )
+
+        def bspline(t):
+            t2, t3 = t * t, t * t * t
+            two_t = F.lit(2.0) - t
+            return (
+                F.when(t <= 1.0,
+                       (F.lit(4.0) - F.lit(6.0) * t2 + F.lit(3.0) * t3) / F.lit(6.0))
+                .otherwise(two_t * two_t * two_t / F.lit(6.0))
+            )
+
+        return (-1, 0, 1, 2), (catmull if kernel == "catmull" else bspline)
+    if kernel == "lanczos":
+
+        def lanc(t):
+            pit = F.lit(math.pi) * t
+            sinc = F.when(t == 0.0, F.lit(1.0)).otherwise(F.sin(pit) / pit)
+            pita = pit / F.lit(float(a))
+            sinca = F.when(t == 0.0, F.lit(1.0)).otherwise(F.sin(pita) / pita)
+            return F.when(t < float(a), sinc * sinca).otherwise(F.lit(0.0))
+
+        return tuple(range(1 - a, a + 1)), lanc
+    raise ValueError(f"unknown resampling kernel {kernel!r}")
+
+
+def _kernel_gather(px: DataFrame, target: DataFrame, u, v,
+                   kernel: str, a: int = 3) -> DataFrame:
+    """Shared nodata-aware convolution gather, target-CRS-AGNOSTIC
+    (the cubic/lanczos analog of _bilinear_from_lonlat): the caller
+    supplies the target lattice (trow, tcol) plus fractional source
+    index Columns u (row) and v (col); the kernel's neighborhood
+    explodes out, equi-joins the pixel table, and the (signed) weight
+    mass renormalizes over valid neighbors. Catmull-Rom and Lanczos
+    have NEGATIVE lobes: when nodata strips the positive mass, the
+    renormalized value blows up — cells with |Σw| < 0.05 emit NULL
+    (no reliable estimate), mirrored in the numpy oracles. Pure
+    DataFrame ops: explode(k²) + equi-join + groupBy — no UDF."""
+    offs, wfun = _kernel_offsets_wfun(kernel, a)
+    tgt = target.select(
+        "trow", "tcol",
+        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
+        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
+    )
+    corners = tgt.select(
+        "trow", "tcol", "r0", "c0", "du", "dv",
+        F.explode(F.array(*[F.struct(F.lit(i).alias("a"), F.lit(j).alias("b"))
+                            for i in offs for j in offs])).alias("o"),
+    ).select(
+        "trow", "tcol",
+        (F.col("r0") + F.col("o.a")).alias("row"),
+        (F.col("c0") + F.col("o.b")).alias("col"),
+        (wfun(F.abs(F.col("o.a") - F.col("du")))
+         * wfun(F.abs(F.col("o.b") - F.col("dv")))).alias("wgt"),
+    )
+    j = corners.join(px.select("row", "col", "value"), ["row", "col"])
+    out = j.groupBy("trow", "tcol").agg(
+        F.when(
+            F.abs(F.sum("wgt")) >= 0.05,
+            F.round(F.sum(F.col("wgt") * F.col("value")) / F.sum("wgt"), 6),
+        ).alias("value"),
+        F.count(F.lit(1)).cast("long").alias("n_contrib"),
+    )
+    return target.select("trow", "tcol").join(out, ["trow", "tcol"], "left")
+
+
+def resize_grid(px: DataFrame, src_shape: tuple[int, int],
+                out_shape: tuple[int, int], order: int = 0) -> DataFrame:
+    """Reference resize(shape, order=) (georasters.py:1095-1139 passes
+    order through to skimage.transform.resize). order=0: center-rule
+    nearest gather (the reference default). order=1: bilinear on the
+    identity grid — skimage's (t+0.5)·scale−0.5 coordinate map with
+    GDAL-style nodata-aware weight renormalization at masked cells and
+    edges (skimage instead reflects at edges; divergence documented).
+    order=3: cubic via the Catmull-Rom kernel (GDAL 'cubic'; skimage's
+    order-3 is a prefiltered global B-spline — a non-local IIR filter,
+    intentionally not reproduced). Other orders refuse loudly."""
+    spark = px.sparkSession
+    h, w = src_shape
+    th, tw = out_shape
+    target = (
+        spark.range(th)
+        .select(F.col("id").alias("trow"))
+        .crossJoin(spark.range(tw).select(F.col("id").alias("tcol")))
+    )
+    if order == 0:
+        tgt = target.select(
+            "trow", "tcol",
+            F.expr(f"((2 * trow + 1) * {h}) DIV (2 * {th})").alias("row"),
+            F.expr(f"((2 * tcol + 1) * {w}) DIV (2 * {tw})").alias("col"),
+        )
+        return tgt.join(px.select("row", "col", "value"),
+                        ["row", "col"], "left").select("trow", "tcol", "value")
+    lat = (F.col("trow") + F.lit(0.5)) * F.lit(h / th)
+    lon = (F.col("tcol") + F.lit(0.5)) * F.lit(w / tw)
+    if order == 1:
+        return _bilinear_from_lonlat(px, target, lon, lat, (0.0, 0.0), (1.0, 1.0))
+    if order == 3:
+        u = F.round((lat - F.lit(0.0)) / F.lit(1.0) - F.lit(0.5), _Q)
+        v = F.round((lon - F.lit(0.0)) / F.lit(1.0) - F.lit(0.5), _Q)
+        return _kernel_gather(px, target, u, v, "catmull")
+    raise NotImplementedError(
+        "resize order must be 0 (nearest), 1 (bilinear) or 3 (cubic)")
+
+
+def kernel_weight_sql(kernel: str, t: str, a: int = 3) -> str:
+    """DuckDB SQL for the _kernel_offsets_wfun weight of distance
+    expression `t`, emitted with the SAME multiply pairing as the
+    Column expressions (t3 = (t*t)*t etc.) so both engines compute the
+    identical float sequence."""
+    if kernel == "catmull":
+        t2 = f"({t} * {t})"
+        t3 = f"(({t} * {t}) * {t})"
+        return (f"CASE WHEN {t} <= 1.0 THEN 1.5 * {t3} - 2.5 * {t2} + 1.0 "
+                f"ELSE -0.5 * {t3} + 2.5 * {t2} - 4.0 * {t} + 2.0 END")
+    if kernel == "bspline":
+        t2 = f"({t} * {t})"
+        t3 = f"(({t} * {t}) * {t})"
+        tt = f"(2.0 - {t})"
+        return (f"CASE WHEN {t} <= 1.0 "
+                f"THEN (4.0 - 6.0 * {t2} + 3.0 * {t3}) / 6.0 "
+                f"ELSE {tt} * {tt} * {tt} / 6.0 END")
+    if kernel == "lanczos":
+        pi_l = dlit(math.pi)
+        pit = f"({pi_l} * {t})"
+        pita = f"({pit} / {dlit(float(a))})"
+        sinc = f"CASE WHEN {t} = 0.0 THEN 1.0 ELSE sin({pit}) / {pit} END"
+        sinca = f"CASE WHEN {t} = 0.0 THEN 1.0 ELSE sin({pita}) / {pita} END"
+        return (f"CASE WHEN {t} < {dlit(float(a))} "
+                f"THEN ({sinc}) * ({sinca}) ELSE 0.0 END")
+    raise ValueError(f"unknown resampling kernel {kernel!r}")
+
+
+def kernel_offsets(kernel: str, a: int = 3) -> tuple:
+    """Neighbor offsets for a kernel name (shared by the SQL gates)."""
+    return _kernel_offsets_wfun(kernel, a)[0]
+
+
+def _bucket_agg(binned: DataFrame, how: str) -> DataFrame:
+    """Shared per-target-cell aggregate for the GDAL average-family
+    warp (average/sum/min/max/count/mode): `binned` holds
+    (trow, tcol, value) rows of forward-projected source centers.
+    One grouped aggregate; map-side partials make it shuffle-light.
+    mode uses a two-level count + max_by with a smallest-value
+    tie-break (deterministic, unlike F.mode). Only non-empty target
+    cells are emitted (GDAL leaves the rest nodata)."""
+    if how == "mode":
+        per_val = binned.groupBy("trow", "tcol", "value").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return per_val.groupBy("trow", "tcol").agg(
+            F.expr("max_by(value, struct(cnt, -value))").alias("value"),
+            F.sum("cnt").cast("long").alias("n_contrib"),
+        )
+    aggs = {
+        "mean": F.round(F.sum("value") / F.count("value"), 6),
+        "sum": F.sum("value"),
+        "min": F.min("value"),
+        "max": F.max("value"),
+        "count": F.count("value").cast("long"),
+    }
+    if how not in aggs:
+        raise ValueError(f"unknown resampling aggregate {how!r}")
+    return binned.groupBy("trow", "tcol").agg(
+        aggs[how].alias("value"),
+        F.count("value").cast("long").alias("n_contrib"),
+    )
+
+
 def wgs84_to_cea_grid_cubic(
     px: DataFrame,
     src_origin: tuple[float, float],
@@ -903,55 +1064,7 @@ def wgs84_to_cea_grid_cubic(
     lat = F.asin(ym * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
     u = F.round((lat - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
     v = F.round((lon - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
-    tgt = target.select(
-        "trow", "tcol",
-        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
-        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
-    )
-
-    def catmull(t):
-        """Catmull-Rom weight for |offset - frac| distance column t."""
-        t2, t3 = t * t, t * t * t
-        return (
-            F.when(t <= 1.0, F.lit(1.5) * t3 - F.lit(2.5) * t2 + F.lit(1.0))
-            .otherwise(F.lit(-0.5) * t3 + F.lit(2.5) * t2 - F.lit(4.0) * t + F.lit(2.0))
-        )
-
-    def bspline(t):
-        """Cubic B-spline basis weight for distance column t."""
-        t2, t3 = t * t, t * t * t
-        two_t = F.lit(2.0) - t
-        return (
-            F.when(t <= 1.0, (F.lit(4.0) - F.lit(6.0) * t2 + F.lit(3.0) * t3) / F.lit(6.0))
-            .otherwise(two_t * two_t * two_t / F.lit(6.0))
-        )
-
-    wfun = catmull if kernel == "catmull" else bspline
-
-    corners = tgt.select(
-        "trow", "tcol", "r0", "c0", "du", "dv",
-        F.explode(F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-                            for a in (-1, 0, 1, 2) for b in (-1, 0, 1, 2)])).alias("o"),
-    ).select(
-        "trow", "tcol",
-        (F.col("r0") + F.col("o.a")).alias("row"),
-        (F.col("c0") + F.col("o.b")).alias("col"),
-        (wfun(F.abs(F.col("o.a") - F.col("du")))
-         * wfun(F.abs(F.col("o.b") - F.col("dv")))).alias("wgt"),
-    )
-    j = corners.join(px.select("row", "col", "value"), ["row", "col"])
-    # Catmull-Rom has NEGATIVE lobes: when nodata removes the positive
-    # mass the weight sum can approach 0 and the renormalized value
-    # blows up — cells with |Σw| < 0.05 are emitted as NULL (no
-    # reliable estimate), mirrored in the numpy oracle
-    out = j.groupBy("trow", "tcol").agg(
-        F.when(
-            F.abs(F.sum("wgt")) >= 0.05,
-            F.round(F.sum(F.col("wgt") * F.col("value")) / F.sum("wgt"), 6),
-        ).alias("value"),
-        F.count(F.lit(1)).cast("long").alias("n_contrib"),
-    )
-    return target.join(out, ["trow", "tcol"], "left")
+    return _kernel_gather(px, target, u, v, kernel)
 
 
 def cea_cubic_numpy_oracle(
@@ -1049,41 +1162,7 @@ def wgs84_to_cea_grid_lanczos(
     lat = F.asin(ym * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
     u = F.round((lat - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
     v = F.round((lon - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
-    tgt = target.select(
-        "trow", "tcol",
-        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
-        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
-    )
-
-    def lanc(t):
-        """Lanczos-a weight for distance column t (t >= 0)."""
-        pit = F.lit(math.pi) * t
-        sinc = F.when(t == 0.0, F.lit(1.0)).otherwise(F.sin(pit) / pit)
-        pita = pit / F.lit(float(a))
-        sinca = F.when(t == 0.0, F.lit(1.0)).otherwise(F.sin(pita) / pita)
-        return F.when(t < float(a), sinc * sinca).otherwise(F.lit(0.0))
-
-    offs = list(range(1 - a, a + 1))  # -2..3 for a=3
-    corners = tgt.select(
-        "trow", "tcol", "r0", "c0", "du", "dv",
-        F.explode(F.array(*[F.struct(F.lit(i).alias("a"), F.lit(j).alias("b"))
-                            for i in offs for j in offs])).alias("o"),
-    ).select(
-        "trow", "tcol",
-        (F.col("r0") + F.col("o.a")).alias("row"),
-        (F.col("c0") + F.col("o.b")).alias("col"),
-        (lanc(F.abs(F.col("o.a") - F.col("du")))
-         * lanc(F.abs(F.col("o.b") - F.col("dv")))).alias("wgt"),
-    )
-    j = corners.join(px.select("row", "col", "value"), ["row", "col"])
-    out = j.groupBy("trow", "tcol").agg(
-        F.when(
-            F.abs(F.sum("wgt")) >= 0.05,
-            F.round(F.sum(F.col("wgt") * F.col("value")) / F.sum("wgt"), 6),
-        ).alias("value"),
-        F.count(F.lit(1)).cast("long").alias("n_contrib"),
-    )
-    return target.join(out, ["trow", "tcol"], "left")
+    return _kernel_gather(px, target, u, v, "lanczos", a)
 
 
 def cea_lanczos_numpy_oracle(
@@ -2144,12 +2223,20 @@ def reproject_any(
     n_samples: int = 64,
 ) -> DataFrame:
     """General warp between ANY two supported CRSs (wgs84, cea,
-    webmerc, sinu, utm:*, aea:*, lcc:*): the target lattice is built in
-    dst coordinates, inverse-projected to lon/lat, forward-projected to
-    src coordinates, and gathered with the standard quantized affine
-    join. src_origin/src_cellsize are in SRC CRS units. bbox_lonlat
-    windows the extent (required when either transform's domain is
-    narrower than the source, e.g. UTM). nearest | bilinear."""
+    webmerc, sinu, utm:*, aea:*, lcc:*, merc3395, geog:*, tmd:*): the
+    target lattice is built in dst coordinates, inverse-projected to
+    lon/lat, forward-projected to src coordinates, and gathered with
+    the standard quantized affine join. src_origin/src_cellsize are in
+    SRC CRS units. bbox_lonlat windows the extent (required when
+    either transform's domain is narrower than the source, e.g. UTM).
+
+    resampling covers the COMPLETE GDAL mode dict for every CRS pair
+    (reference georasters.py:592-606): nearest | bilinear | cubic
+    (Catmull-Rom) | cubicspline (B-spline) | lanczos (a=3) via the
+    shared inverse-warp kernel gather, plus the forward-bucket
+    aggregates average | sum | min | max | count | mode (source
+    centers forward-project into target cells; one grouped
+    aggregate — only non-empty cells are emitted, like GDAL)."""
     spark = px.sparkSession
     src = parse_crs(src_crs)
     dst = parse_crs(dst_crs)
@@ -2179,8 +2266,57 @@ def reproject_any(
         lon2, lat2 = dfn["inv_cols"](xm2, ym2)
         sx2, sy2 = sfn["fwd_cols"](lon2, lat2)
         return _bilinear_from_lonlat(px, tgt, sx2, sy2, src_origin, src_cellsize)
+    kern = {"cubic": "catmull", "cubicspline": "bspline",
+            "lanczos": "lanczos"}.get(resampling)
+    if kern is not None:
+        # stage each transform into materialized columns: the series
+        # projections (Krüger/conic/Helmert) reference lon/lat dozens
+        # of times, and inlining the composed expression tree blows up
+        # multiplicatively (janino 64KB codegen failure + slow
+        # interpreted eval). Projecting per stage keeps each codegen
+        # unit linear; CollapseProject keeps non-cheap multiply-
+        # referenced exprs staged.
+        tgt0 = target.select("trow", "tcol", xm.alias("xm"), ym.alias("ym"))
+        lon2, lat2 = dfn["inv_cols"](F.col("xm"), F.col("ym"))
+        tgt1 = tgt0.select("trow", "tcol",
+                           lon2.alias("_lon"), lat2.alias("_lat"))
+        sx2, sy2 = sfn["fwd_cols"](F.col("_lon"), F.col("_lat"))
+        tgt2 = tgt1.select("trow", "tcol",
+                           sx2.alias("_sx"), sy2.alias("_sy"))
+        u = F.round((F.col("_sy") - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
+        v = F.round((F.col("_sx") - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
+        tgt3 = tgt2.select("trow", "tcol", u.alias("_u"), v.alias("_v"))
+        return _kernel_gather(px, tgt3, F.col("_u"), F.col("_v"), kern)
+    agg = {"average": "mean", "sum": "sum", "min": "min", "max": "max",
+           "count": "count", "mode": "mode"}.get(resampling)
+    if agg is not None:
+        # forward-bucket path: every valid SOURCE cell center maps
+        # src units -> lon/lat -> dst units and bins into its target
+        # cell; scan + one grouped aggregate, map-side partials.
+        # Same staged projections as above to bound codegen size.
+        xc = F.lit(x0g) + (F.col("col") + F.lit(0.5)) * F.lit(cx)
+        yc = F.lit(y0g) + (F.col("row") + F.lit(0.5)) * F.lit(cy)
+        b0 = px.select("value", xc.alias("_xc"), yc.alias("_yc"))
+        lon_s, lat_s = sfn["inv_cols"](F.col("_xc"), F.col("_yc"))
+        b1 = b0.select("value", lon_s.alias("_lon"), lat_s.alias("_lat"))
+        Xs, Ys = dfn["fwd_cols"](F.col("_lon"), F.col("_lat"))
+        b2 = b1.select("value", Xs.alias("_X"), Ys.alias("_Y"))
+        trow_b = F.floor(
+            F.round((F.col("_Y") - F.lit(Y1b)) / F.lit(tcy), _Q)).cast("long")
+        tcol_b = F.floor(
+            F.round((F.col("_X") - F.lit(X0)) / F.lit(tcx), _Q)).cast("long")
+        binned = b2.select(
+            trow_b.alias("trow"), tcol_b.alias("tcol"), "value"
+        ).filter(
+            (F.col("trow") >= 0) & (F.col("trow") < th)
+            & (F.col("tcol") >= 0) & (F.col("tcol") < tw)
+        )
+        return _bucket_agg(binned, agg)
     if resampling != "nearest":
-        raise NotImplementedError("reproject_any supports nearest/bilinear")
+        raise NotImplementedError(
+            f"resampling {resampling!r} not supported (have nearest/bilinear/"
+            "cubic/cubicspline/lanczos/average/sum/min/max/count/mode — the "
+            "FULL GDAL mode dict, georasters.py:592-606)")
     srow = F.floor(F.round((sy - F.lit(y0g)) / F.lit(cy), _Q)).cast("long")
     scol = F.floor(F.round((sx - F.lit(x0g)) / F.lit(cx), _Q)).cast("long")
     tgt = target.select(
@@ -2219,6 +2355,133 @@ def reproject_any_numpy_oracle(full: np.ndarray, ndv: float, src_crs, dst_crs,
     ok = (srow >= 0) & (srow < h) & (scol >= 0) & (scol < w)
     out[ok] = full[srow[ok], scol[ok]]
     return out
+
+
+def _np_kernel_wfun(kernel: str, a: int = 3):
+    """numpy twin of _kernel_offsets_wfun (independent oracle)."""
+    if kernel == "catmull":
+        return (-1, 0, 1, 2), lambda t: np.where(
+            t <= 1.0, 1.5 * t**3 - 2.5 * t**2 + 1.0,
+            -0.5 * t**3 + 2.5 * t**2 - 4.0 * t + 2.0)
+    if kernel == "bspline":
+        return (-1, 0, 1, 2), lambda t: np.where(
+            t <= 1.0, (4.0 - 6.0 * t**2 + 3.0 * t**3) / 6.0,
+            (2.0 - t) ** 3 / 6.0)
+    if kernel == "lanczos":
+
+        def lanc(t):
+            t = np.asarray(t, np.float64)
+            pit = np.pi * t
+            sinc = np.where(t == 0.0, 1.0, np.sin(pit) / np.where(pit == 0, 1, pit))
+            pita = pit / a
+            sinca = np.where(t == 0.0, 1.0,
+                             np.sin(pita) / np.where(pita == 0, 1, pita))
+            return np.where(t < a, sinc * sinca, 0.0)
+
+        return tuple(range(1 - a, a + 1)), lanc
+    raise ValueError(f"unknown resampling kernel {kernel!r}")
+
+
+def reproject_any_kernel_numpy_oracle(full: np.ndarray, ndv: float, src_crs,
+                                      dst_crs, src_origin, src_cellsize,
+                                      out_shape, kernel: str,
+                                      bbox_lonlat=None, n_samples: int = 64,
+                                      a: int = 3):
+    """Independent numpy oracle for reproject_any with a convolution
+    kernel (cubic/cubicspline/lanczos): same quantized fractional
+    index, same valid-weight renormalization with the |Σw| >= 0.05
+    guard. Returns (value, n_contrib); value nan where no estimate."""
+    sfn = crs_funcs(parse_crs(src_crs))
+    dfn = crs_funcs(parse_crs(dst_crs))
+    h, w = full.shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y0b, X1, Y1b = any_bounds(src_crs, dst_crs, src_origin, src_cellsize,
+                                  (h, w), bbox_lonlat, n_samples)
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    tr, tc = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+    xm = X0 + (tc + 0.5) * tcx
+    ym = Y1b + (tr + 0.5) * tcy
+    lon, lat = dfn["inv_np"](xm, ym)
+    sx, sy = sfn["fwd_np"](lon, lat)
+    u = np.round((sy - y0g) / cy - 0.5, _Q)
+    v = np.round((sx - x0g) / cx - 0.5, _Q)
+    r0 = np.floor(u).astype(np.int64)
+    c0 = np.floor(v).astype(np.int64)
+    du, dv = u - r0, v - c0
+    offs, wf = _np_kernel_wfun(kernel, a)
+    valid = full != ndv
+    num = np.zeros(out_shape)
+    den = np.zeros(out_shape)
+    cnt = np.zeros(out_shape, dtype=np.int64)
+    for i in offs:
+        for j in offs:
+            rr, cc = r0 + i, c0 + j
+            ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+            ok &= valid[np.clip(rr, 0, h - 1), np.clip(cc, 0, w - 1)]
+            wgt = wf(np.abs(i - du)) * wf(np.abs(j - dv))
+            num[ok] += wgt[ok] * full[rr[ok], cc[ok]]
+            den[ok] += wgt[ok]
+            cnt[ok] += 1
+    out = np.full(out_shape, np.nan)
+    nz = np.abs(den) >= 0.05
+    out[nz] = num[nz] / den[nz]
+    return out, cnt
+
+
+def reproject_any_average_numpy_oracle(full: np.ndarray, ndv: float, src_crs,
+                                       dst_crs, src_origin, src_cellsize,
+                                       out_shape, how: str = "mean",
+                                       bbox_lonlat=None, n_samples: int = 64):
+    """Independent numpy oracle for reproject_any's forward-bucket
+    aggregates. Returns (value, n_contrib); value nan (and count 0)
+    for empty target cells — the engine emits no row for those."""
+    sfn = crs_funcs(parse_crs(src_crs))
+    dfn = crs_funcs(parse_crs(dst_crs))
+    h, w = full.shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y0b, X1, Y1b = any_bounds(src_crs, dst_crs, src_origin, src_cellsize,
+                                  (h, w), bbox_lonlat, n_samples)
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    xc = x0g + (cc + 0.5) * cx
+    yc = y0g + (rr + 0.5) * cy
+    lon, lat = sfn["inv_np"](xc, yc)
+    X, Y = dfn["fwd_np"](lon, lat)
+    trow = np.floor(np.round((Y - Y1b) / tcy, _Q)).astype(np.int64)
+    tcol = np.floor(np.round((X - X0) / tcx, _Q)).astype(np.int64)
+    ok = (full != ndv) & (trow >= 0) & (trow < th) & (tcol >= 0) & (tcol < tw)
+    val = np.full(out_shape, np.nan)
+    cnt = np.zeros(out_shape, dtype=np.int64)
+    buckets: dict = {}
+    for t_r, t_c, v in zip(trow[ok], tcol[ok], full[ok]):
+        buckets.setdefault((int(t_r), int(t_c)), []).append(float(v))
+    for (t_r, t_c), vs in buckets.items():
+        cnt[t_r, t_c] = len(vs)
+        if how == "mean":
+            val[t_r, t_c] = sum(vs) / len(vs)
+        elif how == "sum":
+            val[t_r, t_c] = sum(vs)
+        elif how == "min":
+            val[t_r, t_c] = min(vs)
+        elif how == "max":
+            val[t_r, t_c] = max(vs)
+        elif how == "count":
+            val[t_r, t_c] = len(vs)
+        elif how == "mode":
+            counts: dict = {}
+            for v in vs:
+                counts[v] = counts.get(v, 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            val[t_r, t_c] = best[0]
+        else:
+            raise ValueError(f"unknown resampling aggregate {how!r}")
+    return val, cnt
 
 
 # ---------------------------------------------------------------------------

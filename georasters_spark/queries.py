@@ -727,6 +727,87 @@ SELECT t.trow, t.tcol, px.value
 FROM target t LEFT JOIN px ON px.row = t.row AND px.col = t.col"""
 
 
+# --- r5: resize with interpolation orders > 0 (reference passes
+# order= through to skimage, georasters.py:1095-1113; until r5 only
+# the order-0 nearest default was gated).
+
+_RSB = {"out": (180, 700)}   # rows downsample 1.5x, cols upsample ~1.3x
+_RSC = {"out": (100, 240)}
+
+
+def _resize_interp_sql(out_shape: tuple, kernel: str | None) -> str:
+    """DuckDB oracle for resize_grid order 1/3: identity-grid
+    fractional index u = (t + 0.5)·scale − 0.5 (same quantization),
+    then the shared corner-weight gather (kernel=None -> bilinear)."""
+    from .operators import reproject as RP
+    from .operators.reproject import dlit
+
+    spec = SPEC
+    th, tw = out_shape
+    sr = spec.height / th
+    sc = spec.width / tw
+    u = f"ROUND((tr.range + 0.5) * {dlit(sr)} - 0.5, {RP._Q})"
+    v = f"ROUND((tc.range + 0.5) * {dlit(sc)} - 0.5, {RP._Q})"
+    if kernel is None:
+        values = "(0, 0), (0, 1), (1, 0), (1, 1)"
+        w_row = "CASE WHEN o.a = 1 THEN f.du ELSE 1.0 - f.du END"
+        w_col = "CASE WHEN o.b = 1 THEN f.dv ELSE 1.0 - f.dv END"
+        guard = "SUM(corners.wgt) > 0"
+    else:
+        offs = RP.kernel_offsets(kernel)
+        values = ", ".join(f"({a}, {b})" for a in offs for b in offs)
+        w_row = RP.kernel_weight_sql(kernel, "ABS(o.a - f.du)")
+        w_col = RP.kernel_weight_sql(kernel, "ABS(o.b - f.dv)")
+        guard = "ABS(SUM(corners.wgt)) >= 0.05"
+    return f"""WITH {synth.pixel_sql(spec)},
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {u} AS u, {v} AS v
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+f AS (
+  SELECT trow, tcol,
+         CAST(FLOOR(u) AS BIGINT) AS r0, u - FLOOR(u) AS du,
+         CAST(FLOOR(v) AS BIGINT) AS c0, v - FLOOR(v) AS dv
+  FROM tgt),
+corners AS (
+  SELECT f.trow, f.tcol, f.r0 + o.a AS row, f.c0 + o.b AS col,
+         ({w_row}) * ({w_col}) AS wgt
+  FROM f CROSS JOIN (VALUES {values}) o(a, b)),
+agg AS (
+  SELECT corners.trow, corners.tcol,
+         CASE WHEN {guard}
+              THEN ROUND(SUM(corners.wgt * px.value) / SUM(corners.wgt), 6) END AS value,
+         CAST(COUNT(*) AS BIGINT) AS n_contrib
+  FROM corners JOIN px ON px.row = corners.row AND px.col = corners.col
+  GROUP BY 1, 2)
+SELECT tgt.trow, tgt.tcol, agg.value, agg.n_contrib
+FROM tgt LEFT JOIN agg ON agg.trow = tgt.trow AND agg.tcol = tgt.tcol"""
+
+
+def q_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import reproject as RP
+
+    spec = SPEC
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.resize_grid(px, (spec.height, spec.width), _RSB["out"], order=1)
+
+
+def sql_resize_bilinear() -> str:
+    return _resize_interp_sql(_RSB["out"], None)
+
+
+def q_resize_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import reproject as RP
+
+    spec = SPEC
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.resize_grid(px, (spec.height, spec.width), _RSC["out"], order=3)
+
+
+def sql_resize_cubic() -> str:
+    return _resize_interp_sql(_RSC["out"], "catmull")
+
+
 # ---------------------------------------------------------------------------
 # q: align — fine grid block-meaned onto a coarse grid, crop to overlap
 # (georasters.py:1616-1681)
@@ -1381,6 +1462,204 @@ def sql_reproject_bilinear() -> str:
     )
 
 
+# --- r5 gates: the resampling-mode × CRS-family matrix completion
+# (verdict item 1 — reference warps with EVERY GDAL mode to ANY target
+# CRS, georasters.py:592-606; until r5 cubic/lanczos/average only
+# reached the CEA/WebMercator families).
+
+_UTM_CUBIC_GATE = {"bbox": (0.0, 36.0, 6.0, 54.0), "out": (48, 24)}
+_LCC_LANCZOS_GATE = {"bbox": (-5.0, 41.0, 10.0, 51.5), "out": (40, 60)}
+
+
+def _kernel_gate_sql(kernel: str, inv_cte: str, lon_col: str, lat_col: str,
+                     th: int, tw: int, tgt_cte: str) -> str:
+    """Shared oracle tail for the convolution-kernel warp gates: from a
+    loc0 CTE exposing lon/lat per (trow, tcol), rebuild the quantized
+    fractional index, the kernel's neighbor weights (term-for-term via
+    kernel_weight_sql) and the renormalized gather."""
+    from .operators import reproject as RP
+    from .operators.reproject import dlit
+
+    spec = SPEC
+    offs = RP.kernel_offsets(kernel)
+    values = ", ".join(f"({a}, {b})" for a in offs for b in offs)
+    w_row = RP.kernel_weight_sql(kernel, "ABS(o.a - f.du)")
+    w_col = RP.kernel_weight_sql(kernel, "ABS(o.b - f.dv)")
+    return f"""WITH {synth.pixel_sql(spec)},
+{tgt_cte},
+{inv_cte},
+f AS (
+  SELECT trow, tcol,
+         CAST(FLOOR(u) AS BIGINT) AS r0, u - FLOOR(u) AS du,
+         CAST(FLOOR(v) AS BIGINT) AS c0, v - FLOOR(v) AS dv
+  FROM (SELECT trow, tcol,
+               ROUND(({lat_col} - {dlit(spec.y0)}) / {dlit(spec.celly)} - 0.5, {RP._Q}) AS u,
+               ROUND(({lon_col} - {dlit(spec.x0)}) / {dlit(spec.cellx)} - 0.5, {RP._Q}) AS v
+        FROM loc0)),
+corners AS (
+  SELECT f.trow, f.tcol, f.r0 + o.a AS row, f.c0 + o.b AS col,
+         ({w_row}) * ({w_col}) AS wgt
+  FROM f CROSS JOIN (VALUES {values}) o(a, b)),
+agg AS (
+  SELECT corners.trow, corners.tcol,
+         CASE WHEN ABS(SUM(corners.wgt)) >= 0.05
+              THEN ROUND(SUM(corners.wgt * px.value) / SUM(corners.wgt), 6) END AS value,
+         CAST(COUNT(*) AS BIGINT) AS n_contrib
+  FROM corners JOIN px ON px.row = corners.row AND px.col = corners.col
+  GROUP BY 1, 2)
+SELECT t0.trow, t0.tcol, agg.value, agg.n_contrib
+FROM (SELECT trow, tcol FROM tgt) t0
+LEFT JOIN agg ON agg.trow = t0.trow AND agg.tcol = t0.tcol"""
+
+
+def q_reproject_utm_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM × cubic — the verdict's named bread-and-butter GDAL call
+    ("warp a DEM to UTM with cubic"): the composed warp's Catmull-Rom
+    4×4 gather over the full Krüger-series inverse, hash-gated against
+    a DuckDB re-derivation of every weight."""
+    from .operators import reproject as RP
+
+    spec = SPEC
+    p = _UTM_CUBIC_GATE
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.reproject(
+        px, 4326, 32631,
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=p["out"],
+        resampling="cubic",
+        bbox_lonlat=p["bbox"],
+    )
+
+
+def sql_reproject_utm_cubic() -> str:
+    from .operators import reproject as RP
+    from .operators.reproject import dlit
+
+    spec = SPEC
+    p = _UTM_CUBIC_GATE
+    X0, Y0b, X1, Y1b = RP.any_bounds(
+        4326, 32631, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), p["bbox"])
+    th, tw = p["out"]
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    lon0 = RP.utm_lon0(31)
+    inv_cte, lon_col, lat_col = RP.tm_inverse_sql("em", "nm", lon0)
+    tgt_cte = f"""tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS em,
+         {dlit(Y1b)} + (tr.range + 0.5) * {dlit(tcy)} AS nm
+  FROM range({th}) tr CROSS JOIN range({tw}) tc)"""
+    return _kernel_gate_sql("catmull", inv_cte, lon_col, lat_col, th, tw, tgt_cte)
+
+
+def q_reproject_lcc_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conic × lanczos: 6×6 windowed-sinc gather over the Lambert
+    Conformal inverse (EPSG:2154) through the composed warp."""
+    from .operators import reproject as RP
+
+    spec = SPEC
+    p = _LCC_LANCZOS_GATE
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.reproject(
+        px, 4326, "EPSG:2154",
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=p["out"],
+        resampling="lanczos",
+        bbox_lonlat=p["bbox"],
+    )
+
+
+def sql_reproject_lcc_lanczos() -> str:
+    from .operators import reproject as RP
+    from .operators.reproject import dlit
+
+    spec = SPEC
+    p = _LCC_LANCZOS_GATE
+    X0, Y0b, X1, Y1b = RP.any_bounds(
+        4326, "EPSG:2154", (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), p["bbox"])
+    th, tw = p["out"]
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    P = RP.conic_params_of(RP.parse_crs("EPSG:2154"))
+    inv_cte, lon_col, lat_col = RP.conic_inverse_sql("xm", "ym", P)
+    tgt_cte = f"""tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
+         {dlit(Y1b)} + (tr.range + 0.5) * {dlit(tcy)} AS ym
+  FROM range({th}) tr CROSS JOIN range({tw}) tc)"""
+    return _kernel_gate_sql("lanczos", inv_cte, lon_col, lat_col, th, tw, tgt_cte)
+
+
+def q_reproject_any_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected→projected aggregate warp (CEA source → WebMercator
+    target, GDAL 'average'): every source center forward-composes
+    inv(CEA)∘fwd(3857) and buckets into its target cell — one grouped
+    aggregate, map-side partials, only non-empty cells emitted."""
+    from .operators import reproject as RP
+
+    spec = SPEC
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.reproject(
+        px, "EPSG:6933", "EPSG:3857",
+        src_origin=_FROM_CEA["origin"],
+        src_cellsize=_FROM_CEA["cell"],
+        src_shape=(spec.height, spec.width),
+        out_shape=_FROM_CEA["out"],
+        resampling="average",
+    )
+
+
+def sql_reproject_any_average() -> str:
+    from .operators import reproject as RP
+    from .operators.reproject import _D2R, dlit
+
+    spec = SPEC
+    x0g, y0g = _FROM_CEA["origin"]
+    cx, cy = _FROM_CEA["cell"]
+    th, tw = _FROM_CEA["out"]
+    X0, Y0b, X1, Y1b = RP.any_bounds(
+        "EPSG:6933", "EPSG:3857", (x0g, y0g), (cx, cy),
+        (spec.height, spec.width))
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    R = RP.R
+    # source centers -> inv(CEA) -> lon/lat -> fwd(WebMercator), each
+    # stage spelled with the SAME multiply pairing as the Column exprs
+    return f"""WITH {synth.pixel_sql(spec)},
+ctr AS (
+  SELECT value,
+         {dlit(x0g)} + (col + 0.5) * {dlit(cx)} AS xc,
+         {dlit(y0g)} + (row + 0.5) * {dlit(cy)} AS yc
+  FROM px),
+ll AS (
+  SELECT value,
+         xc / {dlit(R * 1.0)} / {dlit(_D2R)} AS lon,
+         asin(least(greatest(yc * {dlit(1.0 / R)}, -1.0), 1.0)) / {dlit(_D2R)} AS lat
+  FROM ctr),
+fwd AS (
+  SELECT value,
+         {dlit(R)} * lon * {dlit(_D2R)} AS X,
+         {dlit(R)} * 0.5 * ln((1.0 + sin(lat * {dlit(_D2R)})) / (1.0 - sin(lat * {dlit(_D2R)}))) AS Y
+  FROM ll),
+binned AS (
+  SELECT CAST(FLOOR(ROUND((Y - {dlit(Y1b)}) / {dlit(tcy)}, {RP._Q})) AS BIGINT) AS trow,
+         CAST(FLOOR(ROUND((X - {dlit(X0)}) / {dlit(tcx)}, {RP._Q})) AS BIGINT) AS tcol,
+         value
+  FROM fwd)
+SELECT trow, tcol,
+       ROUND(CAST(SUM(value) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE), 6) AS value,
+       CAST(COUNT(value) AS BIGINT) AS n_contrib
+FROM binned
+WHERE trow >= 0 AND trow < {th} AND tcol >= 0 AND tcol < {tw}
+GROUP BY 1, 2"""
+
+
 def q_reproject_webmerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import reproject as RP
 
@@ -2007,6 +2286,43 @@ def sql_local_moran() -> str:
 
 _PERM_N = 9
 _PERM_SEED = 97
+
+
+def q_local_moran_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell LISA conditional-permutation p_sim (reference
+    Moran_Local(permutations=), georasters.py:1310-1341) — seeded
+    modular draws, exact integer comparisons, esda two-sided fold."""
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.local_permutation_test(px, n_perm=_PERM_N, seed=_PERM_SEED)
+
+
+def sql_local_moran_perm() -> str:
+    from .operators import autocorr as AC
+
+    return AC.local_permutation_sql(
+        synth.pixel_sql(SPEC), _t1_valid_count(), n_perm=_PERM_N,
+        seed=_PERM_SEED)
+
+
+def q_gstar_local_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell G*-local conditional-permutation p_sim (reference
+    G_Local(permutations=), georasters.py:1343-1378) on the same
+    machinery with the Σ-neighbors comparison."""
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.local_permutation_test(px, n_perm=_PERM_N, seed=_PERM_SEED,
+                                     stat="gstar")
+
+
+def sql_gstar_local_perm() -> str:
+    from .operators import autocorr as AC
+
+    return AC.local_permutation_sql(
+        synth.pixel_sql(SPEC), _t1_valid_count(), n_perm=_PERM_N,
+        seed=_PERM_SEED, stat="gstar")
 
 
 def _t1_valid_count() -> int:
@@ -3006,62 +3322,11 @@ def sql_flow_accumulation() -> str:
 
 
 QUERIES = {
-    # --- round-4 driver-window rotation: the driver gates the FIRST 50
-    # entries, so the 19 gates that rotated out of the round-3 window
-    # (incl. quantized_ann, never driver-checked) come first, followed by
-    # gates new this round; round-3-checked gates fill the remainder.
-    "zonal_rank": (q_zonal_rank, sql_zonal_rank),
-    "sessionize": (q_sessionize, sql_sessionize),
-    "asof_join": (q_asof_join, sql_asof_join),
-    "tile_entropy": (q_tile_entropy, sql_tile_entropy),
-    "ann_cosine": (q_ann_cosine, sql_ann_cosine),
-    "quantized_ann": (q_quantized_ann, sql_quantized_ann),
-    "ivf_ann": (q_ivf_ann, sql_ivf_ann),
-    "embed_near_dup": (q_embed_near_dup, sql_embed_near_dup),
-    "tile_cells": (q_tile_cells, sql_tile_cells),
-    "zonal_stats": (q_zonal_stats, sql_zonal_stats),
-    "global_stats": (q_global_stats, sql_global_stats),
-    "gini": (q_gini, sql_gini),
-    "map_pixel": (q_map_pixel, sql_map_pixel),
-    "block_aggregate": (q_block_aggregate, sql_block_aggregate),
-    "union_mosaic": (q_union_mosaic, sql_union_mosaic),
-    "algebra": (q_algebra, sql_algebra),
-    "band_math": (q_band_math, sql_band_math),
-    "ufunc_math": (q_ufunc_math, sql_ufunc_math),
-    "extract_window": (q_extract, sql_extract),
-    # --- gates new in round 4 ---
-    "simhash_dedup": (q_simhash_dedup, sql_simhash_dedup),
-    "lsh_ann": (q_lsh_ann, sql_lsh_ann),
-    "reproject_datum": (q_reproject_datum, sql_reproject_datum),
-    "reproject_osgb": (q_reproject_osgb, sql_reproject_osgb),
-    "mp4_samples": (q_mp4_samples, sql_mp4_samples),
-    "flac_roundtrip": (q_flac_roundtrip, sql_flac_roundtrip),
-    "reproject_merc3395": (q_reproject_merc3395, sql_reproject_merc3395),
-    "mjpeg_frames": (q_mjpeg_frames, sql_mjpeg_frames),
-    # --- round-3-checked gates (CORRECTNESS_r03 green) ---
-    "pixel_decode": (q_pixel_decode, sql_pixel_decode),
-    "audio_features": (q_audio_features, sql_audio_features),
-    "terrain": (q_terrain, sql_terrain),
-    "focal_mean_5x5": (q_focal_mean, sql_focal_mean),
-    "d8_flow": (q_d8_flow, sql_d8_flow),
-    "flow_accumulation": (q_flow_accumulation, sql_flow_accumulation),
-    "contour": (q_contour, sql_contour),
-    "proximity": (q_proximity, sql_proximity),
-    "overviews": (q_overviews, sql_overviews),
-    "geotiff_roundtrip": (q_geotiff_roundtrip, sql_geotiff_roundtrip),
-    "jpeg_roundtrip": (q_jpeg_roundtrip, sql_jpeg_roundtrip),
-    "knn_tiles": (q_knn, sql_knn),
-    "knn_pixels": (q_knn_pixels, sql_knn_pixels),
-    "autocorr_global": (q_autocorr_global, sql_autocorr_global),
-    "autocorr_rowstd": (q_autocorr_rowstd, sql_autocorr_rowstd),
-    "gstar_local": (q_gstar_local, sql_gstar_local),
-    "focal_stats": (q_focal_stats, sql_focal_stats),
-    "local_moran": (q_local_moran, sql_local_moran),
-    "local_geary": (q_local_geary, sql_local_geary),
-    "moran_permutations": (q_moran_perm, sql_moran_perm),
-    "argmax": (q_argmax, sql_argmax),
-    "resize_nearest": (q_resize, sql_resize),
-    "align_grids": (q_align, sql_align),
+    # --- round-5 driver-window rotation: the driver gates the FIRST 50
+    # entries. Front: the 27 r3-era gates that sat at positions 51-77
+    # in round 4 (green in r3 + locally, but no r4 driver row), then
+    # the gates NEW this round; the 27 r4-checked gates (freshest
+    # driver rows) fill the back.
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),
     "cost_distance_window": (q_cost_distance_window, sql_cost_distance_window),
@@ -3089,4 +3354,64 @@ QUERIES = {
     "text_quality": (q_text_quality, sql_text_quality),
     "event_rollup": (q_event_rollup, sql_event_rollup),
     "event_attribution": (q_event_attribution, sql_event_attribution),
+    # --- gates new in round 5 ---
+    "reproject_utm_cubic": (q_reproject_utm_cubic, sql_reproject_utm_cubic),
+    "reproject_lcc_lanczos": (q_reproject_lcc_lanczos, sql_reproject_lcc_lanczos),
+    "reproject_any_average": (q_reproject_any_average, sql_reproject_any_average),
+    "local_moran_perm": (q_local_moran_perm, sql_local_moran_perm),
+    "gstar_local_perm": (q_gstar_local_perm, sql_gstar_local_perm),
+    "resize_bilinear": (q_resize_bilinear, sql_resize_bilinear),
+    "resize_cubic": (q_resize_cubic, sql_resize_cubic),
+    # --- round-4-checked gates (CORRECTNESS_r04 green, freshest) ---
+    "zonal_rank": (q_zonal_rank, sql_zonal_rank),
+    "sessionize": (q_sessionize, sql_sessionize),
+    "asof_join": (q_asof_join, sql_asof_join),
+    "tile_entropy": (q_tile_entropy, sql_tile_entropy),
+    "ann_cosine": (q_ann_cosine, sql_ann_cosine),
+    "quantized_ann": (q_quantized_ann, sql_quantized_ann),
+    "ivf_ann": (q_ivf_ann, sql_ivf_ann),
+    "embed_near_dup": (q_embed_near_dup, sql_embed_near_dup),
+    "tile_cells": (q_tile_cells, sql_tile_cells),
+    "zonal_stats": (q_zonal_stats, sql_zonal_stats),
+    "global_stats": (q_global_stats, sql_global_stats),
+    "gini": (q_gini, sql_gini),
+    "map_pixel": (q_map_pixel, sql_map_pixel),
+    "block_aggregate": (q_block_aggregate, sql_block_aggregate),
+    "union_mosaic": (q_union_mosaic, sql_union_mosaic),
+    "algebra": (q_algebra, sql_algebra),
+    "band_math": (q_band_math, sql_band_math),
+    "ufunc_math": (q_ufunc_math, sql_ufunc_math),
+    "extract_window": (q_extract, sql_extract),
+    "simhash_dedup": (q_simhash_dedup, sql_simhash_dedup),
+    "lsh_ann": (q_lsh_ann, sql_lsh_ann),
+    "reproject_datum": (q_reproject_datum, sql_reproject_datum),
+    "reproject_osgb": (q_reproject_osgb, sql_reproject_osgb),
+    "mp4_samples": (q_mp4_samples, sql_mp4_samples),
+    "flac_roundtrip": (q_flac_roundtrip, sql_flac_roundtrip),
+    "reproject_merc3395": (q_reproject_merc3395, sql_reproject_merc3395),
+    "mjpeg_frames": (q_mjpeg_frames, sql_mjpeg_frames),
+    # --- round-3-checked gates with r4 driver rows ---
+    "pixel_decode": (q_pixel_decode, sql_pixel_decode),
+    "audio_features": (q_audio_features, sql_audio_features),
+    "terrain": (q_terrain, sql_terrain),
+    "focal_mean_5x5": (q_focal_mean, sql_focal_mean),
+    "d8_flow": (q_d8_flow, sql_d8_flow),
+    "flow_accumulation": (q_flow_accumulation, sql_flow_accumulation),
+    "contour": (q_contour, sql_contour),
+    "proximity": (q_proximity, sql_proximity),
+    "overviews": (q_overviews, sql_overviews),
+    "geotiff_roundtrip": (q_geotiff_roundtrip, sql_geotiff_roundtrip),
+    "jpeg_roundtrip": (q_jpeg_roundtrip, sql_jpeg_roundtrip),
+    "knn_tiles": (q_knn, sql_knn),
+    "knn_pixels": (q_knn_pixels, sql_knn_pixels),
+    "autocorr_global": (q_autocorr_global, sql_autocorr_global),
+    "autocorr_rowstd": (q_autocorr_rowstd, sql_autocorr_rowstd),
+    "gstar_local": (q_gstar_local, sql_gstar_local),
+    "focal_stats": (q_focal_stats, sql_focal_stats),
+    "local_moran": (q_local_moran, sql_local_moran),
+    "local_geary": (q_local_geary, sql_local_geary),
+    "moran_permutations": (q_moran_perm, sql_moran_perm),
+    "argmax": (q_argmax, sql_argmax),
+    "resize_nearest": (q_resize, sql_resize),
+    "align_grids": (q_align, sql_align),
 }

@@ -139,3 +139,116 @@ def test_focal_stats_exact(spark):
     # corner: 2x2 block
     assert got.loc[(0, 0), "nsum"] == int(GRAD[0:2, 0:2].sum())
     assert got.loc[(0, 0), "ncnt"] == 4
+
+
+def test_local_permutation_test_numpy_mirror(spark):
+    """local_permutation_test == a direct numpy mirror of its seeded
+    modular draws on a small grid, for both stats; esda-style fold."""
+    h, w = 8, 9
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 50, size=(h, w)).astype(np.int64)
+    pdf = pd.DataFrame({
+        "row": np.repeat(np.arange(h), w),
+        "col": np.tile(np.arange(w), h),
+        "value": a.ravel(),
+    })
+    px = spark.createDataFrame(pdf)
+    n = h * w
+    s = int(a.sum())
+    n_perm, seed = 19, 211
+    perms = AC.permutation_params(n, n_perm, seed)[1:]
+    # numpy mirror
+    vals = a.ravel()
+    rank = {(r, c): r * w + c for r in range(h) for c in range(w)}
+    for stat in ("moran", "gstar"):
+        got = (AC.local_permutation_test(px, n_perm=n_perm, seed=seed,
+                                         stat=stat)
+               .toPandas().set_index(["row", "col"]).sort_index())
+        assert len(got) == n
+        for (r, c) in [(0, 0), (3, 4), (7, 8), (2, 0)]:
+            k = rank[(r, c)]
+            nbr = [(r + dr, c + dc) for dr, dc in AC.QUEEN
+                   if 0 <= r + dr < h and 0 <= c + dc < w]
+            ncnt = len(nbr)
+            nsum = sum(int(a[p]) for p in nbr)
+            zi = int(a[r, c]) * n - s
+            lag_obs = nsum * n - ncnt * s
+            n_ge = 0
+            for _, amul, badd in perms:
+                ms = []
+                for t in range(1, ncnt + 1):
+                    m = (amul * (k + t) + badd) % n
+                    if m == k:
+                        m = (amul * (k + ncnt + 1) + badd) % n
+                    ms.append(m)
+                assert len(set(ms)) == ncnt and k not in ms
+                sumvb = sum(int(vals[m]) for m in ms)
+                if stat == "moran":
+                    ge = zi * (sumvb * n - ncnt * s) >= zi * lag_obs
+                else:
+                    ge = sumvb >= nsum
+                n_ge += int(ge)
+            rowr = got.loc[(r, c)]
+            assert rowr.n_ge == n_ge, (stat, r, c)
+            folded = min(n_ge, n_perm - n_ge)
+            assert abs(rowr.p_sim - round((folded + 1) / (n_perm + 1), 6)) < 1e-9
+            exp_num = zi * lag_obs if stat == "moran" else nsum
+            assert rowr.stat_num == exp_num
+    # p_sim bounded after planting an extreme hot-spot
+    pdf2 = pdf.copy(); pdf2.loc[(pdf2.row == 4) & (pdf2.col == 4), "value"] = 5000
+    got2 = (AC.local_permutation_test(spark.createDataFrame(pdf2),
+                                      n_perm=n_perm, seed=seed)
+            .toPandas().set_index(["row", "col"]))
+    assert got2.p_sim.between(0.0, 1.0).all()
+
+
+def test_resize_interp_orders(spark):
+    """resize_grid orders 1 and 3 == numpy mirror of the identity-grid
+    gather; order 0 unchanged; unknown order refuses."""
+    import pytest
+    from georasters_spark.operators import reproject as RP
+
+    h, w = 12, 15
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 100, size=(h, w)).astype(np.float64)
+    px = spark.createDataFrame(pd.DataFrame({
+        "row": np.repeat(np.arange(h), w),
+        "col": np.tile(np.arange(w), h),
+        "value": a.ravel(),
+    }))
+    out = (18, 10)  # rows up, cols down
+    th, tw = out
+    for order, kern in ((1, None), (3, "catmull")):
+        got = (RP.resize_grid(px, (h, w), out, order=order)
+               .toPandas().set_index(["trow", "tcol"]).sort_index())
+        assert len(got) == th * tw
+        tr, tc = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+        u = np.round((tr + 0.5) * (h / th) - 0.5, RP._Q)
+        v = np.round((tc + 0.5) * (w / tw) - 0.5, RP._Q)
+        r0 = np.floor(u).astype(np.int64); du = u - r0
+        c0 = np.floor(v).astype(np.int64); dv = v - c0
+        if kern is None:
+            offs, wf = (0, 1), None
+        else:
+            offs, wf = RP._np_kernel_wfun(kern)
+        num = np.zeros(out); den = np.zeros(out)
+        for i in offs:
+            for j in offs:
+                rr, cc = r0 + i, c0 + j
+                ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+                if kern is None:
+                    wgt = (du if i else 1 - du) * (dv if j else 1 - dv)
+                else:
+                    wgt = wf(np.abs(i - du)) * wf(np.abs(j - dv))
+                num[ok] += wgt[ok] * a[rr[ok], cc[ok]]
+                den[ok] += wgt[ok]
+        exp = np.full(out, np.nan)
+        nz = (den > 0) if kern is None else (np.abs(den) >= 0.05)
+        exp[nz] = num[nz] / den[nz]
+        grid = got.value.to_numpy().reshape(out)
+        both = ~(np.isnan(grid) & np.isnan(exp))
+        np.testing.assert_allclose(grid[both], exp[both], atol=1e-6)
+    nn = RP.resize_grid(px, (h, w), out, order=0).toPandas()
+    assert len(nn) == th * tw and nn.value.notna().all()
+    with pytest.raises(NotImplementedError):
+        RP.resize_grid(px, (h, w), out, order=2)

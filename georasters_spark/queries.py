@@ -3263,6 +3263,80 @@ def sql_mjpeg_frames() -> str:
 FROM range(8) v CROSS JOIN range(4) i"""
 
 
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: VIDEO near-duplicate detection end to end — MJPEG videos
+    flow into the image dedup stack (verdict item 8). 8 spec-built
+    MP4s (videos v and v+4 share the frame formula; the other six are
+    grossly different) are demuxed by the real ISO-BMFF parser, 4 sync
+    frames JPEG-decoded per video, per-frame 64-bit phash computed,
+    then frame-level banded-LSH blocking (phash_near_dup_pairs — the
+    pigeonhole-exact inverted index, never video x video) joins
+    position-aligned frames within hamming<=3 and rolls up to video
+    pairs. The fixture's ground truth is structural: exactly the four
+    (v, v+4) pairs match, all 4 frames each, hamming 0."""
+    import pandas as pd
+
+    from .operators import dedup as DD
+    from .sources import codec as CD
+    from .sources import jpeg as J
+    from .sources import mp4 as M4
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for vid_ in pdf["id"].tolist():
+                v = int(vid_)
+                h, w = 32, 48
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                base = v % 4  # v and v+4 share the formula
+                frames = [
+                    (128 + 90 * np.sin(r / (3.0 + base) + base * 0.7
+                                       + i * 0.19)
+                     * np.cos(c / (4.0 + base * 2))).astype(np.uint8)
+                    for i in range(12)
+                ]
+                buf = M4.build_minimal_mp4(
+                    [J.encode_gray(f, 90) for f in frames],
+                    codec="mjpg", sync_every=3)
+                _info, samples = M4.extract_samples(buf)
+                sync = [s for s in samples if s[4]]
+                picks = [sync[i * len(sync) // 4] for i in range(4)]
+                for fi, (_si, _o, _sz, _pts, _sy, payload) in enumerate(picks):
+                    ph = CD.average_hash(J.decode_gray(payload), -1.0)
+                    rows.append({"image_id": v * 4 + fi, "phash": ph})
+            yield pd.DataFrame(rows, columns=["image_id", "phash"])
+
+    frames = spark.range(8).repartition(4).mapInPandas(
+        gen, schema="image_id long, phash long")
+    pairs = DD.phash_near_dup_pairs(frames, max_hamming=3)
+    # roll frame pairs up to video pairs: same frame position only
+    return (
+        pairs
+        .filter((F.col("img_a") % 4) == (F.col("img_b") % 4))
+        .select((F.col("img_a") / 4).cast("long").alias("vid_a"),
+                (F.col("img_b") / 4).cast("long").alias("vid_b"),
+                "hamming")
+        .filter(F.col("vid_a") != F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_close_frames"),
+             F.sum("hamming").cast("long").alias("sum_hamming"))
+    )
+
+
+def sql_video_near_dup() -> str:
+    """Structural ground truth of the constructed fixture (DuckDB has
+    no MP4/JPEG decoder — same contract as the mjpeg_frames gate):
+    exactly the four formula-sharing pairs, all 4 frames, hamming 0."""
+    return """SELECT CAST(v.range AS BIGINT) AS vid_a,
+       CAST(v.range + 4 AS BIGINT) AS vid_b,
+       CAST(4 AS BIGINT) AS n_close_frames,
+       CAST(0 AS BIGINT) AS sum_hamming
+FROM range(4) v"""
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Euclidean distance transform (gdal_proximity role) —
     separable two-stage grouped-map vs a brute-force min-join oracle.
@@ -3362,6 +3436,7 @@ QUERIES = {
     "gstar_local_perm": (q_gstar_local_perm, sql_gstar_local_perm),
     "resize_bilinear": (q_resize_bilinear, sql_resize_bilinear),
     "resize_cubic": (q_resize_cubic, sql_resize_cubic),
+    "video_near_dup": (q_video_near_dup, sql_video_near_dup),
     # --- round-4-checked gates (CORRECTNESS_r04 green, freshest) ---
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),

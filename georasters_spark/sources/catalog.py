@@ -190,24 +190,68 @@ def cell_prefix_expr(res: int, prefix_res: int):
     )
 
 
-def write_clustered(images, root: str, res: int, prefix_res: int = 1) -> None:
+def write_clustered(images, root: str, res: int, prefix_res: int = 1,
+                    range_files: int | None = None) -> None:
     """Write the images table partitioned by coarse cell prefix and
     sorted by cell_id within partitions — the layout that makes bbox /
     ring queries prune files (Iceberg PARTITIONED BY bucket + ORDER BY
-    z-curve analog, SURVEY §4.2)."""
+    z-curve analog, SURVEY §4.2). range_files=N range-partitions on
+    (cell_prefix, cell_id) into ~N tasks so each partition directory
+    holds several files with TIGHT disjoint cell_id spans — the layout
+    per-file min/max skipping needs. A file manifest of per-file
+    cell_id min/max (from the parquet footer statistics) is written
+    alongside, Iceberg-manifest style."""
+    from pyspark.sql import functions as F
+
     df = images.withColumn("cell_prefix", cell_prefix_expr(res, prefix_res))
+    part = (
+        df.repartitionByRange(range_files, F.col("cell_prefix"), F.col("cell_id"))
+        if range_files else df.repartition("cell_prefix")
+    )
     (
-        df.repartition("cell_prefix")
-        .sortWithinPartitions("cell_id")
+        part.sortWithinPartitions("cell_id")
         .write.mode("overwrite")
         .partitionBy("cell_prefix")
         .parquet(root)
     )
+    write_file_manifest(root)
 
 
-def scan_bbox(spark, root: str, bbox: tuple[float, float, float, float], prefix_res: int = 1):
-    """Read only the partitions whose prefix cell intersects the bbox:
-    directory-level partition pruning, then exact tile-bbox filtering."""
+def write_file_manifest(root: str) -> dict:
+    """Per-file cell_id [min, max] from parquet footer row-group
+    statistics -> <root>/_file_manifest.json (atomic rename). This is
+    the Iceberg data-file manifest analog: scan planning reads ONE
+    small JSON instead of every footer."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    man: dict = {}
+    for p in sorted(glob.glob(os.path.join(root, "cell_prefix=*", "*.parquet"))):
+        md = pq.ParquetFile(p).metadata
+        idx = None
+        for i in range(md.num_columns):
+            if md.row_group(0).column(i).path_in_schema == "cell_id":
+                idx = i
+                break
+        mn = mx = None
+        if idx is not None:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mn = mx = None
+                    break
+                mn = int(st.min) if mn is None else min(mn, int(st.min))
+                mx = int(st.max) if mx is None else max(mx, int(st.max))
+        man[os.path.relpath(p, root)] = [mn, mx]
+    tmp = os.path.join(root, "_file_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.rename(tmp, os.path.join(root, "_file_manifest.json"))
+    return man
+
+
+def _bbox_prefix_cells(bbox, prefix_res: int) -> list[int]:
     import numpy as np
 
     from ..functions import cells as C
@@ -221,14 +265,67 @@ def scan_bbox(spark, root: str, bbox: tuple[float, float, float, float], prefix_
         for iy in range(int(iy0[0]), int(iy1[0]) + 1):
             if 0 <= ix < n and 0 <= iy < n:
                 wanted.append(int(C.encode(np.int64(ix), np.int64(iy), prefix_res)))
-    # physically select the partition directories (what Iceberg manifest
-    # pruning does): only the matching files are ever listed or opened
-    import os
+    return sorted(set(wanted))
 
-    paths = [
-        p for p in (os.path.join(root, f"cell_prefix={c}") for c in sorted(set(wanted)))
+
+def bbox_cell_intervals(bbox, res: int, skip_res: int) -> list[tuple[int, int]]:
+    """Closed cell_id intervals (at table res) covering the bbox: each
+    skip_res cell the bbox touches maps to ONE contiguous Morton
+    interval of its res-level descendants (Z-curve prefix property).
+    Sound over-approximation — exactly Iceberg's range-skipping
+    contract."""
+    from ..functions.cells import RES_SHIFT
+
+    shift = 2 * (res - skip_res)
+    out = []
+    for cid in _bbox_prefix_cells(bbox, skip_res):
+        m = cid % (1 << RES_SHIFT)  # morton at skip_res
+        lo = (res << RES_SHIFT) | (m << shift)
+        hi = (res << RES_SHIFT) | (((m + 1) << shift) - 1)
+        out.append((lo, hi))
+    return out
+
+
+def scan_bbox(spark, root: str, bbox: tuple[float, float, float, float],
+              prefix_res: int = 1, res: int | None = None,
+              skip_res: int | None = None):
+    """Read only the data that can intersect the bbox. Two pruning
+    tiers, both metadata-only (no data file is listed or opened for a
+    pruned unit — what Iceberg manifest pruning does):
+
+    1. directory: partitions whose prefix cell intersects the bbox;
+    2. file (res= given + _file_manifest.json present): within the
+       kept directories, only files whose footer-stat cell_id
+       [min, max] overlaps a bbox cell interval at skip_res
+       (default prefix_res + 2) — Iceberg per-data-file min/max
+       skipping on the sort key.
+
+    Falls back to tier 1 when the manifest is missing (pre-r5 layout).
+    """
+    wanted = _bbox_prefix_cells(bbox, prefix_res)
+    dirs = [
+        p for p in (os.path.join(root, f"cell_prefix={c}") for c in wanted)
         if os.path.exists(p)
     ]
-    if not paths:
+    if not dirs:
         return spark.read.parquet(root).limit(0)
-    return spark.read.option("basePath", root).parquet(*paths)
+    man_path = os.path.join(root, "_file_manifest.json")
+    if res is not None and os.path.exists(man_path):
+        with open(man_path) as f:
+            man = json.load(f)
+        ivals = bbox_cell_intervals(
+            bbox, res, skip_res if skip_res is not None else min(res, prefix_res + 2))
+        dirset = {os.path.relpath(d, root) for d in dirs}
+        files = []
+        for rel, (mn, mx) in sorted(man.items()):
+            if os.path.dirname(rel) not in dirset:
+                continue
+            if mn is None:  # stats missing: cannot skip, must read
+                files.append(os.path.join(root, rel))
+                continue
+            if any(mn <= hi and mx >= lo for lo, hi in ivals):
+                files.append(os.path.join(root, rel))
+        if not files:
+            return spark.read.parquet(root).limit(0)
+        return spark.read.option("basePath", root).parquet(*files)
+    return spark.read.option("basePath", root).parquet(*dirs)

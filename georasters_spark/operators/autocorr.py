@@ -275,7 +275,7 @@ def moran_permutation_test(
     Returns one row: (i_obs double, n_perm, n_ge, p_sim) where
     p_sim = (n_ge + 1) / (n_perm + 1), n_ge = #{perm: num_perm >= num_obs}.
     """
-    from pyspark.sql import Window as W
+    from .algebra import c_order_index
 
     spark = px.sparkSession
     scal = px.agg(F.count("value").alias("n"), F.sum("value").alias("s"),
@@ -284,8 +284,10 @@ def moran_permutation_test(
     den_i = n * n * q - n * s * s
     perms = permutation_params(n, n_perm, seed)  # [(p, a_mul, b_add)], p=0 identity
 
-    w = W.orderBy("row", "col")
-    ranked = px.select("row", "col", "value").withColumn("k", F.row_number().over(w) - 1)
+    # ranks via the two-phase distributed enumeration (identical to
+    # ROW_NUMBER() OVER (ORDER BY row, col) - 1, no global window)
+    ranked = c_order_index(px).withColumnRenamed("i", "k").join(
+        px.select("row", "col", "value"), ["row", "col"])
     pairs_rk = neighbor_pairs_keys(ranked, rook=rook).select("ka", "kb")
     vals = ranked.select("k", F.col("value").cast("long").alias("v"))
 
@@ -567,10 +569,12 @@ def local_permutation_test(
     p_sim = (larger + 1) / (n_perm + 1).
 
     Scale: n_cells × n_perm × ≤9 candidate rows, one equi-join on the
-    sampled rank and two grouped aggregates — no window, no collect
-    beyond the 3 scalar moments.
+    sampled rank and two grouped aggregates — NO global window (ranks
+    come from algebra.c_order_index's two-phase distributed
+    enumeration), no collect beyond the scalar moments and the
+    O(#partitions) offset rows.
     """
-    from pyspark.sql import Window as W
+    from .algebra import c_order_index
 
     if stat not in ("moran", "gstar"):
         raise ValueError(f"unknown local stat {stat!r}")
@@ -579,9 +583,8 @@ def local_permutation_test(
     n, s = int(scal["n"]), int(scal["s"])
     perms = permutation_params(n, n_perm, seed)[1:]  # skip the identity
 
-    w = W.orderBy("row", "col")
-    ranked = px.select("row", "col", "value").withColumn(
-        "k", F.row_number().over(w) - 1)
+    ranked = c_order_index(px).withColumnRenamed("i", "k").join(
+        px.select("row", "col", "value"), ["row", "col"])
     foc = focal_stats(px, rook=rook, include_self=False)
     base = foc.join(ranked.select("row", "col", "k"), ["row", "col"]).select(
         "row", "col", "k", "ncnt",

@@ -541,10 +541,17 @@ def test_conic_warp_matches_numpy(spark, images_t1):
         RP.reproject(px, 4326, 5070, (spec.x0, spec.y0),
                      (spec.cellx, spec.celly), (spec.height, spec.width),
                      (32, 64)).toPandas()
+    # since r5, cubic reaches conic targets via the composed warp
+    # (mode-matrix completion); only UNKNOWN modes refuse
+    cb = RP.reproject(px, 4326, 5070, (spec.x0, spec.y0),
+                      (spec.cellx, spec.celly), (spec.height, spec.width),
+                      (32, 64), resampling="cubic",
+                      bbox_lonlat=(-120.0, 25.0, -75.0, 50.0)).toPandas()
+    assert len(cb) == 32 * 64 and cb["value"].notna().sum() > 0.8 * len(cb)
     with pytest.raises(NotImplementedError):
         RP.reproject(px, 4326, 5070, (spec.x0, spec.y0),
                      (spec.cellx, spec.celly), (spec.height, spec.width),
-                     (32, 64), resampling="cubic",
+                     (32, 64), resampling="nope",
                      bbox_lonlat=(-120.0, 25.0, -75.0, 50.0))
 
 

@@ -563,10 +563,17 @@ def local_permutation_test(
     hits k itself, that draw is remapped to the t = ncnt_i + 1 probe
     (still distinct, provably != k). All comparisons are exact
     integers: with N = n·v − S invariant under value permutation,
-        moran: li_perm >= li_obs  ⇔  zi·(n·Σvb − ncnt·S) >= zi·lag_obs
+        moran: li_perm >= li_obs  ⇔  sign(zi)·(lag_perm − lag_obs) >= 0
+               (compared BY SIGN of zi — the zi·lag products would
+               silently wrap int64 at ~10^7 cells × 10^3 values; the
+               factored compare stays within 8·n·v_max ≈ 10^14)
         gstar: num_perm >= num_obs ⇔  Σvb >= nsum_obs   (v_i fixed)
     Two-sided fold follows esda: larger = min(n_ge, n_perm − n_ge),
-    p_sim = (larger + 1) / (n_perm + 1).
+    p_sim = (larger + 1) / (n_perm + 1). Cells with zero valid
+    neighbors have no draws: they ARE emitted, with n_ge = 0 and
+    p_sim NULL (no estimate). Output: (row, col, zi, lag_obs,
+    nsum_obs, n_ge, p_sim) — all overflow-safe exact integers plus
+    the folded p; the normalized LISA itself comes from local_moran.
 
     Scale: n_cells × n_perm × ≤9 candidate rows, one equi-join on the
     sampled rank and two grouped aggregates — NO global window (ranks
@@ -612,24 +619,41 @@ def local_permutation_test(
         F.first("nsum_obs").alias("nsum_obs"), F.first("ncnt").alias("ncnt"),
         F.sum("vb").alias("sumvb"),
     )
+    lag_perm = F.col("sumvb") * n - F.col("ncnt") * s
     if stat == "moran":
-        ge = (F.col("zi") * (F.col("sumvb") * n - F.col("ncnt") * s)
-              >= F.col("zi") * F.col("lag_obs"))
-        obs_num = F.col("zi") * F.col("lag_obs")
+        # factored by sign(zi): equivalent to li_perm >= li_obs but
+        # never forms the zi·lag product (int64-overflow-safe at any
+        # grid scale)
+        ge = (
+            F.when(F.col("zi") > 0, lag_perm >= F.col("lag_obs"))
+            .when(F.col("zi") < 0, lag_perm <= F.col("lag_obs"))
+            .otherwise(F.lit(True))
+        )
     else:
         ge = F.col("sumvb") >= F.col("nsum_obs")
-        obs_num = F.col("nsum_obs")
     cell = per.groupBy("row", "col").agg(
-        F.first(obs_num).alias("stat_num"),
         F.sum(ge.cast("long")).alias("n_ge"),
     )
     folded = F.when(F.lit(n_perm) - F.col("n_ge") < F.col("n_ge"),
                     F.lit(n_perm) - F.col("n_ge")).otherwise(F.col("n_ge"))
-    return cell.select(
+    # left join back onto base: isolated cells (ncnt = 0, no draws)
+    # keep a row with n_ge = 0 and NULL p_sim
+    out = base.select("row", "col", "zi", "lag_obs", "nsum_obs").join(
+        cell.select(
+            "row", "col",
+            F.col("n_ge").cast("long").alias("n_ge"),
+            F.round((folded + F.lit(1.0))
+                    / F.lit(float(n_perm + 1)), 6).alias("p_sim"),
+        ),
+        ["row", "col"], "left",
+    )
+    return out.select(
         "row", "col",
-        F.col("stat_num").cast("long").alias("stat_num"),
-        F.col("n_ge").cast("long").alias("n_ge"),
-        F.round((folded + F.lit(1.0)) / F.lit(float(n_perm + 1)), 6).alias("p_sim"),
+        F.col("zi").cast("long").alias("zi"),
+        F.col("lag_obs").cast("long").alias("lag_obs"),
+        F.col("nsum_obs").cast("long").alias("nsum_obs"),
+        F.coalesce(F.col("n_ge"), F.lit(0)).cast("long").alias("n_ge"),
+        "p_sim",
     )
 
 
@@ -645,11 +669,13 @@ def local_permutation_sql(px_cte: str, n: int, n_perm: int = 19,
     pvals = ", ".join(f"({p}, {a}, {b})" for p, a, b in perms)
     tvals = ", ".join(f"({t})" for t in range(1, 9))
     if stat == "moran":
-        ge = "CASE WHEN per.zi * (per.sumvb * per.n - per.ncnt * per.s) >= per.zi * per.lag_obs THEN 1 ELSE 0 END"
-        obs = "zi * lag_obs"
+        # factored by sign(zi) — the same overflow-safe compare as the
+        # engine (never forms the zi·lag product)
+        ge = ("CASE WHEN per.zi > 0 THEN (CASE WHEN per.sumvb * per.n - per.ncnt * per.s >= per.lag_obs THEN 1 ELSE 0 END) "
+              "WHEN per.zi < 0 THEN (CASE WHEN per.sumvb * per.n - per.ncnt * per.s <= per.lag_obs THEN 1 ELSE 0 END) "
+              "ELSE 1 END")
     elif stat == "gstar":
         ge = "CASE WHEN per.sumvb >= per.nsum_obs THEN 1 ELSE 0 END"
-        obs = "nsum_obs"
     else:
         raise ValueError(f"unknown local stat {stat!r}")
     return f"""WITH {px_cte},
@@ -661,11 +687,11 @@ ranked AS (SELECT row, col, value, ROW_NUMBER() OVER (ORDER BY row, col) - 1 AS 
 candn AS (SELECT a.row, a.col, a.row + o.dr AS r2, a.col + o.dc AS c2 FROM px a CROSS JOIN offsets o),
 foc AS (SELECT candn.row, candn.col, CAST(SUM(b.value) AS BIGINT) AS nsum, CAST(COUNT(*) AS BIGINT) AS ncnt
         FROM candn JOIN px b ON b.row = candn.r2 AND b.col = candn.c2 GROUP BY 1, 2),
-base AS (SELECT r.row, r.col, r.k, f.ncnt,
+base AS (SELECT r.row, r.col, r.k, COALESCE(f.ncnt, 0) AS ncnt,
                 (r.value * scal.n - scal.s) AS zi,
-                (f.nsum * scal.n - f.ncnt * scal.s) AS lag_obs,
-                f.nsum AS nsum_obs, scal.n AS n, scal.s AS s
-         FROM ranked r JOIN foc f ON f.row = r.row AND f.col = r.col, scal),
+                (COALESCE(f.nsum, 0) * scal.n - COALESCE(f.ncnt, 0) * scal.s) AS lag_obs,
+                COALESCE(f.nsum, 0) AS nsum_obs, scal.n AS n, scal.s AS s
+         FROM ranked r LEFT JOIN foc f ON f.row = r.row AND f.col = r.col, scal),
 cand AS (SELECT base.row, base.col, pe.p, base.k, base.ncnt, base.zi,
                 base.lag_obs, base.nsum_obs, base.n, base.s,
                 CASE WHEN (pe.amul * (base.k + ts.t) + pe.badd) % {n} = base.k
@@ -679,10 +705,16 @@ per AS (SELECT cand.row, cand.col, cand.p,
                ANY_VALUE(cand.n) AS n, ANY_VALUE(cand.s) AS s,
                CAST(SUM(v.value) AS BIGINT) AS sumvb
         FROM cand JOIN ranked v ON v.k = cand.m GROUP BY 1, 2, 3),
-cell AS (SELECT per.row, per.col, ANY_VALUE({obs}) AS stat_num,
+cell AS (SELECT per.row, per.col,
                 CAST(SUM({ge}) AS BIGINT) AS n_ge
          FROM per GROUP BY 1, 2)
-SELECT row, col, CAST(stat_num AS BIGINT) AS stat_num, n_ge,
-       ROUND((CASE WHEN {n_perm} - n_ge < n_ge THEN {n_perm} - n_ge ELSE n_ge END + 1.0)
-             / {float(n_perm + 1)}, 6) AS p_sim
-FROM cell"""
+SELECT base.row, base.col,
+       CAST(base.zi AS BIGINT) AS zi,
+       CAST(base.lag_obs AS BIGINT) AS lag_obs,
+       CAST(base.nsum_obs AS BIGINT) AS nsum_obs,
+       COALESCE(cell.n_ge, 0) AS n_ge,
+       CASE WHEN cell.n_ge IS NOT NULL THEN
+         ROUND((CASE WHEN {n_perm} - cell.n_ge < cell.n_ge
+                     THEN {n_perm} - cell.n_ge ELSE cell.n_ge END + 1.0)
+               / {float(n_perm + 1)}, 6) END AS p_sim
+FROM base LEFT JOIN cell ON cell.row = base.row AND cell.col = base.col"""

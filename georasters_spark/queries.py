@@ -702,17 +702,15 @@ _RS_TH, _RS_TW = 90, 180
 
 
 def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # delegates to the shared operator so the gate exercises the SAME
+    # center-rule code path as resize_grid(order=0) (review r5: two
+    # inline copies of the ((2t+1)h) DIV (2th) formula drifted apart)
+    from .operators import reproject as RP
+
     spec = SPEC
-    target = (
-        spark.range(_RS_TH)
-        .select(F.col("id").alias("trow"))
-        .crossJoin(spark.range(_RS_TW).select(F.col("id").alias("tcol")))
-    )
-    target = target.withColumn(
-        "row", F.expr(f"((2 * trow + 1) * {spec.height}) DIV (2 * {_RS_TH})")
-    ).withColumn("col", F.expr(f"((2 * tcol + 1) * {spec.width}) DIV (2 * {_RS_TW})"))
     px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
-    return target.join(px, ["row", "col"], "left").select("trow", "tcol", "value")
+    return RP.resize_grid(px, (spec.height, spec.width), (_RS_TH, _RS_TW),
+                          order=0)
 
 
 def sql_resize() -> str:
@@ -1472,7 +1470,7 @@ _LCC_LANCZOS_GATE = {"bbox": (-5.0, 41.0, 10.0, 51.5), "out": (40, 60)}
 
 
 def _kernel_gate_sql(kernel: str, inv_cte: str, lon_col: str, lat_col: str,
-                     th: int, tw: int, tgt_cte: str) -> str:
+                     tgt_cte: str) -> str:
     """Shared oracle tail for the convolution-kernel warp gates: from a
     loc0 CTE exposing lon/lat per (trow, tcol), rebuild the quantized
     fractional index, the kernel's neighbor weights (term-for-term via
@@ -1552,7 +1550,7 @@ def sql_reproject_utm_cubic() -> str:
          {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS em,
          {dlit(Y1b)} + (tr.range + 0.5) * {dlit(tcy)} AS nm
   FROM range({th}) tr CROSS JOIN range({tw}) tc)"""
-    return _kernel_gate_sql("catmull", inv_cte, lon_col, lat_col, th, tw, tgt_cte)
+    return _kernel_gate_sql("catmull", inv_cte, lon_col, lat_col, tgt_cte)
 
 
 def q_reproject_lcc_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1593,7 +1591,7 @@ def sql_reproject_lcc_lanczos() -> str:
          {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
          {dlit(Y1b)} + (tr.range + 0.5) * {dlit(tcy)} AS ym
   FROM range({th}) tr CROSS JOIN range({tw}) tc)"""
-    return _kernel_gate_sql("lanczos", inv_cte, lon_col, lat_col, th, tw, tgt_cte)
+    return _kernel_gate_sql("lanczos", inv_cte, lon_col, lat_col, tgt_cte)
 
 
 def q_reproject_any_average(spark: SparkSession, sf_dir: str) -> DataFrame:

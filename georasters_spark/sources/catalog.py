@@ -276,6 +276,8 @@ def bbox_cell_intervals(bbox, res: int, skip_res: int) -> list[tuple[int, int]]:
     contract."""
     from ..functions.cells import RES_SHIFT
 
+    if skip_res > res:
+        raise ValueError(f"skip_res {skip_res} must be <= table res {res}")
     shift = 2 * (res - skip_res)
     out = []
     for cid in _bbox_prefix_cells(bbox, skip_res):
@@ -314,17 +316,25 @@ def scan_bbox(spark, root: str, bbox: tuple[float, float, float, float],
         with open(man_path) as f:
             man = json.load(f)
         ivals = bbox_cell_intervals(
-            bbox, res, skip_res if skip_res is not None else min(res, prefix_res + 2))
-        dirset = {os.path.relpath(d, root) for d in dirs}
+            bbox, res, min(res, skip_res if skip_res is not None
+                           else prefix_res + 2))
+        # walk the ACTUAL files in the kept directories: a data file
+        # appended outside write_clustered (stale manifest) has no
+        # entry and MUST be read — skipping only what the manifest
+        # provably bounds keeps tier 2 sound against foreign writers
         files = []
-        for rel, (mn, mx) in sorted(man.items()):
-            if os.path.dirname(rel) not in dirset:
-                continue
-            if mn is None:  # stats missing: cannot skip, must read
-                files.append(os.path.join(root, rel))
-                continue
-            if any(mn <= hi and mx >= lo for lo, hi in ivals):
-                files.append(os.path.join(root, rel))
+        for d in dirs:
+            for fname in sorted(os.listdir(d)):
+                if not fname.endswith(".parquet"):
+                    continue
+                full = os.path.join(d, fname)
+                ent = man.get(os.path.relpath(full, root))
+                if ent is None or ent[0] is None:
+                    files.append(full)  # unknown/statless: must read
+                    continue
+                mn, mx = ent
+                if any(mn <= hi and mx >= lo for lo, hi in ivals):
+                    files.append(full)
         if not files:
             return spark.read.parquet(root).limit(0)
         return spark.read.option("basePath", root).parquet(*files)

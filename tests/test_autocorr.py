@@ -192,14 +192,23 @@ def test_local_permutation_test_numpy_mirror(spark):
             assert rowr.n_ge == n_ge, (stat, r, c)
             folded = min(n_ge, n_perm - n_ge)
             assert abs(rowr.p_sim - round((folded + 1) / (n_perm + 1), 6)) < 1e-9
-            exp_num = zi * lag_obs if stat == "moran" else nsum
-            assert rowr.stat_num == exp_num
+            assert rowr.zi == zi and rowr.lag_obs == lag_obs
+            assert rowr.nsum_obs == nsum
     # p_sim bounded after planting an extreme hot-spot
     pdf2 = pdf.copy(); pdf2.loc[(pdf2.row == 4) & (pdf2.col == 4), "value"] = 5000
     got2 = (AC.local_permutation_test(spark.createDataFrame(pdf2),
                                       n_perm=n_perm, seed=seed)
             .toPandas().set_index(["row", "col"]))
     assert got2.p_sim.between(0.0, 1.0).all()
+    # isolated valid cell (all neighbors nodata): row EMITTED with
+    # n_ge = 0 and NULL p_sim (review r5 — previously dropped)
+    pdf3 = pdf[~((pdf.row <= 1) & (pdf.col <= 1) & ~((pdf.row == 0) & (pdf.col == 0)))]
+    got3 = (AC.local_permutation_test(spark.createDataFrame(pdf3),
+                                      n_perm=n_perm, seed=seed)
+            .toPandas().set_index(["row", "col"]))
+    assert len(got3) == len(pdf3)
+    iso = got3.loc[(0, 0)]
+    assert iso.n_ge == 0 and pd.isna(iso.p_sim) and iso.nsum_obs == 0
 
 
 def test_resize_interp_orders(spark):

@@ -325,6 +325,67 @@ def moran_permutation_test(
     return spark.createDataFrame(row, "i_obs double, n_perm long, n_ge long, p_sim double")
 
 
+def geary_permutation_test(
+    px: DataFrame, n_perm: int = 19, seed: int = 97, rook: bool = False
+) -> DataFrame:
+    """Seeded permutation test for Geary's C (reference pysal_Geary
+    passes permutations= to esda.Geary, georasters.py:1271-1308).
+    Same modular-permutation machinery as moran_permutation_test; the
+    Geary numerator Σ_pairs (va − vb)² = Σva² + Σvb² − 2·Σva·vb, and
+    since n, S, S0 and the variance denominator are permutation-
+    invariant, C_perm >= C_obs reduces to an EXACT integer comparison
+    of the pair square-difference sums (high C = dispersion, so >=
+    counts the dispersion tail — the same convention as esda's
+    sim >= C before its fold; n_ge is reported unfolded, matching
+    moran_permutation_test).
+
+    Returns one row: (c_obs double, n_perm, n_ge, p_sim) with
+    p_sim = (n_ge + 1) / (n_perm + 1)."""
+    from .algebra import c_order_index
+
+    spark = px.sparkSession
+    scal = px.agg(F.count("value").alias("n"), F.sum("value").alias("s"),
+                  F.sum(F.col("value") * F.col("value")).alias("q")).collect()[0]
+    n, s, q = int(scal["n"]), int(scal["s"]), int(scal["q"])
+    den = n * q - s * s  # n · Σ(v − mean)²
+    perms = permutation_params(n, n_perm, seed)
+
+    ranked = c_order_index(px).withColumnRenamed("i", "k").join(
+        px.select("row", "col", "value"), ["row", "col"])
+    pairs_rk = neighbor_pairs_keys(ranked, rook=rook).select("ka", "kb")
+    vals = ranked.select("k", F.col("value").cast("long").alias("v"))
+
+    perm_df = spark.createDataFrame(perms, "p int, amul long, badd long")
+    pp = pairs_rk.crossJoin(F.broadcast(perm_df)).select(
+        "p",
+        ((F.col("ka") * F.col("amul") + F.col("badd")) % n).alias("pka"),
+        ((F.col("kb") * F.col("amul") + F.col("badd")) % n).alias("pkb"),
+    )
+    j = (
+        pp.join(vals.withColumnRenamed("k", "pka").withColumnRenamed("v", "va"), "pka")
+        .join(vals.withColumnRenamed("k", "pkb").withColumnRenamed("v", "vb"), "pkb")
+    )
+    agg = (
+        j.groupBy("p")
+        .agg(
+            F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))).alias("p_d2"),
+            F.count(F.lit(1)).alias("s0"),
+        )
+        .collect()
+    )
+    nums = {}
+    s0 = None
+    for r in agg:
+        s0 = int(r["s0"])
+        nums[int(r["p"])] = int(r["p_d2"])
+    num_obs = nums[0]
+    # C = (n−1)·Σw(vi−vj)² / (2·S0·Σ(v−mean)²), with Σ(v−mean)² = den/n
+    c_obs = (float(n - 1) * float(num_obs) * float(n)) / (2.0 * float(s0) * float(den))
+    n_ge = sum(1 for p in range(1, n_perm + 1) if nums[p] >= num_obs)
+    row = [(c_obs, n_perm, n_ge, float(n_ge + 1) / float(n_perm + 1))]
+    return spark.createDataFrame(row, "c_obs double, n_perm long, n_ge long, p_sim double")
+
+
 def permutation_params(n: int, n_perm: int, seed: int) -> list[tuple[int, int, int]]:
     """Deterministic modular permutations of Z_n: rank -> (a·rank+b) % n
     with gcd(a, n) = 1. p = 0 is the identity (observed ordering)."""

@@ -2376,6 +2376,52 @@ SELECT (CAST(obs.n AS DOUBLE) / CAST(obs.s0 AS DOUBLE))
 FROM obs, ge"""
 
 
+def q_geary_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: global Geary C permutation test (reference pysal_Geary
+    passes permutations= to esda.Geary, georasters.py:1271-1308) —
+    exact integer comparison of pair square-difference sums under the
+    seeded modular permutations."""
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.geary_permutation_test(px, n_perm=_PERM_N, seed=_PERM_SEED)
+
+
+def sql_geary_perm() -> str:
+    from .operators.autocorr import QUEEN, permutation_params
+
+    n = _t1_valid_count()
+    perms = permutation_params(n, _PERM_N, _PERM_SEED)
+    pvals = ", ".join(f"({p}, {a}, {b})" for p, a, b in perms)
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in QUEEN)
+    return f"""WITH {synth.pixel_sql(SPEC)},
+offsets(dr, dc) AS (VALUES {offsets}),
+perms(p, amul, badd) AS (VALUES {pvals}),
+ranked AS (SELECT row, col, value, ROW_NUMBER() OVER (ORDER BY row, col) - 1 AS k FROM px),
+cand AS (SELECT a.k AS ka, a.row + o.dr AS r2, a.col + o.dc AS c2 FROM ranked a CROSS JOIN offsets o),
+pairs AS (SELECT cand.ka, b.k AS kb FROM cand JOIN ranked b ON b.row = cand.r2 AND b.col = cand.c2),
+pp AS (SELECT pe.p, (pairs.ka * pe.amul + pe.badd) % {n} AS pka, (pairs.kb * pe.amul + pe.badd) % {n} AS pkb
+       FROM pairs CROSS JOIN perms pe),
+j AS (SELECT pp.p, va.value AS va, vb.value AS vb
+      FROM pp JOIN ranked va ON va.k = pp.pka JOIN ranked vb ON vb.k = pp.pkb),
+agg AS (SELECT p, CAST(SUM((va - vb) * (va - vb)) AS BIGINT) AS p_d2,
+               CAST(COUNT(*) AS BIGINT) AS s0
+        FROM j GROUP BY p),
+scal AS (SELECT CAST(COUNT(value) AS BIGINT) AS n, CAST(SUM(value) AS BIGINT) AS s,
+                CAST(SUM(value*value) AS BIGINT) AS q FROM px),
+obs AS (SELECT agg.p_d2 AS num_obs, agg.s0, scal.n, scal.s, scal.q
+        FROM agg, scal WHERE agg.p = 0),
+ge AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ge
+       FROM agg, obs WHERE agg.p > 0 AND agg.p_d2 >= obs.num_obs)
+SELECT (CAST(obs.n - 1 AS DOUBLE) * CAST(obs.num_obs AS DOUBLE) * CAST(obs.n AS DOUBLE))
+       / (2.0 * CAST(obs.s0 AS DOUBLE)
+          * CAST(CAST(obs.n AS HUGEINT)*obs.q - CAST(obs.s AS HUGEINT)*obs.s AS DOUBLE)) AS c_obs,
+       CAST({_PERM_N} AS BIGINT) AS n_perm,
+       ge.n_ge AS n_ge,
+       CAST(ge.n_ge + 1 AS DOUBLE) / ({_PERM_N} + 1) AS p_sim
+FROM obs, ge"""
+
+
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed event rollup (batch form of streaming/events.py):
     6-hour epoch buckets, per-type aggregates + JSON prop extraction."""
@@ -3040,6 +3086,116 @@ FROM px"""
 _JPEG_SIZES = [(64, 64), (60, 52), (48, 80), (33, 57)]
 _JPEG_QUALS = [95, 85, 75]
 
+_PNG_SIZES = [(16, 24), (33, 17), (8, 40), (25, 25)]  # (h, w), key = f % 4
+_PNG_STRATS = ["adaptive", "none", "sub", "up", "average", "paeth"]
+
+
+def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL full PNG codec end to end (sources/png.py): 24 deterministic
+    images cycling 6 kinds — gray8, gray16, RGB8, RGBA8, 4-bit gray,
+    and 4-bit palette+tRNS (expands to RGBA) — x 4 sizes, odd ids
+    Adam7-interlaced, filter strategy cycling all six encoder modes,
+    are encoded and decoded back executor-side. PNG is LOSSLESS, so the
+    gate is hash-exact: a position-weighted integer checksum over every
+    DECODED sample, which the DuckDB oracle re-derives purely
+    arithmetically from the pixel formulas — any wrong sample anywhere
+    in the filter/interlace/palette pipeline shifts the sum."""
+    import pandas as pd
+
+    from .sources import png as P
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for fid in pdf["id"].tolist():
+                f = int(fid)
+                h, w = _PNG_SIZES[f % 4]
+                kind = f % 6
+                il = f % 2 == 1
+                strat = _PNG_STRATS[f % 6]
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                if kind == 0:  # gray8
+                    img = ((r * 7 + c * 13 + f * 29) % 256)[..., 0].astype(np.uint8)
+                    buf = P.encode(img, interlace=il, filter_strategy=strat)
+                elif kind == 1:  # gray16
+                    img = ((r * 7 + c * 13 + f * 29) % 65536)[..., 0].astype(np.uint16)
+                    buf = P.encode(img, interlace=il, filter_strategy=strat)
+                elif kind == 2:  # RGB8
+                    ch = np.arange(3, dtype=np.int64)[None, None, :]
+                    img = ((r * 7 + c * 13 + ch * 11 + f * 29) % 256).astype(np.uint8)
+                    buf = P.encode(img, interlace=il, filter_strategy=strat)
+                elif kind == 3:  # RGBA8
+                    ch = np.arange(4, dtype=np.int64)[None, None, :]
+                    img = ((r * 7 + c * 13 + ch * 11 + f * 29) % 256).astype(np.uint8)
+                    buf = P.encode(img, interlace=il, filter_strategy=strat)
+                elif kind == 4:  # 4-bit gray
+                    img = ((r * 7 + c * 13 + f * 29) % 16)[..., 0].astype(np.uint8)
+                    buf = P.encode(img, depth=4, interlace=il, filter_strategy=strat)
+                else:  # 4-bit palette + tRNS -> decodes to RGBA
+                    idx = ((r * 3 + c * 5 + f) % 16)[..., 0].astype(np.uint8)
+                    i = np.arange(16, dtype=np.int64)
+                    pal = np.stack([(i * 37 + f) % 256, (i * 59 + 3 * f) % 256,
+                                    (i * 83 + 7 * f) % 256], axis=1).astype(np.uint8)
+                    trns = bytes(int((k * 16 + f) % 256) for k in range(16))
+                    buf = P.encode(idx, palette=pal, depth=4, trns=trns,
+                                   interlace=il, filter_strategy=strat)
+                dec = P.decode(buf)
+                a = dec if dec.ndim == 3 else dec[..., None]
+                nch = a.shape[2]
+                pos = ((np.arange(h)[:, None, None] * w
+                        + np.arange(w)[None, :, None]) * nch
+                       + np.arange(nch)[None, None, :])
+                cks = int((a.astype(np.int64) * (1 + pos % 97)).sum())
+                rows.append({"img_id": f, "h": int(a.shape[0]),
+                             "w": int(a.shape[1]), "nch": nch,
+                             "checksum": cks})
+            yield pd.DataFrame(rows, columns=["img_id", "h", "w", "nch",
+                                              "checksum"])
+
+    return spark.range(24).repartition(4).mapInPandas(
+        gen, schema="img_id long, h int, w int, nch int, checksum long")
+
+
+def sql_png_roundtrip() -> str:
+    dims = ", ".join(f"({i}, {h}, {w})" for i, (h, w) in enumerate(_PNG_SIZES))
+    return f"""
+WITH sizes(k, h, w) AS (VALUES {dims}),
+imgs AS (
+  SELECT CAST(f.range AS BIGINT) AS img_id, s.h, s.w, f.range % 6 AS kind,
+         CASE WHEN f.range % 6 IN (3, 5) THEN 4
+              WHEN f.range % 6 = 2 THEN 3 ELSE 1 END AS nch
+  FROM range(24) f JOIN sizes s ON s.k = f.range % 4),
+px AS (
+  SELECT i.img_id, i.h, i.w, i.kind, i.nch,
+         r.range AS r, c.range AS c, ch.range AS ch
+  FROM imgs i
+  CROSS JOIN range(40) r CROSS JOIN range(40) c CROSS JOIN range(4) ch
+  WHERE r.range < i.h AND c.range < i.w AND ch.range < i.nch),
+vals AS (
+  SELECT img_id, h, w, nch,
+         (r * w + c) * nch + ch AS pos,
+         CASE kind
+           WHEN 0 THEN (r * 7 + c * 13 + img_id * 29) % 256
+           WHEN 1 THEN (r * 7 + c * 13 + img_id * 29) % 65536
+           WHEN 2 THEN (r * 7 + c * 13 + ch * 11 + img_id * 29) % 256
+           WHEN 3 THEN (r * 7 + c * 13 + ch * 11 + img_id * 29) % 256
+           WHEN 4 THEN (r * 7 + c * 13 + img_id * 29) % 16
+           ELSE CASE ch
+             WHEN 0 THEN (((r * 3 + c * 5 + img_id) % 16) * 37 + img_id) % 256
+             WHEN 1 THEN (((r * 3 + c * 5 + img_id) % 16) * 59 + 3 * img_id) % 256
+             WHEN 2 THEN (((r * 3 + c * 5 + img_id) % 16) * 83 + 7 * img_id) % 256
+             ELSE (((r * 3 + c * 5 + img_id) % 16) * 16 + img_id) % 256
+           END
+         END AS v
+  FROM px)
+SELECT img_id, CAST(MAX(h) AS INT) AS h, CAST(MAX(w) AS INT) AS w,
+       CAST(MAX(nch) AS INT) AS nch,
+       CAST(SUM(v * (1 + pos % 97)) AS BIGINT) AS checksum
+FROM vals GROUP BY img_id"""
+
 
 def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG end to end: 48 deterministic grayscale images
@@ -3435,6 +3591,8 @@ QUERIES = {
     "resize_bilinear": (q_resize_bilinear, sql_resize_bilinear),
     "resize_cubic": (q_resize_cubic, sql_resize_cubic),
     "video_near_dup": (q_video_near_dup, sql_video_near_dup),
+    "geary_permutations": (q_geary_perm, sql_geary_perm),
+    "png_roundtrip": (q_png_roundtrip, sql_png_roundtrip),
     # --- round-4-checked gates (CORRECTNESS_r04 green, freshest) ---
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),

@@ -2,6 +2,7 @@
 parquet scan pushdown."""
 
 import numpy as np
+import pytest
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -166,3 +167,46 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert pd.isna(g.asof_rid), (g, e)
         else:
             assert g.asof_rid == e.rid, (g, e)
+
+
+def test_geary_permutation_numpy_mirror(spark):
+    """geary_permutation_test == a direct numpy mirror of its seeded
+    modular draws: same c_obs as the closed-form Geary C and the same
+    n_ge from re-deriving every permutation's pair square-difference
+    sum on the driver (reference pysal_Geary permutations=,
+    georasters.py:1271-1308)."""
+    px = _small_px(spark)
+    n_perm, seed = 9, 23
+    got = AC.geary_permutation_test(px, n_perm=n_perm, seed=seed).collect()[0]
+    same = AC.geary_permutation_test(px, n_perm=n_perm, seed=seed).collect()[0]
+    assert got == same  # seeded => reproducible
+
+    pdf = px.toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    n = len(pdf)
+    v = pdf["value"].to_numpy(np.int64)
+    pos = {(r, c): k for k, (r, c) in enumerate(zip(pdf["row"], pdf["col"]))}
+    pairs = [
+        (ka, pos[(r + dr, c + dc)])
+        for (r, c), ka in pos.items()
+        for dr, dc in AC.QUEEN
+        if (r + dr, c + dc) in pos
+    ]
+    s0 = len(pairs)
+
+    def d2(perm_v):
+        return sum(int(perm_v[a] - perm_v[b]) ** 2 for a, b in pairs)
+
+    num_obs = d2(v)
+    mean = v.mean()
+    c_exp = (n - 1) * num_obs / (2.0 * s0 * float(((v - mean) ** 2).sum()))
+    assert got["c_obs"] == pytest.approx(c_exp, rel=1e-12)
+    n_ge = 0
+    ks = np.arange(n, dtype=np.int64)
+    for _, amul, badd in AC.permutation_params(n, n_perm, seed)[1:]:
+        # the engine rewrites pair key k -> (amul*k + badd) % n and
+        # looks the ORIGINAL rank->value table up at the new key
+        perm_v = v[(amul * ks + badd) % n]
+        if d2(perm_v) >= num_obs:
+            n_ge += 1
+    assert got["n_ge"] == n_ge
+    assert got["p_sim"] == pytest.approx((n_ge + 1) / (n_perm + 1))

@@ -14,6 +14,12 @@ fmt dispatch:
   'jpeg'                       — REAL JPEG: baseline gray/color
                                  (4:4:4/4:2:2/4:2:0) + progressive
                                  (sources/jpeg.py, pure numpy)
+  'pngc'                       — REAL full PNG (sources/png.py): all
+                                 five filters, depths 1/2/4/8/16,
+                                 gray/RGB/RGBA/gray+alpha/palette
+                                 (+tRNS), Adam7 interlace;
+                                 self-describing dims, color images
+                                 collapse to BT.601 integer luminance
   'wav'                        — REAL stdlib PCM16 codec (below)
   'mp4'                        — REAL ISO-BMFF container demux
                                  (sources/mp4.py: sample table,
@@ -34,7 +40,7 @@ from pyspark.sql import DataFrame
 
 from ..sources import codec
 
-REAL_FMTS = {"raw16", "rawf32", "png", "q8", "tiff", "jpeg"}
+REAL_FMTS = {"raw16", "rawf32", "png", "q8", "tiff", "jpeg", "pngc"}
 
 
 def decode_any(buf: bytes, fmt: str, w: int, h: int, ndv: float = -9999.0) -> np.ndarray:
@@ -42,6 +48,22 @@ def decode_any(buf: bytes, fmt: str, w: int, h: int, ndv: float = -9999.0) -> np
         from ..sources import jpeg
 
         return jpeg.decode_gray(buf).astype(np.float64)  # self-describing dims
+    if fmt == "pngc":
+        # full PNG (any depth/color-type/interlace, sources/png.py),
+        # self-describing dims; color collapses to BT.601 integer
+        # luminance so PNGs flow through the gray feature/phash stack
+        from ..sources import png as _png
+
+        arr = _png.decode(buf)
+        if arr.ndim == 3:
+            if arr.shape[2] == 2:  # gray + alpha
+                arr = arr[..., 0]
+            else:  # RGB / RGBA
+                r = arr[..., 0].astype(np.int64)
+                g = arr[..., 1].astype(np.int64)
+                b = arr[..., 2].astype(np.int64)
+                arr = (299 * r + 587 * g + 114 * b) // 1000
+        return arr.astype(np.float64)
     if fmt in REAL_FMTS:
         return np.asarray(codec.decode_tile(buf, fmt, w, h, ndv), dtype=np.float64)
     if fmt == "fake":

@@ -1,0 +1,394 @@
+"""Full PNG codec (ISO/IEC 15948 / RFC 2083), pure numpy + stdlib zlib.
+
+The reference's raster I/O delegates to GDAL, whose PNG driver reads and
+writes the full format (georasters.py:281-291 via gdal.Open handles any
+GDAL-supported raster, PNG included). The engine's tile codec so far
+carried only the minimal 16-bit gray / filter-0 subset
+(sources/codec.py:encode_png16); this module implements the real thing:
+
+  decoder: chunk walk with CRC32 verification, IHDR validation against
+           the legal depth x color-type matrix, multi-IDAT zlib stream,
+           all five scanline filters (None/Sub/Up/Average/Paeth),
+           bit depths 1/2/4/8/16, color types 0 (gray), 2 (RGB),
+           3 (palette via PLTE, + tRNS alpha -> RGBA), 4 (gray+alpha),
+           6 (RGBA), and Adam7 interlace (7-pass de-interleave)
+  encoder: gray 1/2/4/8/16-bit, RGB/RGBA/gray+alpha 8/16-bit, palette
+           8-bit, per-scanline adaptive filter selection (minimum
+           sum-of-absolute-differences heuristic — the libpng default),
+           optional Adam7 interlaced output
+
+Everything is loud: bad signature/CRC/filter byte/length raises
+ValueError("png: ..."), never a silent wrong image. Filter encode and
+the Sub-unfilter are vectorized (Sub unfiltering is a per-byte-lane
+uint8 accumulate, i.e. a prefix sum mod 256); Average/Paeth unfilter
+walk the scanline because each byte depends on the reconstructed left
+neighbor — per ROW, not per pixel table, so the Python loop is bounded
+by scanline count x width, inside one Arrow-batched task.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> channel count
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths per color type (spec table 11.1)
+_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+# Adam7 pass offsets/strides: (xstart, ystart, xstep, ystep)
+ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
+
+
+def _walk_chunks(buf: bytes):
+    if buf[:8] != SIGNATURE:
+        raise ValueError("png: bad signature")
+    pos = 8
+    n = len(buf)
+    while pos < n:
+        if pos + 8 > n:
+            raise ValueError("png: truncated chunk header")
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > n:
+            raise ValueError(f"png: truncated chunk {tag!r}")
+        payload = buf[pos + 8 : end]
+        (crc,) = struct.unpack_from(">I", buf, end)
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: bad CRC in chunk {tag!r}")
+        yield tag, payload
+        pos = end + 4
+        if tag == b"IEND":
+            return
+    raise ValueError("png: missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: np.ndarray, h: int, rowbytes: int, fu: int) -> np.ndarray:
+    """Reverse the per-scanline filters. raw is h*(1+rowbytes) bytes;
+    returns (h, rowbytes) uint8 of reconstructed bytes."""
+    if raw.size != h * (1 + rowbytes):
+        raise ValueError(
+            f"png: filtered stream is {raw.size} bytes, "
+            f"expected {h * (1 + rowbytes)}"
+        )
+    lines = raw.reshape(h, 1 + rowbytes)
+    out = np.zeros((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(lines[y, 0])
+        cur = lines[y, 1:].copy()
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: prefix-sum mod 256 per byte lane
+            for lane in range(fu):
+                np.add.accumulate(cur[lane::fu], out=cur[lane::fu])
+        elif ftype == 2:  # Up
+            cur += prev
+        elif ftype == 3:  # Average
+            ci = cur.astype(np.int32)
+            pi = prev.astype(np.int32)
+            rec = np.zeros(rowbytes, dtype=np.int32)
+            for i in range(rowbytes):
+                left = rec[i - fu] if i >= fu else 0
+                rec[i] = (ci[i] + ((left + pi[i]) >> 1)) & 0xFF
+            cur = rec.astype(np.uint8)
+        elif ftype == 4:  # Paeth
+            ci = cur.astype(np.int32)
+            pi = prev.astype(np.int32)
+            rec = np.zeros(rowbytes, dtype=np.int32)
+            for i in range(rowbytes):
+                a = rec[i - fu] if i >= fu else 0
+                b = pi[i]
+                c = pi[i - fu] if i >= fu else 0
+                rec[i] = (ci[i] + _paeth(a, b, c)) & 0xFF
+            cur = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"png: bad filter type {ftype} on row {y}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _unpack_samples(rows: np.ndarray, w: int, depth: int, nch: int) -> np.ndarray:
+    """(h, rowbytes) reconstructed bytes -> (h, w, nch) sample array
+    (uint8 for depth<=8, uint16 for depth 16)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * nch].reshape(h, w, nch)
+    if depth == 16:
+        be = rows[:, : w * nch * 2].reshape(h, w * nch, 2).astype(np.uint16)
+        return ((be[..., 0] << 8) | be[..., 1]).reshape(h, w, nch)
+    # sub-byte depths: unpack bits MSB-first, group per sample
+    bits = np.unpackbits(rows, axis=1)
+    npx = w * nch  # nch is 1 for depths < 8 (gray or palette index)
+    vals = np.zeros((h, npx), dtype=np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b::depth][:, :npx]
+    return vals.reshape(h, w, nch)
+
+
+def decode(buf: bytes, return_meta: bool = False):
+    """Decode any supported PNG. Returns (h, w) for grayscale, else
+    (h, w, channels); palette images expand through PLTE (+ tRNS ->
+    RGBA). dtype uint8 (depth <= 8, raw sample values) or uint16."""
+    ihdr = None
+    plte = None
+    trns = None
+    idat = []
+    for tag, payload in _walk_chunks(buf):
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            if len(payload) % 3:
+                raise ValueError("png: PLTE length not divisible by 3")
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = payload
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag[0] & 0x20 == 0 and tag not in (b"IEND",):
+            raise ValueError(f"png: unsupported critical chunk {tag!r}")
+    if ihdr is None:
+        raise ValueError("png: missing IHDR")
+    if not idat:
+        raise ValueError("png: missing IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if w == 0 or h == 0:
+        raise ValueError("png: zero dimension")
+    if comp != 0 or filt != 0:
+        raise ValueError("png: unknown compression/filter method")
+    if ctype not in _CHANNELS or depth not in _LEGAL_DEPTHS[ctype]:
+        raise ValueError(f"png: illegal depth/color combo {depth}/{ctype}")
+    if interlace not in (0, 1):
+        raise ValueError(f"png: unknown interlace method {interlace}")
+    nch = _CHANNELS[ctype]
+    bpp_bits = depth * nch
+    fu = max(1, bpp_bits // 8)
+
+    stream = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    img = np.zeros((h, w, nch), dtype=np.uint16 if depth == 16 else np.uint8)
+
+    passes = ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    pos = 0
+    for xs, ys, xstep, ystep in passes:
+        pw = (w - xs + xstep - 1) // xstep
+        ph = (h - ys + ystep - 1) // ystep
+        if pw == 0 or ph == 0:
+            continue
+        rowbytes = (pw * bpp_bits + 7) // 8
+        need = ph * (1 + rowbytes)
+        rows = _unfilter(stream[pos : pos + need], ph, rowbytes, fu)
+        pos += need
+        samples = _unpack_samples(rows, pw, depth, nch)
+        img[ys::ystep, xs::xstep] = samples
+    if pos != stream.size:
+        raise ValueError(
+            f"png: {stream.size - pos} trailing bytes after final scanline")
+
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        idx = img[..., 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("png: palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            out = np.dstack([rgb, alpha[idx]])
+        else:
+            out = rgb
+    elif nch == 1:
+        out = img[..., 0]
+    else:
+        out = img
+    if return_meta:
+        return out, {"w": w, "h": h, "depth": depth, "ctype": ctype,
+                     "interlace": interlace}
+    return out
+
+
+# --------------------------------------------------------------------------
+# encode
+# --------------------------------------------------------------------------
+
+_FILTER_NAMES = {"none": 0, "sub": 1, "up": 2, "average": 3, "paeth": 4}
+
+
+def _filter_candidates(cur: np.ndarray, prev: np.ndarray, fu: int) -> list:
+    """All five filtered forms of one scanline, vectorized — the encode
+    direction predicts from ORIGINAL (unfiltered) neighbors, so there
+    is no sequential dependency."""
+    ci = cur.astype(np.int32)
+    pi = prev.astype(np.int32)
+    left = np.zeros_like(ci)
+    left[fu:] = ci[:-fu]
+    upleft = np.zeros_like(pi)
+    upleft[fu:] = pi[:-fu]
+    # Paeth predictor, vectorized
+    p = left + pi - upleft
+    pa = np.abs(p - left)
+    pb = np.abs(p - pi)
+    pc = np.abs(p - upleft)
+    pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, pi, upleft))
+    return [
+        cur,
+        ((ci - left) & 0xFF).astype(np.uint8),
+        ((ci - pi) & 0xFF).astype(np.uint8),
+        ((ci - ((left + pi) >> 1)) & 0xFF).astype(np.uint8),
+        ((ci - pred) & 0xFF).astype(np.uint8),
+    ]
+
+
+def _filter_pass(rows: np.ndarray, fu: int, strategy: str) -> bytes:
+    """rows: (h, rowbytes) raw scanline bytes -> filtered stream with
+    per-row filter-type bytes."""
+    h = rows.shape[0]
+    out = bytearray()
+    prev = np.zeros(rows.shape[1], dtype=np.uint8)
+    fixed = _FILTER_NAMES.get(strategy)
+    for y in range(h):
+        cand = _filter_candidates(rows[y], prev, fu)
+        if strategy == "adaptive":
+            # libpng MSAD heuristic: minimize sum of |signed byte|
+            costs = [
+                int(np.abs(c.astype(np.int8).astype(np.int32)).sum())
+                for c in cand
+            ]
+            ft = int(np.argmin(costs))
+        elif fixed is not None:
+            ft = fixed
+        else:
+            raise ValueError(f"png: unknown filter strategy {strategy!r}")
+        out.append(ft)
+        out += cand[ft].tobytes()
+        prev = rows[y]
+    return bytes(out)
+
+
+def _pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, nch) -> (h, rowbytes) raw scanline bytes."""
+    h, w, nch = samples.shape
+    if depth == 8:
+        return samples.reshape(h, w * nch).astype(np.uint8)
+    if depth == 16:
+        s = samples.reshape(h, w * nch).astype(np.uint16)
+        out = np.zeros((h, w * nch * 2), dtype=np.uint8)
+        out[:, 0::2] = s >> 8
+        out[:, 1::2] = s & 0xFF
+        return out
+    # sub-byte: emit depth bits per sample MSB-first, pad row to byte
+    vals = samples.reshape(h, w)  # nch == 1 at depths < 8
+    nbits = w * depth
+    bits = np.zeros((h, (nbits + 7) // 8 * 8), dtype=np.uint8)
+    for b in range(depth):
+        bits[:, b : nbits : depth] = (vals >> (depth - 1 - b)) & 1
+    return np.packbits(bits, axis=1)
+
+
+def encode(
+    img: np.ndarray,
+    depth: int | None = None,
+    palette: np.ndarray | None = None,
+    trns: bytes | None = None,
+    interlace: bool = False,
+    filter_strategy: str = "adaptive",
+    level: int = 6,
+) -> bytes:
+    """Encode to PNG. img: (h, w) gray / palette indices (with
+    palette=), or (h, w, 2|3|4) gray+alpha / RGB / RGBA. dtype uint8
+    (or uint16 -> depth 16). depth may force 1/2/4 for 2-D uint8 input
+    (values must fit)."""
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = a[..., None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("png: image must be (h,w) or (h,w,{2,3,4})")
+    h, w, nch = a.shape
+    if h == 0 or w == 0:
+        raise ValueError("png: zero dimension")
+    if depth is None:
+        depth = 16 if a.dtype == np.uint16 else 8
+    if palette is not None:
+        if nch != 1:
+            raise ValueError("png: palette input must be 2-D indices")
+        ctype = 3
+        if int(a.max()) >= len(palette):
+            raise ValueError("png: palette index out of range")
+    else:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    if depth not in _LEGAL_DEPTHS[ctype]:
+        raise ValueError(f"png: illegal depth/color combo {depth}/{ctype}")
+    if depth <= 8:
+        if int(a.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"png: sample exceeds {depth}-bit range")
+        a = a.astype(np.uint8)
+    else:
+        a = a.astype(np.uint16)
+    bpp_bits = depth * nch
+    fu = max(1, bpp_bits // 8)
+
+    stream = bytearray()
+    passes = ADAM7 if interlace else ((0, 0, 1, 1),)
+    for xs, ys, xstep, ystep in passes:
+        sub = a[ys::ystep, xs::xstep]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        rows = _pack_rows(sub, depth)
+        stream += _filter_pass(rows, fu, filter_strategy)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
+    chunks = [SIGNATURE, _chunk(b"IHDR", ihdr)]
+    if ctype == 3:
+        pal = np.ascontiguousarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
+            raise ValueError("png: palette must be (n<=256, 3) uint8")
+        chunks.append(_chunk(b"PLTE", pal.tobytes()))
+        if trns is not None:
+            chunks.append(_chunk(b"tRNS", trns))
+    chunks.append(_chunk(b"IDAT", zlib.compress(bytes(stream), level)))
+    chunks.append(_chunk(b"IEND", b""))
+    return b"".join(chunks)

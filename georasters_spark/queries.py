@@ -3287,6 +3287,91 @@ SELECT CAST(f.range AS BIGINT) AS img_id,
 FROM range(78) f JOIN sizes s ON s.k = f.range % 4"""
 
 
+_GIF_SIZES = [(24, 18), (16, 32), (21, 21), (12, 40)]  # (h, w), key = v % 4
+
+
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated GIF end to end (sources/gif.py): 8 deterministic
+    multi-frame GIFs (formula-indexed frames over a formula palette,
+    odd ids carry transparency with index 0, every third interlaced)
+    are encoded and decoded back executor-side through the full
+    LZW + interlace + animation-compositing pipeline; the DuckDB
+    oracle re-derives every composited RGBA canvas purely
+    arithmetically (last-non-transparent-frame-wins per pixel) and
+    matches the position-weighted checksum exactly — GIF is lossless,
+    so one wrong pixel anywhere fails the gate."""
+    import pandas as pd
+
+    from .operators import multimodal as MM
+    from .sources import gif as G
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            outs = []
+            for vid_ in pdf["id"].tolist():
+                v = int(vid_)
+                h, w = _GIF_SIZES[v % 4]
+                nf = 3 + v % 4
+                i = np.arange(16, dtype=np.int64)
+                pal = np.stack([(i * 37 + v) % 256, (i * 59 + 3 * v) % 256,
+                                (i * 83 + 7 * v) % 256], axis=1).astype(np.uint8)
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                frames = [((r * 3 + c * 5 + j * 11 + v) % 16).astype(np.uint8)
+                          for j in range(nf)]
+                buf = G.encode(
+                    frames, pal,
+                    transparent=0 if v % 2 == 1 else None,
+                    delays_cs=[2 * (j + 1) + v for j in range(nf)],
+                    disposal=1, interlace=(v % 3 == 0),
+                )
+                outs.append(pd.DataFrame({"gif_id": [v], "bytes": [buf]}))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=["gif_id", "bytes"])
+
+    gifs = spark.range(8).repartition(4).mapInPandas(
+        gen, schema="gif_id long, bytes binary")
+    return MM.gif_frames(gifs)
+
+
+def sql_gif_frames() -> str:
+    dims = ", ".join(f"({i}, {h}, {w})" for i, (h, w) in enumerate(_GIF_SIZES))
+    return f"""
+WITH sizes(s, h, w) AS (VALUES {dims}),
+g AS (SELECT CAST(v.range AS BIGINT) AS v, s.h, s.w,
+             3 + v.range % 4 AS nf
+      FROM range(8) v JOIN sizes s ON s.s = v.range % 4),
+fr AS (SELECT g.*, k.range AS k FROM g CROSS JOIN range(6) k
+       WHERE k.range < g.nf),
+px AS (SELECT fr.v, fr.k, fr.h, fr.w, r.range AS r, c.range AS c
+       FROM fr CROSS JOIN range(24) r CROSS JOIN range(40) c
+       WHERE r.range < fr.h AND c.range < fr.w),
+js AS (SELECT v, k, r, c, MAX(j.range) AS jstar
+       FROM px CROSS JOIN range(6) j
+       WHERE j.range <= px.k
+         AND NOT (v % 2 = 1 AND (r * 3 + c * 5 + j.range * 11 + v) % 16 = 0)
+       GROUP BY v, k, r, c),
+cell AS (SELECT px.v, px.k, px.h, px.w, px.r, px.c, js.jstar
+         FROM px LEFT JOIN js
+           ON js.v = px.v AND js.k = px.k AND js.r = px.r AND js.c = px.c),
+vals AS (SELECT v, k, h, w,
+       (r * w + c) * 4 + ch.range AS pos,
+       CASE WHEN jstar IS NULL THEN 0
+            WHEN ch.range = 3 THEN 255
+            WHEN ch.range = 0 THEN (((r*3 + c*5 + jstar*11 + v) % 16) * 37 + v) % 256
+            WHEN ch.range = 1 THEN (((r*3 + c*5 + jstar*11 + v) % 16) * 59 + 3*v) % 256
+            ELSE (((r*3 + c*5 + jstar*11 + v) % 16) * 83 + 7*v) % 256
+       END AS val
+  FROM cell CROSS JOIN range(4) ch)
+SELECT v AS gif_id, CAST(k AS BIGINT) AS frame_idx,
+       CAST(2 * (k + 1) + v AS BIGINT) AS delay_cs,
+       CAST(MAX(w) AS INT) AS w, CAST(MAX(h) AS INT) AS h,
+       CAST(SUM(val * (1 + pos % 97)) AS BIGINT) AS checksum
+FROM vals GROUP BY v, k"""
+
+
 def q_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ISO-BMFF (MP4) container demux end to end: 16 deterministic
     single-track videos (formula-sized coded samples grouped 7 per
@@ -3593,6 +3678,7 @@ QUERIES = {
     "video_near_dup": (q_video_near_dup, sql_video_near_dup),
     "geary_permutations": (q_geary_perm, sql_geary_perm),
     "png_roundtrip": (q_png_roundtrip, sql_png_roundtrip),
+    "gif_frames": (q_gif_frames, sql_gif_frames),
     # --- round-4-checked gates (CORRECTNESS_r04 green, freshest) ---
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),

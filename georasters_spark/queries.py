@@ -3287,6 +3287,66 @@ SELECT CAST(f.range AS BIGINT) AS img_id,
 FROM range(78) f JOIN sizes s ON s.k = f.range % 4"""
 
 
+def q_tiff_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF-JPEG (compression=7, TIFF Technical Note 2) end to end:
+    16 deterministic images cycling strip/tile layout and full-stream
+    vs shared-JPEGTables (tag 347) files are written and parsed back
+    executor-side through the real container + real JPEG codec. JPEG
+    is lossy, so the hashed contract is the audit (psnr>=40, mae<=2)
+    plus TWO exact pins: dims survive the container, and the
+    JPEGTables file decodes bit-identically to its full-stream
+    sibling (same entropy data, different table placement)."""
+    import pandas as pd
+
+    from .sources import geotiff as GT
+    from .sources import jpeg as J
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for fid in pdf["id"].tolist():
+                f = int(fid)
+                h, w = _JPEG_SIZES[f % 4]
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                img = (128 + 90 * np.sin(r / 5.0 + f * 0.37)
+                       * np.cos(c / 6.0 + f * 0.11)).astype(np.uint8)
+                tiled = f % 2 == 1
+                kw = dict(compression="jpeg", jpeg_quality=90, tiled=tiled,
+                          tile_size=48, rows_per_strip=16, epsg=32633)
+                full = GT.parse_tiff(GT.write_tiff(img, **kw))[0]
+                abbr = GT.parse_tiff(
+                    GT.write_tiff(img, jpeg_tables=True, **kw))[0]
+                err = np.abs(full.astype(np.float64) - img.astype(np.float64))
+                rows.append({
+                    "img_id": f, "w": int(full.shape[1]),
+                    "h": int(full.shape[0]),
+                    "psnr_ge_40": bool(
+                        J.psnr_u8(img, full.astype(np.uint8)) >= 40.0),
+                    "mae_le_2": bool(err.mean() <= 2.0),
+                    "tables_identical": bool((full == abbr).all()),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "img_id", "w", "h", "psnr_ge_40", "mae_le_2",
+                "tables_identical"])
+
+    return spark.range(16).repartition(4).mapInPandas(
+        gen, schema="img_id long, w int, h int, psnr_ge_40 boolean, "
+                    "mae_le_2 boolean, tables_identical boolean")
+
+
+def sql_tiff_jpeg() -> str:
+    dims = ", ".join(f"({i}, {w}, {h})" for i, (h, w) in enumerate(_JPEG_SIZES))
+    return f"""
+WITH sizes(k, w, h) AS (VALUES {dims})
+SELECT CAST(f.range AS BIGINT) AS img_id,
+       CAST(s.w AS INT) AS w, CAST(s.h AS INT) AS h,
+       TRUE AS psnr_ge_40, TRUE AS mae_le_2, TRUE AS tables_identical
+FROM range(16) f JOIN sizes s ON s.k = f.range % 4"""
+
+
 _GIF_SIZES = [(24, 18), (16, 32), (21, 21), (12, 40)]  # (h, w), key = v % 4
 
 
@@ -3679,6 +3739,7 @@ QUERIES = {
     "geary_permutations": (q_geary_perm, sql_geary_perm),
     "png_roundtrip": (q_png_roundtrip, sql_png_roundtrip),
     "gif_frames": (q_gif_frames, sql_gif_frames),
+    "tiff_jpeg": (q_tiff_jpeg, sql_tiff_jpeg),
     # --- round-4-checked gates (CORRECTNESS_r04 green, freshest) ---
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),

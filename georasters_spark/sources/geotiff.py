@@ -63,6 +63,7 @@ _T_SUBFILE = 254
 _T_WIDTH, _T_HEIGHT, _T_BITS, _T_COMP, _T_PHOTO = 256, 257, 258, 259, 262
 _T_STRIP_OFF, _T_SPP, _T_RPS, _T_STRIP_CNT = 273, 277, 278, 279
 _T_PLANAR, _T_PREDICTOR = 284, 317
+_T_JPEG_TABLES = 347
 _T_TILE_W, _T_TILE_H, _T_TILE_OFF, _T_TILE_CNT = 322, 323, 324, 325
 _T_SAMPLE_FMT = 339
 _T_PIXEL_SCALE, _T_TIEPOINT, _T_TRANSFORM = 33550, 33922, 34264
@@ -244,6 +245,15 @@ def _tag_values(buf: bytes, bo: str, entry: tuple):
     return list(vals)
 
 
+def _tag_bytes(buf: bytes, bo: str, entry: tuple) -> bytes:
+    """Raw byte payload of an UNDEFINED/BYTE tag (e.g. JPEGTables)."""
+    typ, cnt, vpos, big = entry
+    pos = vpos
+    if cnt > (8 if big else 4):
+        (pos,) = struct.unpack_from(bo + ("Q" if big else "I"), buf, vpos)
+    return buf[pos : pos + cnt]
+
+
 def _first(entries, buf, bo, tag, default=None):
     if tag not in entries:
         return default
@@ -346,6 +356,22 @@ def parse_tiff(buf: bytes, page: int = 0):
         raise ValueError("floating-point predictor (3) on non-float samples")
     if predictor not in (1, 2, 3):
         raise ValueError(f"unknown predictor {predictor}")
+    jpegtables = None
+    if comp == 7:
+        # new-style TIFF-JPEG (Technical Note 2): each strip/tile is a
+        # JPEG stream; shared tables may live in JPEGTables (347) as an
+        # abbreviated SOI..EOI stream to prepend
+        if key != (8, 1):
+            raise NotImplementedError("TIFF-JPEG requires 8-bit unsigned samples")
+        if spp != 1:
+            raise NotImplementedError(
+                "TIFF-JPEG color (YCbCr photometric) not supported; gray only")
+        if predictor != 1:
+            raise ValueError("predictor is invalid with JPEG compression")
+        if _T_JPEG_TABLES in entries:
+            jpegtables = _tag_bytes(buf, bo, entries[_T_JPEG_TABLES])
+            if jpegtables[:2] != b"\xff\xd8" or jpegtables[-2:] != b"\xff\xd9":
+                raise ValueError("JPEGTables is not an SOI..EOI stream")
     # planar=2: chunks are band-sequential (all of band 0 first); each
     # chunk then carries ONE sample per pixel
     nplanes = spp if (planar == 2 and spp > 1) else 1
@@ -362,6 +388,26 @@ def parse_tiff(buf: bytes, page: int = 0):
             block = _undo_predictor2(block, cspp)
         return block
 
+    def read_block(chunk: bytes, rows: int, wpx: int):
+        if comp == 7:
+            from . import jpeg as _jpeg
+
+            stream = chunk
+            if jpegtables is not None:
+                if chunk[:2] != b"\xff\xd8":
+                    raise ValueError("TIFF-JPEG chunk missing SOI")
+                # tables stream minus its EOI + chunk minus its SOI
+                stream = jpegtables[:-2] + chunk[2:]
+            img = _jpeg.decode(stream)
+            if img.ndim != 2:
+                raise NotImplementedError("TIFF-JPEG color not supported")
+            # JPEG pads to MCU multiples; crop/pad to the block size
+            blk = np.zeros((rows, wpx, 1), dtype=dt.newbyteorder("="))
+            rr, cc = min(rows, img.shape[0]), min(wpx, img.shape[1])
+            blk[:rr, :cc, 0] = img[:rr, :cc]
+            return blk
+        return undo_pred(_decompress(chunk, comp), rows, wpx)
+
     if _T_TILE_OFF in entries:  # tiled layout
         tw = int(_first(entries, buf, bo, _T_TILE_W))
         th = int(_first(entries, buf, bo, _T_TILE_H))
@@ -372,7 +418,7 @@ def parse_tiff(buf: bytes, page: int = 0):
         for i, (o, c) in enumerate(zip(offs, cnts)):
             band, ti = divmod(i, tiles_per_band) if nplanes > 1 else (0, i)
             ty, tx = divmod(ti, tiles_x)
-            block = undo_pred(_decompress(buf[o : o + c], comp), th, tw)
+            block = read_block(buf[o : o + c], th, tw)
             r0, c0 = ty * th, tx * tw
             rr, cc = min(th, h - r0), min(tw, w - c0)
             if nplanes > 1:
@@ -388,7 +434,7 @@ def parse_tiff(buf: bytes, page: int = 0):
             band, si = divmod(i, strips_per_band) if nplanes > 1 else (0, i)
             r0 = si * rps
             rows = min(rps, h - r0)
-            block = undo_pred(_decompress(buf[o : o + c], comp), rows, w)
+            block = read_block(buf[o : o + c], rows, w)
             if nplanes > 1:
                 out[r0 : r0 + rows, :, band] = block[:, :, 0]
             else:
@@ -450,6 +496,8 @@ def write_tiff(
     epsg: int = 4326,
     compression: str = "deflate",
     predictor: bool = False,
+    jpeg_quality: int = 90,
+    jpeg_tables: bool = False,
     rows_per_strip: int | None = None,
     tiled: bool = False,
     tile_size: int = 256,
@@ -474,16 +522,22 @@ def write_tiff(
     bits, sfmt = _WFMT[dname]
     if predictor and sfmt == 3:
         raise ValueError("predictor=2 is for integer dtypes (use False for floats)")
-    comp_id = {"none": 1, "deflate": 8, "lzw": 5}.get(compression)
+    comp_id = {"none": 1, "deflate": 8, "lzw": 5, "jpeg": 7}.get(compression)
     if comp_id is None:
-        raise ValueError(f"compression {compression!r}: none|deflate|lzw")
+        raise ValueError(f"compression {compression!r}: none|deflate|lzw|jpeg")
+    if comp_id == 7:
+        if dname != "uint8":
+            raise NotImplementedError("TIFF-JPEG writes uint8 arrays only")
+        if predictor:
+            raise ValueError("predictor is invalid with JPEG compression")
     bo = byteorder
     if bo not in ("<", ">"):
         raise ValueError("byteorder must be '<' or '>'")
     a = a.astype(np.dtype(bo + _DTYPES[(bits, sfmt)]))
     opts = dict(bits=bits, sfmt=sfmt, comp_id=comp_id, predictor=predictor,
                 tiled=tiled, tile_size=tile_size, rows_per_strip=rows_per_strip,
-                bo=bo, ndv=ndv, epsg=epsg, bigtiff=bigtiff)
+                bo=bo, ndv=ndv, epsg=epsg, bigtiff=bigtiff,
+                jpeg_quality=jpeg_quality, jpeg_tables=jpeg_tables)
     pages = [(a, x0, y0, cellx, celly, False)]
     for ov in overviews or []:
         o = np.ascontiguousarray(ov).astype(a.dtype)
@@ -513,9 +567,39 @@ def write_tiff(
     return bytes(out)
 
 
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a full JPEG stream into (tables, body): tables is an
+    abbreviated SOI + DQT/DHT + EOI stream (the JPEGTables payload,
+    TIFF Technical Note 2), body is the stream with those segments
+    removed.  Everything from SOS on is entropy data, copied as is."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray(b"\xff\xd8")
+    body = bytearray(b"\xff\xd8")
+    pos = 2
+    n = len(stream)
+    while pos + 4 <= n:
+        if stream[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = stream[pos + 1]
+        (seglen,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):  # DQT / DHT -> shared tables
+            tables += seg
+        else:
+            body += seg
+        pos += 2 + seglen
+        if marker == 0xDA:  # SOS: rest is entropy-coded data + EOI
+            body += stream[pos:]
+            break
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(body)
+
+
 def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
                  tile_size, rows_per_strip, bo, x0, y0, cellx, celly, ndv,
-                 epsg, base: int, reduced: bool,
+                 epsg, base: int, reduced: bool, jpeg_quality: int = 90,
+                 jpeg_tables: bool = False,
                  bigtiff: bool = False) -> tuple[bytes, int]:
     """Encode ONE IFD page (chunk data | ext values | IFD) positioned
     at absolute offset `base`; returns (blob, absolute ifd offset).
@@ -526,6 +610,11 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
     h, w = a.shape
 
     def pack_block(block: np.ndarray) -> bytes:
+        if comp_id == 7:
+            from . import jpeg as _jpeg
+
+            return _jpeg.encode_gray(
+                np.ascontiguousarray(block, dtype=np.uint8), jpeg_quality)
         if predictor:
             block = _apply_predictor2(block)
         raw = block.tobytes()
@@ -551,6 +640,16 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
         rps = rows_per_strip or max(1, min(h, (1 << 16) // max(w * bits // 8, 1) or 1))
         for r0 in range(0, h, rps):
             chunks.append(pack_block(a[r0 : r0 + rps]))
+
+    jpegtables_blob = None
+    if comp_id == 7 and jpeg_tables:
+        # GDAL-style shared tables: identical across chunks (same
+        # quality + Annex-K Huffman), factored into tag 347
+        split = [_split_jpeg_tables(c) for c in chunks]
+        jpegtables_blob = split[0][0]
+        if any(t != jpegtables_blob for t, _ in split):
+            raise AssertionError("TIFF-JPEG chunks produced differing tables")
+        chunks = [b for _, b in split]
 
     # page layout: chunk data | external tag values | IFD
     # TIFF 6.0 requires tag values and the IFD to begin on a word (2-byte)
@@ -623,6 +722,12 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
         tag_arr(_T_RPS, 4, [rps])
         tag_arr(_T_STRIP_CNT, 4, chunk_lens)
     tag_arr(_T_PLANAR, 3, [1])
+    if jpegtables_blob is not None:
+        tags.append((_T_JPEG_TABLES, 7, len(jpegtables_blob),
+                     ext_base + len(ext)))
+        ext.extend(jpegtables_blob)
+        if len(ext) & 1:
+            ext.append(0)
     if predictor:
         tag_arr(_T_PREDICTOR, 3, [2])
     tag_arr(_T_SAMPLE_FMT, 3, [sfmt])

@@ -567,3 +567,57 @@ def test_predictor3_on_int_samples_rejected():
     buf = _classic_header("<", 8 + len(data)) + data + _classic_ifd("<", tags)
     with pytest.raises(ValueError, match="predictor"):
         GT.parse_tiff(buf)
+
+
+# --------------------------------------------------------------------------
+# TIFF-JPEG (compression 7, TIFF Technical Note 2)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("tables", [False, True])
+def test_tiff_jpeg_roundtrip(tiled, tables):
+    """compression='jpeg' composes the TIFF container with the real
+    JPEG codec (sources/jpeg.py): bounded-error roundtrip + georef
+    survives; jpeg_tables=True factors shared DQT/DHT into tag 347
+    (the GDAL layout) and must decode to the SAME pixels."""
+    from georasters_spark.sources import jpeg as J
+
+    r = np.arange(70)[:, None]
+    c = np.arange(90)[None, :]
+    img = (128 + 90 * np.sin(r / 5.0) * np.cos(c / 6.0)).astype(np.uint8)
+    buf = GT.write_tiff(img, compression="jpeg", jpeg_quality=90,
+                        jpeg_tables=tables, tiled=tiled, tile_size=48,
+                        rows_per_strip=16, x0=3.5, y0=7.25, cellx=0.1,
+                        celly=-0.1, epsg=32633)
+    arr, meta = GT.parse_tiff(buf)
+    assert arr.shape == img.shape and arr.dtype == np.uint8
+    assert J.psnr_u8(img, arr.astype(np.uint8)) >= 40
+    assert np.abs(arr.astype(float) - img.astype(float)).mean() <= 2
+    assert meta["epsg"] == 32633 and abs(meta["x0"] - 3.5) < 1e-9
+    assert abs(meta["y0"] - 7.25) < 1e-9
+
+
+def test_tiff_jpeg_tables_pixels_identical():
+    """The abbreviated-stream (JPEGTables) file and the full-stream
+    file hold the SAME entropy data: decoded pixels are bit-equal."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    full = GT.parse_tiff(GT.write_tiff(img, compression="jpeg"))[0]
+    abbr = GT.parse_tiff(
+        GT.write_tiff(img, compression="jpeg", jpeg_tables=True))[0]
+    assert (full == abbr).all()
+    # and the tables file is strictly smaller with multiple strips
+    big = rng.integers(0, 256, (128, 64), dtype=np.uint8)
+    b_full = GT.write_tiff(big, compression="jpeg", rows_per_strip=16)
+    b_abbr = GT.write_tiff(big, compression="jpeg", rows_per_strip=16,
+                           jpeg_tables=True)
+    assert len(b_abbr) < len(b_full)
+
+
+def test_tiff_jpeg_guards():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="predictor"):
+        GT.write_tiff(img, compression="jpeg", predictor=True)
+    with pytest.raises(NotImplementedError, match="uint8"):
+        GT.write_tiff(img.astype(np.int16), compression="jpeg")

@@ -205,11 +205,14 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_audio(buf: bytes, fmt: str) -> tuple[np.ndarray, int]:
-    """Audio codec dispatch: 'wav' (stdlib PCM16) and 'flac' (real
-    from-scratch lossless codec, sources/flac.py) are REAL; mp3 stays
-    the declared stub boundary."""
+    """Audio codec dispatch: 'wav' (PCM16 + G.711 mu-law/A-law format
+    tags via sources/g711.py) and 'flac' (real from-scratch lossless
+    codec, sources/flac.py) are REAL; mp3 stays the declared stub
+    boundary."""
     if fmt == "wav":
-        return decode_wav(bytes(buf))
+        from ..sources import g711
+
+        return g711.decode_wav_any(bytes(buf))
     if fmt == "flac":
         from ..sources import flac
 

@@ -2775,6 +2775,101 @@ WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 _AUD = {"n_clips": 24, "rate": 8000, "window_ms": 500, "hop_ms": 250}
 
 
+def q_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony audio end to end (sources/g711.py): 12
+    deterministic int16 clips alternate mu-law / A-law, ride the real
+    8-bit WAV container (format tags 7/6), and are decoded back through
+    the multimodal 'wav' dispatch. Companding is a DETERMINISTIC
+    integer map, so the gate is hash-exact: per-clip sample count,
+    Σ decoded and Σ decoded² must equal a DuckDB oracle that repeats
+    the segment arithmetic (bias/clip/seg/mantissa) per sample."""
+    import pandas as pd
+
+    from .operators import multimodal as MM
+    from .sources import g711
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for cid_ in pdf["id"].tolist():
+                v = int(cid_)
+                n = 400 + 50 * (v % 5)
+                i = np.arange(n, dtype=np.int64)
+                s = ((i * i * 7 + i * 31 + v * 101) % 65536 - 32768).astype(np.int16)
+                law = "ulaw" if v % 2 == 0 else "alaw"
+                buf = g711.encode_wav_g711(s, 8000, law)
+                dec, rate = MM.decode_audio(buf, "wav")
+                d = dec.astype(np.int64)
+                rows.append({
+                    "clip_id": v, "law": law, "n_samples": int(len(d)),
+                    "rate": int(rate),
+                    "sum_dec": int(d.sum()),
+                    "energy": int((d * d).sum()),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "law", "n_samples", "rate", "sum_dec", "energy"])
+
+    return spark.range(12).repartition(4).mapInPandas(
+        gen, schema="clip_id long, law string, n_samples long, rate long, "
+                    "sum_dec long, energy long")
+
+
+def sql_g711_audio() -> str:
+    return """
+WITH clips AS (SELECT CAST(v.range AS BIGINT) AS v,
+                      400 + 50 * (v.range % 5) AS n FROM range(12) v),
+smp AS (SELECT c.v, i.range AS i,
+               (i.range * i.range * 7 + i.range * 31 + c.v * 101) % 65536
+               - 32768 AS s
+        FROM clips c CROSS JOIN range(650) i WHERE i.range < c.n),
+u AS (  -- mu-law roundtrip: bias 132, clip 32635
+  SELECT v, i, s,
+         LEAST(ABS(s), 32635) + 132 AS mag0
+  FROM smp WHERE v % 2 = 0),
+u2 AS (
+  SELECT v, i, s,
+         CASE WHEN mag0 >= 16384 THEN 7 WHEN mag0 >= 8192 THEN 6
+              WHEN mag0 >= 4096 THEN 5 WHEN mag0 >= 2048 THEN 4
+              WHEN mag0 >= 1024 THEN 3 WHEN mag0 >= 512 THEN 2
+              WHEN mag0 >= 256 THEN 1 ELSE 0 END AS e, mag0
+  FROM u),
+udec AS (
+  SELECT v, i,
+         CASE WHEN s < 0 THEN -x ELSE x END AS dec
+  FROM (SELECT v, i, s,
+               (((mag0 >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132 AS x
+        FROM u2)),
+a AS (  -- A-law roundtrip: 13-bit magnitude, xor-0x55 cancels
+  SELECT v, i, s,
+         (CASE WHEN s >= 0 THEN s ELSE -s - 1 END) >> 3 AS mag
+  FROM smp WHERE v % 2 = 1),
+a2 AS (
+  SELECT v, i, s, mag,
+         CASE WHEN mag < 32 THEN 0 WHEN mag < 64 THEN 1
+              WHEN mag < 128 THEN 2 WHEN mag < 256 THEN 3
+              WHEN mag < 512 THEN 4 WHEN mag < 1024 THEN 5
+              WHEN mag < 2048 THEN 6 ELSE 7 END AS seg
+  FROM a),
+adec AS (
+  SELECT v, i,
+         CASE WHEN s >= 0 THEN x ELSE -x END AS dec
+  FROM (SELECT v, i, s,
+               CASE WHEN seg = 0 THEN ((mag >> 1) & 15) * 16 + 8
+                    ELSE (((mag >> seg) & 15) * 16 + 264) * (1 << (seg - 1))
+               END AS x
+        FROM a2)),
+alldec AS (SELECT * FROM udec UNION ALL SELECT * FROM adec)
+SELECT d.v AS clip_id,
+       CASE WHEN d.v % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS rate,
+       CAST(SUM(d.dec) AS BIGINT) AS sum_dec,
+       CAST(SUM(d.dec * d.dec) AS BIGINT) AS energy
+FROM alldec d GROUP BY d.v"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
@@ -3740,6 +3835,7 @@ QUERIES = {
     "png_roundtrip": (q_png_roundtrip, sql_png_roundtrip),
     "gif_frames": (q_gif_frames, sql_gif_frames),
     "tiff_jpeg": (q_tiff_jpeg, sql_tiff_jpeg),
+    "g711_audio": (q_g711_audio, sql_g711_audio),
     # --- round-4-checked gates (CORRECTNESS_r04 green, freshest) ---
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),

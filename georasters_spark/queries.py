@@ -3382,6 +3382,74 @@ SELECT CAST(f.range AS BIGINT) AS img_id,
 FROM range(78) f JOIN sizes s ON s.k = f.range % 4"""
 
 
+def q_tiff_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band GeoTIFF WRITE parity (reference create_geotiff writes
+    n-band rasters via GDAL, georasters.py:179-205): 8 files cycling
+    2/3/4 bands x dtype x none/deflate/LZW x predictor x strip/tile x
+    LE/BE x classic/BigTIFF are written chunky-interleaved
+    (PlanarConfiguration=1) and parsed back executor-side; lossless, so
+    the gate is hash-exact per (file, band): a position-weighted
+    checksum over every sample, re-derived arithmetically in DuckDB."""
+    import pandas as pd
+
+    from .sources import geotiff as GT
+
+    H, W = 40, 56
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for fid in pdf["id"].tolist():
+                f = int(fid)
+                nb = 2 + f % 3
+                dt = ("int16", "uint8", "uint16", "int32")[f % 4]
+                comp = ("none", "deflate", "lzw")[f % 3]
+                b = np.arange(nb, dtype=np.int64)[:, None, None]
+                r = np.arange(H, dtype=np.int64)[None, :, None]
+                c = np.arange(W, dtype=np.int64)[None, None, :]
+                m = ((b * 53 + r * 7 + c * 13 + f * 29) % 251).astype(np.dtype(dt))
+                buf = GT.write_tiff(
+                    m, compression=comp, predictor=(f % 2 == 0),
+                    tiled=(f % 2 == 1), tile_size=32, rows_per_strip=13,
+                    byteorder="<" if f % 2 == 0 else ">",
+                    bigtiff=(f % 3 == 0), epsg=3857, x0=1.5, cellx=0.25,
+                    celly=-0.25,
+                )
+                arr, meta = GT.parse_tiff(buf)
+                assert arr.shape == (nb, H, W) and meta["bands"] == nb
+                assert (arr == m).all() and meta["epsg"] == 3857
+                pos = (np.arange(H)[:, None] * W + np.arange(W)[None, :])
+                wgt = 1 + pos % 97
+                for bi in range(nb):
+                    rows.append({
+                        "file_id": f, "band": bi,
+                        "n_px": int(H * W),
+                        "checksum": int((arr[bi].astype(np.int64) * wgt).sum()),
+                    })
+            yield pd.DataFrame(rows, columns=["file_id", "band", "n_px",
+                                              "checksum"])
+
+    return spark.range(8).repartition(4).mapInPandas(
+        gen, schema="file_id long, band long, n_px long, checksum long")
+
+
+def sql_tiff_multiband() -> str:
+    return """
+WITH f AS (SELECT CAST(range AS BIGINT) AS f, 2 + range % 3 AS nb
+           FROM range(8)),
+bands AS (SELECT f.f, b.range AS b FROM f CROSS JOIN range(4) b
+          WHERE b.range < f.nb),
+px AS (SELECT bands.f, bands.b, r.range AS r, c.range AS c
+       FROM bands CROSS JOIN range(40) r CROSS JOIN range(56) c)
+SELECT f AS file_id, CAST(b AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(((b * 53 + r * 7 + c * 13 + f * 29) % 251)
+                * (1 + (r * 56 + c) % 97)) AS BIGINT) AS checksum
+FROM px GROUP BY f, b"""
+
+
 def q_tiff_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIFF-JPEG (compression=7, TIFF Technical Note 2) end to end:
     16 deterministic images cycling strip/tile layout and full-stream
@@ -3836,6 +3904,7 @@ QUERIES = {
     "gif_frames": (q_gif_frames, sql_gif_frames),
     "tiff_jpeg": (q_tiff_jpeg, sql_tiff_jpeg),
     "g711_audio": (q_g711_audio, sql_g711_audio),
+    "tiff_multiband": (q_tiff_multiband, sql_tiff_multiband),
     # --- round-4-checked gates (CORRECTNESS_r04 green, freshest) ---
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),

@@ -505,7 +505,9 @@ def write_tiff(
     overviews: list | None = None,
     bigtiff: bool = False,
 ) -> bytes:
-    """Write a single-band GeoTIFF. ``celly`` is negative (north-up),
+    """Write a GeoTIFF — single-band (h, w) or multi-band (bands, h, w)
+    chunky-interleaved (PlanarConfiguration=1; 3-band uint8 is labeled
+    photometric RGB per GDAL convention). ``celly`` is negative (north-up),
     matching the engine's georef convention; the file stores |celly|
     in ModelPixelScale per the GeoTIFF spec.
 
@@ -514,8 +516,14 @@ def write_tiff(
     pages with level-scaled ModelPixelScale — the Cloud-Optimized
     GeoTIFF overview layout; read back via parse_tiff(buf, page=n)."""
     a = np.ascontiguousarray(arr)
-    if a.ndim != 2:
-        raise ValueError("write_tiff: single-band (h, w) arrays only")
+    if a.ndim == 3:
+        # (bands, h, w) -> chunky interleaved (h, w, spp), the
+        # PlanarConfiguration=1 layout parse_tiff returns for spp>1
+        a = np.ascontiguousarray(np.moveaxis(a, 0, 2))
+    elif a.ndim == 2:
+        a = a[:, :, None]
+    else:
+        raise ValueError("write_tiff: (h, w) or (bands, h, w) arrays only")
     dname = str(a.dtype)
     if dname not in _WFMT:
         raise NotImplementedError(f"dtype {dname} not writable")
@@ -530,6 +538,8 @@ def write_tiff(
             raise NotImplementedError("TIFF-JPEG writes uint8 arrays only")
         if predictor:
             raise ValueError("predictor is invalid with JPEG compression")
+        if a.shape[2] != 1:
+            raise NotImplementedError("TIFF-JPEG writes single-band arrays only")
     bo = byteorder
     if bo not in ("<", ">"):
         raise ValueError("byteorder must be '<' or '>'")
@@ -541,6 +551,10 @@ def write_tiff(
     pages = [(a, x0, y0, cellx, celly, False)]
     for ov in overviews or []:
         o = np.ascontiguousarray(ov).astype(a.dtype)
+        if o.ndim == 3:
+            o = np.ascontiguousarray(np.moveaxis(o, 0, 2))
+        else:
+            o = o[:, :, None]
         lvl = max(1, round(a.shape[1] / o.shape[1]))
         # overview pages carry the SAME origin with level-scaled cells
         # and NewSubfileType=1 (reduced-resolution), the COG layout
@@ -607,14 +621,15 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
     (BigTIFF) bytes (0).  BigTIFF pages use 20-byte entries with 8-byte
     inline values and LONG8 chunk offsets/counts, so files can exceed
     4 GiB."""
-    h, w = a.shape
+    h, w, spp = a.shape
 
     def pack_block(block: np.ndarray) -> bytes:
         if comp_id == 7:
             from . import jpeg as _jpeg
 
             return _jpeg.encode_gray(
-                np.ascontiguousarray(block, dtype=np.uint8), jpeg_quality)
+                np.ascontiguousarray(block[:, :, 0], dtype=np.uint8),
+                jpeg_quality)
         if predictor:
             block = _apply_predictor2(block)
         raw = block.tobytes()
@@ -632,12 +647,13 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
         tiles_x, tiles_y = (w + ts - 1) // ts, (h + ts - 1) // ts
         for ty in range(tiles_y):
             for tx in range(tiles_x):
-                block = np.zeros((ts, ts), dtype=a.dtype)
+                block = np.zeros((ts, ts, spp), dtype=a.dtype)
                 sub = a[ty * ts : ty * ts + ts, tx * ts : tx * ts + ts]
                 block[: sub.shape[0], : sub.shape[1]] = sub
                 chunks.append(pack_block(block))
     else:
-        rps = rows_per_strip or max(1, min(h, (1 << 16) // max(w * bits // 8, 1) or 1))
+        rps = rows_per_strip or max(
+            1, min(h, (1 << 16) // max(w * spp * bits // 8, 1) or 1))
         for r0 in range(0, h, rps):
             chunks.append(pack_block(a[r0 : r0 + rps]))
 
@@ -707,18 +723,19 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
         tag_arr(_T_SUBFILE, 4, [1])  # reduced-resolution (overview) page
     tag_arr(_T_WIDTH, 4, [w])
     tag_arr(_T_HEIGHT, 4, [h])
-    tag_arr(_T_BITS, 3, [bits])
+    tag_arr(_T_BITS, 3, [bits] * spp)
     tag_arr(_T_COMP, 3, [comp_id])
-    tag_arr(_T_PHOTO, 3, [1])  # BlackIsZero
+    # 3-band uint8 is labeled RGB (GDAL convention); else BlackIsZero
+    tag_arr(_T_PHOTO, 3, [2 if (spp == 3 and bits == 8 and sfmt == 1) else 1])
     if tiled:
-        tag_arr(_T_SPP, 3, [1])
+        tag_arr(_T_SPP, 3, [spp])
         tag_arr(_T_TILE_W, 3, [tile_size])
         tag_arr(_T_TILE_H, 3, [tile_size])
         tag_arr(_T_TILE_OFF, 4, offsets)
         tag_arr(_T_TILE_CNT, 4, chunk_lens)
     else:
         tag_arr(_T_STRIP_OFF, 4, offsets)
-        tag_arr(_T_SPP, 3, [1])
+        tag_arr(_T_SPP, 3, [spp])
         tag_arr(_T_RPS, 4, [rps])
         tag_arr(_T_STRIP_CNT, 4, chunk_lens)
     tag_arr(_T_PLANAR, 3, [1])
@@ -730,7 +747,7 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
             ext.append(0)
     if predictor:
         tag_arr(_T_PREDICTOR, 3, [2])
-    tag_arr(_T_SAMPLE_FMT, 3, [sfmt])
+    tag_arr(_T_SAMPLE_FMT, 3, [sfmt] * spp)
     tag_arr(_T_PIXEL_SCALE, 12, [cellx, abs(celly), 0.0])
     tag_arr(_T_TIEPOINT, 12, [0.0, 0.0, 0.0, x0, y0, 0.0])
     # GeoKey choice: geographic-2D codes go under GeographicTypeGeoKey,

@@ -96,16 +96,6 @@ def _walk_chunks(buf: bytes):
     raise ValueError("png: missing IEND")
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return c
-
-
 def _unfilter(raw: np.ndarray, h: int, rowbytes: int, fu: int) -> np.ndarray:
     """Reverse the per-scanline filters. raw is h*(1+rowbytes) bytes;
     returns (h, rowbytes) uint8 of reconstructed bytes."""
@@ -127,24 +117,35 @@ def _unfilter(raw: np.ndarray, h: int, rowbytes: int, fu: int) -> np.ndarray:
                 np.add.accumulate(cur[lane::fu], out=cur[lane::fu])
         elif ftype == 2:  # Up
             cur += prev
-        elif ftype == 3:  # Average
-            ci = cur.astype(np.int32)
-            pi = prev.astype(np.int32)
-            rec = np.zeros(rowbytes, dtype=np.int32)
+        elif ftype == 3:  # Average — sequential on recon left; plain
+            # Python ints beat numpy scalar indexing ~10x here
+            ci = cur.tolist()
+            pi = prev.tolist()
+            rec = [0] * rowbytes
             for i in range(rowbytes):
                 left = rec[i - fu] if i >= fu else 0
                 rec[i] = (ci[i] + ((left + pi[i]) >> 1)) & 0xFF
-            cur = rec.astype(np.uint8)
-        elif ftype == 4:  # Paeth
-            ci = cur.astype(np.int32)
-            pi = prev.astype(np.int32)
-            rec = np.zeros(rowbytes, dtype=np.int32)
+            cur = np.array(rec, dtype=np.uint8)
+        elif ftype == 4:  # Paeth — same sequential dependency
+            ci = cur.tolist()
+            pi = prev.tolist()
+            rec = [0] * rowbytes
             for i in range(rowbytes):
                 a = rec[i - fu] if i >= fu else 0
                 b = pi[i]
                 c = pi[i - fu] if i >= fu else 0
-                rec[i] = (ci[i] + _paeth(a, b, c)) & 0xFF
-            cur = rec.astype(np.uint8)
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[i] = (ci[i] + pred) & 0xFF
+            cur = np.array(rec, dtype=np.uint8)
         else:
             raise ValueError(f"png: bad filter type {ftype} on row {y}")
         out[y] = cur

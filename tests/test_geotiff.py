@@ -115,8 +115,9 @@ def test_roundtrip_non_integer_nodata_and_default_georef():
 
 
 def test_writer_rejects_bad_input():
+    # (bands, h, w) is now VALID multi-band input; 4-D is not
     with pytest.raises(ValueError):
-        GT.write_tiff(np.zeros((2, 2, 2), dtype=np.int16))
+        GT.write_tiff(np.zeros((2, 2, 2, 2), dtype=np.int16))
     with pytest.raises(ValueError):
         GT.write_tiff(np.zeros((4, 4), np.float32), predictor=True)
     with pytest.raises(ValueError):
@@ -621,3 +622,43 @@ def test_tiff_jpeg_guards():
         GT.write_tiff(img, compression="jpeg", predictor=True)
     with pytest.raises(NotImplementedError, match="uint8"):
         GT.write_tiff(img.astype(np.int16), compression="jpeg")
+
+
+# --------------------------------------------------------------------------
+# multi-band write (reference create_geotiff writes n-band via GDAL)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bands", [2, 3, 4])
+@pytest.mark.parametrize("comp", ["none", "deflate", "lzw"])
+def test_multiband_write_roundtrip(bands, comp):
+    rng = np.random.default_rng(bands * 10 + len(comp))
+    m = rng.integers(-30000, 30000, (bands, 41, 53)).astype(np.int16)
+    for tiled in (False, True):
+        buf = GT.write_tiff(m, compression=comp, predictor=True,
+                            tiled=tiled, tile_size=32, rows_per_strip=13,
+                            epsg=3857, x0=1.5, y0=9.0, cellx=0.25,
+                            celly=-0.25)
+        arr, meta = GT.parse_tiff(buf)
+        assert arr.shape == m.shape and (arr == m).all()
+        assert meta["bands"] == bands and meta["epsg"] == 3857
+
+
+def test_multiband_write_float_bigtiff_be_overviews():
+    rng = np.random.default_rng(7)
+    f32 = rng.uniform(-5, 5, (2, 33, 29)).astype(np.float32)
+    arr, _ = GT.parse_tiff(GT.write_tiff(f32, compression="deflate"))
+    assert (arr == f32).all()
+    u16 = rng.integers(0, 65535, (3, 33, 29)).astype(np.uint16)
+    assert (GT.parse_tiff(GT.write_tiff(u16, byteorder=">", predictor=True))[0] == u16).all()
+    assert (GT.parse_tiff(GT.write_tiff(u16, bigtiff=True, compression="lzw"))[0] == u16).all()
+    ov = u16[:, ::2, ::2]
+    buf = GT.write_tiff(u16, overviews=[ov])
+    assert (GT.parse_tiff(buf, page=0)[0] == u16).all()
+    assert (GT.parse_tiff(buf, page=1)[0] == ov).all()
+
+
+def test_multiband_jpeg_refused():
+    m = np.zeros((3, 16, 16), dtype=np.uint8)
+    with pytest.raises(NotImplementedError, match="single-band"):
+        GT.write_tiff(m, compression="jpeg")

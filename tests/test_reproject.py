@@ -883,7 +883,32 @@ def test_mode_matrix_any_crs(spark):
     georasters.py:592-606 warps any mode to any target). Full mode
     sweep on a UTM target; one kernel + one aggregate on each other
     family, each checked cell-for-cell vs the independent numpy
-    oracles."""
+    oracles.
+
+    Codegen is disabled for THIS test only: the 15 composed-warp
+    plans each janino-compile ~100KB of staged series math (~50 s
+    and real heap per compile — 13 min total, and enough JIT/deopt
+    pressure to OOM a late-suite shared JVM), while the VALUES being
+    checked are identical interpreted. The production codegen path
+    stays exercised by the driver gates (reproject_utm_cubic,
+    reproject_lcc_lanczos, reproject_any_average) and the per-family
+    pytest checks."""
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in
+             ("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode")}
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try:
+        _run_mode_matrix(spark)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+def _run_mode_matrix(spark):
     h, w = 20, 30
     full = ((np.arange(h)[:, None] * 7919 + np.arange(w)[None, :]
              * 104729) % 997).astype(np.float64)

@@ -262,30 +262,24 @@ SELECT row, col, CAST(li_num AS BIGINT) AS li_num,
 FROM j"""
 
 
-def moran_permutation_test(
-    px: DataFrame, n_perm: int = 19, seed: int = 97, rook: bool = False
-) -> DataFrame:
-    """Seeded conditional-permutation test for Moran's I
-    (georasters.py:1231-1269: esda permutations re-run with a seeded
-    rng). Deterministic across engines: permutation p is the modular
-    map rank → (A_p·rank + B_p) mod n (A_p coprime with n), and since
-    n, S, S0, den are permutation-invariant, I_perm >= I_obs reduces
-    to an EXACT integer comparison of pair-product sums.
-
-    Returns one row: (i_obs double, n_perm, n_ge, p_sim) where
-    p_sim = (n_ge + 1) / (n_perm + 1), n_ge = #{perm: num_perm >= num_obs}.
-    """
+def _permutation_pair_frame(
+    px, n_perm: int, seed: int, rook: bool
+):
+    """Shared scaffolding for the GLOBAL permutation tests (Moran,
+    Geary): invariant scalars (n, s=Σv, q=Σv²), the seeded modular
+    permutation params, and the joined frame j with one row per
+    (permutation p, neighbor pair) carrying the permuted endpoint
+    values (p, va, vb). Ranks come from the two-phase distributed
+    enumeration (no global window); any fix to the modular-permutation
+    join lands here ONCE for every consumer."""
     from .algebra import c_order_index
 
     spark = px.sparkSession
     scal = px.agg(F.count("value").alias("n"), F.sum("value").alias("s"),
                   F.sum(F.col("value") * F.col("value")).alias("q")).collect()[0]
     n, s, q = int(scal["n"]), int(scal["s"]), int(scal["q"])
-    den_i = n * n * q - n * s * s
     perms = permutation_params(n, n_perm, seed)  # [(p, a_mul, b_add)], p=0 identity
 
-    # ranks via the two-phase distributed enumeration (identical to
-    # ROW_NUMBER() OVER (ORDER BY row, col) - 1, no global window)
     ranked = c_order_index(px).withColumnRenamed("i", "k").join(
         px.select("row", "col", "value"), ["row", "col"])
     pairs_rk = neighbor_pairs_keys(ranked, rook=rook).select("ka", "kb")
@@ -301,6 +295,24 @@ def moran_permutation_test(
         pp.join(vals.withColumnRenamed("k", "pka").withColumnRenamed("v", "va"), "pka")
         .join(vals.withColumnRenamed("k", "pkb").withColumnRenamed("v", "vb"), "pkb")
     )
+    return spark, n, s, q, j
+
+
+def moran_permutation_test(
+    px: DataFrame, n_perm: int = 19, seed: int = 97, rook: bool = False
+) -> DataFrame:
+    """Seeded conditional-permutation test for Moran's I
+    (georasters.py:1231-1269: esda permutations re-run with a seeded
+    rng). Deterministic across engines: permutation p is the modular
+    map rank → (A_p·rank + B_p) mod n (A_p coprime with n), and since
+    n, S, S0, den are permutation-invariant, I_perm >= I_obs reduces
+    to an EXACT integer comparison of pair-product sums.
+
+    Returns one row: (i_obs double, n_perm, n_ge, p_sim) where
+    p_sim = (n_ge + 1) / (n_perm + 1), n_ge = #{perm: num_perm >= num_obs}.
+    """
+    spark, n, s, q, j = _permutation_pair_frame(px, n_perm, seed, rook)
+    den_i = n * n * q - n * s * s
     agg = (
         j.groupBy("p")
         .agg(
@@ -341,30 +353,8 @@ def geary_permutation_test(
 
     Returns one row: (c_obs double, n_perm, n_ge, p_sim) with
     p_sim = (n_ge + 1) / (n_perm + 1)."""
-    from .algebra import c_order_index
-
-    spark = px.sparkSession
-    scal = px.agg(F.count("value").alias("n"), F.sum("value").alias("s"),
-                  F.sum(F.col("value") * F.col("value")).alias("q")).collect()[0]
-    n, s, q = int(scal["n"]), int(scal["s"]), int(scal["q"])
+    spark, n, s, q, j = _permutation_pair_frame(px, n_perm, seed, rook)
     den = n * q - s * s  # n · Σ(v − mean)²
-    perms = permutation_params(n, n_perm, seed)
-
-    ranked = c_order_index(px).withColumnRenamed("i", "k").join(
-        px.select("row", "col", "value"), ["row", "col"])
-    pairs_rk = neighbor_pairs_keys(ranked, rook=rook).select("ka", "kb")
-    vals = ranked.select("k", F.col("value").cast("long").alias("v"))
-
-    perm_df = spark.createDataFrame(perms, "p int, amul long, badd long")
-    pp = pairs_rk.crossJoin(F.broadcast(perm_df)).select(
-        "p",
-        ((F.col("ka") * F.col("amul") + F.col("badd")) % n).alias("pka"),
-        ((F.col("kb") * F.col("amul") + F.col("badd")) % n).alias("pkb"),
-    )
-    j = (
-        pp.join(vals.withColumnRenamed("k", "pka").withColumnRenamed("v", "va"), "pka")
-        .join(vals.withColumnRenamed("k", "pkb").withColumnRenamed("v", "vb"), "pkb")
-    )
     agg = (
         j.groupBy("p")
         .agg(

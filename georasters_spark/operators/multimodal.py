@@ -411,7 +411,7 @@ def gif_frames(gifs: DataFrame) -> DataFrame:
             for t in pdf.itertuples(index=False):
                 buf = bytes(t.bytes)
                 meta = G.parse(buf)
-                canvases = G.decode_frames(buf)
+                canvases = G.decode_frames(buf, parsed=meta)
                 h, w = meta["h"], meta["w"]
                 pos = ((np.arange(h)[:, None, None] * w
                         + np.arange(w)[None, :, None]) * 4

@@ -122,6 +122,8 @@ def decode_wav_any(buf: bytes) -> tuple[np.ndarray, int]:
         cid = buf[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("wav: truncated chunk")
         if cid == b"fmt ":
             if clen < 16:
                 raise ValueError("wav: short fmt chunk")

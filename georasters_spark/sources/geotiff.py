@@ -401,10 +401,14 @@ def parse_tiff(buf: bytes, page: int = 0):
             img = _jpeg.decode(stream)
             if img.ndim != 2:
                 raise NotImplementedError("TIFF-JPEG color not supported")
-            # JPEG pads to MCU multiples; crop/pad to the block size
-            blk = np.zeros((rows, wpx, 1), dtype=dt.newbyteorder("="))
-            rr, cc = min(rows, img.shape[0]), min(wpx, img.shape[1])
-            blk[:rr, :cc, 0] = img[:rr, :cc]
+            # JPEG pads UP to MCU multiples; a stream SMALLER than the
+            # declared strip/tile is corrupt — raise, never zero-fill
+            if img.shape[0] < rows or img.shape[1] < wpx:
+                raise ValueError(
+                    f"TIFF-JPEG chunk decodes {img.shape} < declared "
+                    f"({rows}, {wpx})")
+            blk = np.empty((rows, wpx, 1), dtype=dt.newbyteorder("="))
+            blk[:, :, 0] = img[:rows, :wpx]
             return blk
         return undo_pred(_decompress(chunk, comp), rows, wpx)
 

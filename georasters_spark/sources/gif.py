@@ -301,11 +301,13 @@ def parse(buf: bytes) -> dict:
     raise ValueError("gif: missing trailer")
 
 
-def decode_frames(buf: bytes) -> list[np.ndarray]:
+def decode_frames(buf: bytes, parsed: dict | None = None) -> list[np.ndarray]:
     """Composite all frames onto the logical screen per the disposal
     rules; returns a list of (h, w, 4) uint8 RGBA canvases (one per
-    frame, as an animation player would show them)."""
-    g = parse(buf)
+    frame, as an animation player would show them). Pass `parsed`
+    (a parse() result for the same bytes) to avoid re-walking the
+    container + LZW — the dominant per-file cost."""
+    g = parsed if parsed is not None else parse(buf)
     w, h = g["w"], g["h"]
     canvas = np.zeros((h, w, 4), dtype=np.uint8)  # transparent background
     out = []
@@ -365,7 +367,7 @@ def encode(
         a = np.ascontiguousarray(fr, dtype=np.uint8)
         if a.shape != (h, w):
             raise ValueError("gif: all frames must share the screen size")
-        if int(a.max(initial=0)) >= size:
+        if int(a.max(initial=0)) >= len(pal):
             raise ValueError("gif: index outside color table")
         delay = delays_cs[i] if delays_cs else 4
         disp = disposal[i] if isinstance(disposal, (list, tuple)) else disposal

@@ -363,11 +363,15 @@ def encode(
         ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
     if depth not in _LEGAL_DEPTHS[ctype]:
         raise ValueError(f"png: illegal depth/color combo {depth}/{ctype}")
+    if int(a.min(initial=0)) < 0:
+        raise ValueError("png: negative sample values")
     if depth <= 8:
         if int(a.max(initial=0)) >= (1 << depth):
             raise ValueError(f"png: sample exceeds {depth}-bit range")
         a = a.astype(np.uint8)
     else:
+        if int(a.max(initial=0)) >= (1 << 16):
+            raise ValueError("png: sample exceeds 16-bit range")
         a = a.astype(np.uint16)
     bpp_bits = depth * nch
     fu = max(1, bpp_bits // 8)

@@ -73,3 +73,10 @@ def test_errors():
         g711.decode_wav_any(b"nope")
     with pytest.raises(ValueError, match="law"):
         g711.encode_wav_g711(np.zeros(4, dtype=np.int16), 8000, "mp3")
+
+
+def test_truncated_data_chunk_rejected():
+    x = np.zeros(100, dtype=np.int16)
+    buf = g711.encode_wav_g711(x, 8000, "ulaw")
+    with pytest.raises(ValueError, match="truncated"):
+        g711.decode_wav_any(buf[:-40])

@@ -662,3 +662,26 @@ def test_multiband_jpeg_refused():
     m = np.zeros((3, 16, 16), dtype=np.uint8)
     with pytest.raises(NotImplementedError, match="single-band"):
         GT.write_tiff(m, compression="jpeg")
+
+
+def test_tiff_jpeg_undersized_stream_rejected():
+    """A strip/tile JPEG stream smaller than the declared block must
+    raise, never zero-fill (code-review fix): hand-built TIFF declares
+    a 16-row strip but embeds a perfectly valid 8-row JPEG."""
+    from georasters_spark.sources import jpeg as J
+
+    small = J.encode_gray(np.zeros((8, 32), dtype=np.uint8), 90)
+    ifd_off = 8 + len(small) + (len(small) & 1)
+    ents = [
+        (256, 3, 1, 32), (257, 3, 1, 16), (258, 3, 1, 8), (259, 3, 1, 7),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, 16),
+        (279, 4, 1, len(small)),
+    ]
+    ifd = struct.pack("<H", len(ents))
+    for e in ents:
+        ifd += _entry("<", *e)
+    ifd += struct.pack("<I", 0)
+    buf = (struct.pack("<2sHI", b"II", 42, ifd_off) + small
+           + b"\x00" * (len(small) & 1) + ifd)
+    with pytest.raises(ValueError, match="decodes"):
+        GT.parse_tiff(buf)

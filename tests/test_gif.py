@@ -137,3 +137,12 @@ def test_fuzz_roundtrip():
         pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
         fr = gif.parse(gif.encode(idx, pal, interlace=il))["frames"][0]
         assert (fr["indices"] == idx).all(), (t, npal, h, w, il)
+
+
+def test_index_outside_caller_palette_rejected():
+    """Indices must be validated against the CALLER's palette length,
+    not the power-of-two padded table (code-review fix: index 6 into a
+    5-color palette would otherwise encode as black padding)."""
+    pal5 = np.arange(15, dtype=np.uint8).reshape(5, 3)
+    with pytest.raises(ValueError, match="index outside"):
+        gif.encode(np.full((2, 2), 6, dtype=np.uint8), pal5)

@@ -187,3 +187,11 @@ def test_fuzz_roundtrip_shapes():
         d = 1 if kind == 4 else None
         back = png.decode(png.encode(a, depth=d, interlace=il))
         assert back.shape == a.shape and (back == a).all(), (h, w, kind, il)
+
+
+def test_negative_samples_rejected():
+    """Signed input must raise, never silently wrap (code-review fix)."""
+    with pytest.raises(ValueError, match="negative"):
+        png.encode(np.full((2, 2), -3, dtype=np.int16))
+    with pytest.raises(ValueError, match="negative"):
+        png.encode(np.full((2, 2, 3), -1, dtype=np.int32))

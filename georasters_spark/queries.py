@@ -3452,13 +3452,15 @@ FROM px GROUP BY f, b"""
 
 def q_tiff_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIFF-JPEG (compression=7, TIFF Technical Note 2) end to end:
-    16 deterministic images cycling strip/tile layout and full-stream
-    vs shared-JPEGTables (tag 347) files are written and parsed back
-    executor-side through the real container + real JPEG codec. JPEG
-    is lossy, so the hashed contract is the audit (psnr>=40, mae<=2)
-    plus TWO exact pins: dims survive the container, and the
-    JPEGTables file decodes bit-identically to its full-stream
-    sibling (same entropy data, different table placement)."""
+    16 gray images cycling strip/tile layout and full-stream vs
+    shared-JPEGTables (tag 347), PLUS 8 COLOR images (3-band RGB,
+    photometric 6 YCbCr) cycling 4:4:4 / 4:2:2 / 4:2:0 chroma
+    subsampling, written and parsed back executor-side through the
+    real container + real JPEG codec. JPEG is lossy, so the hashed
+    contract is the per-kind audit (gray psnr>=40/mae<=2; color
+    psnr>=28/mae<=8 at 4:2:0) plus TWO exact pins: dims + band count
+    survive the container, and the JPEGTables file decodes
+    bit-identically to its full-stream sibling."""
     import pandas as pd
 
     from .sources import geotiff as GT
@@ -3474,30 +3476,42 @@ def q_tiff_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h, w = _JPEG_SIZES[f % 4]
                 r = np.arange(h)[:, None]
                 c = np.arange(w)[None, :]
-                img = (128 + 90 * np.sin(r / 5.0 + f * 0.37)
-                       * np.cos(c / 6.0 + f * 0.11)).astype(np.uint8)
+                base = (128 + 90 * np.sin(r / 5.0 + f * 0.37)
+                        * np.cos(c / 6.0 + f * 0.11))
                 tiled = f % 2 == 1
                 kw = dict(compression="jpeg", jpeg_quality=90, tiled=tiled,
                           tile_size=48, rows_per_strip=16, epsg=32633)
+                if f < 16:  # gray
+                    img = base.astype(np.uint8)
+                    psnr_b, mae_b, nb = 40.0, 2.0, 1
+                else:  # 3-band RGB through the YCbCr color path
+                    img = np.stack([
+                        np.clip(base, 0, 255),
+                        np.clip(0.8 * base + 20, 0, 255),
+                        np.clip(255 - base, 0, 255),
+                    ]).astype(np.uint8)
+                    kw["jpeg_subsampling"] = ("444", "422", "420")[f % 3]
+                    psnr_b, mae_b, nb = 28.0, 8.0, 3
                 full = GT.parse_tiff(GT.write_tiff(img, **kw))[0]
                 abbr = GT.parse_tiff(
                     GT.write_tiff(img, jpeg_tables=True, **kw))[0]
                 err = np.abs(full.astype(np.float64) - img.astype(np.float64))
                 rows.append({
-                    "img_id": f, "w": int(full.shape[1]),
-                    "h": int(full.shape[0]),
-                    "psnr_ge_40": bool(
-                        J.psnr_u8(img, full.astype(np.uint8)) >= 40.0),
-                    "mae_le_2": bool(err.mean() <= 2.0),
+                    "img_id": f, "w": int(full.shape[-1]),
+                    "h": int(full.shape[-2]), "bands": nb,
+                    "psnr_ok": bool(J.psnr_u8(
+                        img.ravel(), full.astype(np.uint8).ravel()) >= psnr_b),
+                    "mae_ok": bool(err.mean() <= mae_b),
                     "tables_identical": bool((full == abbr).all()),
                 })
             yield pd.DataFrame(rows, columns=[
-                "img_id", "w", "h", "psnr_ge_40", "mae_le_2",
+                "img_id", "w", "h", "bands", "psnr_ok", "mae_ok",
                 "tables_identical"])
 
-    return spark.range(16).repartition(4).mapInPandas(
-        gen, schema="img_id long, w int, h int, psnr_ge_40 boolean, "
-                    "mae_le_2 boolean, tables_identical boolean")
+    return spark.range(24).repartition(4).mapInPandas(
+        gen, schema="img_id long, w int, h int, bands int, "
+                    "psnr_ok boolean, mae_ok boolean, "
+                    "tables_identical boolean")
 
 
 def sql_tiff_jpeg() -> str:
@@ -3506,8 +3520,9 @@ def sql_tiff_jpeg() -> str:
 WITH sizes(k, w, h) AS (VALUES {dims})
 SELECT CAST(f.range AS BIGINT) AS img_id,
        CAST(s.w AS INT) AS w, CAST(s.h AS INT) AS h,
-       TRUE AS psnr_ge_40, TRUE AS mae_le_2, TRUE AS tables_identical
-FROM range(16) f JOIN sizes s ON s.k = f.range % 4"""
+       CAST(CASE WHEN f.range < 16 THEN 1 ELSE 3 END AS INT) AS bands,
+       TRUE AS psnr_ok, TRUE AS mae_ok, TRUE AS tables_identical
+FROM range(24) f JOIN sizes s ON s.k = f.range % 4"""
 
 
 _GIF_SIZES = [(24, 18), (16, 32), (21, 21), (12, 40)]  # (h, w), key = v % 4

@@ -363,9 +363,11 @@ def parse_tiff(buf: bytes, page: int = 0):
         # abbreviated SOI..EOI stream to prepend
         if key != (8, 1):
             raise NotImplementedError("TIFF-JPEG requires 8-bit unsigned samples")
-        if spp != 1:
+        if spp not in (1, 3):
             raise NotImplementedError(
-                "TIFF-JPEG color (YCbCr photometric) not supported; gray only")
+                "TIFF-JPEG supports 1 (gray) or 3 (YCbCr/RGB) samples")
+        if spp == 3 and planar != 1:
+            raise NotImplementedError("TIFF-JPEG color must be chunky")
         if predictor != 1:
             raise ValueError("predictor is invalid with JPEG compression")
         if _T_JPEG_TABLES in entries:
@@ -399,17 +401,19 @@ def parse_tiff(buf: bytes, page: int = 0):
                 # tables stream minus its EOI + chunk minus its SOI
                 stream = jpegtables[:-2] + chunk[2:]
             img = _jpeg.decode(stream)
-            if img.ndim != 2:
-                raise NotImplementedError("TIFF-JPEG color not supported")
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if img.shape[2] != spp:
+                raise ValueError(
+                    f"TIFF-JPEG chunk has {img.shape[2]} components, "
+                    f"IFD declares {spp}")
             # JPEG pads UP to MCU multiples; a stream SMALLER than the
             # declared strip/tile is corrupt — raise, never zero-fill
             if img.shape[0] < rows or img.shape[1] < wpx:
                 raise ValueError(
                     f"TIFF-JPEG chunk decodes {img.shape} < declared "
                     f"({rows}, {wpx})")
-            blk = np.empty((rows, wpx, 1), dtype=dt.newbyteorder("="))
-            blk[:, :, 0] = img[:rows, :wpx]
-            return blk
+            return img[:rows, :wpx].astype(dt.newbyteorder("="))
         return undo_pred(_decompress(chunk, comp), rows, wpx)
 
     if _T_TILE_OFF in entries:  # tiled layout
@@ -502,6 +506,7 @@ def write_tiff(
     predictor: bool = False,
     jpeg_quality: int = 90,
     jpeg_tables: bool = False,
+    jpeg_subsampling: str = "420",
     rows_per_strip: int | None = None,
     tiled: bool = False,
     tile_size: int = 256,
@@ -542,8 +547,9 @@ def write_tiff(
             raise NotImplementedError("TIFF-JPEG writes uint8 arrays only")
         if predictor:
             raise ValueError("predictor is invalid with JPEG compression")
-        if a.shape[2] != 1:
-            raise NotImplementedError("TIFF-JPEG writes single-band arrays only")
+        if a.shape[2] not in (1, 3):
+            raise NotImplementedError(
+                "TIFF-JPEG writes 1-band (gray) or 3-band (RGB) arrays")
     bo = byteorder
     if bo not in ("<", ">"):
         raise ValueError("byteorder must be '<' or '>'")
@@ -551,7 +557,8 @@ def write_tiff(
     opts = dict(bits=bits, sfmt=sfmt, comp_id=comp_id, predictor=predictor,
                 tiled=tiled, tile_size=tile_size, rows_per_strip=rows_per_strip,
                 bo=bo, ndv=ndv, epsg=epsg, bigtiff=bigtiff,
-                jpeg_quality=jpeg_quality, jpeg_tables=jpeg_tables)
+                jpeg_quality=jpeg_quality, jpeg_tables=jpeg_tables,
+                jpeg_subsampling=jpeg_subsampling)
     pages = [(a, x0, y0, cellx, celly, False)]
     for ov in overviews or []:
         o = np.ascontiguousarray(ov).astype(a.dtype)
@@ -617,7 +624,7 @@ def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
 def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
                  tile_size, rows_per_strip, bo, x0, y0, cellx, celly, ndv,
                  epsg, base: int, reduced: bool, jpeg_quality: int = 90,
-                 jpeg_tables: bool = False,
+                 jpeg_tables: bool = False, jpeg_subsampling: str = "420",
                  bigtiff: bool = False) -> tuple[bytes, int]:
     """Encode ONE IFD page (chunk data | ext values | IFD) positioned
     at absolute offset `base`; returns (blob, absolute ifd offset).
@@ -631,6 +638,10 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
         if comp_id == 7:
             from . import jpeg as _jpeg
 
+            if spp == 3:
+                return _jpeg.encode_color(
+                    np.ascontiguousarray(block, dtype=np.uint8),
+                    jpeg_quality, subsampling=jpeg_subsampling)
             return _jpeg.encode_gray(
                 np.ascontiguousarray(block[:, :, 0], dtype=np.uint8),
                 jpeg_quality)
@@ -729,8 +740,15 @@ def _encode_page(a: np.ndarray, *, bits, sfmt, comp_id, predictor, tiled,
     tag_arr(_T_HEIGHT, 4, [h])
     tag_arr(_T_BITS, 3, [bits] * spp)
     tag_arr(_T_COMP, 3, [comp_id])
-    # 3-band uint8 is labeled RGB (GDAL convention); else BlackIsZero
-    tag_arr(_T_PHOTO, 3, [2 if (spp == 3 and bits == 8 and sfmt == 1) else 1])
+    # 3-band uint8 is labeled RGB (GDAL convention); JPEG-compressed
+    # color streams hold YCbCr internally -> photometric 6 (TechNote 2)
+    if comp_id == 7 and spp == 3:
+        photo = 6
+    elif spp == 3 and bits == 8 and sfmt == 1:
+        photo = 2
+    else:
+        photo = 1
+    tag_arr(_T_PHOTO, 3, [photo])
     if tiled:
         tag_arr(_T_SPP, 3, [spp])
         tag_arr(_T_TILE_W, 3, [tile_size])

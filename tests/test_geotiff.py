@@ -658,12 +658,6 @@ def test_multiband_write_float_bigtiff_be_overviews():
     assert (GT.parse_tiff(buf, page=1)[0] == ov).all()
 
 
-def test_multiband_jpeg_refused():
-    m = np.zeros((3, 16, 16), dtype=np.uint8)
-    with pytest.raises(NotImplementedError, match="single-band"):
-        GT.write_tiff(m, compression="jpeg")
-
-
 def test_tiff_jpeg_undersized_stream_rejected():
     """A strip/tile JPEG stream smaller than the declared block must
     raise, never zero-fill (code-review fix): hand-built TIFF declares
@@ -685,3 +679,32 @@ def test_tiff_jpeg_undersized_stream_rejected():
            + b"\x00" * (len(small) & 1) + ifd)
     with pytest.raises(ValueError, match="decodes"):
         GT.parse_tiff(buf)
+
+
+@pytest.mark.parametrize("ss", ["444", "422", "420"])
+def test_tiff_jpeg_color_roundtrip(ss):
+    """3-band TIFF-JPEG (photometric 6 YCbCr) through the real color
+    JPEG codec, strip AND tiled, full-stream AND shared JPEGTables."""
+    from georasters_spark.sources import jpeg as J
+
+    r = np.arange(64)[:, None]
+    c = np.arange(80)[None, :]
+    base = 128 + 90 * np.sin(r / 5.0) * np.cos(c / 6.0)
+    rgb = np.stack([np.clip(base, 0, 255), np.clip(0.8 * base + 20, 0, 255),
+                    np.clip(255 - base, 0, 255)]).astype(np.uint8)
+    for tiled in (False, True):
+        for tables in (False, True):
+            buf = GT.write_tiff(rgb, compression="jpeg", jpeg_quality=90,
+                                jpeg_subsampling=ss, jpeg_tables=tables,
+                                tiled=tiled, tile_size=48, rows_per_strip=16)
+            arr, meta = GT.parse_tiff(buf)
+            assert arr.shape == rgb.shape and meta["bands"] == 3
+            psnr = J.psnr_u8(rgb.ravel(), arr.astype(np.uint8).ravel())
+            assert psnr >= 28
+            assert np.abs(arr.astype(float) - rgb.astype(float)).mean() <= 8
+
+
+def test_tiff_jpeg_two_band_refused():
+    with pytest.raises(NotImplementedError, match="1-band|3-band"):
+        GT.write_tiff(np.zeros((2, 16, 16), dtype=np.uint8),
+                      compression="jpeg")

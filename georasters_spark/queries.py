@@ -3814,6 +3814,77 @@ def sql_video_near_dup() -> str:
 FROM range(4) v"""
 
 
+def q_gif_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated GIFs flow into the image dedup stack (the gif analog of
+    video_near_dup): 8 spec-built 4-frame GIFs (v and v+4 share the
+    frame formula quantized to a 16-entry gray palette; the other six
+    are grossly different) are encoded, decoded back through the full
+    LZW + compositing pipeline, per-frame 64-bit phash computed on the
+    composited luminance, then frame-level banded-LSH blocking
+    (phash_near_dup_pairs — pigeonhole-exact, never gif x gif) joins
+    position-aligned frames and rolls up to gif pairs. Ground truth is
+    structural: GIF is LOSSLESS, so exactly the four (v, v+4) pairs
+    match all 4 frames at hamming 0."""
+    import pandas as pd
+
+    from .operators import dedup as DD
+    from .sources import codec as CD
+    from .sources import gif as G
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for vid_ in pdf["id"].tolist():
+                v = int(vid_)
+                h, w = 32, 48
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                base = v % 4  # v and v+4 share the formula
+                frames = [
+                    ((128 + 90 * np.sin(r / (3.0 + base) + base * 0.7
+                                        + i * 0.19)
+                      * np.cos(c / (4.0 + base * 2))).astype(np.uint8) >> 4)
+                    for i in range(4)
+                ]
+                pal = np.stack([np.arange(16) * 17] * 3, axis=1).astype(np.uint8)
+                buf = G.encode(frames, pal, interlace=(v % 2 == 1))
+                meta = G.parse(buf)
+                for fi, canvas in enumerate(
+                        G.decode_frames(buf, parsed=meta)):
+                    lum = canvas[..., 0].astype(np.float64)  # gray palette
+                    ph = CD.average_hash(lum, -1.0)
+                    rows.append({"image_id": v * 4 + fi, "phash": ph})
+            yield pd.DataFrame(rows, columns=["image_id", "phash"])
+
+    frames = spark.range(8).repartition(4).mapInPandas(
+        gen, schema="image_id long, phash long")
+    pairs = DD.phash_near_dup_pairs(frames, max_hamming=3)
+    return (
+        pairs
+        .filter((F.col("img_a") % 4) == (F.col("img_b") % 4))
+        .select((F.col("img_a") / 4).cast("long").alias("gif_a"),
+                (F.col("img_b") / 4).cast("long").alias("gif_b"),
+                "hamming")
+        .filter(F.col("gif_a") != F.col("gif_b"))
+        .groupBy("gif_a", "gif_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_close_frames"),
+             F.sum("hamming").cast("long").alias("sum_hamming"))
+    )
+
+
+def sql_gif_near_dup() -> str:
+    """Structural ground truth (DuckDB has no GIF decoder — same
+    contract as video_near_dup): exactly the four formula-sharing
+    pairs, all 4 frames, hamming 0 (GIF is lossless)."""
+    return """SELECT CAST(v.range AS BIGINT) AS gif_a,
+       CAST(v.range + 4 AS BIGINT) AS gif_b,
+       CAST(4 AS BIGINT) AS n_close_frames,
+       CAST(0 AS BIGINT) AS sum_hamming
+FROM range(4) v"""
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Euclidean distance transform (gdal_proximity role) —
     separable two-stage grouped-map vs a brute-force min-join oracle.
@@ -3920,6 +3991,7 @@ QUERIES = {
     "tiff_jpeg": (q_tiff_jpeg, sql_tiff_jpeg),
     "g711_audio": (q_g711_audio, sql_g711_audio),
     "tiff_multiband": (q_tiff_multiband, sql_tiff_multiband),
+    "gif_near_dup": (q_gif_near_dup, sql_gif_near_dup),
     # --- round-4-checked gates (CORRECTNESS_r04 green, freshest) ---
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),

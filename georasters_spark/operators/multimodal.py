@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 
 from ..sources import codec
 
-REAL_FMTS = {"raw16", "rawf32", "png", "q8", "tiff", "jpeg", "pngc"}
+REAL_FMTS = {"raw16", "rawf32", "png", "q8", "tiff", "jpeg", "pngc", "gif"}
 
 
 def decode_any(buf: bytes, fmt: str, w: int, h: int, ndv: float = -9999.0) -> np.ndarray:
@@ -64,6 +64,15 @@ def decode_any(buf: bytes, fmt: str, w: int, h: int, ndv: float = -9999.0) -> np
                 b = arr[..., 2].astype(np.int64)
                 arr = (299 * r + 587 * g + 114 * b) // 1000
         return arr.astype(np.float64)
+    if fmt == "gif":
+        # first composited frame -> BT.601 luminance (alpha ignored)
+        from ..sources import gif as _gif
+
+        canvas = _gif.decode_frames(buf)[0]
+        r = canvas[..., 0].astype(np.int64)
+        g = canvas[..., 1].astype(np.int64)
+        b = canvas[..., 2].astype(np.int64)
+        return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.float64)
     if fmt in REAL_FMTS:
         return np.asarray(codec.decode_tile(buf, fmt, w, h, ndv), dtype=np.float64)
     if fmt == "fake":
@@ -431,4 +440,104 @@ def gif_frames(gifs: DataFrame) -> DataFrame:
         kernel,
         schema="gif_id long, frame_idx long, delay_cs long, "
                "w int, h int, checksum long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# media lake ingest: binaryFile scan -> magic sniff -> typed media table
+# ---------------------------------------------------------------------------
+
+_MEDIA_MAGIC = (
+    (b"\x89PNG\r\n\x1a\n", "pngc"),
+    (b"GIF87a", "gif"), (b"GIF89a", "gif"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"II*\x00", "tiff"), (b"MM\x00*", "tiff"),
+    (b"II+\x00", "tiff"), (b"MM\x00+", "tiff"),  # BigTIFF
+    (b"RIFF", "wav"),  # refined below (RIFF....WAVE)
+    (b"fLaC", "flac"),
+)
+
+
+def sniff_media(buf: bytes) -> str:
+    """Identify a media file by magic bytes: pngc/gif/jpeg/tiff/wav/
+    flac/mp4, else 'unknown'. (MP4 magic is the ftyp box at offset 4.)"""
+    for magic, fmt in _MEDIA_MAGIC:
+        if buf[: len(magic)] == magic:
+            if fmt == "wav" and buf[8:12] != b"WAVE":
+                continue
+            return fmt
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+def _probe_dims(buf: bytes, fmt: str) -> tuple[int, int]:
+    """(w, h) from the HEADER ONLY — no pixel decode; (0, 0) for
+    audio/container formats without raster dims."""
+    import struct
+
+    if fmt == "pngc":
+        w, h = struct.unpack_from(">II", buf, 16)  # IHDR
+        return int(w), int(h)
+    if fmt == "gif":
+        w, h = struct.unpack_from("<HH", buf, 6)  # logical screen
+        return int(w), int(h)
+    if fmt == "jpeg":
+        pos = 2
+        n = len(buf)
+        while pos + 4 <= n:
+            if buf[pos] != 0xFF:
+                break
+            marker = buf[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h, w = struct.unpack_from(">HH", buf, pos + 5)
+                return int(w), int(h)
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+            pos += 2 + seglen
+        return 0, 0
+    if fmt == "tiff":
+        from ..sources.geotiff import parse_dims
+
+        return parse_dims(buf)
+    return 0, 0
+
+
+def load_media_files(spark, path: str) -> DataFrame:
+    """Ingest a directory/glob of mixed media files (PNG/GIF/JPEG/TIFF/
+    WAV/FLAC/MP4) into a typed media table: one Spark task per FILE
+    (binaryFile source, the same per-file parallelism as load_tiff),
+    format identified by magic sniff, raster dims probed from the
+    HEADER only (no pixel decode on the ingest path — decode happens
+    downstream in image_features/gif_frames/audio_features per fmt).
+    At lake scale the scan parallelizes over files; nothing is
+    collected."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                buf = bytes(rec.content)
+                fmt = sniff_media(buf)
+                w, h = (_probe_dims(buf, fmt)
+                        if fmt in ("pngc", "gif", "jpeg", "tiff") else (0, 0))
+                rows.append({
+                    "media_id": rec.path.rsplit("/", 1)[-1],
+                    "source_path": rec.path,
+                    "fmt": fmt,
+                    "n_bytes": len(buf),
+                    "w": w, "h": h,
+                    "bytes": buf,
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "source_path", "fmt", "n_bytes", "w", "h",
+                "bytes"])
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(
+        kernel,
+        schema="media_id string, source_path string, fmt string, "
+               "n_bytes long, w int, h int, bytes binary",
     )

@@ -3814,6 +3814,79 @@ def sql_video_near_dup() -> str:
 FROM range(4) v"""
 
 
+def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-lake ingest source end to end: 12 deterministic files —
+    PNG, GIF, JPEG, GeoTIFF (two sizes each), a G.711 WAV, a FLAC, an
+    MP4 and an unknown blob — are written to a scratch dir, scanned by
+    the binaryFile source (one Spark task per file, the load_tiff
+    shape), magic-sniffed and header-probed by
+    multimodal.load_media_files. The gate pins (fmt, w, h) per file —
+    dims come from the HEADER probe only, so a wrong IHDR/SOF/IFD/
+    screen-descriptor offset anywhere fails exactly."""
+    import os
+    import tempfile
+
+    from .operators import multimodal as MM
+    from .sources import flac as FL
+    from .sources import g711
+    from .sources import geotiff as GT
+    from .sources import gif as G
+    from .sources import jpeg as J
+    from .sources import mp4 as M4
+    from .sources import png as P
+
+    import numpy as np
+
+    d = os.path.join(tempfile.gettempdir(), "georasters_media_ingest_fixture")
+    os.makedirs(d, exist_ok=True)
+    pal = np.stack([np.arange(16) * 17] * 3, axis=1).astype(np.uint8)
+    for f in range(8):
+        h, w = 10 + f, 14 + 2 * f
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        img = ((r * 7 + c * 13 + f * 29) % 256).astype(np.uint8)
+        kind = f % 4
+        if kind == 0:
+            name, buf = f"m{f:02d}.png", P.encode(img)
+        elif kind == 1:
+            name, buf = f"m{f:02d}.gif", G.encode(img >> 4, pal)
+        elif kind == 2:
+            name, buf = f"m{f:02d}.jpg", J.encode_gray(img, 85)
+        else:
+            name, buf = f"m{f:02d}.tif", GT.write_tiff(
+                img.astype(np.int16), bigtiff=(f == 7))
+        with open(os.path.join(d, name), "wb") as fh:
+            fh.write(buf)
+    i = np.arange(300, dtype=np.int64)
+    pcm = ((i * i * 7 + i * 31) % 65536 - 32768).astype(np.int16)
+    fixtures = {
+        "m08.wav": g711.encode_wav_g711(pcm, 8000, "ulaw"),
+        "m09.flac": FL.encode_flac(pcm.reshape(-1, 1), 8000),
+        "m10.mp4": M4.build_minimal_mp4([bytes(50), bytes(60)]),
+        "m11.bin": b"not any media format at all",
+    }
+    for name, buf in fixtures.items():
+        with open(os.path.join(d, name), "wb") as fh:
+            fh.write(buf)
+
+    return MM.load_media_files(spark, d).select("media_id", "fmt", "w", "h")
+
+
+def sql_media_ingest() -> str:
+    rows = []
+    for f in range(8):
+        h, w = 10 + f, 14 + 2 * f
+        kind = f % 4
+        ext = ("png", "gif", "jpg", "tif")[kind]
+        fmt = ("pngc", "gif", "jpeg", "tiff")[kind]
+        rows.append(f"('m{f:02d}.{ext}', '{fmt}', {w}, {h})")
+    rows += ["('m08.wav', 'wav', 0, 0)", "('m09.flac', 'flac', 0, 0)",
+             "('m10.mp4', 'mp4', 0, 0)", "('m11.bin', 'unknown', 0, 0)"]
+    return ("SELECT media_id, fmt, CAST(w AS INT) AS w, CAST(h AS INT) AS h "
+            "FROM (VALUES " + ", ".join(rows)
+            + ") AS t(media_id, fmt, w, h)")
+
+
 def q_gif_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Animated GIFs flow into the image dedup stack (the gif analog of
     video_near_dup): 8 spec-built 4-frame GIFs (v and v+4 share the
@@ -3992,6 +4065,7 @@ QUERIES = {
     "g711_audio": (q_g711_audio, sql_g711_audio),
     "tiff_multiband": (q_tiff_multiband, sql_tiff_multiband),
     "gif_near_dup": (q_gif_near_dup, sql_gif_near_dup),
+    "media_ingest": (q_media_ingest, sql_media_ingest),
     # --- round-4-checked gates (CORRECTNESS_r04 green, freshest) ---
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),

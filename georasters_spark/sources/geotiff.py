@@ -304,6 +304,28 @@ def _undo_predictor3(raw: bytes, rows: int, wpx: int, spp: int,
     return np.frombuffer(be.tobytes(), dtype=dt).reshape(rows, wpx, spp)
 
 
+def parse_dims(buf: bytes) -> tuple[int, int]:
+    """(w, h) of page 0 from the IFD ONLY — no pixel decode (the
+    media-ingest header probe)."""
+    if buf[:2] == b"II":
+        bo = "<"
+    elif buf[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    (magic,) = struct.unpack_from(bo + "H", buf, 2)
+    if magic == 43:
+        (off,) = struct.unpack_from(bo + "Q", buf, 8)
+        entries, _ = _read_ifd(buf, bo, off, True)
+    elif magic == 42:
+        (off,) = struct.unpack_from(bo + "I", buf, 4)
+        entries, _ = _read_ifd(buf, bo, off, False)
+    else:
+        raise ValueError(f"not a TIFF (magic {magic})")
+    return (int(_first(entries, buf, bo, _T_WIDTH)),
+            int(_first(entries, buf, bo, _T_HEIGHT)))
+
+
 def parse_tiff(buf: bytes, page: int = 0):
     """Parse one page of a classic TIFF. Returns ``(array, meta)`` where
     array is (h, w) for single-band or (bands, h, w) for chunky

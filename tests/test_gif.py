@@ -146,3 +146,14 @@ def test_index_outside_caller_palette_rejected():
     pal5 = np.arange(15, dtype=np.uint8).reshape(5, 3)
     with pytest.raises(ValueError, match="index outside"):
         gif.encode(np.full((2, 2), 6, dtype=np.uint8), pal5)
+
+
+def test_decode_any_gif_first_frame_luminance():
+    from georasters_spark.operators.multimodal import decode_any
+
+    pal = np.stack([np.arange(16) * 17] * 3, axis=1).astype(np.uint8)
+    idx = (np.arange(96, dtype=np.uint8).reshape(8, 12)) % 16
+    buf = gif.encode(idx, pal)
+    out = decode_any(buf, "gif", 12, 8)
+    # gray palette: luminance == index * 17 exactly
+    assert out.shape == (8, 12) and (out == idx.astype(np.float64) * 17).all()

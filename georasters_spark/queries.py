@@ -3814,6 +3814,120 @@ def sql_video_near_dup() -> str:
 FROM range(4) v"""
 
 
+def q_apng_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated PNG (acTL/fcTL/fdAT) end to end: 6 deterministic
+    3-frame APNGs — full-canvas base, then a sub-rectangle frame with
+    binary-alpha BLEND-OVER and per-id dispose op (none/background/
+    previous), then a sub-rectangle SOURCE frame — are encoded and
+    decoded back executor-side through the real chunk walk + per-frame
+    zlib/filter pipeline + compositor. APNG is lossless and the alpha
+    mask is binary, so the gate is hash-exact: a position-weighted
+    checksum over every composited RGBA canvas, re-derived in DuckDB
+    by repeating the offset/blend/dispose arithmetic per pixel."""
+    import pandas as pd
+
+    from .sources import png as P
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for vid_ in pdf["id"].tolist():
+                v = int(vid_)
+                h, w = 18 + v, 24 + 2 * v
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(4, dtype=np.int64)[None, None, :]
+                f0 = ((r * 7 + c * 13 + ch * 11 + v * 29) % 256).astype(np.uint8)
+                f0[..., 3] = 255
+                r1 = np.arange(6, dtype=np.int64)[:, None, None]
+                c1 = np.arange(8, dtype=np.int64)[None, :, None]
+                f1 = ((r1 * 17 + c1 * 19 + ch * 23 + v) % 256).astype(np.uint8)
+                f1[..., 3] = np.where(
+                    ((r1[..., 0] * 3 + c1[..., 0] * 5 + v) % 4) != 0, 255, 0
+                ).astype(np.uint8)
+                r2 = np.arange(5, dtype=np.int64)[:, None, None]
+                c2 = np.arange(7, dtype=np.int64)[None, :, None]
+                f2 = ((r2 * 31 + c2 * 37 + ch * 41 + v * 3) % 256).astype(np.uint8)
+                f2[..., 3] = 255
+                x1, y1 = 3 + v % 3, 2 + v % 2
+                buf = P.encode_apng(
+                    [f0, f1, f2], offsets=[(0, 0), (x1, y1), (4, 1)],
+                    dispose=[0, v % 3, 0], blend=[0, 1, 0],
+                    delays=[(2 + v, 100)] * 3)
+                canvases, meta = P.decode_apng(buf)
+                pos = ((np.arange(h)[:, None, None] * w
+                        + np.arange(w)[None, :, None]) * 4
+                       + np.arange(4)[None, None, :])
+                wgt = 1 + pos % 97
+                for k, canvas in enumerate(canvases):
+                    rows.append({
+                        "apng_id": v, "frame_idx": k,
+                        "delay_num": int(meta[k]["delay_num"]),
+                        "w": w, "h": h,
+                        "checksum": int((canvas.astype(np.int64) * wgt).sum()),
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "apng_id", "frame_idx", "delay_num", "w", "h", "checksum"])
+
+    return spark.range(6).repartition(3).mapInPandas(
+        gen, schema="apng_id long, frame_idx long, delay_num long, "
+                    "w int, h int, checksum long")
+
+
+def sql_apng_frames() -> str:
+    return """
+WITH g AS (SELECT CAST(range AS BIGINT) AS v, 18 + range AS h,
+                  24 + 2 * range AS w,
+                  3 + range % 3 AS x1, 2 + range % 2 AS y1
+           FROM range(6)),
+px AS (SELECT g.*, r.range AS r, c.range AS c, ch.range AS ch
+       FROM g CROSS JOIN range(23) r CROSS JOIN range(34) c
+       CROSS JOIN range(4) ch
+       WHERE r.range < g.h AND c.range < g.w),
+v0 AS (SELECT *,
+        CASE WHEN ch = 3 THEN 255
+             ELSE (r * 7 + c * 13 + ch * 11 + v * 29) % 256 END AS f0
+       FROM px),
+v1 AS (SELECT *,
+        -- frame 1 covers rows y1..y1+5, cols x1..x1+7 with binary alpha
+        (r >= y1 AND r < y1 + 6 AND c >= x1 AND c < x1 + 8) AS in1,
+        CASE WHEN r >= y1 AND r < y1 + 6 AND c >= x1 AND c < x1 + 8
+             AND ((r - y1) * 3 + (c - x1) * 5 + v) % 4 != 0
+             THEN TRUE ELSE FALSE END AS op1,
+        CASE WHEN ch = 3 THEN 255
+             ELSE ((r - y1) * 17 + (c - x1) * 19 + ch * 23 + v) % 256
+        END AS f1
+       FROM v0),
+-- canvas after frame 1: opaque frame-1 pixels replace (alpha 255 both)
+c1 AS (SELECT *, CASE WHEN op1 THEN f1 ELSE f0 END AS k1 FROM v1),
+-- dispose after frame 1: v%3 = 0 none, 1 clear rect to 0, 2 previous
+c2base AS (SELECT *,
+        CASE WHEN v % 3 = 1 AND in1 THEN 0
+             WHEN v % 3 = 2 THEN f0
+             ELSE k1 END AS base2
+       FROM c1),
+c2 AS (SELECT *,
+        CASE WHEN r >= 1 AND r < 6 AND c >= 4 AND c < 11 THEN
+          CASE WHEN ch = 3 THEN 255
+               ELSE ((r - 1) * 31 + (c - 4) * 37 + ch * 41 + v * 3) % 256 END
+        ELSE base2 END AS k2
+       FROM c2base),
+frames AS (
+  SELECT v, h, w, 0 AS k, r, c, ch, f0 AS val FROM c2
+  UNION ALL
+  SELECT v, h, w, 1 AS k, r, c, ch, k1 AS val FROM c2
+  UNION ALL
+  SELECT v, h, w, 2 AS k, r, c, ch, k2 AS val FROM c2)
+SELECT v AS apng_id, CAST(k AS BIGINT) AS frame_idx,
+       CAST(2 + v AS BIGINT) AS delay_num,
+       CAST(MAX(w) AS INT) AS w, CAST(MAX(h) AS INT) AS h,
+       CAST(SUM(val * (1 + ((r * w + c) * 4 + ch) % 97)) AS BIGINT)
+         AS checksum
+FROM frames GROUP BY v, k"""
+
+
 def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-lake ingest source end to end: 12 deterministic files —
     PNG, GIF, JPEG, GeoTIFF (two sizes each), a G.711 WAV, a FLAC, an
@@ -4066,6 +4180,7 @@ QUERIES = {
     "tiff_multiband": (q_tiff_multiband, sql_tiff_multiband),
     "gif_near_dup": (q_gif_near_dup, sql_gif_near_dup),
     "media_ingest": (q_media_ingest, sql_media_ingest),
+    "apng_frames": (q_apng_frames, sql_apng_frames),
     # --- round-4-checked gates (CORRECTNESS_r04 green, freshest) ---
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),

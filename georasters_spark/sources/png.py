@@ -397,3 +397,162 @@ def encode(
     chunks.append(_chunk(b"IDAT", zlib.compress(bytes(stream), level)))
     chunks.append(_chunk(b"IEND", b""))
     return b"".join(chunks)
+
+
+# --------------------------------------------------------------------------
+# APNG (animated PNG): acTL / fcTL / fdAT per the public APNG spec
+# (now part of the W3C PNG 3rd-edition draft)
+# --------------------------------------------------------------------------
+
+_DISPOSE_NONE, _DISPOSE_BACKGROUND, _DISPOSE_PREVIOUS = 0, 1, 2
+_BLEND_SOURCE, _BLEND_OVER = 0, 1
+
+
+def decode_apng(buf: bytes) -> tuple[list, list]:
+    """Decode an APNG into (canvases, meta): composited full-canvas
+    (h, w, 4) RGBA8 frames honoring x/y offsets, dispose_op 0/1/2 and
+    blend_op source/over, plus per-frame metadata dicts. RGBA8 (color
+    type 6, depth 8) only — the layout this encoder emits and the
+    overwhelmingly dominant APNG shape; anything else raises."""
+    ihdr = None
+    actl = None
+    frames = []  # [{ctl fields, data: bytearray}]
+    seq_expect = 0
+    saw_idat = False
+    for tag, payload in _walk_chunks(buf):
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"acTL":
+            actl = struct.unpack(">II", payload)
+        elif tag == b"fcTL":
+            (seq, fw, fh, fx, fy, dnum, dden, dop, bop) = struct.unpack(
+                ">IIIIIHHBB", payload)
+            if seq != seq_expect:
+                raise ValueError(f"apng: fcTL sequence {seq} != {seq_expect}")
+            seq_expect += 1
+            frames.append({"w": fw, "h": fh, "x": fx, "y": fy,
+                           "delay_num": dnum, "delay_den": dden,
+                           "dispose": dop, "blend": bop,
+                           "data": bytearray()})
+        elif tag == b"IDAT":
+            saw_idat = True
+            if frames:  # fcTL before IDAT -> IDAT is frame 0
+                if len(frames) != 1:
+                    raise ValueError("apng: IDAT after fdAT frames")
+                frames[0]["data"] += payload
+        elif tag == b"fdAT":
+            (seq,) = struct.unpack_from(">I", payload, 0)
+            if seq != seq_expect:
+                raise ValueError(f"apng: fdAT sequence {seq} != {seq_expect}")
+            seq_expect += 1
+            if not frames or not saw_idat:
+                raise ValueError("apng: fdAT before first frame")
+            frames[-1]["data"] += payload[4:]
+    if ihdr is None:
+        raise ValueError("png: missing IHDR")
+    if actl is None:
+        raise ValueError("apng: missing acTL (not an animated PNG)")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if (depth, ctype) != (8, 6):
+        raise NotImplementedError("apng: RGBA8 (depth 8, color type 6) only")
+    if interlace != 0:
+        raise NotImplementedError("apng: interlaced frames not supported")
+    if actl[0] != len(frames):
+        raise ValueError(
+            f"apng: acTL declares {actl[0]} frames, found {len(frames)}")
+
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    out = []
+    meta = []
+    for i, fr in enumerate(frames):
+        fw, fh, fx, fy = fr["w"], fr["h"], fr["x"], fr["y"]
+        if fw == 0 or fh == 0 or fx + fw > w or fy + fh > h:
+            raise ValueError("apng: frame rectangle outside canvas")
+        if i == 0 and (fw, fh, fx, fy) != (w, h, 0, 0):
+            raise ValueError("apng: first frame must cover the canvas")
+        stream = np.frombuffer(zlib.decompress(bytes(fr["data"])),
+                               dtype=np.uint8)
+        rowbytes = fw * 4
+        rows = _unfilter(stream, fh, rowbytes, 4)
+        sub = rows.reshape(fh, fw, 4)
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        saved = canvas.copy() if fr["dispose"] == _DISPOSE_PREVIOUS else None
+        if fr["blend"] == _BLEND_SOURCE or i == 0:
+            region[:] = sub
+        elif fr["blend"] == _BLEND_OVER:
+            # non-premultiplied integer OVER; exact for alpha in {0,255}
+            sa = sub[..., 3:4].astype(np.int64)
+            da = region[..., 3:4].astype(np.int64)
+            oa = sa + da * (255 - sa) // 255
+            num = (sub[..., :3].astype(np.int64) * sa * 255
+                   + region[..., :3].astype(np.int64) * da * (255 - sa))
+            den = np.maximum(oa * 255, 1)
+            region[..., :3] = (num // den).astype(np.uint8)
+            region[..., 3:4] = oa.astype(np.uint8)
+        else:
+            raise ValueError(f"apng: unknown blend_op {fr['blend']}")
+        out.append(canvas.copy())
+        meta.append({k: fr[k] for k in ("w", "h", "x", "y", "delay_num",
+                                        "delay_den", "dispose", "blend")})
+        if fr["dispose"] == _DISPOSE_BACKGROUND:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif fr["dispose"] == _DISPOSE_PREVIOUS:
+            canvas = saved
+    return out, meta
+
+
+def encode_apng(
+    frames: list,
+    offsets: list | None = None,
+    delays: list | None = None,
+    dispose: int | list = 0,
+    blend: int | list = 0,
+    canvas_size: tuple | None = None,
+    num_plays: int = 0,
+    filter_strategy: str = "adaptive",
+    level: int = 6,
+) -> bytes:
+    """Encode RGBA8 frames as an APNG. frames[0] must cover the canvas
+    (canvas_size defaults to its shape); later frames may be
+    sub-rectangles placed at offsets[i] = (x, y) with per-frame
+    dispose/blend ops and delays[i] = (num, den)."""
+    if not frames:
+        raise ValueError("apng: no frames")
+    f0 = np.ascontiguousarray(frames[0], dtype=np.uint8)
+    if f0.ndim != 3 or f0.shape[2] != 4:
+        raise ValueError("apng: frames must be (h, w, 4) RGBA8")
+    h, w = canvas_size or f0.shape[:2]
+    if f0.shape[:2] != (h, w):
+        raise ValueError("apng: first frame must cover the canvas")
+
+    def ctl(i):
+        dnum, dden = (delays[i] if delays else (1, 10))
+        dop = dispose[i] if isinstance(dispose, (list, tuple)) else dispose
+        bop = blend[i] if isinstance(blend, (list, tuple)) else blend
+        return dnum, dden, dop, bop
+
+    chunks = [SIGNATURE,
+              _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)),
+              _chunk(b"acTL", struct.pack(">II", len(frames), num_plays))]
+    seq = 0
+    for i, fr in enumerate(frames):
+        a = np.ascontiguousarray(fr, dtype=np.uint8)
+        if a.ndim != 3 or a.shape[2] != 4:
+            raise ValueError("apng: frames must be (h, w, 4) RGBA8")
+        fx, fy = (offsets[i] if offsets and i > 0 else (0, 0))
+        fh, fw = a.shape[:2]
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("apng: frame rectangle outside canvas")
+        dnum, dden, dop, bop = ctl(i)
+        chunks.append(_chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, fx, fy, dnum, dden, dop, bop)))
+        seq += 1
+        rows = a.reshape(fh, fw * 4)
+        comp = zlib.compress(_filter_pass(rows, 4, filter_strategy), level)
+        if i == 0:
+            chunks.append(_chunk(b"IDAT", comp))
+        else:
+            chunks.append(_chunk(b"fdAT", struct.pack(">I", seq) + comp))
+            seq += 1
+    chunks.append(_chunk(b"IEND", b""))
+    return b"".join(chunks)

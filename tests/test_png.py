@@ -195,3 +195,68 @@ def test_negative_samples_rejected():
         png.encode(np.full((2, 2), -3, dtype=np.int16))
     with pytest.raises(ValueError, match="negative"):
         png.encode(np.full((2, 2, 3), -1, dtype=np.int32))
+
+
+# --------------------------------------------------------------------------
+# APNG
+# --------------------------------------------------------------------------
+
+
+def test_apng_full_canvas_roundtrip():
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (20, 28, 4), dtype=np.uint8)
+              for _ in range(4)]
+    out, meta = png.decode_apng(png.encode_apng(frames, delays=[(1, 10)] * 4))
+    assert len(out) == 4
+    for o, f in zip(out, frames):
+        assert (o == f).all()
+    assert meta[0]["delay_num"] == 1 and meta[0]["delay_den"] == 10
+
+
+def test_apng_blend_over_and_offsets():
+    rng = np.random.default_rng(10)
+    base = rng.integers(0, 256, (20, 28, 4), dtype=np.uint8)
+    base[..., 3] = 255
+    sub = rng.integers(0, 256, (6, 8, 4), dtype=np.uint8)
+    sub[..., 3] = np.where(rng.integers(0, 2, (6, 8)) == 1, 255, 0)
+    out, _ = png.decode_apng(png.encode_apng(
+        [base, sub], offsets=[(0, 0), (5, 7)], blend=[0, 1]))
+    exp = base.copy()
+    reg = exp[7:13, 5:13]
+    m = sub[..., 3] == 255
+    reg[m] = sub[m]
+    assert (out[1] == exp).all()
+
+
+def test_apng_dispose_background_and_previous():
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (20, 28, 4), dtype=np.uint8)
+    base[..., 3] = 255
+    f1 = rng.integers(0, 256, (4, 5, 4), dtype=np.uint8)
+    f1[..., 3] = 255
+    out, _ = png.decode_apng(png.encode_apng(
+        [base, f1, f1], offsets=[(0, 0), (2, 3), (10, 9)],
+        dispose=[0, 1, 2], blend=0))
+    assert (out[1][3:7, 2:7] == f1).all()
+    exp2 = base.copy()
+    exp2[3:7, 2:7] = 0
+    exp2[9:13, 10:15] = f1
+    assert (out[2] == exp2).all()
+
+
+def test_apng_errors():
+    rng = np.random.default_rng(12)
+    plain = png.encode(rng.integers(0, 256, (4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="acTL"):
+        png.decode_apng(plain)
+    base = np.zeros((4, 4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="canvas"):
+        png.encode_apng([base, base], offsets=[(0, 0), (3, 3)])
+    # frame-count mismatch in acTL
+    buf = bytearray(png.encode_apng([base]))
+    i = bytes(buf).find(b"acTL")
+    struct.pack_into(">I", buf, i + 4, 7)
+    crc = zlib.crc32(bytes(buf[i : i + 12])) & 0xFFFFFFFF
+    struct.pack_into(">I", buf, i + 12, crc)
+    with pytest.raises(ValueError, match="declares"):
+        png.decode_apng(bytes(buf))

@@ -3928,19 +3928,14 @@ SELECT v AS apng_id, CAST(k AS BIGINT) AS frame_idx,
 FROM frames GROUP BY v, k"""
 
 
-def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media-lake ingest source end to end: 12 deterministic files —
-    PNG, GIF, JPEG, GeoTIFF (two sizes each), a G.711 WAV, a FLAC, an
-    MP4 and an unknown blob — are written to a scratch dir, scanned by
-    the binaryFile source (one Spark task per file, the load_tiff
-    shape), magic-sniffed and header-probed by
-    multimodal.load_media_files. The gate pins (fmt, w, h) per file —
-    dims come from the HEADER probe only, so a wrong IHDR/SOF/IFD/
-    screen-descriptor offset anywhere fails exactly."""
+def _media_fixture_dir() -> str:
+    """Build (idempotently) the 12-file mixed-media fixture dir used by
+    media_ingest and media_features."""
     import os
     import tempfile
 
-    from .operators import multimodal as MM
+    import numpy as np
+
     from .sources import flac as FL
     from .sources import g711
     from .sources import geotiff as GT
@@ -3948,8 +3943,6 @@ def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import jpeg as J
     from .sources import mp4 as M4
     from .sources import png as P
-
-    import numpy as np
 
     d = os.path.join(tempfile.gettempdir(), "georasters_media_ingest_fixture")
     os.makedirs(d, exist_ok=True)
@@ -3982,7 +3975,21 @@ def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, buf in fixtures.items():
         with open(os.path.join(d, name), "wb") as fh:
             fh.write(buf)
+    return d
 
+
+def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-lake ingest source end to end: 12 deterministic files —
+    PNG, GIF, JPEG, GeoTIFF (two sizes each), a G.711 WAV, a FLAC, an
+    MP4 and an unknown blob — are written to a scratch dir, scanned by
+    the binaryFile source (one Spark task per file, the load_tiff
+    shape), magic-sniffed and header-probed by
+    multimodal.load_media_files. The gate pins (fmt, w, h) per file —
+    dims come from the HEADER probe only, so a wrong IHDR/SOF/IFD/
+    screen-descriptor offset anywhere fails exactly."""
+    from .operators import multimodal as MM
+
+    d = _media_fixture_dir()
     return MM.load_media_files(spark, d).select("media_id", "fmt", "w", "h")
 
 
@@ -4130,6 +4137,52 @@ def sql_flow_accumulation() -> str:
     return TR.flow_accumulation_sql(_dem_cte(128, 128))
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media lake composed end to end: the mixed-format fixture dir
+    is binaryFile-scanned + sniffed (load_media_files), the LOSSLESS
+    raster rows (png/gif/tiff — jpeg is lossy and excluded from the
+    exact contract) flow straight into image_features' Arrow kernel
+    with NO per-format branching in the pipeline — the fmt column
+    drives decode_any. Gate pins f_mean/f_std/f_min/f_max per file
+    against a DuckDB oracle that recomputes them from the pixel
+    formulas (values are exact integers, so the 6-dp-rounded moments
+    agree bit-for-bit)."""
+    from pyspark.sql import functions as F
+
+    from .operators import multimodal as MM
+
+    d = _media_fixture_dir()
+    media = MM.load_media_files(spark, d)
+    imgs = (media.filter(F.col("fmt").isin("pngc", "gif", "tiff"))
+            .select(F.col("media_id").alias("image_id"),
+                    "bytes", "fmt", "w", "h"))
+    return MM.image_features(imgs).select(
+        "image_id", "f_mean", "f_std", "f_min", "f_max")
+
+
+def sql_media_features() -> str:
+    return """
+WITH g AS (SELECT range AS f, 10 + range AS h, 14 + 2 * range AS w,
+                  range % 4 AS kind
+           FROM range(8) WHERE range % 4 != 2),
+px AS (SELECT g.f, g.kind, g.h, g.w, r.range AS r, c.range AS c
+       FROM g CROSS JOIN range(17) r CROSS JOIN range(28) c
+       WHERE r.range < g.h AND c.range < g.w),
+vals AS (SELECT f, kind, h, w,
+          CASE WHEN kind = 1
+               THEN (((r * 7 + c * 13 + f * 29) % 256) // 16) * 17
+               ELSE (r * 7 + c * 13 + f * 29) % 256 END AS v
+         FROM px)
+SELECT 'm0' || CAST(f AS VARCHAR) ||
+       CASE kind WHEN 0 THEN '.png' WHEN 1 THEN '.gif' ELSE '.tif' END
+         AS image_id,
+       ROUND(AVG(v), 6) AS f_mean,
+       ROUND(STDDEV_POP(v), 6) AS f_std,
+       CAST(MIN(v) AS DOUBLE) AS f_min,
+       CAST(MAX(v) AS DOUBLE) AS f_max
+FROM vals GROUP BY f, kind"""
+
+
 QUERIES = {
     # --- round-5 driver-window rotation: the driver gates the FIRST 50
     # entries. Front: the 27 r3-era gates that sat at positions 51-77
@@ -4181,6 +4234,7 @@ QUERIES = {
     "gif_near_dup": (q_gif_near_dup, sql_gif_near_dup),
     "media_ingest": (q_media_ingest, sql_media_ingest),
     "apng_frames": (q_apng_frames, sql_apng_frames),
+    "media_features": (q_media_features, sql_media_features),
     # --- round-4-checked gates (CORRECTNESS_r04 green, freshest) ---
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),

@@ -40,7 +40,8 @@ from pyspark.sql import DataFrame
 
 from ..sources import codec
 
-REAL_FMTS = {"raw16", "rawf32", "png", "q8", "tiff", "jpeg", "pngc", "gif"}
+REAL_FMTS = {"raw16", "rawf32", "png", "q8", "tiff", "jpeg", "pngc", "gif",
+             "bmp"}
 
 
 def decode_any(buf: bytes, fmt: str, w: int, h: int, ndv: float = -9999.0) -> np.ndarray:
@@ -73,6 +74,18 @@ def decode_any(buf: bytes, fmt: str, w: int, h: int, ndv: float = -9999.0) -> np
         g = canvas[..., 1].astype(np.int64)
         b = canvas[..., 2].astype(np.int64)
         return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.float64)
+    if fmt == "bmp":
+        from ..sources import bmp as _bmp
+
+        img, m = _bmp.decode(buf)
+        if m["palette"] is not None:
+            img = m["palette"][img]
+        if img.ndim == 3:
+            r = img[..., 0].astype(np.int64)
+            g = img[..., 1].astype(np.int64)
+            b = img[..., 2].astype(np.int64)
+            img = (299 * r + 587 * g + 114 * b) // 1000
+        return img.astype(np.float64)
     if fmt in REAL_FMTS:
         return np.asarray(codec.decode_tile(buf, fmt, w, h, ndv), dtype=np.float64)
     if fmt == "fake":
@@ -468,6 +481,9 @@ def sniff_media(buf: bytes) -> str:
             return fmt
     if len(buf) >= 12 and buf[4:8] == b"ftyp":
         return "mp4"
+    if (len(buf) >= 54 and buf[:2] == b"BM"
+            and int.from_bytes(buf[14:18], "little") >= 40):
+        return "bmp"
     return "unknown"
 
 
@@ -502,6 +518,9 @@ def _probe_dims(buf: bytes, fmt: str) -> tuple[int, int]:
         from ..sources.geotiff import parse_dims
 
         return parse_dims(buf)
+    if fmt == "bmp":
+        w, h = struct.unpack_from("<ii", buf, 18)
+        return int(w), int(abs(h))
     return 0, 0
 
 
@@ -522,7 +541,8 @@ def load_media_files(spark, path: str) -> DataFrame:
                 buf = bytes(rec.content)
                 fmt = sniff_media(buf)
                 w, h = (_probe_dims(buf, fmt)
-                        if fmt in ("pngc", "gif", "jpeg", "tiff") else (0, 0))
+                        if fmt in ("pngc", "gif", "jpeg", "tiff", "bmp")
+                        else (0, 0))
                 rows.append({
                     "media_id": rec.path.rsplit("/", 1)[-1],
                     "source_path": rec.path,

@@ -3528,6 +3528,87 @@ FROM range(24) f JOIN sizes s ON s.k = f.range % 4"""
 _GIF_SIZES = [(24, 18), (16, 32), (21, 21), (12, 40)]  # (h, w), key = v % 4
 
 
+def q_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP codec end to end (sources/bmp.py): 12 deterministic files
+    cycling 8-bit palettized plain, 8-bit RLE8, 24-bit BGR and 32-bit
+    BGRX — odd ids top-down — are encoded and decoded back
+    executor-side. BMP is lossless, so the gate is hash-exact: a
+    position-weighted checksum over every decoded sample (indices for
+    palettized kinds, channels for truecolor), re-derived
+    arithmetically in DuckDB."""
+    import pandas as pd
+
+    from .sources import bmp as B
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for fid in pdf["id"].tolist():
+                f = int(fid)
+                h, w = _PNG_SIZES[f % 4]
+                kind = f % 4
+                td = f % 2 == 1
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                if kind in (0, 1):  # palettized (plain / RLE8)
+                    idx = ((r * 3 + c * 5 + f) % 16)[..., 0].astype(np.uint8)
+                    i = np.arange(16, dtype=np.int64)
+                    pal = np.stack([(i * 37 + f) % 256, (i * 59 + 3 * f) % 256,
+                                    (i * 83 + 7 * f) % 256], axis=1).astype(np.uint8)
+                    buf = B.encode(idx, pal, rle=(kind == 1), top_down=td)
+                    dec, _m = B.decode(buf)
+                    a = dec[..., None]
+                else:  # truecolor 24 / 32
+                    nch = 3 if kind == 2 else 4
+                    ch = np.arange(nch, dtype=np.int64)[None, None, :]
+                    img = ((r * 7 + c * 13 + ch * 11 + f * 29) % 256).astype(np.uint8)
+                    buf = B.encode(img, top_down=td)
+                    a, _m = B.decode(buf)
+                nch = a.shape[2]
+                pos = ((np.arange(h)[:, None, None] * w
+                        + np.arange(w)[None, :, None]) * nch
+                       + np.arange(nch)[None, None, :])
+                rows.append({
+                    "img_id": f, "h": h, "w": w, "nch": nch,
+                    "checksum": int((a.astype(np.int64)
+                                     * (1 + pos % 97)).sum()),
+                })
+            yield pd.DataFrame(rows, columns=["img_id", "h", "w", "nch",
+                                              "checksum"])
+
+    return spark.range(12).repartition(4).mapInPandas(
+        gen, schema="img_id long, h int, w int, nch int, checksum long")
+
+
+def sql_bmp_roundtrip() -> str:
+    dims = ", ".join(f"({i}, {h}, {w})" for i, (h, w) in enumerate(_PNG_SIZES))
+    return f"""
+WITH sizes(k, h, w) AS (VALUES {dims}),
+imgs AS (
+  SELECT CAST(f.range AS BIGINT) AS img_id, s.h, s.w, f.range % 4 AS kind,
+         CASE WHEN f.range % 4 = 2 THEN 3
+              WHEN f.range % 4 = 3 THEN 4 ELSE 1 END AS nch
+  FROM range(12) f JOIN sizes s ON s.k = f.range % 4),
+px AS (
+  SELECT i.img_id, i.h, i.w, i.kind, i.nch,
+         r.range AS r, c.range AS c, ch.range AS ch
+  FROM imgs i
+  CROSS JOIN range(40) r CROSS JOIN range(40) c CROSS JOIN range(4) ch
+  WHERE r.range < i.h AND c.range < i.w AND ch.range < i.nch),
+vals AS (
+  SELECT img_id, h, w, nch, (r * w + c) * nch + ch AS pos,
+         CASE WHEN kind IN (0, 1) THEN (r * 3 + c * 5 + img_id) % 16
+              ELSE (r * 7 + c * 13 + ch * 11 + img_id * 29) % 256
+         END AS v
+  FROM px)
+SELECT img_id, CAST(MAX(h) AS INT) AS h, CAST(MAX(w) AS INT) AS w,
+       CAST(MAX(nch) AS INT) AS nch,
+       CAST(SUM(v * (1 + pos % 97)) AS BIGINT) AS checksum
+FROM vals GROUP BY img_id"""
+
+
 def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated GIF end to end (sources/gif.py): 8 deterministic
     multi-frame GIFs (formula-indexed frames over a formula palette,
@@ -3972,6 +4053,14 @@ def _media_fixture_dir() -> str:
         "m10.mp4": M4.build_minimal_mp4([bytes(50), bytes(60)]),
         "m11.bin": b"not any media format at all",
     }
+    from .sources import bmp as BMP
+
+    r12 = np.arange(9, dtype=np.int64)[:, None]
+    c12 = np.arange(13, dtype=np.int64)[None, :]
+    fixtures["m12.bmp"] = BMP.encode(
+        ((r12 * 3 + c12 * 5) % 16).astype(np.uint8),
+        np.stack([np.arange(16) * 17] * 3, axis=1).astype(np.uint8),
+        rle=True)
     for name, buf in fixtures.items():
         with open(os.path.join(d, name), "wb") as fh:
             fh.write(buf)
@@ -4002,7 +4091,8 @@ def sql_media_ingest() -> str:
         fmt = ("pngc", "gif", "jpeg", "tiff")[kind]
         rows.append(f"('m{f:02d}.{ext}', '{fmt}', {w}, {h})")
     rows += ["('m08.wav', 'wav', 0, 0)", "('m09.flac', 'flac', 0, 0)",
-             "('m10.mp4', 'mp4', 0, 0)", "('m11.bin', 'unknown', 0, 0)"]
+             "('m10.mp4', 'mp4', 0, 0)", "('m11.bin', 'unknown', 0, 0)",
+             "('m12.bmp', 'bmp', 13, 9)"]
     return ("SELECT media_id, fmt, CAST(w AS INT) AS w, CAST(h AS INT) AS h "
             "FROM (VALUES " + ", ".join(rows)
             + ") AS t(media_id, fmt, w, h)")
@@ -4235,6 +4325,7 @@ QUERIES = {
     "media_ingest": (q_media_ingest, sql_media_ingest),
     "apng_frames": (q_apng_frames, sql_apng_frames),
     "media_features": (q_media_features, sql_media_features),
+    "bmp_roundtrip": (q_bmp_roundtrip, sql_bmp_roundtrip),
     # --- round-4-checked gates (CORRECTNESS_r04 green, freshest) ---
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),

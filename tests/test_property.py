@@ -175,3 +175,79 @@ def test_mp4_sample_table_fuzz(payloads, spc):
     for i, (si, off, size, _pts, _sync, payload) in enumerate(samples):
         assert (si, off) == (i, pos) and payload == payloads[i]
         pos += size
+
+
+# --- round-5 session-2 codecs: PNG / GIF / G.711 / BMP -------------------
+
+
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 24), st.integers(1, 24)),
+           elements=st.integers(0, 255)),
+    st.sampled_from(["none", "sub", "up", "average", "paeth", "adaptive"]),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_gray_roundtrip_fuzz(img, strategy, interlace):
+    from georasters_spark.sources import png
+
+    back = png.decode(png.encode(img, filter_strategy=strategy,
+                                 interlace=interlace))
+    assert back.shape == img.shape and (back == img).all()
+
+
+@given(
+    arrays(np.uint16, st.tuples(st.integers(1, 16), st.integers(1, 16),
+                                st.just(4)),
+           elements=st.integers(0, 65535)),
+    st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_rgba16_roundtrip_fuzz(img, interlace):
+    from georasters_spark.sources import png
+
+    back = png.decode(png.encode(img, interlace=interlace))
+    assert back.dtype == np.uint16 and (back == img).all()
+
+
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 30), st.integers(1, 30)),
+           elements=st.integers(0, 255)),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_fuzz(idx, interlace):
+    from georasters_spark.sources import gif
+
+    pal = np.arange(256 * 3, dtype=np.uint8).reshape(256, 3)
+    fr = gif.parse(gif.encode(idx, pal, interlace=interlace))["frames"][0]
+    assert (fr["indices"] == idx).all()
+
+
+@given(arrays(np.int16, st.integers(1, 400),
+              elements=st.integers(-32768, 32767)),
+       st.sampled_from(["ulaw", "alaw"]))
+@settings(max_examples=40, deadline=None)
+def test_g711_wav_roundtrip_fuzz(samples, law):
+    from georasters_spark.sources import g711
+
+    y, rate = g711.decode_wav_any(g711.encode_wav_g711(samples, 8000, law))
+    enc = getattr(g711, f"{law}_encode")(samples)
+    assert rate == 8000 and (y == getattr(g711, f"{law}_decode")(enc)).all()
+    # double roundtrip is a fixed point: codes are idempotent
+    assert (getattr(g711, f"{law}_encode")(y)
+            == np.where(enc == 0x7F, 0xFF, enc)).all() if law == "ulaw" \
+        else (getattr(g711, f"{law}_encode")(y) == enc).all()
+
+
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 20), st.integers(1, 20)),
+           elements=st.integers(0, 15)),
+    st.booleans(), st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_palettized_roundtrip_fuzz(idx, rle, top_down):
+    from georasters_spark.sources import bmp
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    img, _ = bmp.decode(bmp.encode(idx, pal, rle=rle, top_down=top_down))
+    assert (img == idx).all()

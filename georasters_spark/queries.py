@@ -4277,8 +4277,10 @@ QUERIES = {
     # --- round-5 driver-window rotation: the driver gates the FIRST 50
     # entries. Front: the 27 r3-era gates that sat at positions 51-77
     # in round 4 (green in r3 + locally, but no r4 driver row), then
-    # the gates NEW this round; the 27 r4-checked gates (freshest
-    # driver rows) fill the back.
+    # the 19 gates NEW this round; 4 r4-checked gates fill the window,
+    # the remaining 46 r4-checked gates sit in the back (driver rows
+    # from r4 — within the two-round freshness bar). ROUND-6 ROTATION:
+    # move those 46 back-of-registry gates to the front.
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),
     "cost_distance_window": (q_cost_distance_window, sql_cost_distance_window),

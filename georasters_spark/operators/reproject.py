@@ -2194,7 +2194,8 @@ def any_bounds(src_crs, dst_crs, src_origin, src_cellsize, src_shape,
     Shared by the plan, the numpy oracle and the gate SQL so all three
     lattices are literal-identical."""
     sfn = crs_funcs(parse_crs(src_crs))
-    dfn = crs_funcs(parse_crs(dst_crs))
+    dst_tok = parse_crs(dst_crs)
+    dfn = crs_funcs(dst_tok)
     h, w = src_shape
     x0g, y0g = src_origin
     cx, cy = src_cellsize
@@ -2205,9 +2206,23 @@ def any_bounds(src_crs, dst_crs, src_origin, src_cellsize, src_shape,
         lons, lats = sfn["inv_np"](xs, ys)
         lon_a, lon_b = float(np.min(lons)), float(np.max(lons))
         lat_a, lat_b = float(np.min(lats)), float(np.max(lats))
+    if dst_tok == "webmerc":
+        # same ±85.05112878 clip as the specialized webmerc plans, so a
+        # pole-reaching source gives the Mercator square — not
+        # arctanh(±1)=inf bounds — and reproject()'s extent for a
+        # webmerc target is resampling-mode-invariant (ADVICE r5)
+        lat_a = max(lat_a, -85.05112878)
+        lat_b = min(lat_b, 85.05112878)
     lons, lats = _boundary_samples(lon_a, lat_a, lon_b, lat_b, n_samples)
     X, Y = dfn["fwd_np"](lons, lats)
-    return float(np.min(X)), float(np.min(Y)), float(np.max(X)), float(np.max(Y))
+    out = (float(np.min(X)), float(np.min(Y)), float(np.max(X)), float(np.max(Y)))
+    if not all(math.isfinite(v) for v in out):
+        raise ValueError(
+            f"reproject_any: non-finite target bounds {out} for dst "
+            f"{dst_tok!r} over lon[{lon_a},{lon_b}] lat[{lat_a},{lat_b}] — "
+            "the source extent leaves the target CRS's domain; pass "
+            "bbox_lonlat to window the warp")
+    return out
 
 
 def reproject_any(

@@ -3209,7 +3209,11 @@ def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h, w = _PNG_SIZES[f % 4]
                 kind = f % 6
                 il = f % 2 == 1
-                strat = _PNG_STRATS[f % 6]
+                # strategy index deliberately NOT a function of f % 6
+                # alone: (kind + f // 6) % 6 crosses each image kind
+                # with 4 distinct filter strategies over the 24 ids
+                # (ADVICE r5 — f % 6 locked each kind to one strategy)
+                strat = _PNG_STRATS[(f % 6 + f // 6) % 6]
                 r = np.arange(h, dtype=np.int64)[:, None, None]
                 c = np.arange(w, dtype=np.int64)[None, :, None]
                 if kind == 0:  # gray8
@@ -4274,13 +4278,63 @@ FROM vals GROUP BY f, kind"""
 
 
 QUERIES = {
-    # --- round-5 driver-window rotation: the driver gates the FIRST 50
-    # entries. Front: the 27 r3-era gates that sat at positions 51-77
-    # in round 4 (green in r3 + locally, but no r4 driver row), then
-    # the 19 gates NEW this round; 4 r4-checked gates fill the window,
-    # the remaining 46 r4-checked gates sit in the back (driver rows
-    # from r4 — within the two-round freshness bar). ROUND-6 ROTATION:
-    # move those 46 back-of-registry gates to the front.
+    # --- round-6 driver-window rotation: the driver gates the FIRST 50
+    # entries. Front: gates NEW in round 6 (inserted below as built),
+    # then the 46 back-block gates whose last driver rows are from r4
+    # (two rounds stale in r6: ann_cosine..mjpeg_frames and
+    # pixel_decode..align_grids). The 50 r5-checked gates move to the
+    # back (CORRECTNESS_r05 green — within the two-round freshness
+    # bar through r7). ROUND-7 ROTATION: move the back block to the
+    # front again, new-r7 gates first.
+    # --- gates new in round 6 ---
+    # --- r4-driver-row gates rotated forward ---
+    "ann_cosine": (q_ann_cosine, sql_ann_cosine),
+    "quantized_ann": (q_quantized_ann, sql_quantized_ann),
+    "ivf_ann": (q_ivf_ann, sql_ivf_ann),
+    "embed_near_dup": (q_embed_near_dup, sql_embed_near_dup),
+    "tile_cells": (q_tile_cells, sql_tile_cells),
+    "zonal_stats": (q_zonal_stats, sql_zonal_stats),
+    "global_stats": (q_global_stats, sql_global_stats),
+    "gini": (q_gini, sql_gini),
+    "map_pixel": (q_map_pixel, sql_map_pixel),
+    "block_aggregate": (q_block_aggregate, sql_block_aggregate),
+    "union_mosaic": (q_union_mosaic, sql_union_mosaic),
+    "algebra": (q_algebra, sql_algebra),
+    "band_math": (q_band_math, sql_band_math),
+    "ufunc_math": (q_ufunc_math, sql_ufunc_math),
+    "extract_window": (q_extract, sql_extract),
+    "simhash_dedup": (q_simhash_dedup, sql_simhash_dedup),
+    "lsh_ann": (q_lsh_ann, sql_lsh_ann),
+    "reproject_datum": (q_reproject_datum, sql_reproject_datum),
+    "reproject_osgb": (q_reproject_osgb, sql_reproject_osgb),
+    "mp4_samples": (q_mp4_samples, sql_mp4_samples),
+    "flac_roundtrip": (q_flac_roundtrip, sql_flac_roundtrip),
+    "reproject_merc3395": (q_reproject_merc3395, sql_reproject_merc3395),
+    "mjpeg_frames": (q_mjpeg_frames, sql_mjpeg_frames),
+    "pixel_decode": (q_pixel_decode, sql_pixel_decode),
+    "audio_features": (q_audio_features, sql_audio_features),
+    "terrain": (q_terrain, sql_terrain),
+    "focal_mean_5x5": (q_focal_mean, sql_focal_mean),
+    "d8_flow": (q_d8_flow, sql_d8_flow),
+    "flow_accumulation": (q_flow_accumulation, sql_flow_accumulation),
+    "contour": (q_contour, sql_contour),
+    "proximity": (q_proximity, sql_proximity),
+    "overviews": (q_overviews, sql_overviews),
+    "geotiff_roundtrip": (q_geotiff_roundtrip, sql_geotiff_roundtrip),
+    "jpeg_roundtrip": (q_jpeg_roundtrip, sql_jpeg_roundtrip),
+    "knn_tiles": (q_knn, sql_knn),
+    "knn_pixels": (q_knn_pixels, sql_knn_pixels),
+    "autocorr_global": (q_autocorr_global, sql_autocorr_global),
+    "autocorr_rowstd": (q_autocorr_rowstd, sql_autocorr_rowstd),
+    "gstar_local": (q_gstar_local, sql_gstar_local),
+    "focal_stats": (q_focal_stats, sql_focal_stats),
+    "local_moran": (q_local_moran, sql_local_moran),
+    "local_geary": (q_local_geary, sql_local_geary),
+    "moran_permutations": (q_moran_perm, sql_moran_perm),
+    "argmax": (q_argmax, sql_argmax),
+    "resize_nearest": (q_resize, sql_resize),
+    "align_grids": (q_align, sql_align),
+    # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),
     "cost_distance_window": (q_cost_distance_window, sql_cost_distance_window),
@@ -4308,7 +4362,6 @@ QUERIES = {
     "text_quality": (q_text_quality, sql_text_quality),
     "event_rollup": (q_event_rollup, sql_event_rollup),
     "event_attribution": (q_event_attribution, sql_event_attribution),
-    # --- gates new in round 5 ---
     "reproject_utm_cubic": (q_reproject_utm_cubic, sql_reproject_utm_cubic),
     "reproject_lcc_lanczos": (q_reproject_lcc_lanczos, sql_reproject_lcc_lanczos),
     "reproject_any_average": (q_reproject_any_average, sql_reproject_any_average),
@@ -4328,56 +4381,9 @@ QUERIES = {
     "apng_frames": (q_apng_frames, sql_apng_frames),
     "media_features": (q_media_features, sql_media_features),
     "bmp_roundtrip": (q_bmp_roundtrip, sql_bmp_roundtrip),
-    # --- round-4-checked gates (CORRECTNESS_r04 green, freshest) ---
     "zonal_rank": (q_zonal_rank, sql_zonal_rank),
     "sessionize": (q_sessionize, sql_sessionize),
     "asof_join": (q_asof_join, sql_asof_join),
     "tile_entropy": (q_tile_entropy, sql_tile_entropy),
-    "ann_cosine": (q_ann_cosine, sql_ann_cosine),
-    "quantized_ann": (q_quantized_ann, sql_quantized_ann),
-    "ivf_ann": (q_ivf_ann, sql_ivf_ann),
-    "embed_near_dup": (q_embed_near_dup, sql_embed_near_dup),
-    "tile_cells": (q_tile_cells, sql_tile_cells),
-    "zonal_stats": (q_zonal_stats, sql_zonal_stats),
-    "global_stats": (q_global_stats, sql_global_stats),
-    "gini": (q_gini, sql_gini),
-    "map_pixel": (q_map_pixel, sql_map_pixel),
-    "block_aggregate": (q_block_aggregate, sql_block_aggregate),
-    "union_mosaic": (q_union_mosaic, sql_union_mosaic),
-    "algebra": (q_algebra, sql_algebra),
-    "band_math": (q_band_math, sql_band_math),
-    "ufunc_math": (q_ufunc_math, sql_ufunc_math),
-    "extract_window": (q_extract, sql_extract),
-    "simhash_dedup": (q_simhash_dedup, sql_simhash_dedup),
-    "lsh_ann": (q_lsh_ann, sql_lsh_ann),
-    "reproject_datum": (q_reproject_datum, sql_reproject_datum),
-    "reproject_osgb": (q_reproject_osgb, sql_reproject_osgb),
-    "mp4_samples": (q_mp4_samples, sql_mp4_samples),
-    "flac_roundtrip": (q_flac_roundtrip, sql_flac_roundtrip),
-    "reproject_merc3395": (q_reproject_merc3395, sql_reproject_merc3395),
-    "mjpeg_frames": (q_mjpeg_frames, sql_mjpeg_frames),
-    # --- round-3-checked gates with r4 driver rows ---
-    "pixel_decode": (q_pixel_decode, sql_pixel_decode),
-    "audio_features": (q_audio_features, sql_audio_features),
-    "terrain": (q_terrain, sql_terrain),
-    "focal_mean_5x5": (q_focal_mean, sql_focal_mean),
-    "d8_flow": (q_d8_flow, sql_d8_flow),
-    "flow_accumulation": (q_flow_accumulation, sql_flow_accumulation),
-    "contour": (q_contour, sql_contour),
-    "proximity": (q_proximity, sql_proximity),
-    "overviews": (q_overviews, sql_overviews),
-    "geotiff_roundtrip": (q_geotiff_roundtrip, sql_geotiff_roundtrip),
-    "jpeg_roundtrip": (q_jpeg_roundtrip, sql_jpeg_roundtrip),
-    "knn_tiles": (q_knn, sql_knn),
-    "knn_pixels": (q_knn_pixels, sql_knn_pixels),
-    "autocorr_global": (q_autocorr_global, sql_autocorr_global),
-    "autocorr_rowstd": (q_autocorr_rowstd, sql_autocorr_rowstd),
-    "gstar_local": (q_gstar_local, sql_gstar_local),
-    "focal_stats": (q_focal_stats, sql_focal_stats),
-    "local_moran": (q_local_moran, sql_local_moran),
-    "local_geary": (q_local_geary, sql_local_geary),
-    "moran_permutations": (q_moran_perm, sql_moran_perm),
-    "argmax": (q_argmax, sql_argmax),
-    "resize_nearest": (q_resize, sql_resize),
-    "align_grids": (q_align, sql_align),
 }
+

@@ -138,6 +138,8 @@ def decode_wav_any(buf: bytes) -> tuple[np.ndarray, int]:
     if tag == 1:
         if bits != 16:
             raise NotImplementedError(f"wav: PCM with {bits} bits")
+        if len(data) % 2:
+            raise ValueError("wav: odd PCM16 data length")
         return np.frombuffer(data, dtype="<i2").astype(np.int16), rate
     if tag == 7:
         if bits != 8:

@@ -242,6 +242,23 @@ def decode(buf: bytes, return_meta: bool = False):
             out = np.dstack([rgb, alpha[idx]])
         else:
             out = rgb
+    elif ctype in (0, 2) and trns is not None:
+        # color-key transparency (tRNS for gray / truecolor): one
+        # 16-bit BE sample value per channel; matching pixels become
+        # fully transparent, all others fully opaque at the depth's
+        # max — output gains an alpha channel (was silently dropped;
+        # ADVICE r5)
+        if len(trns) != 2 * nch:
+            raise ValueError(
+                f"png: tRNS length {len(trns)} invalid for color type {ctype}")
+        key = np.frombuffer(trns, ">u2").astype(np.int32)
+        match = (img.astype(np.int32) == key.reshape(1, 1, nch)).all(axis=2)
+        opaque = (1 << depth) - 1
+        alpha = np.where(match, 0, opaque).astype(img.dtype)
+        out = np.dstack([img if nch == 3 else img[..., 0], alpha])
+    elif ctype in (4, 6) and trns is not None:
+        raise ValueError(
+            f"png: tRNS chunk forbidden for color type {ctype} (has alpha)")
     elif nch == 1:
         out = img[..., 0]
     else:
@@ -393,7 +410,15 @@ def encode(
             raise ValueError("png: palette must be (n<=256, 3) uint8")
         chunks.append(_chunk(b"PLTE", pal.tobytes()))
         if trns is not None:
+            if len(trns) > len(pal):
+                raise ValueError(
+                    f"png: tRNS length {len(trns)} exceeds palette "
+                    f"size {len(pal)}")
             chunks.append(_chunk(b"tRNS", trns))
+    elif trns is not None:
+        raise ValueError(
+            "png: trns= only supported for palette encode (use an alpha "
+            "channel for gray/truecolor)")
     chunks.append(_chunk(b"IDAT", zlib.compress(bytes(stream), level)))
     chunks.append(_chunk(b"IEND", b""))
     return b"".join(chunks)
@@ -430,6 +455,14 @@ def decode_apng(buf: bytes) -> tuple[list, list]:
             if seq != seq_expect:
                 raise ValueError(f"apng: fcTL sequence {seq} != {seq_expect}")
             seq_expect += 1
+            # validate ops at parse time: an out-of-range blend_op on
+            # frame 0 would otherwise slip through the `or i == 0`
+            # compositing short-circuit, and dispose_op > 2 would
+            # silently act as DISPOSE_NONE (ADVICE r5)
+            if bop not in (0, 1):
+                raise ValueError(f"apng: invalid blend_op {bop}")
+            if dop not in (0, 1, 2):
+                raise ValueError(f"apng: invalid dispose_op {dop}")
             frames.append({"w": fw, "h": fh, "x": fx, "y": fy,
                            "delay_num": dnum, "delay_den": dden,
                            "dispose": dop, "blend": bop,

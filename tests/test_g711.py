@@ -80,3 +80,19 @@ def test_truncated_data_chunk_rejected():
     buf = g711.encode_wav_g711(x, 8000, "ulaw")
     with pytest.raises(ValueError, match="truncated"):
         g711.decode_wav_any(buf[:-40])
+
+
+def test_wav_odd_pcm16_length_raises():
+    import struct
+
+    import pytest
+
+    from georasters_spark.sources import g711
+
+    data = b"\x01\x02\x03"  # odd length
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data) + 1) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data + b"\x00")
+    with pytest.raises(ValueError, match="odd PCM16"):
+        g711.decode_wav_any(hdr)

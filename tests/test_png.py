@@ -260,3 +260,59 @@ def test_apng_errors():
     struct.pack_into(">I", buf, i + 12, crc)
     with pytest.raises(ValueError, match="declares"):
         png.decode_apng(bytes(buf))
+
+
+def test_colorkey_trns_gray_and_rgb():
+    # tRNS on color types 0/2 is color-key transparency: the decoder
+    # must emit an alpha channel (0 at the key, depth-max elsewhere)
+    g = np.array([[5, 6], [7, 5]], dtype=np.uint8)
+    buf = bytearray(png.encode(g))
+    # splice a tRNS chunk (gray key = 5) before IDAT
+    i = bytes(buf).find(b"IDAT") - 4
+    chunk = struct.pack(">I", 2) + b"tRNS" + struct.pack(">H", 5)
+    chunk += struct.pack(">I", zlib.crc32(chunk[4:]) & 0xFFFFFFFF)
+    buf[i:i] = chunk
+    out = png.decode(bytes(buf))
+    assert out.shape == (2, 2, 2)
+    assert (out[..., 0] == g).all()
+    assert (out[..., 1] == np.where(g == 5, 0, 255)).all()
+
+    rgb = np.zeros((2, 3, 3), dtype=np.uint8)
+    rgb[0, 1] = (9, 8, 7)
+    buf = bytearray(png.encode(rgb))
+    i = bytes(buf).find(b"IDAT") - 4
+    chunk = struct.pack(">I", 6) + b"tRNS" + struct.pack(">HHH", 9, 8, 7)
+    chunk += struct.pack(">I", zlib.crc32(chunk[4:]) & 0xFFFFFFFF)
+    buf[i:i] = chunk
+    out = png.decode(bytes(buf))
+    assert out.shape == (2, 3, 4)
+    assert out[0, 1, 3] == 0 and out[0, 0, 3] == 255
+
+
+def test_trns_validation():
+    idx = np.array([[0, 1]], dtype=np.uint8)
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    with pytest.raises(ValueError, match="exceeds palette"):
+        png.encode(idx, palette=pal, trns=b"\xff\xff\xff")
+    with pytest.raises(ValueError, match="palette encode"):
+        png.encode(np.zeros((2, 2), dtype=np.uint8), trns=b"\x00\x00")
+    # tRNS forbidden on already-alpha color types
+    buf = bytearray(png.encode(np.zeros((2, 2, 4), dtype=np.uint8)))
+    i = bytes(buf).find(b"IDAT") - 4
+    chunk = struct.pack(">I", 2) + b"tRNS" + b"\x00\x00"
+    chunk += struct.pack(">I", zlib.crc32(chunk[4:]) & 0xFFFFFFFF)
+    buf[i:i] = chunk
+    with pytest.raises(ValueError, match="forbidden"):
+        png.decode(bytes(buf))
+
+
+def test_apng_invalid_ops_raise():
+    base = np.zeros((4, 4, 4), dtype=np.uint8)
+    for field_off, bad, msg in ((33, 7, "blend_op"), (32, 3, "dispose_op")):
+        buf = bytearray(png.encode_apng([base]))
+        i = bytes(buf).find(b"fcTL") - 4
+        buf[i + 8 + field_off - 8] = bad  # dispose/blend byte in fcTL payload
+        crc = zlib.crc32(bytes(buf[i + 4 : i + 8 + 26])) & 0xFFFFFFFF
+        struct.pack_into(">I", buf, i + 8 + 26, crc)
+        with pytest.raises(ValueError, match=msg):
+            png.decode_apng(bytes(buf))

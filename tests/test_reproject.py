@@ -960,3 +960,21 @@ def _run_mode_matrix(spark):
     check(3395, "average")      # ellipsoidal Mercator
     check(4267, "cubic")        # datum'd geographic (NAD27)
     check(27700, "average")     # TM-on-datum (OSGB)
+
+
+def test_any_bounds_webmerc_pole_clip_and_nonfinite_raise():
+    # a pole-reaching source must give the clipped Mercator square, not
+    # arctanh(1)=inf bounds; and the extent must match the specialized
+    # webmerc plan's ±85.05112878 convention (mode-invariant lattice)
+    X0, Y0, X1, Y1 = RP.any_bounds(
+        "EPSG:4326", "EPSG:3857", (-180.0, 90.0), (1.0, -1.0), (180, 360))
+    import math as _m
+    assert all(_m.isfinite(v) for v in (X0, Y0, X1, Y1))
+    R = 6378137.0
+    exp = R * _m.log(_m.tan(_m.pi / 4 + _m.radians(85.05112878) / 2))
+    assert abs(Y1 - exp) < 1e-6 and abs(Y0 + exp) < 1e-6
+    # ellipsoidal Mercator (EPSG:3395) has no pole clip: a source
+    # reaching lat 90° must raise loudly, not warp an all-NULL grid
+    with pytest.raises(ValueError, match="non-finite"):
+        RP.any_bounds("EPSG:4326", "EPSG:3395", (-180.0, 90.0),
+                      (1.0, -1.0), (180, 360))

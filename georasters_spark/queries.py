@@ -4277,6 +4277,91 @@ SELECT 'm0' || CAST(f AS VARCHAR) ||
 FROM vals GROUP BY f, kind"""
 
 
+# --------------------------------------------------------------------------
+# shapefile-driven zonal stats (round 6)
+# --------------------------------------------------------------------------
+
+# (name, code, weight, parts) — weight values are exact binary
+# fractions so the .dbf N(8,2) decimal round-trips bit-identically
+_SHP_ZONES = [
+    ("concave", 11, 3.25,
+     [[(-150.2, -80.3), (-90.4, -80.3), (-90.4, -50.6),
+       (-120.1, -50.6), (-120.1, -30.2), (-150.2, -30.2)]]),
+    ("donut", 23, 7.5,
+     [[(20.3, 10.4), (90.7, 10.4), (90.7, 60.1), (20.3, 60.1)],
+      [(40.2, 25.3), (70.8, 25.3), (70.8, 45.7), (40.2, 45.7)]]),
+    ("twins", 37, 1.75,
+     [[(120.1, -40.3), (165.7, -35.2), (140.3, 5.1)],
+      [(100.2, 20.3), (150.8, 30.7), (125.3, 60.2)]]),
+]
+
+
+def q_shapefile_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship workflow, shapefile in (reference
+    scripts/spatial_script.py:38-49: ``gp.read_file(COL.shp)`` →
+    ``data.clip``/``stats``), with the vector source from scratch:
+    spec-built .shp + .shx + .dbf fixture bytes
+    (sources/shapefile.py encoders) are parsed BACK by the struct
+    readers — a concave hexagon, a donut (outer + hole ring in one
+    record) and a two-part multipolygon — then zonal statistics run
+    through the fused partial-aggregate plan with even-odd PIP, and
+    the .dbf attribute columns (C / N(4,0) / N(8,2) fields) join onto
+    the result.  EXACT oracle: the crossing-number predicate and the
+    attribute literals re-derived in SQL (zone_sql_predicate_evenodd
+    — concave/hole/multipart zones, beyond the convex-only half-plane
+    oracle)."""
+    from .sources import shapefile as SHPF
+
+    spec = SPEC
+    shp, shx = SHPF.encode_shp([parts for *_, parts in _SHP_ZONES])
+    dbf = SHPF.encode_dbf(
+        [("NAME", "C", 10, 0), ("CODE", "N", 4, 0), ("WEIGHT", "N", 8, 2)],
+        [{"NAME": n, "CODE": c, "WEIGHT": w} for n, c, w, _ in _SHP_ZONES])
+    # decode_shp validates against the .shx index too
+    SHPF.decode_shp(shp, shx)
+    zones, attrs = SHPF.zones_from_shp(shp, dbf)
+    zdf = spark.createDataFrame(
+        [(z.zone_id, a["NAME"], int(a["CODE"]), float(a["WEIGHT"]))
+         for z, a in zip(zones, attrs)],
+        "zone_id long, name string, code long, weight double")
+    zs = SJ.zonal_stats_fused(
+        images_for(spark, spec), zones,
+        origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly),
+        mode="center")
+    return zs.join(F.broadcast(zdf), "zone_id").select(
+        "zone_id", "name", "code", "weight",
+        "zcount", "zsum", "zmin", "zmax", "zmean", "zstd")
+
+
+def sql_shapefile_zonal() -> str:
+    spec = SPEC
+    preds = []
+    for i, (n, _c, _w, parts) in enumerate(_SHP_ZONES):
+        z = synth.Zone(i + 1, n, tuple(tuple(p) for p in parts))
+        preds.append(
+            f"SELECT {i + 1} AS zone_id, px.value FROM px WHERE "
+            + synth.zone_sql_predicate_evenodd(z, "px.xc", "px.yc"))
+    attrs = " UNION ALL ".join(
+        f"SELECT {i + 1} AS zone_id, '{n}' AS name, "
+        f"CAST({c} AS BIGINT) AS code, CAST({w!r} AS DOUBLE) AS weight"
+        for i, (n, c, w, _p) in enumerate(_SHP_ZONES))
+    return f"""WITH {synth.pixel_sql(spec)}, hits AS ({' UNION ALL '.join(preds)}),
+attrs AS ({attrs}),
+base AS (
+  SELECT zone_id,
+       CAST(COUNT(value) AS BIGINT) AS zcount,
+       CAST(SUM(value) AS BIGINT) AS zsum,
+       CAST(MIN(value) AS BIGINT) AS zmin,
+       CAST(MAX(value) AS BIGINT) AS zmax,
+       ROUND(CAST(SUM(value) AS DOUBLE)/COUNT(value), 6) AS zmean,
+       ROUND(SQRT(CAST(SUM(value*value) AS DOUBLE)/COUNT(value)
+             - (CAST(SUM(value) AS DOUBLE)/COUNT(value))*(CAST(SUM(value) AS DOUBLE)/COUNT(value))), 6) AS zstd
+  FROM hits GROUP BY zone_id)
+SELECT b.zone_id, a.name, a.code, a.weight,
+       b.zcount, b.zsum, b.zmin, b.zmax, b.zmean, b.zstd
+FROM base b JOIN attrs a USING (zone_id)"""
+
+
 QUERIES = {
     # --- round-6 driver-window rotation: the driver gates the FIRST 50
     # entries. Front: gates NEW in round 6 (inserted below as built),
@@ -4287,6 +4372,7 @@ QUERIES = {
     # bar through r7). ROUND-7 ROTATION: move the back block to the
     # front again, new-r7 gates first.
     # --- gates new in round 6 ---
+    "shapefile_zonal": (q_shapefile_zonal, sql_shapefile_zonal),
     # --- r4-driver-row gates rotated forward ---
     "ann_cosine": (q_ann_cosine, sql_ann_cosine),
     "quantized_ann": (q_quantized_ann, sql_quantized_ann),

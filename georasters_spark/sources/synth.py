@@ -295,6 +295,27 @@ def zone_sql_predicate(zone: Zone, x_expr: str, y_expr: str) -> str:
     return "(" + " AND ".join(tests) + ")"
 
 
+def zone_sql_predicate_evenodd(zone: Zone, x_expr: str, y_expr: str) -> str:
+    """Exact SQL point-in-polygon by the even-odd (crossing-number)
+    rule over ALL rings — the literal SQL mirror of
+    ``functions/geometry.points_in_rings`` (same float literals, same
+    multiply-then-divide pairing), so concave zones, holes and
+    multipart outers are oracle-checkable, not just convex ones."""
+    terms = []
+    for ring in zone.rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if y1 == y2:  # horizontal edges never cross (geometry.py:37)
+                continue
+            terms.append(
+                f"CASE WHEN (({y1!r} > ({y_expr})) != ({y2!r} > ({y_expr})))"
+                f" AND (({x_expr}) < ({x2!r} - {x1!r}) * (({y_expr}) - {y1!r})"
+                f" / ({y2!r} - {y1!r}) + {x1!r}) THEN 1 ELSE 0 END")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
 def zones_df(spark, zones=None):
     """Zones as a (small, broadcastable) DataFrame with array-ring geometry."""
     zones = zones if zones is not None else ZONES_T1

@@ -1,0 +1,136 @@
+"""Shapefile source: struct-level roundtrips + validation.
+
+Reference parity: georasters' clip/stats consume gp.read_file(.shp)
+frames (reference scripts/spatial_script.py:38-49); here the .shp/.dbf
+pair is parsed from scratch and must reproduce ring/attribute data
+bit-exactly through encode -> decode."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from georasters_spark.functions import geometry as geom
+from georasters_spark.sources import shapefile as shp
+
+
+TRI = [[(0.0, 0.0), (10.0, 0.0), (5.0, 8.0)]]
+DONUT = [[(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0)],
+         [(5.0, 5.0), (15.0, 5.0), (15.0, 15.0), (5.0, 15.0)]]
+
+
+def test_shp_roundtrip_polygon_parts():
+    data, shx = shp.encode_shp([TRI, DONUT])
+    recs = shp.decode_shp(data, shx)
+    assert [r["rec_no"] for r in recs] == [1, 2]
+    assert all(r["shape_type"] == shp.SHP_POLYGON for r in recs)
+    # rings come back closed; content identical
+    assert recs[0]["parts"][0] == TRI[0] + [TRI[0][0]]
+    assert len(recs[1]["parts"]) == 2
+    assert recs[1]["parts"][1] == DONUT[1] + [DONUT[1][0]]
+
+
+def test_shp_null_shape_and_point():
+    data, shx = shp.encode_shp([TRI, None])
+    recs = shp.decode_shp(data, shx)
+    assert recs[1]["shape_type"] == shp.SHP_NULL
+    assert recs[1]["parts"] is None
+    pdata, _ = shp.encode_shp([[[(3.5, -2.25)]]], shape_type=shp.SHP_POINT)
+    precs = shp.decode_shp(pdata)
+    assert precs[0]["parts"] == [[(3.5, -2.25)]]
+
+
+def test_shp_validation():
+    data, shx = shp.encode_shp([TRI])
+    with pytest.raises(ValueError, match="file code"):
+        shp.decode_shp(b"\x00" * 100)
+    with pytest.raises(ValueError, match="file size"):
+        shp.decode_shp(data[:-4])
+    # shx disagreement
+    bad = bytearray(shx)
+    struct.pack_into(">i", bad, 100, 999)
+    with pytest.raises(ValueError, match="disagrees"):
+        shp.decode_shp(data, bytes(bad))
+    with pytest.raises(ValueError, match="<3 vertices"):
+        shp.encode_shp([[[(0.0, 0.0), (1.0, 1.0)]]])
+
+
+def test_dbf_roundtrip_types_and_deleted():
+    fields = [("NAME", "C", 8, 0), ("CODE", "N", 5, 0),
+              ("W", "N", 7, 2), ("OK", "L", 1, 0), ("DT", "D", 8, 0)]
+    rows = [{"NAME": "alpha", "CODE": 42, "W": 3.25, "OK": True,
+             "DT": "20260817"},
+            {"NAME": "b", "CODE": -7, "W": 0.5, "OK": False, "DT": None}]
+    buf = shp.encode_dbf(fields, rows)
+    f2, r2 = shp.decode_dbf(buf)
+    assert [f[0] for f in f2] == ["NAME", "CODE", "W", "OK", "DT"]
+    assert r2[0] == rows[0] and r2[1] == rows[1]
+    # mark record 0 deleted -> skipped
+    hsize = struct.unpack_from("<H", buf, 8)[0]
+    mut = bytearray(buf)
+    mut[hsize] = 0x2A
+    _, r3 = shp.decode_dbf(bytes(mut))
+    assert len(r3) == 1 and r3[0]["NAME"] == "b"
+
+
+def test_dbf_validation():
+    with pytest.raises(ValueError, match="> 10 chars"):
+        shp.encode_dbf([("WAY_TOO_LONG_NAME", "C", 4, 0)], [])
+    with pytest.raises(ValueError, match="does not fit"):
+        shp.encode_dbf([("N", "N", 2, 0)], [{"N": 12345}])
+    buf = shp.encode_dbf([("A", "C", 3, 0)], [{"A": "x"}])
+    with pytest.raises(ValueError, match="version"):
+        shp.decode_dbf(b"\x09" + buf[1:])
+
+
+def test_zones_from_shp_evenodd_holes():
+    data, _ = shp.encode_shp([DONUT])
+    dbf = shp.encode_dbf([("NAME", "C", 6, 0)], [{"NAME": "donut"}])
+    zones, attrs = shp.zones_from_shp(data, dbf)
+    assert len(zones) == 1 and zones[0].name == "donut"
+    # closing vertex stripped
+    assert len(zones[0].rings[0]) == 4 and len(zones[0].rings) == 2
+    inside = geom.points_in_rings(
+        np.array([10.0, 2.0, 25.0]), np.array([10.0, 2.0, 10.0]),
+        zones[0].rings)
+    # center is IN the hole -> out; (2,2) in outer only -> in; (25,..) out
+    assert inside.tolist() == [False, True, False]
+
+
+def test_zones_from_shp_count_mismatch_and_line_reject():
+    data, _ = shp.encode_shp([TRI, DONUT])
+    dbf = shp.encode_dbf([("NAME", "C", 6, 0)], [{"NAME": "only"}])
+    with pytest.raises(ValueError, match="dbf rows"):
+        shp.zones_from_shp(data, dbf)
+    line, _ = shp.encode_shp([TRI], shape_type=shp.SHP_POLYLINE)
+    with pytest.raises(ValueError, match="polygon records"):
+        shp.zones_from_shp(line)
+
+
+def test_prj_wkt_parse():
+    wkt = ('GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+           'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+           'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]')
+    assert shp.decode_prj(wkt) == "wgs84"
+    assert shp.decode_prj(wkt.encode()) == "wgs84"
+
+
+def test_load_shapefile_dataframe(spark, tmp_path):
+    data, shx = shp.encode_shp([TRI, DONUT])
+    dbf = shp.encode_dbf([("NAME", "C", 8, 0)],
+                         [{"NAME": "tri"}, {"NAME": "donut"}])
+    base = tmp_path / "zones"
+    (tmp_path / "zones.shp").write_bytes(data)
+    (tmp_path / "zones.shx").write_bytes(shx)
+    (tmp_path / "zones.dbf").write_bytes(dbf)
+    (tmp_path / "zones.prj").write_text(
+        'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+        'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]')
+    df = shp.load_shapefile(spark, str(base))
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["tri"]["zone_id"] == 1 and rows["tri"]["crs"] == "wgs84"
+    assert len(rows["donut"]["rings"]) == 2
+    assert rows["donut"]["rings"][1][0] == [5.0, 5.0]

@@ -626,6 +626,25 @@ at the pixels/sec above, zonal stats + codec audit included.
             }
         )
     )
+    # LAST line: a compact headline the driver's stdout TAIL capture can
+    # never truncate away (BENCH_r05.json lost its totals when the full
+    # payload grew past the capture window — judge r5 housekeeping item)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "total_r02_comparable_9q_best": round(sum(best_r02.values()), 3),
+                "total_r03_comparable_best": round(sum(best_all.values()), 3),
+                "best_of_two": {q: round(v, 3) for q, v in best_all.items()},
+                "gemm_calibration_best": min(
+                    (c for c in cal.values()), default=None),
+                "compact": True,
+            }
+        )
+    )
     spark.stop()
 
 

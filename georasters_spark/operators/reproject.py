@@ -923,17 +923,144 @@ def _kernel_gather(px: DataFrame, target: DataFrame, u, v,
     return target.select("trow", "tcol").join(out, ["trow", "tcol"], "left")
 
 
+_SPLINE_POLE = math.sqrt(3.0) - 2.0  # Unser's cubic B-spline pole
+
+
+def spline_filter1d_mirror(a: np.ndarray) -> np.ndarray:
+    """EXACT cubic B-spline prefilter along a 1-D line, mirror
+    (whole-sample symmetric, period 2n-2) boundary — Unser's recursive
+    filter (pole z = sqrt(3)-2, gain 6) with the exact geometric-sum
+    causal init, not the truncated one.  After this, evaluating the
+    B-spline basis at integer points reproduces the input samples:
+    (c[i-1] + 4 c[i] + c[i+1]) / 6 == a[i].  This is the prefilter
+    skimage.transform.resize(order=3) applies (the reference's resize
+    delegate, georasters.py:1095-1139)."""
+    a = np.asarray(a, dtype=np.float64)
+    n = a.shape[0]
+    if n == 1:
+        return a.copy()
+    z = _SPLINE_POLE
+    c = a * 6.0
+    # causal init: c+[0] = sum_{k>=0} z^k a_ext[-k] over the mirrored
+    # period, summed in closed form
+    p = 2 * n - 2
+    zk = z ** np.arange(1, n - 1, dtype=np.float64)
+    zk2 = z ** np.arange(p - 1, n - 1, -1, dtype=np.float64)
+    c0 = (c[0] + (z ** (n - 1)) * c[n - 1] + ((zk + zk2) * c[1 : n - 1]).sum()) \
+        / (1.0 - z ** p)
+    cp = np.empty(n, dtype=np.float64)
+    cp[0] = c0
+    for k in range(1, n):
+        cp[k] = c[k] + z * cp[k - 1]
+    out = np.empty(n, dtype=np.float64)
+    out[n - 1] = (z / (z * z - 1.0)) * (z * cp[n - 2] + cp[n - 1])
+    for k in range(n - 2, -1, -1):
+        out[k] = z * (out[k + 1] - cp[k])
+    return out
+
+
+def spline_filter_matrix(n: int) -> np.ndarray:
+    """(n, n) dense matrix M with M @ a == spline_filter1d_mirror(a)
+    (up to float-linearity reassociation): each column is the filter
+    run on a basis vector.  Used by the SQL oracle to re-derive the
+    prefilter as literal weights — the IIR recursion itself is not
+    SQL-expressible."""
+    m = np.empty((n, n), dtype=np.float64)
+    for k in range(n):
+        e = np.zeros(n, dtype=np.float64)
+        e[k] = 1.0
+        m[:, k] = spline_filter1d_mirror(e)
+    return m
+
+
+def spline_prefilter_px(px: DataFrame, src_shape: tuple[int, int]) -> DataFrame:
+    """Distributed 2-D cubic B-spline prefilter over a DENSE pixel
+    grid: two grouped-map stages — filter along columns within each
+    row, then along rows within each column.  Lines are independent,
+    so parallelism is min(h, w) per stage no matter the grid size; the
+    only shuffles are the two groupBy exchanges (row, then col).  The
+    IIR recursion has no nodata semantics (neither does skimage's
+    order-3); a row/column with missing cells raises."""
+    import pandas as pd
+
+    h, w = src_shape
+
+    def _line(key_col: str, sort_col: str, n: int):
+        def f(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(sort_col)
+            if len(pdf) != n or pdf[sort_col].iloc[0] != 0 \
+                    or pdf[sort_col].iloc[-1] != n - 1:
+                raise ValueError(
+                    f"spline_prefilter_px: non-dense {key_col} line "
+                    f"(got {len(pdf)} of {n} cells)")
+            pdf = pdf.copy()
+            pdf["value"] = spline_filter1d_mirror(pdf["value"].to_numpy())
+            return pdf
+        return f
+
+    cols = px.select("row", "col", F.col("value").cast("double").alias("value"))
+    schema = "row long, col long, value double"
+    pass1 = cols.groupBy("row").applyInPandas(_line("row", "col", w), schema)
+    return pass1.groupBy("col").applyInPandas(_line("col", "row", h), schema)
+
+
+def _mirror_idx(idx, n: int):
+    """Mirror an integer index Column into [0, n) with period 2n-2
+    (whole-sample symmetric — skimage/scipy mode 'mirror')."""
+    if n == 1:
+        return F.lit(0).cast("long")
+    p = 2 * n - 2
+    m = F.pmod(idx, F.lit(p))
+    return F.when(m < n, m).otherwise(F.lit(p) - m).cast("long")
+
+
+def _kernel_gather_spline(px: DataFrame, target: DataFrame, u, v,
+                          h: int, w: int) -> DataFrame:
+    """B-spline evaluation gather with MIRROR edge indexing and no
+    weight renormalization: the 16 basis weights always sum to 1 and
+    the coefficients already encode interpolation, so value =
+    Σ w·c exactly (matching skimage's reflecting warp, unlike the
+    nodata-renormalizing _kernel_gather)."""
+    offs, wfun = _kernel_offsets_wfun("bspline")
+    tgt = target.select(
+        "trow", "tcol",
+        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
+        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
+    )
+    corners = tgt.select(
+        "trow", "tcol", "r0", "c0", "du", "dv",
+        F.explode(F.array(*[F.struct(F.lit(i).alias("a"), F.lit(j).alias("b"))
+                            for i in offs for j in offs])).alias("o"),
+    ).select(
+        "trow", "tcol",
+        _mirror_idx(F.col("r0") + F.col("o.a"), h).alias("row"),
+        _mirror_idx(F.col("c0") + F.col("o.b"), w).alias("col"),
+        (wfun(F.abs(F.col("o.a") - F.col("du")))
+         * wfun(F.abs(F.col("o.b") - F.col("dv")))).alias("wgt"),
+    )
+    j = corners.join(px.select("row", "col", "value"), ["row", "col"])
+    return j.groupBy("trow", "tcol").agg(
+        F.round(F.sum(F.col("wgt") * F.col("value")), 6).alias("value"),
+        F.count(F.lit(1)).cast("long").alias("n_contrib"),
+    )
+
+
 def resize_grid(px: DataFrame, src_shape: tuple[int, int],
-                out_shape: tuple[int, int], order: int = 0) -> DataFrame:
+                out_shape: tuple[int, int], order: int = 0,
+                prefilter: bool = True) -> DataFrame:
     """Reference resize(shape, order=) (georasters.py:1095-1139 passes
     order through to skimage.transform.resize). order=0: center-rule
     nearest gather (the reference default). order=1: bilinear on the
     identity grid — skimage's (t+0.5)·scale−0.5 coordinate map with
     GDAL-style nodata-aware weight renormalization at masked cells and
     edges (skimage instead reflects at edges; divergence documented).
-    order=3: cubic via the Catmull-Rom kernel (GDAL 'cubic'; skimage's
-    order-3 is a prefiltered global B-spline — a non-local IIR filter,
-    intentionally not reproduced). Other orders refuse loudly."""
+    order=3 (prefilter=True, the default): skimage-parity
+    interpolating cubic spline — the distributed Unser IIR prefilter
+    (spline_prefilter_px) then B-spline basis evaluation with mirror
+    edges; requires a dense grid, like skimage.  order=3 with
+    prefilter=False: the GDAL 'cubic' Catmull-Rom kernel with
+    nodata-aware renormalization (the pre-r6 behavior, kept for
+    nodata-bearing grids).  Other orders refuse loudly."""
     spark = px.sparkSession
     h, w = src_shape
     th, tw = out_shape
@@ -957,6 +1084,11 @@ def resize_grid(px: DataFrame, src_shape: tuple[int, int],
     if order == 3:
         u = F.round((lat - F.lit(0.0)) / F.lit(1.0) - F.lit(0.5), _Q)
         v = F.round((lon - F.lit(0.0)) / F.lit(1.0) - F.lit(0.5), _Q)
+        if prefilter:
+            coef = spline_prefilter_px(px, src_shape)
+            out = _kernel_gather_spline(coef, target, u, v, h, w)
+            return target.select("trow", "tcol").join(
+                out, ["trow", "tcol"], "left")
         return _kernel_gather(px, target, u, v, "catmull")
     raise NotImplementedError(
         "resize order must be 0 (nearest), 1 (bilinear) or 3 (cubic)")

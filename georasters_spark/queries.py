@@ -795,15 +795,107 @@ def sql_resize_bilinear() -> str:
 
 
 def q_resize_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDAL-'cubic' resize: Catmull-Rom kernel with nodata-aware
+    renormalization (prefilter=False — the skimage-parity interpolating
+    spline is the order=3 default, gated by resize_cubic_spline)."""
     from .operators import reproject as RP
 
     spec = SPEC
     px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
-    return RP.resize_grid(px, (spec.height, spec.width), _RSC["out"], order=3)
+    return RP.resize_grid(px, (spec.height, spec.width), _RSC["out"], order=3,
+                          prefilter=False)
 
 
 def sql_resize_cubic() -> str:
     return _resize_interp_sql(_RSC["out"], "catmull")
+
+
+# ---------------------------------------------------------------------------
+# q: resize_cubic_spline — skimage-parity order-3 (Unser IIR prefilter +
+# B-spline basis evaluation with mirror edges), round 6
+# ---------------------------------------------------------------------------
+
+SPECF = GridSpec(grid_id="g46", width=36, height=24, seed=46)
+_RSCS_OUT = (40, 60)
+
+
+def q_resize_cubic_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize(order=3) at skimage parity (the reference delegates to
+    skimage.transform.resize, georasters.py:1095-1139): the
+    distributed Unser recursive prefilter (two grouped-map line
+    stages, exact geometric-sum mirror init) turns samples into
+    interpolating B-spline coefficients, then the basis-weight gather
+    evaluates with MIRROR edge indexing and no renormalization.
+    Masked cells are zero-filled first (the IIR has no nodata
+    semantics; neither does skimage).  EXACT oracle: the prefilter is
+    linear, so DuckDB re-derives it from per-line basis-response
+    literal weights (spline_filter_matrix) and mirrors the basis
+    evaluation term for term; doubles rounded to 6 dp both sides."""
+    from .operators import reproject as RP
+
+    spec = SPECF
+    px = _px(spark, spec, valid_only=False).filter(
+        (F.col("row") < spec.height) & (F.col("col") < spec.width)
+    ).select(
+        "row", "col",
+        F.when(F.col("value") == F.lit(spec.ndv), F.lit(0.0))
+        .otherwise(F.col("value").cast("double")).alias("value"))
+    return RP.resize_grid(px, (spec.height, spec.width), _RSCS_OUT, order=3)
+
+
+def sql_resize_cubic_spline() -> str:
+    from .operators import reproject as RP
+    from .operators.reproject import dlit
+
+    spec = SPECF
+    h, w = spec.height, spec.width
+    th, tw = _RSCS_OUT
+    my = RP.spline_filter_matrix(h)
+    mx = RP.spline_filter_matrix(w)
+    wy = ", ".join(f"({o}, {i}, {dlit(my[o, i])})"
+                   for o in range(h) for i in range(h))
+    wx = ", ".join(f"({o}, {i}, {dlit(mx[o, i])})"
+                   for o in range(w) for i in range(w))
+    offs = RP.kernel_offsets("bspline")
+    values = ", ".join(f"({a}, {b})" for a in offs for b in offs)
+    w_row = RP.kernel_weight_sql("bspline", "ABS(o.a - f.du)")
+    w_col = RP.kernel_weight_sql("bspline", "ABS(o.b - f.dv)")
+    ph, pw = 2 * h - 2, 2 * w - 2
+
+    def mirror(expr: str, p: int, n: int) -> str:
+        m = f"((({expr}) % {p} + {p}) % {p})"
+        return f"CASE WHEN {m} < {n} THEN {m} ELSE {p} - {m} END"
+
+    return f"""WITH {synth.pixel_sql(spec, valid_only=False)},
+pxd AS (SELECT row, col,
+               CASE WHEN masked THEN 0.0 ELSE CAST(value AS DOUBLE) END AS value
+        FROM px),
+wy(o, i, w) AS (VALUES {wy}),
+wx(o, i, w) AS (VALUES {wx}),
+coef AS (
+  SELECT wy.o AS row, wx.o AS col, SUM(wy.w * pxd.value * wx.w) AS value
+  FROM pxd JOIN wy ON wy.i = pxd.row JOIN wx ON wx.i = pxd.col
+  GROUP BY 1, 2),
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         ROUND((tr.range + 0.5) * {dlit(h / th)} - 0.5, {RP._Q}) AS u,
+         ROUND((tc.range + 0.5) * {dlit(w / tw)} - 0.5, {RP._Q}) AS v
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+f AS (
+  SELECT trow, tcol, CAST(FLOOR(u) AS BIGINT) AS r0, u - FLOOR(u) AS du,
+         CAST(FLOOR(v) AS BIGINT) AS c0, v - FLOOR(v) AS dv
+  FROM tgt),
+corners AS (
+  SELECT f.trow, f.tcol,
+         {mirror('f.r0 + o.a', ph, h)} AS row,
+         {mirror('f.c0 + o.b', pw, w)} AS col,
+         ({w_row}) * ({w_col}) AS wgt
+  FROM f CROSS JOIN (VALUES {values}) o(a, b))
+SELECT corners.trow, corners.tcol,
+       ROUND(SUM(corners.wgt * coef.value), 6) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_contrib
+FROM corners JOIN coef USING (row, col)
+GROUP BY 1, 2"""
 
 
 # ---------------------------------------------------------------------------
@@ -1551,6 +1643,58 @@ def sql_reproject_utm_cubic() -> str:
          {dlit(Y1b)} + (tr.range + 0.5) * {dlit(tcy)} AS nm
   FROM range({th}) tr CROSS JOIN range({tw}) tc)"""
     return _kernel_gate_sql("catmull", inv_cte, lon_col, lat_col, tgt_cte)
+
+
+def q_reproject_webmerc_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebMercator × cubic through the composed warp, POLE-REACHING
+    source and no bbox — the r5 advisor's failure scenario: any_bounds
+    must clip the lattice to the ±85.05112878 Mercator square (the
+    same convention as the specialized nearest/bilinear plans, so the
+    extent is resampling-mode-invariant) instead of silently warping
+    an arctanh(±1)=inf lattice to all-NULL."""
+    from .operators import reproject as RP
+
+    spec = SPEC
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return RP.reproject(
+        px, 4326, "EPSG:3857",
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=(64, 128),
+        resampling="cubic",
+    )
+
+
+def sql_reproject_webmerc_cubic() -> str:
+    from .operators import reproject as RP
+    from .operators.reproject import dlit
+
+    spec = SPEC
+    # shared literal derivation: any_bounds applies the Mercator clip
+    X0, Y0b, X1, Y1b = RP.any_bounds(
+        4326, "EPSG:3857", (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width))
+    th, tw = 64, 128
+    tcx = (X1 - X0) / tw
+    tcy = (Y0b - Y1b) / th
+    R = RP.R
+    d2r = RP._D2R
+    tgt_cte = f"""tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS em,
+         {dlit(Y1b)} + (tr.range + 0.5) * {dlit(tcy)} AS nm
+  FROM range({th}) tr CROSS JOIN range({tw}) tc)"""
+    # webmerc inverse: lon = x/R/deg, lat = atan(sinh(y/R))/deg; DuckDB
+    # has no SINH — (exp(t)-exp(-t))/2 differs by ulps only, absorbed
+    # by the 1e-4-cell gather quantization
+    inv_cte = f"""loc0 AS (
+  SELECT trow, tcol,
+         em / {dlit(R)} / {dlit(d2r)} AS lon,
+         ATAN((EXP(nm / {dlit(R)}) - EXP(-(nm / {dlit(R)}))) / 2.0)
+           / {dlit(d2r)} AS lat
+  FROM tgt)"""
+    return _kernel_gate_sql("catmull", inv_cte, "lon", "lat", tgt_cte)
 
 
 def q_reproject_lcc_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4362,6 +4506,103 @@ SELECT b.zone_id, a.name, a.code, a.weight,
 FROM base b JOIN attrs a USING (zone_id)"""
 
 
+# --------------------------------------------------------------------------
+# media_near_dup: one mixed-format lake through the phash dedup stack
+# --------------------------------------------------------------------------
+
+_MEDIA_ND_FMTS = ("png", "gif", "bmp", "tif", "apng")
+
+
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE codec matrix into the image dedup stack (closes the
+    r5 gap where only GIF/MJPEG frames reached phash near-dup): 4
+    content groups × 5 LOSSLESS container formats — PNG gray8, GIF
+    16-gray palette, BMP RLE8 palette, TIFF int16, APNG RGBA frame —
+    each encoded with its real encoder and decoded back through its
+    real decoder executor-side, then one 64-bit phash per item and
+    banded-LSH pair blocking (pigeonhole-exact, never item×item).
+    Because every format is lossless the 5 renditions of a group have
+    IDENTICAL gray planes, so ground truth is structural: exactly the
+    C(5,2)=10 within-group pairs per group at hamming 0, 40 pairs
+    total, and no cross-group pair within hamming 3."""
+    import pandas as pd
+
+    from .operators import dedup as DD
+    from .sources import bmp as BMP
+    from .sources import codec as CD
+    from .sources import geotiff as GT
+    from .sources import gif as G
+    from .sources import png as P
+
+    nf = len(_MEDIA_ND_FMTS)
+
+    def gen(batches):
+        import numpy as np
+
+        pal = np.stack([np.arange(16) * 17] * 3, axis=1).astype(np.uint8)
+        for pdf in batches:
+            rows = []
+            for mid_ in pdf["id"].tolist():
+                mid = int(mid_)
+                g, fi = mid // nf, mid % nf
+                fmt = _MEDIA_ND_FMTS[fi]
+                h, w = 32, 48
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                # grossly different per-group content, quantized to the
+                # 16-gray palette so every lossless format carries the
+                # identical gray plane
+                k = ((128 + 90 * np.sin(r / (3.0 + g) + g * 0.7)
+                      * np.cos(c / (4.0 + 2 * g))).astype(np.uint8) >> 4)
+                if fmt == "png":
+                    gray = P.decode(P.encode((k * 17).astype(np.uint8)))
+                elif fmt == "gif":
+                    canvas = G.decode_frames(G.encode([k], pal))[0]
+                    gray = canvas[..., 0]
+                elif fmt == "bmp":
+                    idx, meta = BMP.decode(BMP.encode(k.astype(np.uint8),
+                                                      pal, rle=True))
+                    gray = meta["palette"][idx][..., 0]
+                elif fmt == "tif":
+                    gray, _ = GT.parse_tiff(
+                        GT.write_tiff((k * 17).astype(np.int16)))
+                else:  # apng: single RGBA frame, gray replicated
+                    rgba = np.dstack([k * 17, k * 17, k * 17,
+                                      np.full_like(k, 255)]).astype(np.uint8)
+                    frames, _ = P.decode_apng(P.encode_apng([rgba]))
+                    gray = frames[0][..., 0]
+                ph = CD.average_hash(np.asarray(gray, np.float64), -1.0)
+                rows.append({"image_id": mid, "phash": ph})
+            yield pd.DataFrame(rows, columns=["image_id", "phash"])
+
+    items = spark.range(4 * nf).repartition(4).mapInPandas(
+        gen, schema="image_id long, phash long")
+    pairs = DD.phash_near_dup_pairs(items, max_hamming=3)
+    return pairs.select(
+        F.col("img_a").alias("media_a"), F.col("img_b").alias("media_b"),
+        F.element_at(F.lit(list(_MEDIA_ND_FMTS)),
+                     (F.col("img_a") % nf + 1).cast("int")).alias("fmt_a"),
+        F.element_at(F.lit(list(_MEDIA_ND_FMTS)),
+                     (F.col("img_b") % nf + 1).cast("int")).alias("fmt_b"),
+        F.col("hamming").cast("long").alias("hamming"))
+
+
+def sql_media_near_dup() -> str:
+    """Structural ground truth (DuckDB decodes none of the formats —
+    same contract as video_near_dup/gif_near_dup): every within-group
+    format pair at hamming 0."""
+    nf = len(_MEDIA_ND_FMTS)
+    fmts = ", ".join(f"'{f}'" for f in _MEDIA_ND_FMTS)
+    return f"""WITH fmt(i, name) AS (SELECT range, ([{fmts}])[range + 1]
+                      FROM range({nf}))
+SELECT CAST(g.range * {nf} + a.i AS BIGINT) AS media_a,
+       CAST(g.range * {nf} + b.i AS BIGINT) AS media_b,
+       a.name AS fmt_a, b.name AS fmt_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM range(4) g CROSS JOIN fmt a CROSS JOIN fmt b
+WHERE a.i < b.i"""
+
+
 QUERIES = {
     # --- round-6 driver-window rotation: the driver gates the FIRST 50
     # entries. Front: gates NEW in round 6 (inserted below as built),
@@ -4373,6 +4614,9 @@ QUERIES = {
     # front again, new-r7 gates first.
     # --- gates new in round 6 ---
     "shapefile_zonal": (q_shapefile_zonal, sql_shapefile_zonal),
+    "resize_cubic_spline": (q_resize_cubic_spline, sql_resize_cubic_spline),
+    "media_near_dup": (q_media_near_dup, sql_media_near_dup),
+    "reproject_webmerc_cubic": (q_reproject_webmerc_cubic, sql_reproject_webmerc_cubic),
     # --- r4-driver-row gates rotated forward ---
     "ann_cosine": (q_ann_cosine, sql_ann_cosine),
     "quantized_ann": (q_quantized_ann, sql_quantized_ann),

@@ -978,3 +978,75 @@ def test_any_bounds_webmerc_pole_clip_and_nonfinite_raise():
     with pytest.raises(ValueError, match="non-finite"):
         RP.any_bounds("EPSG:4326", "EPSG:3395", (-180.0, 90.0),
                       (1.0, -1.0), (180, 360))
+
+
+def test_spline_prefilter_interpolation_property():
+    # after the prefilter, B-spline basis evaluation at integer points
+    # must reproduce the samples: (c[i-1] + 4c[i] + c[i+1])/6 == a[i]
+    rng = np.random.default_rng(7)
+    a = rng.uniform(-100, 100, 17)
+    c = RP.spline_filter1d_mirror(a)
+    ext = np.concatenate([[c[1]], c, [c[-2]]])  # mirror ends
+    rec = (ext[:-2] + 4 * ext[1:-1] + ext[2:]) / 6
+    assert np.abs(rec - a).max() < 1e-12
+    m = RP.spline_filter_matrix(17)
+    assert np.abs(m @ a - c).max() < 1e-12
+    # n=1 and n=2 degenerate lines
+    assert RP.spline_filter1d_mirror(np.array([5.0]))[0] == 5.0
+    c2 = RP.spline_filter1d_mirror(np.array([2.0, 8.0]))
+    assert np.abs((np.array([c2[1], c2[0]]) + 4 * c2 +
+                   np.array([c2[1], c2[0]])) / 6 - [2.0, 8.0]).max() < 1e-12
+
+
+def _b3(t):
+    t = abs(t)
+    if t < 1:
+        return (4.0 - 6.0 * t * t + 3.0 * t * t * t) / 6.0
+    if t < 2:
+        return (2.0 - t) ** 3 / 6.0
+    return 0.0
+
+
+def test_resize_cubic_spline_vs_numpy_oracle(spark):
+    # hand-rolled oracle: per-line recursion, then B3 evaluation with
+    # mirror indexing at the skimage coordinate map
+    rng = np.random.default_rng(3)
+    h, w, th, tw = 9, 13, 14, 20
+    img = rng.uniform(-50, 50, (h, w)).round(3)
+    coef = np.apply_along_axis(RP.spline_filter1d_mirror, 1, img)
+    coef = np.apply_along_axis(RP.spline_filter1d_mirror, 0, coef)
+
+    def mirror(i, n):
+        p = 2 * n - 2
+        m = i % p
+        return m if m < n else p - m
+
+    exp = np.zeros((th, tw))
+    for tr in range(th):
+        for tc in range(tw):
+            u = round((tr + 0.5) * h / th - 0.5, RP._Q)
+            v = round((tc + 0.5) * w / tw - 0.5, RP._Q)
+            r0, c0 = int(np.floor(u)), int(np.floor(v))
+            du, dv = u - r0, v - c0
+            s = 0.0
+            for a in (-1, 0, 1, 2):
+                for b in (-1, 0, 1, 2):
+                    s += (_b3(a - du) * _b3(b - dv)
+                          * coef[mirror(r0 + a, h), mirror(c0 + b, w)])
+            exp[tr, tc] = s
+
+    rows = [(int(r), int(c), float(img[r, c]))
+            for r in range(h) for c in range(w)]
+    px = spark.createDataFrame(rows, "row long, col long, value double")
+    out = RP.resize_grid(px, (h, w), (th, tw), order=3).collect()
+    assert len(out) == th * tw
+    for r in out:
+        assert r["n_contrib"] == 16
+        assert abs(r["value"] - exp[r["trow"], r["tcol"]]) < 1e-5
+
+
+def test_spline_prefilter_requires_dense(spark):
+    rows = [(r, c, 1.0) for r in range(4) for c in range(5) if (r, c) != (2, 3)]
+    px = spark.createDataFrame(rows, "row long, col long, value double")
+    with pytest.raises(Exception, match="non-dense"):
+        RP.spline_prefilter_px(px, (4, 5)).collect()

@@ -302,6 +302,20 @@ def run_sf1(spark) -> dict:
     out["zonal_fused_sec"] = round(dt, 3)
     out["zonal_fused_px_per_sec"] = round(npx / dt)
 
+    # headline: the r6 tile-cogrouped gather (gather_from_tiles — no
+    # pixel explode, shuffles only the 8.4M-row target lattice keyed by
+    # source tile; gate reproject_tiles pins value-equivalence)
+    t0 = time.time()
+    RP.wgs84_to_cea_grid(
+        None, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), (2048, 4096), images=imgs,
+    ).filter(F.col("value").isNotNull()).count()
+    dt = time.time() - t0
+    out["reproject_nearest_sec"] = round(dt, 3)
+    out["reproject_px_per_sec"] = round(npx / dt)
+
+    # reference row: the pre-r6 pixel-join plan on the same input (the
+    # r5 headline was this plan at 29.3 s / 3.18M px/s)
     px = PX.pixel_table(imgs, valid_only=True).select("row", "col", "value")
     t0 = time.time()
     RP.wgs84_to_cea_grid(
@@ -309,8 +323,7 @@ def run_sf1(spark) -> dict:
         (spec.height, spec.width), (2048, 4096),
     ).filter(F.col("value").isNotNull()).count()
     dt = time.time() - t0
-    out["reproject_nearest_sec"] = round(dt, 3)
-    out["reproject_px_per_sec"] = round(npx / dt)
+    out["reproject_joinplan_sec"] = round(dt, 3)
 
     pxq = px.filter((F.col("row") < 2048) & (F.col("col") < 2048)).select(
         "row", "col", (F.col("value").cast("long") / 250).cast("long").alias("value"))

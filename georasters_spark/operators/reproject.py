@@ -58,6 +58,73 @@ def cea_bounds(lon0: float, lat0: float, lon1: float, lat1: float, phi_s: float 
     return x0, y0, x1, y1
 
 
+def gather_from_tiles(tgt: DataFrame, images: DataFrame,
+                      carry: tuple = ("xm", "ym")) -> DataFrame:
+    """Exchange-light nearest gather (the 100-TB path): instead of
+    exploding every tile into a pixel table and shuffle-joining ~N
+    pixel rows against the target lattice (two N-row exchanges plus
+    sort-merge), shuffle ONLY the target rows — keyed by the source
+    tile each one gathers from — and cogroup them with the
+    one-row-per-tile images table.  Each task decodes its tile once
+    and indexes all its gathers in numpy.  Shuffle volume drops from
+    (N source pixels + M targets) rows to (M targets + #tiles) rows,
+    and the decode stage never materializes pixels it does not gather.
+
+    ``tgt`` must carry (trow, tcol, row, col) — row/col the computed
+    nearest source index — plus any ``carry`` columns to pass through.
+    ``images`` is the standard tiles table (tile_row, tile_col, bytes,
+    fmt, w, h, ndv).  Out-of-range indices and masked (ndv) cells emit
+    NULL, exactly like the left-join gather (pytest-pinned
+    equivalence)."""
+    import pandas as pd
+
+    from ..sources import codec as _codec
+
+    # floor division via floor(): SQL DIV truncates toward zero, which
+    # would fold negative (out-of-range) indices into tile 0
+    t_w = int(images.select("w").first()["w"])
+    t_h = int(images.select("h").first()["h"])
+    keyed = tgt.select(
+        "trow", "tcol", "row", "col", *carry,
+        F.floor(F.col("row") / F.lit(t_h)).cast("long").alias("_tr"),
+        F.floor(F.col("col") / F.lit(t_w)).cast("long").alias("_tc"),
+    )
+    out_cols = ["trow", "tcol", *carry, "value"]
+    schema = ", ".join(
+        {"trow": "trow long", "tcol": "tcol long", "xm": "xm double",
+         "ym": "ym double", "value": "value double"}[c] for c in out_cols)
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out = left[["trow", "tcol", *carry]].copy()
+        vals = np.full(len(left), np.nan)
+        if len(right):
+            t = right.iloc[0]
+            ndv = float(t["ndv"])
+            arr = _codec.decode_tile(bytes(t["bytes"]), t["fmt"],
+                                     int(t["w"]), int(t["h"]), ndv)
+            li = (left["row"] - int(t["tile_row"]) * arr.shape[0]).to_numpy()
+            lj = (left["col"] - int(t["tile_col"]) * arr.shape[1]).to_numpy()
+            ok = ((li >= 0) & (li < arr.shape[0])
+                  & (lj >= 0) & (lj < arr.shape[1]))
+            vals[ok] = arr[li[ok], lj[ok]].astype(np.float64)
+            vals[vals == ndv] = np.nan
+        out["value"] = pd.array(vals, dtype="Float64")  # NaN -> NULL
+        return out
+
+    # grouping keys MUST have identical types on both cogroup sides:
+    # hash partitioning is type-sensitive (int 1 and long 1 hash to
+    # different partitions), so an int tile_row against a long _tr
+    # silently yields empty right-side groups
+    imgs_keyed = images.withColumn(
+        "tile_row", F.col("tile_row").cast("long")).withColumn(
+        "tile_col", F.col("tile_col").cast("long"))
+    return (
+        keyed.groupBy("_tr", "_tc")
+        .cogroup(imgs_keyed.groupBy("tile_row", "tile_col"))
+        .applyInPandas(kernel, schema)
+    )
+
+
 def wgs84_to_cea_grid(
     px: DataFrame,
     src_origin: tuple[float, float],
@@ -65,14 +132,21 @@ def wgs84_to_cea_grid(
     src_shape: tuple[int, int],
     out_shape: tuple[int, int],
     phi_s: float = 0.0,
+    images: DataFrame | None = None,
 ) -> DataFrame:
     """Warp a WGS84 pixel table onto a CEA target grid (nearest).
 
     Returns (trow, tcol, xm, ym, value) — xm/ym are the target cell
     centers in projected meters; value NULL where the source is masked
     or out of range.
+
+    When ``images`` is given, the gather runs through
+    ``gather_from_tiles`` (tile-cogrouped, no pixel explode) instead of
+    the pixel left join — value-identical (same quantized row/col
+    exprs; pytest-pinned), but shuffling M target rows instead of
+    N+M pixel rows.  ``px`` may then be None.
     """
-    spark = px.sparkSession
+    spark = (px if px is not None else images).sparkSession
     h, w = src_shape
     th, tw = out_shape
     x0g, y0g = src_origin
@@ -104,6 +178,8 @@ def wgs84_to_cea_grid(
         srow.alias("row"),
         scol.alias("col"),
     )
+    if images is not None:
+        return gather_from_tiles(tgt, images)
     src = px.select("row", "col", "value")
     # xm/ym are pure arithmetic over repr-round-tripped literal doubles:
     # bit-identical across engines, so they ship UNROUNDED (rounding to

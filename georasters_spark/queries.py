@@ -1122,6 +1122,28 @@ def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reproject_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tile-cogrouped nearest gather (gather_from_tiles, new r6):
+    shuffles ONLY the target lattice keyed by source tile and decodes
+    each tile once inside the cogroup kernel — no pixel explode, no
+    N-row sort-merge join.  Value-identical to reproject_cea's
+    pixel-join plan by construction (same quantized row/col exprs), so
+    it shares sql_reproject verbatim; this gate pins that equivalence
+    against DuckDB (the sf1 bench tier runs this plan)."""
+    from .operators import reproject as RP
+
+    spec = SPEC
+    return RP.wgs84_to_cea_grid(
+        None,
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=(180, 360),
+        images=images_for(spark, spec),
+    ).select("trow", "tcol", "xm", "ym",
+             F.col("value").cast("long").alias("value"))
+
+
 def sql_reproject() -> str:
     from .operators import reproject as RP
 
@@ -4664,6 +4686,10 @@ QUERIES = {
     "argmax": (q_argmax, sql_argmax),
     "resize_nearest": (q_resize, sql_resize),
     "align_grids": (q_align, sql_align),
+    # reproject_tiles is r6-NEW but sits at position 51 (the driver
+    # window is exactly full with the 4 new + 46 stale gates above);
+    # locally oracle-checked this round, rotate into the window in r7
+    "reproject_tiles": (q_reproject_tiles, sql_reproject),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -1050,3 +1050,21 @@ def test_spline_prefilter_requires_dense(spark):
     px = spark.createDataFrame(rows, "row long, col long, value double")
     with pytest.raises(Exception, match="non-dense"):
         RP.spline_prefilter_px(px, (4, 5)).collect()
+
+
+def test_gather_from_tiles_matches_pixel_join(spark, images_t1):
+    # the tile-cogrouped gather must be VALUE-IDENTICAL to the pixel
+    # left-join gather (same quantized row/col exprs, same NULL rule),
+    # including int-vs-long cogroup key hashing (a silent empty-group
+    # failure mode pinned here)
+    spec = synth.T1
+    kw = dict(src_origin=(spec.x0, spec.y0),
+              src_cellsize=(spec.cellx, spec.celly),
+              src_shape=(spec.height, spec.width), out_shape=(90, 180))
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    a = {(r["trow"], r["tcol"]): (r["value"], round(r["xm"], 6))
+         for r in RP.wgs84_to_cea_grid(px, **kw).collect()}
+    b = {(r["trow"], r["tcol"]): (r["value"], round(r["xm"], 6))
+         for r in RP.wgs84_to_cea_grid(None, images=images_t1, **kw).collect()}
+    assert a == b
+    assert sum(1 for v, _ in a.values() if v is not None) > 5000

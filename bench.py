@@ -165,11 +165,12 @@ def run_heavy_block(spark, sf_dir: str, times: dict, cal: dict, imgs,
     kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
-    px9 = PX.pixel_table(imgs, valid_only=True).select("row", "col", "value")
+    # r6: tile-cogrouped gather (gather_from_tiles; gate reproject_tiles
+    # pins value-equivalence with the old pixel-join plan)
     _timed(times, cal, "reproject_nearest_9M" + suffix,
            lambda: RP.wgs84_to_cea_grid(
-               px9, (spec.x0, spec.y0), (spec.cellx, spec.celly),
-               (spec.height, spec.width), (1024, 2048),
+               None, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+               (spec.height, spec.width), (1024, 2048), images=imgs,
            ).filter(F.col("value").isNotNull()).count())
 
     _timed(times, cal, "embed_near_dup_gemm" + suffix,
@@ -186,7 +187,13 @@ def run_heavy_block(spark, sf_dir: str, times: dict, cal: dict, imgs,
            lambda: SJ.zonal_stats_extended(
                imgs, synth.ZONES_T1, base_plan="fused", **kw).collect())
 
-    pxq = PX.pixel_table(imgs, valid_only=True).filter(
+    # r6: tile-level pruning before decode (the window is 16x16 of the
+    # grid's tiles; decoding the rest just to row-filter them away was
+    # most of the r5 cost)
+    pxq = PX.pixel_table(
+        imgs.filter((F.col("tile_row") < 16) & (F.col("tile_col") < 16)),
+        valid_only=True,
+    ).filter(
         (F.col("row") < 1024) & (F.col("col") < 1024)
     ).select("row", "col", (F.col("value").cast("long") / 250).cast("long").alias("value"))
     _timed(times, cal, "polygonize_1M_distributed" + suffix,
@@ -285,17 +292,24 @@ def run_sf1(spark) -> dict:
                    seed=52)
     npx = spec.width * spec.height
     out: dict = {"pixels": npx, "grid": f"{spec.width}x{spec.height}"}
+    # r6: per-step host-speed samples (same protocol as the sf0.1
+    # per_query_calibration) — the r5/r6-session sf1 polygonize swung
+    # 6 s..27 s across runs with NO way to tell steal from plan cost
+    cal: dict = {}
+    out["per_step_calibration"] = cal
     rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
 
     def heap_mb() -> int:
         return int((rt.totalMemory() - rt.freeMemory()) / (1 << 20))
 
+    cal["ingest"] = _cal_quick()
     t0 = time.time()
     imgs = synth.build_images(spark, spec, fmt="raw16").persist()
     imgs.count()
     out["ingest_sec"] = round(time.time() - t0, 3)
 
     kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    cal["zonal_fused"] = _cal_quick()
     t0 = time.time()
     SJ.zonal_stats_fused(imgs, synth.ZONES_T1, **kw).collect()
     dt = time.time() - t0
@@ -305,6 +319,7 @@ def run_sf1(spark) -> dict:
     # headline: the r6 tile-cogrouped gather (gather_from_tiles — no
     # pixel explode, shuffles only the 8.4M-row target lattice keyed by
     # source tile; gate reproject_tiles pins value-equivalence)
+    cal["reproject_nearest"] = _cal_quick()
     t0 = time.time()
     RP.wgs84_to_cea_grid(
         None, (spec.x0, spec.y0), (spec.cellx, spec.celly),
@@ -317,6 +332,7 @@ def run_sf1(spark) -> dict:
     # reference row: the pre-r6 pixel-join plan on the same input (the
     # r5 headline was this plan at 29.3 s / 3.18M px/s)
     px = PX.pixel_table(imgs, valid_only=True).select("row", "col", "value")
+    cal["reproject_joinplan"] = _cal_quick()
     t0 = time.time()
     RP.wgs84_to_cea_grid(
         px, (spec.x0, spec.y0), (spec.cellx, spec.celly),
@@ -325,8 +341,30 @@ def run_sf1(spark) -> dict:
     dt = time.time() - t0
     out["reproject_joinplan_sec"] = round(dt, 3)
 
-    pxq = px.filter((F.col("row") < 2048) & (F.col("col") < 2048)).select(
-        "row", "col", (F.col("value").cast("long") / 250).cast("long").alias("value"))
+    # r6: tile-cogrouped BILINEAR (shared _bilinear_corners + the same
+    # gather; measured 28.7 s vs 87.8 s for the pixel-join bilinear on
+    # this input — the join row is documented, not re-run, to keep the
+    # tier under budget). The tile path wins while corners (4M_targets)
+    # << N source pixels; at M_targets ~ N the pixel join is the right
+    # plan (measured crossover at out_shape 3240x7200: 179 s vs 150 s).
+    cal["reproject_bilinear_tiles"] = _cal_quick()
+    t0 = time.time()
+    RP.wgs84_to_cea_grid_bilinear(
+        None, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), (2048, 4096), images=imgs,
+    ).filter(F.col("value").isNotNull()).count()
+    dt = time.time() - t0
+    out["reproject_bilinear_tiles_sec"] = round(dt, 3)
+
+    # r6: prune at the TILE level before decoding — the window covers
+    # 1024 of 22.7k tiles, and the r5 27.6 s was dominated by decoding
+    # all of them just to row-filter 95% away (the manifest-skipping
+    # move, applied to a derived query); the CC itself is ~6 s
+    imgs_win = imgs.filter((F.col("tile_row") < 32) & (F.col("tile_col") < 32))
+    pxq = PX.pixel_table(imgs_win, valid_only=True).select(
+        "row", "col", (F.col("value").cast("long") / 250).cast("long").alias("value")
+    ).filter((F.col("row") < 2048) & (F.col("col") < 2048))
+    cal["polygonize_4M"] = _cal_quick()
     t0 = time.time()
     AL.polygonize(pxq, merge="distributed").count()
     dt = time.time() - t0

@@ -92,7 +92,8 @@ def gather_from_tiles(tgt: DataFrame, images: DataFrame,
     out_cols = ["trow", "tcol", *carry, "value"]
     schema = ", ".join(
         {"trow": "trow long", "tcol": "tcol long", "xm": "xm double",
-         "ym": "ym double", "value": "value double"}[c] for c in out_cols)
+         "ym": "ym double", "wgt": "wgt double",
+         "value": "value double"}[c] for c in out_cols)
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         out = left[["trow", "tcol", *carry]].copy()
@@ -374,6 +375,75 @@ def warp_numpy_oracle(
 # resampling modes beyond nearest (reference modes dict georasters.py:592-606)
 # ---------------------------------------------------------------------------
 
+def _bilinear_corners(
+    target: DataFrame,
+    lon,
+    lat,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+) -> DataFrame:
+    """Target lattice → the 4 surrounding source cell centers with
+    bilinear weights: (trow, tcol, row, col, wgt), 4 rows per target
+    cell.  Shared by the pixel-join and tile-cogrouped bilinear plans
+    so their row/col/wgt expressions are identical by construction."""
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    # fractional CENTER-based source index (cell r center at y0+(r+.5)cy)
+    u = F.round((lat - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
+    v = F.round((lon - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
+    tgt = target.select(
+        "trow", "tcol",
+        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
+        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
+    )
+    return tgt.select(
+        "trow", "tcol", "r0", "c0", "du", "dv",
+        F.explode(F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                            for a in (0, 1) for b in (0, 1)])).alias("o"),
+    ).select(
+        "trow", "tcol",
+        (F.col("r0") + F.col("o.a")).alias("row"),
+        (F.col("c0") + F.col("o.b")).alias("col"),
+        (
+            F.when(F.col("o.a") == 1, F.col("du")).otherwise(1.0 - F.col("du"))
+            * F.when(F.col("o.b") == 1, F.col("dv")).otherwise(1.0 - F.col("dv"))
+        ).alias("wgt"),
+    )
+
+
+def _bilinear_from_lonlat_tiles(
+    images: DataFrame,
+    target: DataFrame,
+    lon,
+    lat,
+    src_origin: tuple[float, float],
+    src_cellsize: tuple[float, float],
+) -> DataFrame:
+    """Tile-cogrouped bilinear (the 100-TB path, r6): same corner
+    lattice as ``_bilinear_from_lonlat`` but the 4M corner rows gather
+    through ``gather_from_tiles`` — each task decodes its tile once
+    and indexes every corner that falls in it — instead of
+    shuffle-joining an N-row exploded pixel table.  Shuffle volume is
+    4·M corners + one (trow, tcol) aggregate exchange, independent of
+    source pixel count N.  Masked / out-of-range corners come back
+    NULL and are excluded from BOTH the weighted sum and the weight
+    mass, reproducing the inner-join renormalization exactly
+    (pytest-pinned equivalence)."""
+    corners = _bilinear_corners(target, lon, lat, src_origin, src_cellsize)
+    g = gather_from_tiles(corners, images, carry=("wgt",))
+    vw = F.when(F.col("value").isNotNull(), F.col("wgt"))
+    return g.groupBy("trow", "tcol").agg(
+        F.when(
+            F.sum(vw) > 0,
+            F.round(F.sum(F.col("wgt") * F.col("value")) / F.sum(vw), 6),
+        ).alias("value"),
+        # NULL (not 0) when no corner was valid — matches the pixel
+        # plan's left join against the inner-join aggregate
+        F.when(F.count("value") > 0, F.count("value"))
+        .cast("long").alias("n_contrib"),
+    )
+
+
 def _bilinear_from_lonlat(
     px: DataFrame,
     target: DataFrame,
@@ -391,29 +461,7 @@ def _bilinear_from_lonlat(
     masked neighbors drop out of the join and the weight mass
     renormalizes over the valid ones (GDAL nodata-aware bilinear).
     Pure DataFrame ops: one explode(4) + equi-join + groupBy — no UDF."""
-    x0g, y0g = src_origin
-    cx, cy = src_cellsize
-    # fractional CENTER-based source index (cell r center at y0+(r+.5)cy)
-    u = F.round((lat - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
-    v = F.round((lon - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
-    tgt = target.select(
-        "trow", "tcol",
-        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
-        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
-    )
-    corners = tgt.select(
-        "trow", "tcol", "r0", "c0", "du", "dv",
-        F.explode(F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-                            for a in (0, 1) for b in (0, 1)])).alias("o"),
-    ).select(
-        "trow", "tcol",
-        (F.col("r0") + F.col("o.a")).alias("row"),
-        (F.col("c0") + F.col("o.b")).alias("col"),
-        (
-            F.when(F.col("o.a") == 1, F.col("du")).otherwise(1.0 - F.col("du"))
-            * F.when(F.col("o.b") == 1, F.col("dv")).otherwise(1.0 - F.col("dv"))
-        ).alias("wgt"),
-    )
+    corners = _bilinear_corners(target, lon, lat, src_origin, src_cellsize)
     j = corners.join(px.select("row", "col", "value"), ["row", "col"])
     # explicit zero-weight-mass guard (a valid corner can carry weight
     # exactly 0 after quantization): NULL, matching the numpy oracle's
@@ -435,10 +483,16 @@ def wgs84_to_cea_grid_bilinear(
     src_shape: tuple[int, int],
     out_shape: tuple[int, int],
     phi_s: float = 0.0,
+    images: DataFrame | None = None,
 ) -> DataFrame:
     """CEA warp with BILINEAR resampling (see _bilinear_from_lonlat for
-    the kernel; this wrapper supplies the CEA inverse)."""
-    spark = px.sparkSession
+    the kernel; this wrapper supplies the CEA inverse).
+
+    When ``images`` is given the gather runs tile-cogrouped
+    (``_bilinear_from_lonlat_tiles`` — no pixel explode); ``px`` may
+    then be None.  Value-identical by construction (shared
+    ``_bilinear_corners`` exprs; pytest-pinned)."""
+    spark = (px if px is not None else images).sparkSession
     h, w = src_shape
     th, tw = out_shape
     x0g, y0g = src_origin
@@ -457,6 +511,9 @@ def wgs84_to_cea_grid_bilinear(
     ym = F.lit(Y0) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)
     lon = xm / F.lit(R * k) * F.lit(180.0) / F.lit(math.pi)
     lat = F.asin(ym * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
+    if images is not None:
+        return _bilinear_from_lonlat_tiles(
+            images, target, lon, lat, src_origin, src_cellsize)
     return _bilinear_from_lonlat(px, target, lon, lat, src_origin, src_cellsize)
 
 

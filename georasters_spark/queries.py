@@ -1561,6 +1561,25 @@ def q_reproject_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reproject_tiles_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-cogrouped BILINEAR gather (r6): shares _bilinear_corners
+    with the pixel-join plan, gathers the 4 corner rows per target
+    through gather_from_tiles, and renormalizes over valid corners in
+    the aggregate — so it shares sql_reproject_bilinear verbatim.
+    Pins the no-pixel-explode bilinear plan against DuckDB."""
+    from .operators import reproject as RP
+
+    spec = SPEC
+    return RP.wgs84_to_cea_grid_bilinear(
+        None,
+        src_origin=(spec.x0, spec.y0),
+        src_cellsize=(spec.cellx, spec.celly),
+        src_shape=(spec.height, spec.width),
+        out_shape=(90, 180),
+        images=images_for(spark, spec),
+    )
+
+
 def sql_reproject_bilinear() -> str:
     from .operators import reproject as RP
 
@@ -4690,6 +4709,8 @@ QUERIES = {
     # window is exactly full with the 4 new + 46 stale gates above);
     # locally oracle-checked this round, rotate into the window in r7
     "reproject_tiles": (q_reproject_tiles, sql_reproject),
+    "reproject_tiles_bilinear": (q_reproject_tiles_bilinear,
+                                 sql_reproject_bilinear),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

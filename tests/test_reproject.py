@@ -1068,3 +1068,29 @@ def test_gather_from_tiles_matches_pixel_join(spark, images_t1):
          for r in RP.wgs84_to_cea_grid(None, images=images_t1, **kw).collect()}
     assert a == b
     assert sum(1 for v, _ in a.values() if v is not None) > 5000
+
+
+def test_bilinear_tiles_matches_pixel_join(spark, images_t1):
+    # tile-cogrouped bilinear: same _bilinear_corners exprs, NULL
+    # corners excluded from both the weighted sum and the weight mass
+    # — must reproduce the inner-join renormalization (value to 6 dp,
+    # n_contrib exactly, NULL where no corner is valid)
+    spec = synth.T1
+    kw = dict(src_origin=(spec.x0, spec.y0),
+              src_cellsize=(spec.cellx, spec.celly),
+              src_shape=(spec.height, spec.width), out_shape=(90, 180))
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    a = {(r["trow"], r["tcol"]): (r["value"], r["n_contrib"])
+         for r in RP.wgs84_to_cea_grid_bilinear(px, **kw).collect()}
+    b = {(r["trow"], r["tcol"]): (r["value"], r["n_contrib"])
+         for r in RP.wgs84_to_cea_grid_bilinear(
+             None, images=images_t1, **kw).collect()}
+    assert set(a) == set(b)
+    for key, (va, na) in a.items():
+        vb, nb = b[key]
+        assert na == nb, key
+        if va is None:
+            assert vb is None, key
+        else:
+            assert vb == pytest.approx(va, abs=2e-6), key
+    assert sum(1 for v, _ in a.values() if v is not None) > 5000

@@ -1016,6 +1016,54 @@ def _kernel_offsets_wfun(kernel: str, a: int = 3):
     raise ValueError(f"unknown resampling kernel {kernel!r}")
 
 
+def _kernel_corners(target: DataFrame, u, v, kernel: str,
+                    a: int = 3) -> DataFrame:
+    """Target lattice → the k×k kernel neighborhood with separable
+    convolution weights: (trow, tcol, row, col, wgt), k² rows per
+    target cell.  Shared by the pixel-join (`_kernel_gather`) and
+    tile-cogrouped (`_kernel_gather_tiles`) plans so their
+    row/col/wgt expressions are identical by construction."""
+    offs, wfun = _kernel_offsets_wfun(kernel, a)
+    tgt = target.select(
+        "trow", "tcol",
+        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
+        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
+    )
+    return tgt.select(
+        "trow", "tcol", "r0", "c0", "du", "dv",
+        F.explode(F.array(*[F.struct(F.lit(i).alias("a"), F.lit(j).alias("b"))
+                            for i in offs for j in offs])).alias("o"),
+    ).select(
+        "trow", "tcol",
+        (F.col("r0") + F.col("o.a")).alias("row"),
+        (F.col("c0") + F.col("o.b")).alias("col"),
+        (wfun(F.abs(F.col("o.a") - F.col("du")))
+         * wfun(F.abs(F.col("o.b") - F.col("dv")))).alias("wgt"),
+    )
+
+
+def _kernel_gather_tiles(images: DataFrame, target: DataFrame, u, v,
+                         kernel: str, a: int = 3) -> DataFrame:
+    """Tile-cogrouped cubic/lanczos gather (r6): the k² kernel corner
+    rows per target flow through ``gather_from_tiles`` instead of
+    shuffle-joining an exploded pixel table — the same plan shape as
+    ``_bilinear_from_lonlat_tiles`` with the signed-weight-mass NULL
+    guard of ``_kernel_gather`` (|Σw over valid| < 0.05 ⇒ NULL;
+    negative lobes can strip the mass).  Pytest-pinned equivalence
+    with the pixel-join plan."""
+    corners = _kernel_corners(target, u, v, kernel, a)
+    g = gather_from_tiles(corners, images, carry=("wgt",))
+    vw = F.when(F.col("value").isNotNull(), F.col("wgt"))
+    return g.groupBy("trow", "tcol").agg(
+        F.when(
+            F.abs(F.sum(vw)) >= 0.05,
+            F.round(F.sum(F.col("wgt") * F.col("value")) / F.sum(vw), 6),
+        ).alias("value"),
+        F.when(F.count("value") > 0, F.count("value"))
+        .cast("long").alias("n_contrib"),
+    )
+
+
 def _kernel_gather(px: DataFrame, target: DataFrame, u, v,
                    kernel: str, a: int = 3) -> DataFrame:
     """Shared nodata-aware convolution gather, target-CRS-AGNOSTIC
@@ -1028,23 +1076,7 @@ def _kernel_gather(px: DataFrame, target: DataFrame, u, v,
     renormalized value blows up — cells with |Σw| < 0.05 emit NULL
     (no reliable estimate), mirrored in the numpy oracles. Pure
     DataFrame ops: explode(k²) + equi-join + groupBy — no UDF."""
-    offs, wfun = _kernel_offsets_wfun(kernel, a)
-    tgt = target.select(
-        "trow", "tcol",
-        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
-        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
-    )
-    corners = tgt.select(
-        "trow", "tcol", "r0", "c0", "du", "dv",
-        F.explode(F.array(*[F.struct(F.lit(i).alias("a"), F.lit(j).alias("b"))
-                            for i in offs for j in offs])).alias("o"),
-    ).select(
-        "trow", "tcol",
-        (F.col("r0") + F.col("o.a")).alias("row"),
-        (F.col("c0") + F.col("o.b")).alias("col"),
-        (wfun(F.abs(F.col("o.a") - F.col("du")))
-         * wfun(F.abs(F.col("o.b") - F.col("dv")))).alias("wgt"),
-    )
+    corners = _kernel_corners(target, u, v, kernel, a)
     j = corners.join(px.select("row", "col", "value"), ["row", "col"])
     out = j.groupBy("trow", "tcol").agg(
         F.when(
@@ -1299,6 +1331,7 @@ def wgs84_to_cea_grid_cubic(
     out_shape: tuple[int, int],
     phi_s: float = 0.0,
     kernel: str = "catmull",
+    images: DataFrame | None = None,
 ) -> DataFrame:
     """CEA warp with CUBIC resampling: 4×4 neighbor gather with
     piecewise-cubic weights, masked neighbors dropped and the weight
@@ -1307,8 +1340,11 @@ def wgs84_to_cea_grid_cubic(
     'bspline' (the cubic B-spline basis — GDAL's 'cubicspline'
     APPROXIMATING kernel: all-positive partition-of-unity weights,
     smoothing rather than interpolating, hence LOCAL — no global
-    prefilter is involved in GDAL's mode either)."""
-    spark = px.sparkSession
+    prefilter is involved in GDAL's mode either).
+
+    ``images`` switches to the tile-cogrouped gather
+    (``_kernel_gather_tiles``); ``px`` may then be None."""
+    spark = (px if px is not None else images).sparkSession
     h, w = src_shape
     th, tw = out_shape
     x0g, y0g = src_origin
@@ -1329,6 +1365,8 @@ def wgs84_to_cea_grid_cubic(
     lat = F.asin(ym * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
     u = F.round((lat - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
     v = F.round((lon - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
+    if images is not None:
+        return _kernel_gather_tiles(images, target, u, v, kernel)
     return _kernel_gather(px, target, u, v, kernel)
 
 
@@ -1400,13 +1438,17 @@ def wgs84_to_cea_grid_lanczos(
     out_shape: tuple[int, int],
     phi_s: float = 0.0,
     a: int = 3,
+    images: DataFrame | None = None,
 ) -> DataFrame:
     """CEA warp with LANCZOS resampling (GDAL 'lanczos', a=3): 6×6
     neighbor gather with L(t) = sinc(t)·sinc(t/a) weights, masked
     neighbors dropped and the (signed) weight mass renormalized with
     the same |Σw| >= 0.05 guard as cubic. explode(36) + equi-join +
-    groupBy, no UDF."""
-    spark = px.sparkSession
+    groupBy, no UDF.
+
+    ``images`` switches to the tile-cogrouped gather
+    (``_kernel_gather_tiles``); ``px`` may then be None."""
+    spark = (px if px is not None else images).sparkSession
     h, w = src_shape
     th, tw = out_shape
     x0g, y0g = src_origin
@@ -1427,6 +1469,8 @@ def wgs84_to_cea_grid_lanczos(
     lat = F.asin(ym * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
     u = F.round((lat - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
     v = F.round((lon - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
+    if images is not None:
+        return _kernel_gather_tiles(images, target, u, v, "lanczos", a)
     return _kernel_gather(px, target, u, v, "lanczos", a)
 
 

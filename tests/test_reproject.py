@@ -1070,6 +1070,33 @@ def test_gather_from_tiles_matches_pixel_join(spark, images_t1):
     assert sum(1 for v, _ in a.values() if v is not None) > 5000
 
 
+@pytest.mark.parametrize("mode", ["cubic", "lanczos"])
+def test_kernel_tiles_matches_pixel_join(spark, images_t1, mode):
+    # cubic/lanczos tile-cogrouped gathers: corners shared with the
+    # join plan (_kernel_corners), signed-weight-mass NULL guard
+    # reproduced over valid corners only
+    spec = synth.T1
+    kw = dict(src_origin=(spec.x0, spec.y0),
+              src_cellsize=(spec.cellx, spec.celly),
+              src_shape=(spec.height, spec.width), out_shape=(60, 120))
+    fn = (RP.wgs84_to_cea_grid_cubic if mode == "cubic"
+          else RP.wgs84_to_cea_grid_lanczos)
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    a = {(r["trow"], r["tcol"]): (r["value"], r["n_contrib"])
+         for r in fn(px, **kw).collect()}
+    b = {(r["trow"], r["tcol"]): (r["value"], r["n_contrib"])
+         for r in fn(None, images=images_t1, **kw).collect()}
+    assert set(a) == set(b)
+    for key, (va, na) in a.items():
+        vb, nb = b[key]
+        assert na == nb, key
+        if va is None:
+            assert vb is None, key
+        else:
+            assert vb == pytest.approx(va, abs=2e-6), key
+    assert sum(1 for v, _ in a.values() if v is not None) > 3000
+
+
 def test_bilinear_tiles_matches_pixel_join(spark, images_t1):
     # tile-cogrouped bilinear: same _bilinear_corners exprs, NULL
     # corners excluded from both the weighted sum and the weight mass

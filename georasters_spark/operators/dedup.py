@@ -336,3 +336,51 @@ def simhash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame, key: str = "doc_id",
+                   a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Canonical near-dup clustering — the stage AFTER pair generation
+    in a training-data pipeline (reference scope: the engine's dedup
+    operators emit pairs; a pipeline must then pick ONE survivor per
+    duplicate group, and near-dup similarity is not transitive, so
+    groups are the CONNECTED COMPONENTS of the pair graph).
+
+    ``pairs`` is any near-dup pair table (minhash/simhash/phash/
+    jaccard output); returns (key, cluster_id, is_canonical,
+    cluster_size) for EVERY doc — cluster_id is the component-minimum
+    key (deterministic, layout-independent), is_canonical marks the
+    survivor, docs in no pair are their own singleton cluster.
+
+    Scale: connected components run on the EDGE set only
+    (``algebra._merge_labels_distributed`` — min-propagation +
+    pointer jumping, O(log diameter) rounds); near-dup pairs are a
+    vanishing fraction of a 100-TB corpus, and the full docs table
+    sees just one left join onto the component roots plus one
+    cluster-size aggregate.  Never materializes doc×doc anything."""
+    from .algebra import _merge_labels_distributed
+
+    eset = pairs.select(F.col(a_col).alias("la"), F.col(b_col).alias("lb"))
+    roots = _merge_labels_distributed(eset)
+    lab = (
+        docs.select(key)
+        .join(roots.withColumnRenamed("label", key), key, "left")
+        .select(key, F.coalesce("root", F.col(key)).alias("cluster_id"))
+    )
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return lab.join(sizes, "cluster_id").select(
+        key, "cluster_id",
+        (F.col(key) == F.col("cluster_id")).alias("is_canonical"),
+        "cluster_size",
+    )
+
+
+def dedup_keep(docs: DataFrame, pairs: DataFrame, key: str = "doc_id",
+               a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Filter ``docs`` to one canonical survivor per near-dup cluster
+    (the component-minimum key): the materialized "deduplicated
+    corpus" view of ``dedup_clusters``."""
+    keep = dedup_clusters(docs, pairs, key, a_col, b_col).filter(
+        F.col("is_canonical")).select(key)
+    return docs.join(keep, key, "left_semi")

@@ -2279,6 +2279,55 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical near-dup clustering (r6): the pipeline stage AFTER
+    pair generation — near-dup similarity is not transitive, so
+    survivors are picked per CONNECTED COMPONENT of the pair graph
+    (simhash hamming<=3 pairs here), cluster_id = component-min
+    doc_id, one canonical survivor each, singletons included.  The
+    CC is the same pointer-jumping machinery the polygonize gates
+    exercise, run on the edge set only.  EXACT oracle: DuckDB
+    recomputes the signatures + pairs (sql_simhash_dedup's CTEs) and
+    closes the graph with a recursive CTE (UNION-distinct reachable
+    set; MIN over it is the component min)."""
+    from .operators import dedup as DD
+
+    docs = _docs(spark, sf_dir)
+    pairs = DD.simhash_near_dup(docs, max_hamming=3, bands=4)
+    return DD.dedup_clusters(docs, pairs)
+
+
+def sql_dedup_clusters() -> str:
+    return """WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+bits AS (
+  SELECT doc_id, r.range AS i,
+         SUM(CASE WHEN (h >> CAST(r.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN range(60) r GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN 1::BIGINT << CAST(i AS INT) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY 1),
+prs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+edges AS (SELECT da AS a, db AS b FROM prs
+          UNION ALL SELECT db AS a, da AS b FROM prs),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+szs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY 1)
+SELECT c.doc_id, c.cluster_id, c.doc_id = c.cluster_id AS is_canonical,
+       s.cluster_size
+FROM comp c JOIN szs s USING (cluster_id)"""
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH dedup, exact-verified: LSH candidates are
     re-scored with exact Jaccard, so the output EQUALS the brute-force
@@ -4733,6 +4782,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "jaccard_pairs": (q_jaccard_pairs, sql_jaccard_pairs),
     "minhash_dedup": (q_minhash_dedup, sql_minhash_dedup),
+    "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     "train_split": (q_train_split, sql_train_split),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "text_stats": (q_text_stats, sql_text_stats),

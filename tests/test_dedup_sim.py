@@ -350,3 +350,45 @@ def test_hash_col_negative_ids_match_sql_and_are_uniform(spark):
 
     with pytest.raises(ValueError, match="salt"):
         SA.hash_col("doc_id", -1)
+
+
+def test_dedup_clusters_transitive_chain_and_singletons(spark):
+    # near-dup similarity is NOT transitive: a-b and b-c pairs must
+    # still land a, b, c in ONE cluster with min-id canonical; d is a
+    # singleton; e-f a separate pair
+    docs = spark.createDataFrame(
+        [(i,) for i in (10, 20, 30, 40, 50, 60)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (50, 60)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"], r["cluster_size"])
+           for r in DD.dedup_clusters(docs, pairs).collect()}
+    assert out == {
+        10: (10, True, 3), 20: (10, False, 3), 30: (10, False, 3),
+        40: (40, True, 1), 50: (50, True, 2), 60: (50, False, 2),
+    }
+    kept = sorted(r["doc_id"] for r in DD.dedup_keep(docs, pairs).collect())
+    assert kept == [10, 40, 50]
+
+
+def test_dedup_clusters_matches_networkless_oracle(spark, docs):
+    # real simhash pairs on the sf0.01 documents: cluster assignment
+    # equals a driver-side union-find over the same pairs
+    pairs = DD.simhash_near_dup(docs, max_hamming=3, bands=4)
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in DD.dedup_clusters(docs, pairs).collect()}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for r in docs.select("doc_id").collect():
+        d = r["doc_id"]
+        assert got[d] == find(d), d

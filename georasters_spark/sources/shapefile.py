@@ -388,3 +388,103 @@ def load_shapefile(spark, base: str, name_field: str = "NAME"):
     return spark.createDataFrame(
         rows, "zone_id long, name string, "
               "rings array<array<array<double>>>, crs string")
+
+
+# --------------------------------------------------------------------------
+# sink: WKT-polygon DataFrame -> .shp/.shx/.dbf/.prj files
+# --------------------------------------------------------------------------
+
+def parse_wkt_polygon(wkt: str) -> list:
+    """``POLYGON ((x y, ...), (x y, ...))`` → list of OPEN rings
+    (closing vertex stripped).  Only the POLYGON form `polygonize_geoms`
+    emits is accepted; anything else raises."""
+    s = wkt.strip()
+    if not s.upper().startswith("POLYGON"):
+        raise ValueError(f"shp sink: not a POLYGON WKT: {s[:40]!r}")
+    body = s[s.index("(") + 1: s.rindex(")")].strip()
+    rings = []
+    depth = 0
+    start = None
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                pts = []
+                for tok in body[start:i].split(","):
+                    x, y = tok.split()
+                    pts.append((float(x), float(y)))
+                if len(pts) > 1 and pts[0] == pts[-1]:
+                    pts = pts[:-1]
+                rings.append(pts)
+    if not rings or depth != 0:
+        raise ValueError(f"shp sink: malformed POLYGON WKT: {s[:40]!r}")
+    return rings
+
+
+def _dbf_fields_for(schema) -> list:
+    """Map a Spark schema (minus the wkt column) onto dBASE III field
+    descriptors: integers → N(18,0), floats → N(24,10), booleans → L,
+    strings → C(64)."""
+    fields = []
+    for f in schema:
+        if f.name == "wkt":
+            continue
+        t = f.dataType.simpleString()
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            fields.append((f.name[:10].upper(), "N", 18, 0))
+        elif t in ("float", "double"):
+            fields.append((f.name[:10].upper(), "N", 24, 10))
+        elif t == "boolean":
+            fields.append((f.name[:10].upper(), "L", 1, 0))
+        elif t == "string":
+            fields.append((f.name[:10].upper(), "C", 64, 0))
+        else:
+            raise ValueError(f"shp sink: no dbf mapping for {f.name}: {t}")
+    return fields
+
+
+def write_shapefile(df, base: str, wkt_col: str = "wkt",
+                    crs_wkt: str | None = None) -> int:
+    """Write a WKT-polygon DataFrame (the `polygonize_geoms` shape:
+    one row per region, a ``wkt`` POLYGON column + attribute columns)
+    as ``base + '.shp'/'.shx'/'.dbf'`` (+ ``'.prj'`` when ``crs_wkt``
+    is given) — the reference's ``to_geopandas().to_file()`` sink
+    (georasters.py:1717-1738 + geopandas) from scratch.  Returns the
+    record count.
+
+    Scale note: a single .shp is an inherently eager single-file
+    format (32-bit offsets, monolithic header) — this sink collects
+    the one-row-per-REGION vector table, the same deliberate
+    small-side boundary as ``geotiff.assemble_tiff`` (the distributed
+    twin is simply keeping the geometry DataFrame); the raster-side
+    pixel tables never pass through here."""
+    cols = [f for f in df.schema if f.name != wkt_col]
+    rows = df.select(wkt_col, *[f.name for f in cols]).collect()
+    shapes = [parse_wkt_polygon(r[wkt_col]) for r in rows]
+    shp, shx = encode_shp(shapes)
+    fields = _dbf_fields_for([f for f in df.schema if f.name != wkt_col])
+    recs = []
+    for r in rows:
+        rec = {}
+        for f, (fname, ftype, _, _) in zip(cols, fields):
+            v = r[f.name]
+            if ftype == "N" and v is not None and f.dataType.simpleString() in (
+                    "float", "double"):
+                v = float(v)
+            rec[fname] = v
+        recs.append(rec)
+    dbf = encode_dbf(fields, recs)
+    with open(base + ".shp", "wb") as f:
+        f.write(shp)
+    with open(base + ".shx", "wb") as f:
+        f.write(shx)
+    with open(base + ".dbf", "wb") as f:
+        f.write(dbf)
+    if crs_wkt is not None:
+        with open(base + ".prj", "w") as f:
+            f.write(crs_wkt)
+    return len(rows)

@@ -134,3 +134,77 @@ def test_load_shapefile_dataframe(spark, tmp_path):
     assert rows["tri"]["zone_id"] == 1 and rows["tri"]["crs"] == "wgs84"
     assert len(rows["donut"]["rings"]) == 2
     assert rows["donut"]["rings"][1][0] == [5.0, 5.0]
+
+
+# --------------------------------------------------------------------------
+# sink: write_shapefile (the reference's to_geopandas().to_file() workflow)
+# --------------------------------------------------------------------------
+
+def test_parse_wkt_polygon():
+    rings = shp.parse_wkt_polygon(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2))")
+    assert len(rings) == 2
+    # closing vertex stripped
+    assert rings[0] == [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    assert rings[1][0] == (2.0, 2.0) and len(rings[1]) == 4
+    with pytest.raises(ValueError, match="not a POLYGON"):
+        shp.parse_wkt_polygon("LINESTRING (0 0, 1 1)")
+    with pytest.raises(ValueError, match="malformed"):
+        shp.parse_wkt_polygon("POLYGON ( )")
+
+
+def test_write_shapefile_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "tri", 0.5, True,
+          "POLYGON ((0 0, 10 0, 5 8, 0 0))"),
+         (2, "donut", 2.25, False,
+          "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0),"
+          " (5 5, 15 5, 15 15, 5 15, 5 5))")],
+        "zone_id long, name string, score double, ok boolean, wkt string")
+    wgs84 = ('GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+             'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+             'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]')
+    base = str(tmp_path / "out")
+    n = shp.write_shapefile(df, base, crs_wkt=wgs84)
+    assert n == 2
+    # read back through the independent source path
+    back = shp.load_shapefile(spark, base, name_field="NAME")
+    rows = {r["name"]: r for r in back.collect()}
+    assert rows["tri"]["crs"] == "wgs84"
+    assert len(rows["donut"]["rings"]) == 2
+    assert rows["donut"]["rings"][1][0] == [5.0, 5.0]
+    # attributes survive with dbf typing
+    _, recs = shp.decode_dbf((tmp_path / "out.dbf").read_bytes())
+    by_name = {r["NAME"].strip(): r for r in recs}
+    assert by_name["tri"]["ZONE_ID"] == 1
+    assert abs(by_name["donut"]["SCORE"] - 2.25) < 1e-9
+    assert by_name["tri"]["OK"] is True and by_name["donut"]["OK"] is False
+
+
+def test_write_shapefile_from_polygonize_geoms(spark, tmp_path):
+    """End-to-end reference workflow (georasters.py:1717-1738): raster →
+    polygonize_geoms → .shp on disk → zones_from_shp gives back regions
+    whose hole structure matches n_rings."""
+    from georasters_spark.operators.algebra import polygonize_geoms
+
+    rows = [(0, 0, 1.0)]
+    rows += [(10 + r, 10 + c, 3.0) for r in range(3) for c in range(3)
+             if not (r == 1 and c == 1)]
+    px = spark.createDataFrame(rows, "row long, col long, value double")
+    geoms = polygonize_geoms(px, (0.0, 0.0), (1.0, -1.0))
+    base = str(tmp_path / "regions")
+    n = shp.write_shapefile(geoms, base)
+    assert n == 2
+    data = (tmp_path / "regions.shp").read_bytes()
+    dbf = (tmp_path / "regions.dbf").read_bytes()
+    zones, attrs = shp.zones_from_shp(data, dbf, name_field="REGION_ID")
+    n_rings = {float(a["VALUE"]): len(z.rings) for z, a in zip(zones, attrs)}
+    assert n_rings == {1.0: 1, 3.0: 2}
+
+
+def test_write_shapefile_rejects_unmappable(spark, tmp_path):
+    df = spark.createDataFrame(
+        [([1, 2], "POLYGON ((0 0, 1 0, 0 1, 0 0))")],
+        "arr array<int>, wkt string")
+    with pytest.raises(ValueError, match="no dbf mapping"):
+        shp.write_shapefile(df, str(tmp_path / "bad"))

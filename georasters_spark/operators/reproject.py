@@ -82,8 +82,8 @@ def gather_from_tiles(tgt: DataFrame, images: DataFrame,
 
     # floor division via floor(): SQL DIV truncates toward zero, which
     # would fold negative (out-of-range) indices into tile 0
-    t_w = int(images.select("w").first()["w"])
-    t_h = int(images.select("h").first()["h"])
+    dims = images.select("w", "h").first()
+    t_w, t_h = int(dims["w"]), int(dims["h"])
     keyed = tgt.select(
         "trow", "tcol", "row", "col", *carry,
         F.floor(F.col("row") / F.lit(t_h)).cast("long").alias("_tr"),
@@ -98,6 +98,16 @@ def gather_from_tiles(tgt: DataFrame, images: DataFrame,
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         out = left[["trow", "tcol", *carry]].copy()
         vals = np.full(len(left), np.nan)
+        if len(right) > 1:
+            # one row per (tile_row, tile_col) is the tiles-table
+            # contract; silently decoding right.iloc[0] on a mosaic /
+            # unioned images table would mix grids nondeterministically
+            raise ValueError(
+                "gather_from_tiles: "
+                f"{len(right)} image rows share tile "
+                f"({int(right['tile_row'].iloc[0])},"
+                f" {int(right['tile_col'].iloc[0])}); "
+                "resolve duplicates (e.g. union_mosaic) first")
         if len(right):
             t = right.iloc[0]
             ndv = float(t["ndv"])
@@ -1186,22 +1196,13 @@ def _kernel_gather_spline(px: DataFrame, target: DataFrame, u, v,
     the coefficients already encode interpolation, so value =
     Σ w·c exactly (matching skimage's reflecting warp, unlike the
     nodata-renormalizing _kernel_gather)."""
-    offs, wfun = _kernel_offsets_wfun("bspline")
-    tgt = target.select(
+    # the shared corner lattice, with row/col wrapped into [0, n) by the
+    # mirror rule (only the indexing differs from the renormalizing plans)
+    corners = _kernel_corners(target, u, v, "bspline").select(
         "trow", "tcol",
-        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
-        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
-    )
-    corners = tgt.select(
-        "trow", "tcol", "r0", "c0", "du", "dv",
-        F.explode(F.array(*[F.struct(F.lit(i).alias("a"), F.lit(j).alias("b"))
-                            for i in offs for j in offs])).alias("o"),
-    ).select(
-        "trow", "tcol",
-        _mirror_idx(F.col("r0") + F.col("o.a"), h).alias("row"),
-        _mirror_idx(F.col("c0") + F.col("o.b"), w).alias("col"),
-        (wfun(F.abs(F.col("o.a") - F.col("du")))
-         * wfun(F.abs(F.col("o.b") - F.col("dv")))).alias("wgt"),
+        _mirror_idx(F.col("row"), h).alias("row"),
+        _mirror_idx(F.col("col"), w).alias("col"),
+        "wgt",
     )
     j = corners.join(px.select("row", "col", "value"), ["row", "col"])
     return j.groupBy("trow", "tcol").agg(

@@ -4782,6 +4782,10 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "jaccard_pairs": (q_jaccard_pairs, sql_jaccard_pairs),
     "minhash_dedup": (q_minhash_dedup, sql_minhash_dedup),
+    # dedup_clusters is r6-NEW (not r5-checked, despite sitting in this
+    # block): like reproject_tiles it arrived after the 50-gate driver
+    # window was full; locally oracle-checked this round — rotate it
+    # into the window FIRST in r7 alongside the other r6-new gates
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     "train_split": (q_train_split, sql_train_split),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),

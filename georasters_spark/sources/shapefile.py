@@ -201,10 +201,12 @@ def encode_shp(shapes: list, shape_type: int = SHP_POLYGON):
 # .dbf (dBASE III)
 # --------------------------------------------------------------------------
 
-def decode_dbf(buf: bytes):
+def decode_dbf(buf: bytes, include_deleted: bool = False):
     """.dbf bytes → (fields, rows).  fields: [(name, type, length,
     decimals)]; rows: list of dicts with typed values.  Deleted records
-    (flag 0x2A) are skipped."""
+    (flag 0x2A) are skipped by default; ``include_deleted=True`` keeps
+    them as ``None`` placeholders so row index == record index (needed
+    when pairing attributes positionally with .shp records)."""
     if len(buf) < 33:
         raise ValueError("dbf: truncated header")
     version = buf[0]
@@ -238,6 +240,8 @@ def decode_dbf(buf: bytes):
             raise ValueError("dbf: truncated record")
         pos += rsize
         if rec[0] == 0x2A:  # deleted
+            if include_deleted:
+                rows.append(None)
             continue
         if rec[0] != 0x20:
             raise ValueError(f"dbf: bad deletion flag 0x{rec[0]:02x}")
@@ -261,9 +265,11 @@ def _dbf_value(ftype: str, fdec: int, raw: bytes):
             return None
         return float(s) if (fdec > 0 or "." in s or ftype == "F") else int(s)
     if ftype == "L":
-        if s in "YyTt":
+        # tuple membership, not substring: a zero-length raw value must
+        # decode to None, but '' in "YyTt" would be True
+        if s in ("Y", "y", "T", "t"):
             return True
-        if s in "NnFf":
+        if s in ("N", "n", "F", "f"):
             return False
         return None
     if ftype == "D":
@@ -335,31 +341,41 @@ def zones_from_shp(shp: bytes, dbf: bytes | None = None,
     a list of ``synth.Zone`` (rings open, outer+holes together — the
     even-odd PIP needs no outer/hole split), plus the attribute rows.
     Returns ``(zones, attrs)``; zone_id is 1-based record order unless
-    ``id_field`` names a numeric .dbf column."""
+    ``id_field`` names a numeric .dbf column.
+
+    Attribute pairing is POSITIONAL per the ESRI convention: one .dbf
+    row per .shp record INCLUDING Null shapes (a null shape's attribute
+    row is consumed and dropped with it).  Deleted .dbf rows are kept
+    as alignment placeholders; one attached to a live shape is a
+    shp/dbf inconsistency and raises."""
     from .synth import Zone
 
     recs = decode_shp(shp)
-    attrs = []
+    attrs_by_rec = None
     if dbf is not None:
-        _, attrs = decode_dbf(dbf)
-        live = [r for r in recs if r["shape_type"] != SHP_NULL]
-        if len(attrs) != len(live):
+        _, attrs_by_rec = decode_dbf(dbf, include_deleted=True)
+        if len(attrs_by_rec) != len(recs):
             raise ValueError(
-                f"shapefile: {len(live)} shapes but {len(attrs)} dbf rows")
-    zones = []
-    ai = 0
-    for r in recs:
+                f"shapefile: {len(recs)} shp records but "
+                f"{len(attrs_by_rec)} dbf rows")
+    zones, attrs = [], []
+    for i, r in enumerate(recs):
         if r["shape_type"] == SHP_NULL:
             continue
         if r["shape_type"] not in _POLY_TYPES or r["shape_type"] in (3, 13, 23):
             raise ValueError("shapefile: zones need polygon records")
-        row = attrs[ai] if attrs else {}
-        ai += 1
+        row = attrs_by_rec[i] if attrs_by_rec is not None else {}
+        if row is None:
+            raise ValueError(
+                f"shapefile: record {r['rec_no']} is a live shape but its "
+                "dbf row is flagged deleted")
         zid = int(row[id_field]) if id_field else r["rec_no"]
         name = str(row.get(name_field, f"shape_{r['rec_no']}"))
         rings = tuple(
             tuple(p[:-1] if p[0] == p[-1] else p) for p in r["parts"])
         zones.append(Zone(zid, name, rings, convex=False))
+        if attrs_by_rec is not None:
+            attrs.append(row)
     return zones, attrs
 
 
@@ -425,14 +441,23 @@ def parse_wkt_polygon(wkt: str) -> list:
     return rings
 
 
-def _dbf_fields_for(schema) -> list:
-    """Map a Spark schema (minus the wkt column) onto dBASE III field
-    descriptors: integers → N(18,0), floats → N(24,10), booleans → L,
-    strings → C(64)."""
+def _dbf_fields_for(schema, wkt_col: str = "wkt") -> list:
+    """Map a Spark schema (minus the geometry column) onto dBASE III
+    field descriptors: integers → N(18,0), floats → N(24,10), booleans
+    → L, strings → C(64).  dBASE caps names at 10 chars; two columns
+    truncating to the same uppercase name would silently merge, so
+    collisions raise."""
     fields = []
+    seen = {}
     for f in schema:
-        if f.name == "wkt":
+        if f.name == wkt_col:
             continue
+        fname = f.name[:10].upper()
+        if fname in seen:
+            raise ValueError(
+                f"shp sink: columns {seen[fname]!r} and {f.name!r} both "
+                f"truncate to dbf field name {fname!r}")
+        seen[fname] = f.name
         t = f.dataType.simpleString()
         if t in ("tinyint", "smallint", "int", "bigint"):
             fields.append((f.name[:10].upper(), "N", 18, 0))
@@ -466,7 +491,7 @@ def write_shapefile(df, base: str, wkt_col: str = "wkt",
     rows = df.select(wkt_col, *[f.name for f in cols]).collect()
     shapes = [parse_wkt_polygon(r[wkt_col]) for r in rows]
     shp, shx = encode_shp(shapes)
-    fields = _dbf_fields_for([f for f in df.schema if f.name != wkt_col])
+    fields = _dbf_fields_for(df.schema, wkt_col=wkt_col)
     recs = []
     for r in rows:
         rec = {}

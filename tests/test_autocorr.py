@@ -212,8 +212,12 @@ def test_local_permutation_test_numpy_mirror(spark):
 
 
 def test_resize_interp_orders(spark):
-    """resize_grid orders 1 and 3 == numpy mirror of the identity-grid
-    gather; order 0 unchanged; unknown order refuses."""
+    """resize_grid order 1 and order 3 (prefilter=False, the Catmull-Rom
+    nodata path) == numpy mirror of the identity-grid gather; order 0
+    unchanged; unknown order refuses.  order=3 with the default
+    prefilter=True is the skimage-parity B-spline, oracle-checked in
+    test_reproject.test_resize_cubic_spline_vs_numpy_oracle and the
+    resize_cubic_spline gate."""
     import pytest
     from georasters_spark.operators import reproject as RP
 
@@ -228,7 +232,8 @@ def test_resize_interp_orders(spark):
     out = (18, 10)  # rows up, cols down
     th, tw = out
     for order, kern in ((1, None), (3, "catmull")):
-        got = (RP.resize_grid(px, (h, w), out, order=order)
+        kw = {"prefilter": False} if order == 3 else {}
+        got = (RP.resize_grid(px, (h, w), out, order=order, **kw)
                .toPandas().set_index(["trow", "tcol"]).sort_index())
         assert len(got) == th * tw
         tr, tc = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")

@@ -1121,3 +1121,15 @@ def test_bilinear_tiles_matches_pixel_join(spark, images_t1):
         else:
             assert vb == pytest.approx(va, abs=2e-6), key
     assert sum(1 for v, _ in a.values() if v is not None) > 5000
+
+
+def test_gather_from_tiles_rejects_duplicate_tile_keys(spark, images_t1):
+    """A unioned/mosaic images table with two rows for the same
+    (tile_row, tile_col) must raise, not decode an arbitrary one."""
+    spec = synth.T1
+    kw = dict(src_origin=(spec.x0, spec.y0),
+              src_cellsize=(spec.cellx, spec.celly),
+              src_shape=(spec.height, spec.width), out_shape=(30, 60))
+    doubled = images_t1.unionByName(images_t1.limit(1))
+    with pytest.raises(Exception, match="image rows share tile"):
+        RP.wgs84_to_cea_grid(None, images=doubled, **kw).collect()

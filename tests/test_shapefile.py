@@ -208,3 +208,68 @@ def test_write_shapefile_rejects_unmappable(spark, tmp_path):
         "arr array<int>, wkt string")
     with pytest.raises(ValueError, match="no dbf mapping"):
         shp.write_shapefile(df, str(tmp_path / "bad"))
+
+
+# --------------------------------------------------------------------------
+# round-6 review fixes: positional dbf pairing, name collisions, L decode
+# --------------------------------------------------------------------------
+
+def test_zones_from_shp_null_record_consumes_attr_row():
+    """ESRI pairs one dbf row with EVERY shp record including Null
+    shapes: the null's attribute row is consumed, not misaligned."""
+    data, _ = shp.encode_shp([TRI, None, DONUT])
+    dbf = shp.encode_dbf([("NAME", "C", 6, 0)],
+                         [{"NAME": "tri"}, {"NAME": "gone"},
+                          {"NAME": "donut"}])
+    zones, attrs = shp.zones_from_shp(data, dbf)
+    assert [z.name for z in zones] == ["tri", "donut"]
+    assert [a["NAME"] for a in attrs] == ["tri", "donut"]
+    # count check is against ALL records now
+    short = shp.encode_dbf([("NAME", "C", 6, 0)],
+                           [{"NAME": "tri"}, {"NAME": "donut"}])
+    with pytest.raises(ValueError, match="3 shp records but 2 dbf rows"):
+        shp.zones_from_shp(data, short)
+
+
+def test_zones_from_shp_deleted_dbf_row():
+    """A deleted dbf row stays as an alignment placeholder; attached to
+    a live shape it raises instead of shifting attributes."""
+    data, _ = shp.encode_shp([TRI, DONUT])
+    dbf = shp.encode_dbf([("NAME", "C", 6, 0)],
+                         [{"NAME": "tri"}, {"NAME": "donut"}])
+    hsize = struct.unpack_from("<H", dbf, 8)[0]
+    mut = bytearray(dbf)
+    mut[hsize] = 0x2A  # delete record 0 (live shape) -> inconsistency
+    with pytest.raises(ValueError, match="flagged deleted"):
+        shp.zones_from_shp(data, bytes(mut))
+    f, rows = shp.decode_dbf(bytes(mut), include_deleted=True)
+    assert rows[0] is None and rows[1]["NAME"] == "donut"
+
+
+def test_dbf_field_name_collision_raises(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, "POLYGON ((0 0, 1 0, 0 1, 0 0))")],
+        "population_a double, population_b double, wkt string")
+    with pytest.raises(ValueError, match="truncate to dbf field name"):
+        shp.write_shapefile(df, str(tmp_path / "c"))
+
+
+def test_write_shapefile_custom_wkt_col_with_wkt_attribute(spark, tmp_path):
+    """A non-geometry column literally named 'wkt' must survive as an
+    ordinary C attribute when the geometry column is custom-named."""
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 4 0, 0 4, 0 0))", "label-a", 7)],
+        "geometry string, wkt string, score long")
+    base = str(tmp_path / "w")
+    assert shp.write_shapefile(df, base, wkt_col="geometry") == 1
+    _, recs = shp.decode_dbf((tmp_path / "w.dbf").read_bytes())
+    assert recs[0]["WKT"].strip() == "label-a"
+    assert recs[0]["SCORE"] == 7
+
+
+def test_dbf_logical_empty_width_is_none():
+    # hand-build a dbf with an L field of declared width 0: raw b'' must
+    # decode to None (substring membership would have said True)
+    assert shp._dbf_value("L", 0, b"") is None
+    assert shp._dbf_value("L", 1, b"T") is True
+    assert shp._dbf_value("L", 1, b"?") is None

@@ -114,27 +114,30 @@ def focal_sums(px: DataFrame, k: int, tile: int = 64, round_dp: int = 6) -> Data
     (row, col, value, fsum, fcnt, fmean). Integer inputs stay exact
     BIGINTs through the window sums; fmean = round(double(fsum)/fcnt)."""
 
+    m = k // 2
+
     def fn(swv, swm):
         v = np.where(swm, swv, 0.0)
         fsum = v.sum(axis=(2, 3))
         fcnt = swm.sum(axis=(2, 3))
-        return {"fsum": fsum, "fcnt": fcnt.astype(np.float64)}
+        # the window center IS the cell's own value (valid interior
+        # cells only ever emit), so return it here instead of a second
+        # full-table shuffle join back against px
+        return {"value": swv[:, :, m, m], "fsum": fsum,
+                "fcnt": fcnt.astype(np.float64)}
 
     raw = focal_apply(
         px.select("row", "col", F.col("value").cast("long").alias("value")),
         fn, k, tile=tile,
-        out_schema="row long, col long, fsum double, fcnt double",
+        out_schema="row long, col long, value double, fsum double, fcnt double",
     )
-    out = raw.select(
+    return raw.select(
         "row", "col",
+        F.col("value").cast("long").alias("value"),
         F.col("fsum").cast("long").alias("fsum"),
         F.col("fcnt").cast("long").alias("fcnt"),
         F.round(F.col("fsum") / F.col("fcnt"), round_dp).alias("fmean"),
     )
-    return out.join(
-        px.select("row", "col", F.col("value").cast("long").alias("value")),
-        ["row", "col"],
-    ).select("row", "col", "value", "fsum", "fcnt", "fmean")
 
 
 def focal_sums_sql(px_cte: str, k: int, round_dp: int = 6) -> str:

@@ -232,36 +232,38 @@ def _merge_labels_distributed(eset: DataFrame) -> DataFrame:
         .select(F.col("la").alias("node"), F.least("la", "m").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    while True:
+    def step(cur):
         # neighbor-min propagation: comp'[a] = min(comp[a], min_b comp[b])
         nb = (
             sym.join(
-                comp.select(F.col("node").alias("lb"), F.col("comp").alias("cb")), "lb"
+                cur.select(F.col("node").alias("lb"), F.col("comp").alias("cb")), "lb"
             )
             .groupBy("la")
             .agg(F.min("cb").alias("nmin"))
         )
-        c1 = comp.join(nb.withColumnRenamed("la", "node"), "node", "left").select(
+        c1 = cur.join(nb.withColumnRenamed("la", "node"), "node", "left").select(
             "node", F.least("comp", F.coalesce("nmin", "comp")).alias("comp")
         )
         # pointer jump: comp''[x] = comp'[comp'[x]] (comp' values are
         # themselves nodes, so the inner self-join always matches)
-        c2 = (
+        return (
             c1.alias("x")
             .join(c1.alias("p"), F.col("x.comp") == F.col("p.node"))
             .select(F.col("x.node").alias("node"), F.col("p.comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            c2.alias("n")
-            .join(comp.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        comp = c2
-        if changed == 0:
+
+    # comp is per-node monotone non-increasing and bounded below, so
+    # Σcomp is stationary iff every node is stationary — one cheap agg
+    # per round replaces a join-based changed check (the label graph is
+    # orders smaller than the raster, so rounds cost scheduling
+    # overhead, not data; fewer/narrower jobs per round win)
+    prev = None
+    while True:
+        comp = step(comp).localCheckpoint(eager=True)
+        row = comp.agg(F.sum("comp").alias("s")).collect()[0]
+        if row["s"] == prev:
             break
+        prev = row["s"]
     return comp.select(F.col("node").alias("label"), F.col("comp").alias("root"))
 
 
@@ -293,53 +295,81 @@ def polygonize_labels(
         raise ValueError("merge must be auto|driver|distributed")
     spark = px.sparkSession
     tile = 64
-    bfs_steps = (
-        ((1, 0), (-1, 0), (0, 1), (0, -1))
-        if connectivity == 4
-        else ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1))
-    )
 
     keyed = px.withColumn("trow", F.floor(F.col("row") / tile).cast("int")).withColumn(
         "tcol", F.floor(F.col("col") / tile).cast("int")
     )
 
     def label_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # vectorized two-pass run labeling (replaces a per-pixel Python
+        # BFS): horizontal equal-value runs get ids from one cumsum;
+        # runs touching vertically (and diagonally for connectivity=8)
+        # union via find-union over the DEDUPED pair set (a few hundred
+        # pairs per tile, not one Python step per pixel). Label VALUES
+        # differ from the old BFS order, but every consumer (gates,
+        # driver-vs-distributed test) treats labels as opaque per-region
+        # tokens, and both merge modes share this same labeler.
         ty, tx = int(key[0]), int(key[1])
         r = pdf["row"].to_numpy(np.int64) - ty * tile
         c = pdf["col"].to_numpy(np.int64) - tx * tile
         v = pdf["value"].to_numpy()
         grid = np.full((tile, tile), np.nan)
         grid[r, c] = v
-        lab = np.full((tile, tile), -1, dtype=np.int64)
-        nxt = 0
-        # simple BFS labeling per tile
         filled = ~np.isnan(grid)
-        for i, j in zip(*np.nonzero(filled)):
-            if lab[i, j] >= 0:
-                continue
-            stack = [(i, j)]
-            lab[i, j] = nxt
-            while stack:
-                a, b = stack.pop()
-                for da, db in bfs_steps:
-                    na, nb = a + da, b + db
-                    if (
-                        0 <= na < tile
-                        and 0 <= nb < tile
-                        and filled[na, nb]
-                        and lab[na, nb] < 0
-                        and grid[na, nb] == grid[a, b]
-                    ):
-                        lab[na, nb] = nxt
-                        stack.append((na, nb))
-            nxt += 1
+        start = filled.copy()
+        start[:, 1:] = filled[:, 1:] & ~(
+            filled[:, :-1] & (grid[:, 1:] == grid[:, :-1])
+        )
+        run = np.where(
+            filled, np.cumsum(start.ravel()).reshape(tile, tile) - 1, -1
+        )
+        nrun = int(start.sum())
+        parent = np.arange(nrun, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union_mask(sl_a, sl_b, mask):
+            pa, pb = run[sl_a][mask], run[sl_b][mask]
+            if not len(pa):
+                return
+            for x, y in np.unique(np.stack([pa, pb], 1), axis=0):
+                rx, ry = find(int(x)), find(int(y))
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+
+        dn = (slice(1, None), slice(None))
+        up = (slice(None, -1), slice(None))
+        union_mask(dn, up, filled[dn] & filled[up] & (grid[dn] == grid[up]))
+        if connectivity == 8:
+            se = (slice(1, None), slice(1, None))
+            nw = (slice(None, -1), slice(None, -1))
+            union_mask(se, nw, filled[se] & filled[nw] & (grid[se] == grid[nw]))
+            sw = (slice(1, None), slice(None, -1))
+            ne = (slice(None, -1), slice(1, None))
+            union_mask(sw, ne, filled[sw] & filled[ne] & (grid[sw] == grid[ne]))
+        # full path compression, vectorized (find() keeps chains short)
+        while True:
+            p2 = parent[parent]
+            if np.array_equal(p2, parent):
+                break
+            parent = p2
+        cell_run = run[r, c]
+        if nrun:
+            # -1 wraps to parent[-1] but is masked back to -1 below
+            lab = np.where(cell_run >= 0, parent[cell_run], np.int64(-1))
+        else:  # every provided cell had a NaN value
+            lab = np.full(len(cell_run), -1, dtype=np.int64)
         gl = (np.int64(ty) << 40) | (np.int64(tx) << 24)  # globally unique label base
         out = pd.DataFrame(
             {
                 "row": pdf["row"].to_numpy(np.int64),
                 "col": pdf["col"].to_numpy(np.int64),
                 "value": v.astype(np.float64),
-                "label": gl | lab[r, c],
+                "label": gl | lab,
             }
         )
         return out
@@ -355,22 +385,31 @@ def polygonize_labels(
         F.col("value").alias("vb"), F.col("label").alias("lb"),
     )
     # cross-tile adjacency directions + the border-band prefilter for
-    # each (only cells whose neighbor can be in another tile join)
+    # BOTH sides (only cells whose neighbor can be in another tile
+    # join, and only cells a border cell can reach are join targets —
+    # without the right-side band the full pixel table shuffles per
+    # direction; with it both sides are O(border))
     dirs = [
-        ((0, 1), (F.col("col") + 1) % tile == 0),
-        ((1, 0), (F.col("row") + 1) % tile == 0),
+        ((0, 1), (F.col("col") + 1) % tile == 0,
+         F.col("col_b") % tile == 0),
+        ((1, 0), (F.col("row") + 1) % tile == 0,
+         F.col("row_b") % tile == 0),
     ]
     if connectivity == 8:
         dirs += [
-            ((1, 1), ((F.col("row") + 1) % tile == 0) | ((F.col("col") + 1) % tile == 0)),
-            ((1, -1), ((F.col("row") + 1) % tile == 0) | (F.col("col") % tile == 0)),
+            ((1, 1),
+             ((F.col("row") + 1) % tile == 0) | ((F.col("col") + 1) % tile == 0),
+             (F.col("row_b") % tile == 0) | (F.col("col_b") % tile == 0)),
+            ((1, -1),
+             ((F.col("row") + 1) % tile == 0) | (F.col("col") % tile == 0),
+             (F.col("row_b") % tile == 0) | ((F.col("col_b") + 1) % tile == 0)),
         ]
     edges = []
-    for (dr, dc), band in dirs:
+    for (dr, dc), band, band_b in dirs:
         e = (
             a.filter(band)
             .join(
-                b,
+                b.filter(band_b),
                 (F.col("row") + dr == F.col("row_b"))
                 & (F.col("col") + dc == F.col("col_b"))
                 & (F.col("value") == F.col("vb")),

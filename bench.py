@@ -233,6 +233,12 @@ def run_heavy_block(spark, sf_dir: str, times: dict, cal: dict, imgs,
     _timed(times, cal, "focal_mean5_9M" + suffix,
            lambda: FO.focal_sums(dem9, k=5)
            .agg(F.count("fmean"), F.sum("fsum")).collect())
+    # r6: tiles-in stencil over the STORED tiles (decode-in-place +
+    # halo-strip exchange — ~80x less exchanged rows than the pixel
+    # halo plan at cluster scale; equivalence pytest-pinned)
+    _timed(times, cal, "focal_mean5_9M_tiles" + suffix,
+           lambda: FO.focal_sums_tiles(imgs, k=5)
+           .agg(F.count("fmean"), F.sum("fsum")).collect())
 
 
 def run_queries(spark, sf_dir: str):

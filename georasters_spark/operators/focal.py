@@ -161,3 +161,163 @@ s AS (
 SELECT row, col, value, fsum, fcnt,
        ROUND(CAST(fsum AS DOUBLE) / fcnt, {round_dp}) AS fmean
 FROM s"""
+
+
+# ---------------------------------------------------------------------------
+# tiles-in stencil: decode in place, exchange only halo strips
+# ---------------------------------------------------------------------------
+
+def _strips_from_tiles(images: DataFrame, m: int) -> DataFrame:
+    """Decode each stored tile ONCE (mapInPandas, no shuffle) and emit
+    only its width-m halo bands as pixel rows addressed to the
+    neighboring tiles' stencil tasks: (trow, tcol, row, col, value),
+    valid cells only.  Per tile that is ~2m(h+w)+4m² rows instead of
+    h·w — the stencil analog of gather_from_tiles' no-pixel-explode
+    rule."""
+    from ..sources import codec as _codec
+
+    def gen(batches):
+        cols = ["trow", "tcol", "row", "col", "value"]
+        for pdf in batches:
+            outs = []
+            for t in pdf.itertuples(index=False):
+                ndv = float(t.ndv)
+                arr = _codec.decode_tile(
+                    bytes(t.bytes), t.fmt, int(t.w), int(t.h), ndv
+                ).astype(np.float64)
+                h, w = arr.shape
+                ty, tx = int(t.tile_row), int(t.tile_col)
+                for da in (-1, 0, 1):
+                    for db in (-1, 0, 1):
+                        if da == 0 and db == 0:
+                            continue
+                        if ty + da < 0 or tx + db < 0:
+                            continue
+                        # the band of THIS tile adjacent to that neighbor
+                        rs = (slice(h - m, h) if da == 1
+                              else slice(0, m) if da == -1 else slice(0, h))
+                        cs = (slice(w - m, w) if db == 1
+                              else slice(0, m) if db == -1 else slice(0, w))
+                        sub = arr[rs, cs]
+                        vi, vj = np.nonzero(sub != ndv)
+                        if not len(vi):
+                            continue
+                        outs.append(pd.DataFrame({
+                            "trow": np.int64(ty + da),
+                            "tcol": np.int64(tx + db),
+                            "row": ty * h + (rs.start or 0) + vi.astype(np.int64),
+                            "col": tx * w + (cs.start or 0) + vj.astype(np.int64),
+                            "value": sub[vi, vj],
+                        }))
+            yield (pd.concat(outs) if outs
+                   else pd.DataFrame({c: [] for c in cols}))
+
+    return images.select(
+        "tile_row", "tile_col", "bytes", "fmt", "w", "h", "ndv"
+    ).mapInPandas(
+        gen, schema="trow long, tcol long, row long, col long, value double"
+    )
+
+
+def focal_apply_tiles(
+    images: DataFrame,
+    fn,
+    k: int,
+    out_schema: str = "row long, col long, value double",
+) -> DataFrame:
+    """`focal_apply` semantics straight off the stored tiles table —
+    the 100-TB stencil plan: tiles decode inside their own stencil task
+    (bytes move through ONE hash exchange on the tile key), and the
+    only pixel rows that ever cross tasks are the width-m halo strips.
+    No pixel explode, no halo replication of the interior.
+
+    fn(win, valid) is exactly the `focal_apply` kernel contract.
+    Requires the uniform-tile images layout (same w/h on every row;
+    duplicate tile keys raise, as in reproject.gather_from_tiles)."""
+    from ..sources import codec as _codec
+
+    m = k // 2
+    dims = images.select("w", "h").first()
+    t_w, t_h = int(dims["w"]), int(dims["h"])
+    if not (0 < m < min(t_h, t_w)):
+        raise ValueError("need 0 < k//2 < tile side")
+
+    def kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = [c.strip().split()[0] for c in out_schema.split(",")]
+        if not len(right):
+            # strips addressed past the grid edge: no home tile, no rows
+            return pd.DataFrame({c: [] for c in cols})
+        if len(right) > 1:
+            raise ValueError(
+                f"focal_apply_tiles: {len(right)} image rows share tile "
+                f"({int(key[0])}, {int(key[1])}); resolve duplicates first")
+        t = right.iloc[0]
+        ndv = float(t["ndv"])
+        arr = _codec.decode_tile(bytes(t["bytes"]), t["fmt"],
+                                 int(t["w"]), int(t["h"]), ndv
+                                 ).astype(np.float64)
+        h, w = arr.shape
+        ty, tx = int(t["tile_row"]), int(t["tile_col"])
+        side_r, side_c = h + 2 * m, w + 2 * m
+        val = np.full((side_r, side_c), np.nan)
+        center = arr.copy()
+        center[center == ndv] = np.nan
+        val[m:m + h, m:m + w] = center
+        if len(left):
+            lr = left["row"].to_numpy(np.int64) - (ty * h - m)
+            lc = left["col"].to_numpy(np.int64) - (tx * w - m)
+            val[lr, lc] = left["value"].to_numpy(np.float64)
+        valid = ~np.isnan(val)
+        swv = np.lib.stride_tricks.sliding_window_view(val, (k, k))
+        swm = np.lib.stride_tricks.sliding_window_view(valid, (k, k))
+        res = fn(swv, swm)
+        interior_valid = valid[m:-m, m:-m]
+        rr, cc = np.nonzero(interior_valid)
+        out = {
+            "row": rr.astype(np.int64) + ty * h,
+            "col": cc.astype(np.int64) + tx * w,
+        }
+        if isinstance(res, dict):
+            for name, a in res.items():
+                out[name] = a[rr, cc]
+        else:
+            out["value"] = res[rr, cc]
+        return pd.DataFrame(out)
+
+    imgs_keyed = images.select(
+        F.col("tile_row").cast("long").alias("tile_row"),
+        F.col("tile_col").cast("long").alias("tile_col"),
+        "bytes", "fmt", "w", "h", "ndv",
+    )
+    return (
+        _strips_from_tiles(images, m)
+        .groupBy("trow", "tcol")
+        .cogroup(imgs_keyed.groupBy("tile_row", "tile_col"))
+        .applyInPandas(kernel, schema=out_schema)
+    )
+
+
+def focal_sums_tiles(images: DataFrame, k: int,
+                     round_dp: int = 6) -> DataFrame:
+    """`focal_sums` off the stored tiles table via focal_apply_tiles —
+    value-identical to focal_sums(pixel_table(images, valid_only=True))
+    (pytest-pinned) with no pixel explode."""
+    m = k // 2
+
+    def fn(swv, swm):
+        v = np.where(swm, swv, 0.0)
+        return {"value": swv[:, :, m, m],
+                "fsum": v.sum(axis=(2, 3)),
+                "fcnt": swm.sum(axis=(2, 3)).astype(np.float64)}
+
+    raw = focal_apply_tiles(
+        images, fn, k,
+        out_schema="row long, col long, value double, fsum double, fcnt double",
+    )
+    return raw.select(
+        "row", "col",
+        F.col("value").cast("long").alias("value"),
+        F.col("fsum").cast("long").alias("fsum"),
+        F.col("fcnt").cast("long").alias("fcnt"),
+        F.round(F.col("fsum") / F.col("fcnt"), round_dp).alias("fmean"),
+    )

@@ -112,6 +112,37 @@ def horn_sums_halo(px: DataFrame, tile: int = 64) -> DataFrame:
     )
 
 
+def horn_sums_tiles(images: DataFrame) -> DataFrame:
+    """Horn sums straight off the stored tiles table (focal_apply_tiles:
+    decode-in-place + halo-strip exchange, no pixel explode) —
+    value-identical to horn_sums(pixel_table(images)) (pytest-pinned)."""
+    from .focal import focal_apply_tiles
+
+    WX = np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+    WY = WX.T
+
+    def fn(swv, swm):
+        v = np.where(swm, swv, 0.0)
+        return {
+            "value": swv[:, :, 1, 1],
+            "sx": (v * WX).sum(axis=(2, 3)),
+            "sy": (v * WY).sum(axis=(2, 3)),
+            "ncnt": (swm.sum(axis=(2, 3)) - swm[:, :, 1, 1]).astype(np.float64),
+        }
+
+    raw = focal_apply_tiles(
+        images, fn, k=3,
+        out_schema="row long, col long, value double, sx double, sy double, ncnt double",
+    )
+    return raw.select(
+        "row", "col",
+        F.col("value").cast("long").alias("value"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        F.col("ncnt").cast("long").alias("ncnt"),
+    )
+
+
 def slope_aspect_hillshade(
     px: DataFrame,
     cellsize: tuple[float, float],
@@ -120,13 +151,21 @@ def slope_aspect_hillshade(
     altitude: float = 45.0,
     round_dp: int = 6,
     plan: str = "join",
+    images: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cell (row, col, value, slope_deg, aspect_deg, hillshade) —
     NULL derivatives on cells without a full 3×3 window. plan='join'
-    (the gated neighbor-join form) or 'halo' (tile+halo grouped-map —
-    no 8x row replication through the shuffle; identical results)."""
+    (the gated neighbor-join form), 'halo' (tile+halo grouped-map — no
+    8x row replication through the shuffle), or 'tiles' (pass the
+    stored tiles table via images=; decode-in-place + halo-strip
+    exchange, no pixel explode at all); all value-identical."""
+    if plan == "tiles":
+        if images is None:
+            raise ValueError("plan='tiles' needs images=")
+        sums = horn_sums_tiles(images)
+    else:
+        sums = horn_sums(px) if plan == "join" else horn_sums_halo(px)
     cx, cy = cellsize
-    sums = horn_sums(px) if plan == "join" else horn_sums_halo(px)
     full = F.col("ncnt") == 8
     dzdx = F.col("sx") * F.lit(float(zfactor)) / F.lit(8.0 * abs(cx))
     dzdy = F.col("sy") * F.lit(float(zfactor)) / F.lit(8.0 * abs(cy))

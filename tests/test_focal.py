@@ -55,3 +55,25 @@ def test_focal_apply_generic_median_vs_numpy(spark, images_t1):
     g[got["row"].to_numpy(), got["col"].to_numpy()] = got["value"].to_numpy()
     both = valid
     assert np.allclose(g[both], exp[both], equal_nan=True)
+
+
+def test_focal_sums_tiles_matches_pixel_plan(spark, images_t1):
+    """The tiles-in stencil (decode-in-place + halo-strip exchange)
+    must be VALUE-IDENTICAL to the pixel halo-replication plan,
+    including ndv masking and tile-seam windows."""
+    from georasters_spark.operators import pixels as PX
+
+    px = PX.pixel_table(images_t1, valid_only=True).select(
+        "row", "col", "value")
+    a = {(r["row"], r["col"]): (r["value"], r["fsum"], r["fcnt"], r["fmean"])
+         for r in FO.focal_sums(px, k=5).collect()}
+    b = {(r["row"], r["col"]): (r["value"], r["fsum"], r["fcnt"], r["fmean"])
+         for r in FO.focal_sums_tiles(images_t1, k=5).collect()}
+    assert a == b and len(a) > 50000
+
+
+def test_focal_apply_tiles_duplicate_tile_raises(spark, images_t1):
+    doubled = images_t1.unionByName(images_t1.limit(1))
+    import pytest as _pt
+    with _pt.raises(Exception, match="image rows share tile"):
+        FO.focal_sums_tiles(doubled, k=3).collect()

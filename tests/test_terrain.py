@@ -138,3 +138,24 @@ def test_terrain_halo_plan_equals_join_plan(spark, images_t1):
     a = a.sort_values(["row", "col"]).reset_index(drop=True)
     b = b.sort_values(["row", "col"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_terrain_tiles_plan_matches_join(spark, images_t1):
+    """plan='tiles' (decode-in-place + halo strips) must equal the
+    gated neighbor-join plan cell-for-cell."""
+    from georasters_spark.operators import pixels as PX
+    from georasters_spark.operators import terrain as TR
+    from georasters_spark.sources import synth
+
+    spec = synth.T1
+    kw = dict(cellsize=(spec.cellx, spec.celly), zfactor=0.001)
+    px = PX.pixel_table(images_t1, valid_only=True).select(
+        "row", "col", "value")
+    a = {(r["row"], r["col"]): (r["value"], r["slope_deg"], r["aspect_deg"],
+                                r["hillshade"])
+         for r in TR.slope_aspect_hillshade(px, plan="join", **kw).collect()}
+    b = {(r["row"], r["col"]): (r["value"], r["slope_deg"], r["aspect_deg"],
+                                r["hillshade"])
+         for r in TR.slope_aspect_hillshade(
+             None, plan="tiles", images=images_t1, **kw).collect()}
+    assert a == b and len(a) > 50000

@@ -116,6 +116,42 @@ def pip_join(
     return pixel_df.mapInPandas(kernel, schema=out_schema)
 
 
+def _iter_zone_hits(batches, zlist, x0, y0, cx, cy, mode, padx, pady):
+    """Shared fused decode+PIP core: iterate Arrow batches of tile rows,
+    decode each tile once, and yield (zone_id, int64 value array of that
+    tile's hits in the zone).  Both fused partial kernels (moments and
+    value-counts) consume this, so their hit sets are identical by
+    construction."""
+    from ..sources import codec
+
+    for pdf in batches:
+        for t in pdf.itertuples(index=False):
+            arr = codec.decode_tile(
+                bytes(t.bytes), t.fmt, int(t.w), int(t.h), float(t.ndv)
+            ).astype(np.float64)
+            h, w = arr.shape
+            gr = (int(t.tile_row) * h + np.arange(h, dtype=np.int64))[:, None]
+            gc = (int(t.tile_col) * w + np.arange(w, dtype=np.int64))[None, :]
+            valid = arr != float(t.ndv)
+            xc = x0 + (np.broadcast_to(gc, (h, w))[valid] + 0.5) * cx
+            yc = y0 + (np.broadcast_to(gr, (h, w))[valid] + 0.5) * cy
+            vals = arr[valid].astype(np.int64)
+            for zid, rings, (bx0, by0, bx1, by1) in zlist:
+                cand = (
+                    (xc >= bx0 - padx) & (xc <= bx1 + padx)
+                    & (yc >= by0 - pady) & (yc <= by1 + pady)
+                )
+                if not cand.any():
+                    continue
+                if mode == "center":
+                    hit = geom.points_in_rings(xc[cand], yc[cand], rings)
+                else:
+                    hit = geom.cells_touched(xc[cand], yc[cand], cx, cy, rings)
+                if not hit.any():
+                    continue
+                yield zid, vals[cand][hit]
+
+
 def zonal_stats_fused(
     images: DataFrame,
     zones,
@@ -146,41 +182,15 @@ def zonal_stats_fused(
     pruned = prune_tiles(images, zones)
 
     def kernel(batches):
-        from ..sources import codec
-
         acc: dict[int, list] = {}
-        for pdf in batches:
-            for t in pdf.itertuples(index=False):
-                arr = codec.decode_tile(
-                    bytes(t.bytes), t.fmt, int(t.w), int(t.h), float(t.ndv)
-                ).astype(np.float64)
-                h, w = arr.shape
-                gr = (int(t.tile_row) * h + np.arange(h, dtype=np.int64))[:, None]
-                gc = (int(t.tile_col) * w + np.arange(w, dtype=np.int64))[None, :]
-                valid = arr != float(t.ndv)
-                xc = x0 + (np.broadcast_to(gc, (h, w))[valid] + 0.5) * cx
-                yc = y0 + (np.broadcast_to(gr, (h, w))[valid] + 0.5) * cy
-                vals = arr[valid].astype(np.int64)
-                for zid, rings, (bx0, by0, bx1, by1) in zlist:
-                    cand = (
-                        (xc >= bx0 - padx) & (xc <= bx1 + padx)
-                        & (yc >= by0 - pady) & (yc <= by1 + pady)
-                    )
-                    if not cand.any():
-                        continue
-                    if mode == "center":
-                        hit = geom.points_in_rings(xc[cand], yc[cand], rings)
-                    else:
-                        hit = geom.cells_touched(xc[cand], yc[cand], cx, cy, rings)
-                    if not hit.any():
-                        continue
-                    v = vals[cand][hit]
-                    a = acc.setdefault(zid, [0, 0, 0, None, None])
-                    a[0] += int(v.size)
-                    a[1] += int(v.sum())
-                    a[2] += int((v * v).sum())
-                    a[3] = int(v.min()) if a[3] is None else min(a[3], int(v.min()))
-                    a[4] = int(v.max()) if a[4] is None else max(a[4], int(v.max()))
+        for zid, v in _iter_zone_hits(
+                batches, zlist, x0, y0, cx, cy, mode, padx, pady):
+            a = acc.setdefault(zid, [0, 0, 0, None, None])
+            a[0] += int(v.size)
+            a[1] += int(v.sum())
+            a[2] += int((v * v).sum())
+            a[3] = int(v.min()) if a[3] is None else min(a[3], int(v.min()))
+            a[4] = int(v.max()) if a[4] is None else max(a[4], int(v.max()))
         rows = [
             {"zone_id": z, "c": a[0], "s": a[1], "s2": a[2], "mn": a[3], "mx": a[4]}
             for z, a in acc.items()
@@ -206,6 +216,60 @@ def zonal_stats_fused(
         F.max("mx").alias("zmax"),
     )
     return _finalize_zonal(agg)
+
+
+def _fused_value_counts(
+    images: DataFrame,
+    zones,
+    origin: tuple[float, float],
+    cellsize: tuple[float, float],
+    mode: str = "center",
+) -> DataFrame:
+    """Per-(zone, value) hit counts from ONE fused decode+PIP pass
+    (same _iter_zone_hits core as zonal_stats_fused).  Each task emits
+    at most (#zones x value-domain) partial rows — bounded by the value
+    DOMAIN, not pixel counts — so every extended zonal stat (moments,
+    median, majority, percentiles) can be derived from this one table
+    without a second decode or a per-pixel shuffle."""
+    import pandas as pd
+
+    zlist = [
+        (int(z.zone_id), [np.asarray(r, dtype=np.float64) for r in z.rings],
+         geom.rings_bbox(z.rings))
+        for z in zones
+    ]
+    x0, y0 = origin
+    cx, cy = cellsize
+    padx, pady = (abs(cx), abs(cy)) if mode == "all_touched" else (0.0, 0.0)
+    pruned = prune_tiles(images, zones)
+
+    def kernel(batches):
+        acc: dict[tuple[int, int], int] = {}
+        for zid, v in _iter_zone_hits(
+                batches, zlist, x0, y0, cx, cy, mode, padx, pady):
+            u, c = np.unique(v, return_counts=True)
+            for val, cnt in zip(u.tolist(), c.tolist()):
+                key = (zid, val)
+                acc[key] = acc.get(key, 0) + cnt
+        if acc:
+            ks = list(acc)
+            yield pd.DataFrame({
+                "zone_id": np.array([k[0] for k in ks], dtype=np.int64),
+                "value": np.array([k[1] for k in ks], dtype=np.int64),
+                "cnt": np.array([acc[k] for k in ks], dtype=np.int64),
+            })
+        else:
+            yield pd.DataFrame(
+                {"zone_id": pd.Series(dtype=np.int64),
+                 "value": pd.Series(dtype=np.int64),
+                 "cnt": pd.Series(dtype=np.int64)})
+
+    cols = ["bytes", "fmt", "w", "h", "ndv", "tile_row", "tile_col"]
+    partials = pruned.select(*cols).mapInPandas(
+        kernel, schema="zone_id long, value long, cnt long"
+    )
+    return partials.groupBy("zone_id", "value").agg(
+        F.sum("cnt").alias("cnt"))
 
 
 def _finalize_zonal(agg: DataFrame) -> DataFrame:
@@ -364,21 +428,37 @@ def zonal_stats_extended(
       ties broken by the SMALLEST value (rasterstats keeps an arbitrary
       mode; we pin a deterministic rule).
 
-    base_plan='fused' takes the base moments from the single-stage
-    fused kernel (the headline plan); 'agg' shares the decoded hits
-    with the extras (one decode, two shuffles).
+    base_plan='fused' (the headline plan) derives EVERYTHING — base
+    moments included — from one fused decode+PIP pass emitting the
+    (zone, value) count table (zsum = Σ v·cnt, zsum2 = Σ v²·cnt stay
+    exact BIGINTs); 'agg' shares per-pixel decoded hits with the extras
+    (one decode, two shuffles over pixel rows).
     """
     from pyspark.sql import Window as W
 
-    pruned = prune_tiles(images, zones)
-    px = PX.pixel_table(
-        pruned, valid_only=True, origin=origin, cellsize=cellsize,
-        bboxes=[geom.rings_bbox(z.rings) for z in zones],
-    )
-    hits = pip_join(px, zones, mode=mode, cellsize=cellsize).select("zone_id", "value")
     if base_plan == "fused":
-        base = zonal_stats_fused(images, zones, origin, cellsize, mode=mode)
+        # ONE fused decode+PIP pass: the (zone, value) count table is
+        # sufficient for base moments AND every extra — no pixel-row
+        # shuffle, no second decode (pre-r6 the fused branch ran the
+        # decode+PIP twice: once inside zonal_stats_fused, once through
+        # pixel_table+pip_join just to build vc)
+        vc = _fused_value_counts(images, zones, origin, cellsize, mode=mode)
+        v, c = F.col("value"), F.col("cnt")
+        base = _finalize_zonal(
+            vc.groupBy("zone_id").agg(
+                F.sum(c).alias("zcount"), F.sum(v * c).alias("zsum"),
+                F.sum(v * v * c).alias("zsum2"), F.min(v).alias("zmin"),
+                F.max(v).alias("zmax"),
+            )
+        )
     else:
+        pruned = prune_tiles(images, zones)
+        px = PX.pixel_table(
+            pruned, valid_only=True, origin=origin, cellsize=cellsize,
+            bboxes=[geom.rings_bbox(z.rings) for z in zones],
+        )
+        hits = pip_join(px, zones, mode=mode, cellsize=cellsize).select(
+            "zone_id", "value")
         v = F.col("value")
         base = _finalize_zonal(
             hits.groupBy("zone_id").agg(
@@ -387,7 +467,7 @@ def zonal_stats_extended(
                 F.max(v).alias("zmax"),
             )
         )
-    vc = hits.groupBy("zone_id", "value").agg(F.count(F.lit(1)).alias("cnt"))
+        vc = hits.groupBy("zone_id", "value").agg(F.count(F.lit(1)).alias("cnt"))
     vc2 = vc.select(
         "zone_id", "value", "cnt",
         F.sum("cnt").over(W.partitionBy("zone_id").orderBy("value")).alias("cum"),

@@ -3270,6 +3270,22 @@ def sql_focal_mean() -> str:
     return FO.focal_sums_sql(synth.pixel_sql(SPEC), k=5)
 
 
+def q_focal_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 tiles-in stencil (decode-in-place + halo-strip exchange,
+    focal.focal_apply_tiles) against the SAME neighbor-join oracle as
+    focal_mean_5x5 — pinning that the strip assembly loses/duplicates
+    nothing across tile seams, straight off the stored tiles table."""
+    from .operators import focal as FO
+
+    return FO.focal_sums_tiles(images_for(spark, SPEC), k=5)
+
+
+def sql_focal_tiles() -> str:
+    from .operators import focal as FO
+
+    return FO.focal_sums_sql(synth.pixel_sql(SPEC), k=5)
+
+
 # ---------------------------------------------------------------------------
 # q: D8 hydrology — flow direction (exact-integer steepest-descent
 # argmax) and flow accumulation (distributed DAG fixpoint vs a
@@ -4760,6 +4776,9 @@ QUERIES = {
     "reproject_tiles": (q_reproject_tiles, sql_reproject),
     "reproject_tiles_bilinear": (q_reproject_tiles_bilinear,
                                  sql_reproject_bilinear),
+    # focal_tiles is likewise r6-NEW past the full driver window;
+    # locally oracle-checked this round, rotate into the window in r7
+    "focal_tiles": (q_focal_tiles, sql_focal_tiles),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -443,14 +443,6 @@ def zonal_stats_extended(
         # decode+PIP twice: once inside zonal_stats_fused, once through
         # pixel_table+pip_join just to build vc)
         vc = _fused_value_counts(images, zones, origin, cellsize, mode=mode)
-        v, c = F.col("value"), F.col("cnt")
-        base = _finalize_zonal(
-            vc.groupBy("zone_id").agg(
-                F.sum(c).alias("zcount"), F.sum(v * c).alias("zsum"),
-                F.sum(v * v * c).alias("zsum2"), F.min(v).alias("zmin"),
-                F.max(v).alias("zmax"),
-            )
-        )
     else:
         pruned = prune_tiles(images, zones)
         px = PX.pixel_table(
@@ -459,15 +451,10 @@ def zonal_stats_extended(
         )
         hits = pip_join(px, zones, mode=mode, cellsize=cellsize).select(
             "zone_id", "value")
-        v = F.col("value")
-        base = _finalize_zonal(
-            hits.groupBy("zone_id").agg(
-                F.count(v).alias("zcount"), F.sum(v).alias("zsum"),
-                F.sum(v * v).alias("zsum2"), F.min(v).alias("zmin"),
-                F.max(v).alias("zmax"),
-            )
-        )
         vc = hits.groupBy("zone_id", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    # everything below is ONE downstream of vc (windows + a single
+    # grouped aggregate, no joins) — so the count table, and with it
+    # the fused decode+PIP kernel, computes exactly once
     vc2 = vc.select(
         "zone_id", "value", "cnt",
         F.sum("cnt").over(W.partitionBy("zone_id").orderBy("value")).alias("cum"),
@@ -493,16 +480,14 @@ def zonal_stats_extended(
             ).alias(f"_{tag}_frac"),
         ]
         pct_cols.append(tag)
-    med = vc2.groupBy("zone_id").agg(*med_aggs)
-    med_sel = ["zone_id", ((F.col("m1") + F.col("m2")) / 2.0).alias("zmedian")]
-    for tag in pct_cols:
-        med_sel.append(
-            (F.col(f"_{tag}_lo")
-             + F.col(f"_{tag}_frac") * (F.col(f"_{tag}_hi") - F.col(f"_{tag}_lo"))
-             ).alias(tag)
-        )
-    med = med.select(*med_sel)
-    maj = vc.groupBy("zone_id").agg(
+    v, c = F.col("value"), F.col("cnt")
+    g = vc2.groupBy("zone_id").agg(
+        F.sum(c).alias("zcount"),
+        F.sum(v * c).alias("zsum"),
+        F.sum(v * v * c).alias("zsum2"),
+        F.min(v).alias("zmin"),
+        F.max(v).alias("zmax"),
+        *med_aggs,
         F.max_by(
             "value", F.struct(F.col("cnt").alias("c"), (-F.col("value")).alias("nv"))
         ).cast("long").alias("zmajority"),
@@ -513,9 +498,26 @@ def zonal_stats_extended(
         ).cast("long").alias("zminority"),
         F.count(F.lit(1)).cast("long").alias("zunique"),
     )
-    out = base.join(med, "zone_id").join(maj, "zone_id")
-    # rasterstats 'range'
-    return out.withColumn("zrange", (F.col("zmax") - F.col("zmin")).cast("long"))
+    mean = F.col("zsum") / F.col("zcount")
+    sel = [
+        "zone_id",
+        F.col("zcount").cast("long").alias("zcount"),
+        F.col("zsum").cast("long").alias("zsum"),
+        F.col("zmin").cast("long").alias("zmin"),
+        F.col("zmax").cast("long").alias("zmax"),
+        F.round(mean, 6).alias("zmean"),
+        F.round(F.sqrt(F.col("zsum2") / F.col("zcount") - mean * mean), 6).alias("zstd"),
+        ((F.col("m1") + F.col("m2")) / 2.0).alias("zmedian"),
+    ]
+    for tag in pct_cols:
+        sel.append(
+            (F.col(f"_{tag}_lo")
+             + F.col(f"_{tag}_frac") * (F.col(f"_{tag}_hi") - F.col(f"_{tag}_lo"))
+             ).alias(tag)
+        )
+    sel += ["zmajority", "zminority", "zunique",
+            (F.col("zmax") - F.col("zmin")).cast("long").alias("zrange")]
+    return g.select(*sel)
 
 
 def zonal_stats_custom(

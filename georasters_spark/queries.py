@@ -3305,6 +3305,61 @@ def _dem(spark: SparkSession, h: int, w: int) -> DataFrame:
     )
 
 
+def _dem_images(spark: SparkSession, h: int, w: int,
+                tile: int = 64) -> DataFrame:
+    """The SAME _dem formula served as a STORED raw16 tiles table
+    (edge tiles ndv-padded, ndv=-1 never collides with the [0,1997)
+    value domain) — the input shape the tiles-in stencil plans decode
+    in place."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spec = SPEC
+    n_ty, n_tx = math.ceil(h / tile), math.ceil(w / tile)
+
+    def gen(batches):
+        from .sources import codec
+
+        for pdf in batches:
+            rows = []
+            for tid in pdf["id"].tolist():
+                ty, tx = divmod(int(tid), n_tx)
+                rr = np.arange(ty * tile, (ty + 1) * tile, dtype=np.int64)[:, None]
+                cc = np.arange(tx * tile, (tx + 1) * tile, dtype=np.int64)[None, :]
+                val = (rr * 7919 + cc * 104729 + spec.seed) % 1997
+                val = np.where((rr < h) & (cc < w), val, -1).astype(np.int16)
+                rows.append({
+                    "bytes": codec.encode_tile(val, "raw16", -1.0),
+                    "fmt": "raw16", "w": tile, "h": tile, "ndv": -1.0,
+                    "tile_row": ty, "tile_col": tx,
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(n_ty * n_tx).mapInPandas(
+        gen,
+        schema="bytes binary, fmt string, w int, h int, ndv double, "
+               "tile_row int, tile_col int",
+    )
+
+
+def q_terrain_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slope/aspect/hillshade via plan='tiles' (horn_sums_tiles:
+    decode-in-place + halo-strip exchange) on the stored-DEM tiles
+    table, against the SAME exact expression-chain oracle as `terrain`
+    — pinning the strip assembly across tile seams AND the ndv edge
+    padding rule."""
+    from .operators import terrain as TR
+
+    spec = SPEC
+    return TR.slope_aspect_hillshade(
+        None, cellsize=(spec.cellx, spec.celly), zfactor=0.001,
+        plan="tiles",
+        images=_dem_images(spark, spec.height, spec.width),
+    )
+
+
 def _dem_cte(h: int, w: int) -> str:
     spec = SPEC
     return f"""px AS (
@@ -4776,9 +4831,11 @@ QUERIES = {
     "reproject_tiles": (q_reproject_tiles, sql_reproject),
     "reproject_tiles_bilinear": (q_reproject_tiles_bilinear,
                                  sql_reproject_bilinear),
-    # focal_tiles is likewise r6-NEW past the full driver window;
-    # locally oracle-checked this round, rotate into the window in r7
+    # focal_tiles / terrain_tiles are likewise r6-NEW past the full
+    # driver window; locally oracle-checked this round, rotate into
+    # the window in r7
     "focal_tiles": (q_focal_tiles, sql_focal_tiles),
+    "terrain_tiles": (q_terrain_tiles, sql_terrain),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

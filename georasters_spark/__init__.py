@@ -21,3 +21,13 @@ Design rules (BASELINE.json north_rule):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy: importing the package must not start a SparkSession or pull
+    # pyspark submodules eagerly
+    if name == "GeoRasterFrame":
+        from .frame import GeoRasterFrame
+
+        return GeoRasterFrame
+    raise AttributeError(name)

@@ -1,0 +1,195 @@
+"""GeoRasterFrame facade: reference-shaped API delegating to gated
+operators.  Each test pins a facade method against either the direct
+operator call or a numpy mirror on the t1 grid — the facade must add
+NOTHING of its own."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from georasters_spark.frame import GeoRasterFrame, _round_half_even
+from georasters_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def frame(spark, images_t1):
+    spec = synth.T1
+    return GeoRasterFrame.from_images(
+        images_t1, origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly),
+        shape=(spec.height, spec.width), ndv=spec.ndv, projection="wgs84")
+
+
+@pytest.fixture(scope="module")
+def dense(spark):
+    """Small dense grid with known values for scalar-math checks."""
+    spec = synth.T1
+    h, w = 30, 40
+    rng = np.random.RandomState(11)
+    a = rng.randint(1, 50, size=(h, w)).astype(np.float64)
+    import pandas as pd
+    px = spark.createDataFrame(pd.DataFrame({
+        "row": np.repeat(np.arange(h), w),
+        "col": np.tile(np.arange(w), h),
+        "value": a.ravel()}))
+    gr = GeoRasterFrame(px, origin=(spec.x0, spec.y0),
+                        cellsize=(spec.cellx, spec.celly), shape=(h, w),
+                        projection="wgs84")
+    return gr, a
+
+
+def test_global_aggregations_match_numpy(dense):
+    gr, a = dense
+    assert gr.count() == a.size
+    assert gr.sum() == a.sum()
+    assert gr.max() == a.max() and gr.min() == a.min()
+    assert abs(gr.mean() - a.mean()) < 1e-9
+    assert abs(gr.std() - a.std()) < 1e-9      # ddof=0, reference rule
+    assert abs(gr.var() - a.var()) < 1e-9
+    assert gr.median() == np.median(a)
+    # first-occurrence flat index, reference argmax/argmin semantics
+    assert gr.argmax() == int(a.argmax())
+    assert gr.argmin() == int(a.argmin())
+
+
+def test_prod_sign_zero_and_magnitude(spark):
+    import pandas as pd
+    spec = synth.T1
+
+    def mk(vals):
+        px = spark.createDataFrame(pd.DataFrame({
+            "row": [0] * len(vals), "col": list(range(len(vals))),
+            "value": [float(v) for v in vals]}))
+        return GeoRasterFrame(px, (spec.x0, spec.y0),
+                              (spec.cellx, spec.celly), (1, len(vals)))
+
+    assert mk([2, 3, 4]).prod() == pytest.approx(24.0)
+    assert mk([2, -3, 4]).prod() == pytest.approx(-24.0)
+    assert mk([2, 0, 4]).prod() == 0.0
+
+
+def test_binary_ops_and_floordiv_quirk(dense):
+    gr, a = dense
+    got = dict(((r["row"], r["col"]), r["value"])
+               for r in (gr + gr).px.collect())
+    assert got[(0, 0)] == 2 * a[0, 0]
+    # scalar ops keep the lattice
+    assert (gr * 2).sum() == 2 * a.sum()
+    # floordiv TRUNCATES toward zero (georasters.py:494-513 quirk)
+    neg = -gr
+    q = dict(((r["row"], r["col"]), r["value"])
+             for r in (neg // 7).px.collect())
+    exp = np.trunc(-a / 7.0)
+    assert q[(3, 5)] == exp[3, 5]
+    # grid mismatch raises
+    spec = synth.T1
+    other = GeoRasterFrame(gr.px, (spec.x0 + 1, spec.y0),
+                           (spec.cellx, spec.celly), gr.shape)
+    with pytest.raises(Exception):
+        (gr + other).px.collect()
+
+
+def test_map_pixel_and_extract(dense):
+    gr, a = dense
+    spec = synth.T1
+    # the ULC-corner convention of grid.col_of_x/row_of_y (HALF_EVEN
+    # of the corner ratio — the reference's np.round((x-xmin)/cellx))
+    x = spec.x0 + 3 * spec.cellx
+    y = spec.y0 + 2 * spec.celly
+    assert gr.map_pixel_location(x, y) == (2, 3)
+    assert gr.map_pixel(x, y) == a[2, 3]
+    win = gr.extract(x, y, radius=1)
+    got = win.px.collect()
+    assert len(got) == 9
+    assert {(r["row"], r["col"]) for r in got} == {
+        (rr, cc) for rr in (1, 2, 3) for cc in (2, 3, 4)}
+
+
+def test_round_half_even_matches_numpy():
+    for x in (0.5, 1.5, 2.5, -0.5, -1.5, 2.4999, 2.5001, 3.0):
+        assert _round_half_even(x) == int(np.round(x))
+
+
+def test_aggregate_any_masked_rule(spark):
+    """aggregate() masks any block with a missing cell (SURVEY §1.4.4);
+    block_reduce('mean') averages the present cells."""
+    import pandas as pd
+    spec = synth.T1
+    rows = [(r, c, float(r * 4 + c)) for r in range(4) for c in range(4)]
+    rows.remove((3, 3, 15.0))  # hole in block (1,1)
+    px = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["row", "col", "value"]))
+    gr = GeoRasterFrame(px, (spec.x0, spec.y0),
+                        (spec.cellx, spec.celly), (4, 4))
+    got = {(r["row"], r["col"]): r["value"]
+           for r in gr.aggregate(2).px.collect()}
+    assert (1, 1) not in got          # ANY-masked
+    assert got[(0, 0)] == 0 + 1 + 4 + 5
+    br = {(r["row"], r["col"]): r["value"]
+          for r in gr.block_reduce(2, how="mean").px.collect()}
+    assert br[(1, 1)] == pytest.approx((10 + 11 + 14) / 3)
+    assert gr.aggregate(2).cellsize == (spec.cellx * 2, spec.celly * 2)
+
+
+def test_facade_delegates_match_operators(frame, images_t1):
+    """clip/stats/gini/map_vector through the facade == direct operator
+    calls (same plans, same rows)."""
+    from georasters_spark.operators import algebra as AL
+    from georasters_spark.operators import spatial_join as SJ
+
+    spec = synth.T1
+    kw = dict(origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly))
+    a = frame.stats(synth.ZONES_T1).collect()
+    b = SJ.zonal_stats_extended(images_t1, synth.ZONES_T1, **kw).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert frame.gini() == float(
+        AL.gini_agg(frame.px.select("value")).collect()[0]["gini"])
+
+
+def test_facade_resize_and_union(frame):
+    spec = synth.T1
+    small = frame.resize((27, 54), order=0)
+    assert small.shape == (27, 54)
+    assert small.cellsize == (spec.cellx * spec.width / 54,
+                              spec.celly * spec.height / 27)
+    assert small.count() > 0
+    u = frame.union(frame)
+    assert u.count() == frame.count()
+
+
+def test_facade_autocorr_and_weights(frame):
+    from georasters_spark.operators import autocorr as AC
+
+    a = frame.pysal_Moran(bin_threshold=1000).collect()
+    b = AC.global_autocorr(frame.px, bin_threshold=1000).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    w = frame.raster_weights()
+    assert w.count() == AC.neighbor_pairs(frame.px).count()
+
+
+def test_facade_to_pandas_and_geoms(dense, tmp_path):
+    gr, a = dense
+    spec = synth.T1
+    tp = gr.to_pandas()
+    r = tp.filter((F.col("row") == 0) & (F.col("col") == 0)).collect()[0]
+    assert r["x"] == spec.x0 and r["y"] == spec.y0
+    # to_file: polygons written through the shapefile sink and parseable
+    sub = gr.extent(spec.x0, spec.y0 + 6 * spec.celly,
+                    spec.x0 + 6 * spec.cellx, spec.y0)
+    n = sub.apply(column_fn=lambda v: (v > 25).cast("double")).to_file(
+        str(tmp_path / "zones"))
+    from georasters_spark.sources import shapefile as SHP
+    recs = SHP.decode_shp((tmp_path / "zones.shp").read_bytes())
+    assert len(recs) == n and n > 0
+
+
+def test_facade_apply_validation(dense):
+    gr, _ = dense
+    with pytest.raises(ValueError, match="exactly one"):
+        gr.apply()
+    out = gr.apply(column_fn=lambda v: v * 0 + 1.0)
+    assert out.sum() == gr.count()

@@ -431,10 +431,12 @@ class GeoRasterFrame:
     # -- reprojection (georasters.py:559-667) -------------------------
     def reproject(self, dst_crs, out_shape: tuple[int, int],
                   resampling: str = "nearest"):
+        """Any→any warp (complete GDAL mode dict) — the frame's CRS is
+        its projection (wgs84 when unset, the reference default)."""
         from .operators import reproject as RP
 
         return RP.reproject_any(
-            self.px, src_crs="wgs84", dst_crs=dst_crs,
+            self.px, src_crs=self.projection or "wgs84", dst_crs=dst_crs,
             src_origin=self.origin, src_cellsize=self.cellsize,
             src_shape=self.shape, out_shape=out_shape,
             resampling=resampling)
@@ -472,6 +474,17 @@ class GeoRasterFrame:
         from .operators import autocorr as AC
 
         return AC.gstar_local(self.px, rook=rook)
+
+    def pysal_Gamma(self, bin_threshold: int = 0, rook: bool = False):
+        """Gamma / Join-Counts family: the bb/ww/bw pair sums ride the
+        same exact-integer one-row result as Moran/Geary/Getis
+        (georasters.py:1190-1229)."""
+        from .operators import autocorr as AC
+
+        return AC.global_autocorr(self.px, bin_threshold=bin_threshold,
+                                  rook=rook)
+
+    pysal_Join_Counts = pysal_Gamma
 
     def raster_weights(self, rook: bool = False):
         from .operators import autocorr as AC

@@ -193,3 +193,16 @@ def test_facade_apply_validation(dense):
         gr.apply()
     out = gr.apply(column_fn=lambda v: v * 0 + 1.0)
     assert out.sum() == gr.count()
+
+
+def test_facade_reproject_uses_frame_crs(frame):
+    out = frame.reproject("cea", out_shape=(45, 90))
+    assert out.count() == 45 * 90
+    cols = set(out.columns)
+    assert {"trow", "tcol", "value"} <= cols
+
+
+def test_facade_gamma_join_counts(frame):
+    row = frame.pysal_Gamma(bin_threshold=1000).collect()[0]
+    for k in ("bb", "ww", "bw", "moran_i", "geary_c"):
+        assert k in row.asDict()

@@ -235,10 +235,17 @@ def run_heavy_block(spark, sf_dir: str, times: dict, cal: dict, imgs,
            .agg(F.count("fmean"), F.sum("fsum")).collect())
     # r6: tiles-in stencil over the STORED tiles (decode-in-place +
     # halo-strip exchange — ~80x less exchanged rows than the pixel
-    # halo plan at cluster scale; equivalence pytest-pinned)
+    # halo plan at cluster scale; equivalence pytest-pinned).  The
+    # tiles are the SAME dense _dem formula as focal_mean5_9M's pixel
+    # input (not the ~25%-masked BENCH grid), materialized OUTSIDE the
+    # timed window — so the paired lines compare plans, not inputs
+    from georasters_spark.queries import _dem_images
+    dem9_tiles = _dem_images(spark, spec.height, spec.width).persist()
+    dem9_tiles.count()
     _timed(times, cal, "focal_mean5_9M_tiles" + suffix,
-           lambda: FO.focal_sums_tiles(imgs, k=5)
+           lambda: FO.focal_sums_tiles(dem9_tiles, k=5)
            .agg(F.count("fmean"), F.sum("fsum")).collect())
+    dem9_tiles.unpersist()
 
 
 def run_queries(spark, sf_dir: str):

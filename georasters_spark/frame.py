@@ -9,7 +9,7 @@ object-style surface:
 
     gr = GeoRasterFrame.from_images(images, origin, cellsize, shape)
     (gr + other).mean()
-    gr.clip(zones)[0]           # per-zone sub-rasters
+    gr.clip(zones)              # per-zone sub-raster tiles table
     gr.stats(zones)             # rasterstats-shaped zonal stats
     gr.reproject("EPSG:6933")   # any gated CRS / resampling mode
     gr.pysal_Moran(permutations=999, seed=7)
@@ -39,14 +39,9 @@ from .functions import grid as G
 
 
 def _round_half_even(x: float) -> int:
-    """numpy-style banker's rounding for a driver-side scalar."""
-    f = math.floor(x)
-    d = x - f
-    if d > 0.5:
-        return f + 1
-    if d < 0.5:
-        return f
-    return f if f % 2 == 0 else f + 1
+    """numpy-style banker's rounding for a driver-side scalar —
+    Python's builtin round() is already half-even on floats."""
+    return int(round(x))
 
 
 class GeoRasterFrame:
@@ -93,13 +88,20 @@ class GeoRasterFrame:
 
     def images(self) -> DataFrame:
         """The tiles table — attached at construction, else assembled
-        once from the pixel table (pixels.assemble_tiles)."""
+        once from the pixel table (pixels.assemble_tiles).  Assembled
+        tiles are LOSSLESS float64 (rawf64): a derived frame's values
+        may be fractional or outside int16 (gr / 2, gr * 10**5), so
+        the int16 default of assemble_tiles would silently truncate or
+        wrap them before clip/stats/distance/to_tiff ran.  NULL values
+        (e.g. floordiv-by-zero) are masked cells and are dropped."""
         if self._images is None:
             from .operators import pixels as PX
 
             self._images = PX.assemble_tiles(
-                self.px, grid_id="frame", origin=self.origin,
+                self.px.filter(F.col("value").isNotNull()),
+                grid_id="frame", origin=self.origin,
                 cellsize=self.cellsize, ndv=self.ndv,
+                fmt="rawf64", dtype="float64",
             )
         return self._images
 
@@ -119,9 +121,15 @@ class GeoRasterFrame:
     def from_file(cls, spark, path: str, tile: int = 256) -> "GeoRasterFrame":
         """Reference from_file/load_tiff (georasters.py:281-291,
         :1548-1566) over the from-scratch GeoTIFF reader.  The georef
-        is derived from the loaded tile metadata (single-raster
-        assumption, like the reference's one-file from_file; edge tiles
-        are ndv-padded so shape rounds up to whole tiles)."""
+        is derived from the loaded tile metadata.  For a single local
+        file (the reference's from_file case) the TRUE raster dims are
+        probed from the TIFF header, so shape — and with it argmax/
+        argmin FLAT indices (row*shape[1]+col) and extent/aggregate
+        crops — matches the reference exactly even when dims aren't
+        tile multiples.  For a glob/directory mosaic the shape falls
+        back to whole-tile rounding (edge tiles are ndv-padded)."""
+        import os
+
         from .sources import geotiff as GT
 
         images = GT.load_tiff(spark, path, tile=tile)
@@ -132,11 +140,15 @@ class GeoRasterFrame:
             F.first("w").alias("w"), F.first("h").alias("h"),
             F.first("ndv").alias("ndv"), F.first("crs").alias("crs"),
         ).collect()[0]
+        if os.path.isfile(path):
+            shape = GT.tiff_dims(path)
+        else:
+            shape = ((m["mtr"] + 1) * m["h"], (m["mtc"] + 1) * m["w"])
         return cls.from_images(
             images,
             origin=(m["xmin"], m["ymax"]),
             cellsize=(m["cellx"], m["celly"]),
-            shape=((m["mtr"] + 1) * m["h"], (m["mtc"] + 1) * m["w"]),
+            shape=shape,
             ndv=m["ndv"], projection=m["crs"],
         )
 
@@ -419,9 +431,13 @@ class GeoRasterFrame:
         from .operators import spatial_join as SJ
 
         return SJ.clip(self.images(), zones, origin=self.origin,
-                       cellsize=self.cellsize, ndv=self.ndv, keep=keep)
+                       cellsize=self.cellsize, ndv=self.ndv, keep=keep,
+                       fmt="rawf64", dtype="float64")
 
     def stats(self, zones, percentiles=None):
+        """Zonal stats over the exact count-table plan — requires
+        integer-valued cells (fractional data raises in the kernel
+        rather than truncating; round/scale first)."""
         from .operators import spatial_join as SJ
 
         return SJ.zonal_stats_extended(
@@ -442,23 +458,39 @@ class GeoRasterFrame:
             resampling=resampling)
 
     # -- spatial statistics (georasters.py:1166-1378, :1740-1775) -----
-    def pysal_Moran(self, permutations: int = 0, seed: int = 7,
-                    bin_threshold: int | None = None, rook: bool = False):
+    def pysal_Moran(self, transform: str = "r", permutations: int = 0,
+                    seed: int = 7, bin_threshold: int | None = None,
+                    rook: bool = False):
+        """Moran's I with the reference's DEFAULT row-standardized
+        weights (esda transformation='r', georasters.py:1231-1269);
+        transform='b'/'o' selects binary weights (that row also
+        carries Geary/Getis/join-count sums)."""
         from .operators import autocorr as AC
 
+        rowstd = transform.lower().startswith("r")
         if permutations:
             return AC.moran_permutation_test(
-                self.px, n_perm=permutations, seed=seed, rook=rook)
+                self.px, n_perm=permutations, seed=seed, rook=rook,
+                transform="r" if rowstd else "b")
+        if rowstd:
+            return AC.global_autocorr_rowstd(self.px, rook=rook)
         thr = bin_threshold if bin_threshold is not None else 0
         return AC.global_autocorr(self.px, bin_threshold=thr, rook=rook)
 
-    def pysal_Geary(self, permutations: int = 0, seed: int = 7,
-                    rook: bool = False):
+    def pysal_Geary(self, transform: str = "r", permutations: int = 0,
+                    seed: int = 7, rook: bool = False):
+        """Geary's C, row-standardized weights by default (the
+        reference/esda default transformation='r'); transform='b'
+        selects binary weights."""
         from .operators import autocorr as AC
 
+        rowstd = transform.lower().startswith("r")
         if permutations:
             return AC.geary_permutation_test(
-                self.px, n_perm=permutations, seed=seed, rook=rook)
+                self.px, n_perm=permutations, seed=seed, rook=rook,
+                transform="r" if rowstd else "b")
+        if rowstd:
+            return AC.global_autocorr_rowstd(self.px, rook=rook)
         return AC.global_autocorr(self.px, bin_threshold=0, rook=rook)
 
     def pysal_Moran_Local(self, permutations: int = 0, seed: int = 7,
@@ -471,9 +503,14 @@ class GeoRasterFrame:
         return AC.local_moran(self.px, rook=rook)
 
     def pysal_G_Local(self, star: bool = False, rook: bool = False):
+        """esda G_Local: star=False (the default) is plain G_i — self
+        EXCLUDED from the weights, leave-one-out moments; star=True is
+        G*_i (self included)."""
         from .operators import autocorr as AC
 
-        return AC.gstar_local(self.px, rook=rook)
+        if star:
+            return AC.gstar_local(self.px, rook=rook)
+        return AC.g_local(self.px, rook=rook)
 
     def pysal_Gamma(self, bin_threshold: int = 0, rook: bool = False):
         """Gamma / Join-Counts family: the bb/ww/bw pair sums ride the

@@ -256,11 +256,15 @@ def _merge_labels_distributed(eset: DataFrame) -> DataFrame:
     # Σcomp is stationary iff every node is stationary — one cheap agg
     # per round replaces a join-based changed check (the label graph is
     # orders smaller than the raster, so rounds cost scheduling
-    # overhead, not data; fewer/narrower jobs per round win)
+    # overhead, not data; fewer/narrower jobs per round win).  The sum
+    # runs in decimal(38,0): labels pack tile coords into high bits
+    # (ty<<40), so a BIGINT sum over a large border-label set overflows
+    # int64 — an ANSI ARITHMETIC_OVERFLOW crash at exactly the scale
+    # this plan targets
     prev = None
     while True:
         comp = step(comp).localCheckpoint(eager=True)
-        row = comp.agg(F.sum("comp").alias("s")).collect()[0]
+        row = comp.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).collect()[0]
         if row["s"] == prev:
             break
         prev = row["s"]

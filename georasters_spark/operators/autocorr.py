@@ -269,9 +269,14 @@ def _permutation_pair_frame(
     Geary): invariant scalars (n, s=Σv, q=Σv²), the seeded modular
     permutation params, and the joined frame j with one row per
     (permutation p, neighbor pair) carrying the permuted endpoint
-    values (p, va, vb). Ranks come from the two-phase distributed
+    values (p, va, vb) plus the home cell's permutation-INVARIANT
+    row-standardized weight numerator w840 = 840 div deg(i) (weights
+    attach to the fixed graph; values permute over it — esda's
+    conditional permutation). Ranks come from the two-phase distributed
     enumeration (no global window); any fix to the modular-permutation
     join lands here ONCE for every consumer."""
+    from pyspark.sql import Window as W
+
     from .algebra import c_order_index
 
     spark = px.sparkSession
@@ -283,11 +288,19 @@ def _permutation_pair_frame(
     ranked = c_order_index(px).withColumnRenamed("i", "k").join(
         px.select("row", "col", "value"), ["row", "col"])
     pairs_rk = neighbor_pairs_keys(ranked, rook=rook).select("ka", "kb")
+    # deg(i) over the observed graph — a partition-local window on the
+    # ka hash partitioning (no second shuffle vs a groupBy+join)
+    pairs_rk = pairs_rk.withColumn(
+        "deg", F.count(F.lit(1)).over(W.partitionBy("ka"))
+    ).withColumn(
+        "w840", F.expr(f"CAST({_LCM8} AS BIGINT) DIV deg")
+    ).drop("deg")
     vals = ranked.select("k", F.col("value").cast("long").alias("v"))
 
     perm_df = spark.createDataFrame(perms, "p int, amul long, badd long")
     pp = pairs_rk.crossJoin(F.broadcast(perm_df)).select(
         "p",
+        "w840",
         ((F.col("ka") * F.col("amul") + F.col("badd")) % n).alias("pka"),
         ((F.col("kb") * F.col("amul") + F.col("badd")) % n).alias("pkb"),
     )
@@ -299,20 +312,59 @@ def _permutation_pair_frame(
 
 
 def moran_permutation_test(
-    px: DataFrame, n_perm: int = 19, seed: int = 97, rook: bool = False
+    px: DataFrame, n_perm: int = 19, seed: int = 97, rook: bool = False,
+    transform: str = "b",
 ) -> DataFrame:
     """Seeded conditional-permutation test for Moran's I
     (georasters.py:1231-1269: esda permutations re-run with a seeded
     rng). Deterministic across engines: permutation p is the modular
     map rank → (A_p·rank + B_p) mod n (A_p coprime with n), and since
-    n, S, S0, den are permutation-invariant, I_perm >= I_obs reduces
+    n, S, S0/nw, den are permutation-invariant, I_perm >= I_obs reduces
     to an EXACT integer comparison of pair-product sums.
+
+    transform='b': binary weights. transform='r': row-standardized
+    weights (the esda default) — the per-pair weight 840/deg(i)
+    attaches to the FIXED graph while values permute, so the 840-scaled
+    sums A840_p = Σ w840·(n·va−S)(n·vb−S) stay exact integers
+    (decimal(38) aggregate, same budget guards as
+    global_autocorr_rowstd).
 
     Returns one row: (i_obs double, n_perm, n_ge, p_sim) where
     p_sim = (n_ge + 1) / (n_perm + 1), n_ge = #{perm: num_perm >= num_obs}.
     """
+    rowstd = transform.lower().startswith("r")
+    if rowstd:
+        g = px.agg(F.max(F.abs("value")).alias("vmax"),
+                   F.count("value").alias("n")).collect()[0]
+        if int(g["n"]) * int(g["vmax"]) > 6 * 10**16:
+            raise ValueError(
+                f"n*max|value| = {int(g['n']) * int(g['vmax']):.3g} exceeds "
+                "the exact-integer budget (6e16) of the 840-scaled decimal "
+                "plan; rescale values")
     spark, n, s, q, j = _permutation_pair_frame(px, n_perm, seed, rook)
     den_i = n * n * q - n * s * s
+    if rowstd:
+        term = (
+            F.col("w840").cast("decimal(4,0)")
+            * (F.col("va") * n - s).cast("decimal(19,0)")
+            * (F.col("vb") * n - s).cast("decimal(19,0)")
+        )
+        agg = (
+            j.groupBy("p")
+            .agg(F.sum(term).alias("a840"),
+                 F.count_distinct(F.col("pka")).alias("nw"))
+            .collect()
+        )
+        nums = {int(r["p"]): int(r["a840"]) for r in agg}
+        nw = int(agg[0]["nw"])  # graph-invariant
+        num_obs = nums[0]
+        # den_i = n²Q − nS² = n·(nQ − S²) — exactly global_autocorr_rowstd's
+        # n·den, so the float derivation matches it op-for-op
+        i_obs = (n / nw) * ((float(num_obs) / 840.0) / float(den_i))
+        n_ge = sum(1 for p in range(1, n_perm + 1) if nums[p] >= num_obs)
+        row = [(i_obs, n_perm, n_ge, float(n_ge + 1) / float(n_perm + 1))]
+        return spark.createDataFrame(
+            row, "i_obs double, n_perm long, n_ge long, p_sim double")
     agg = (
         j.groupBy("p")
         .agg(
@@ -338,7 +390,8 @@ def moran_permutation_test(
 
 
 def geary_permutation_test(
-    px: DataFrame, n_perm: int = 19, seed: int = 97, rook: bool = False
+    px: DataFrame, n_perm: int = 19, seed: int = 97, rook: bool = False,
+    transform: str = "b",
 ) -> DataFrame:
     """Seeded permutation test for Geary's C (reference pysal_Geary
     passes permutations= to esda.Geary, georasters.py:1271-1308).
@@ -351,10 +404,40 @@ def geary_permutation_test(
     sim >= C before its fold; n_ge is reported unfolded, matching
     moran_permutation_test).
 
+    transform='r' (the esda default) uses the row-standardized weights
+    via the same fixed-graph w840 = 840/deg(i) pair weight as
+    moran_permutation_test's 'r' branch: C840_p = Σ w840·(va−vb)² is an
+    exact integer (decimal aggregate), c_obs derived exactly like
+    global_autocorr_rowstd's C_r.
+
     Returns one row: (c_obs double, n_perm, n_ge, p_sim) with
     p_sim = (n_ge + 1) / (n_perm + 1)."""
+    rowstd = transform.lower().startswith("r")
+    if rowstd:
+        vmax = int(px.agg(F.max(F.abs("value"))).collect()[0][0])
+        if vmax > 4 * 10**8:
+            raise ValueError(
+                f"max|value| = {vmax:.3g} exceeds the per-pair int64 budget "
+                "of the Geary numerator ((va-vb)² must fit a BIGINT)")
     spark, n, s, q, j = _permutation_pair_frame(px, n_perm, seed, rook)
     den = n * q - s * s  # n · Σ(v − mean)²
+    if rowstd:
+        d = F.col("va") - F.col("vb")
+        agg = (
+            j.groupBy("p")
+            .agg(F.sum(F.col("w840").cast("decimal(4,0)")
+                       * (d * d).cast("decimal(25,0)")).alias("c840"),
+                 F.count_distinct(F.col("pka")).alias("nw"))
+            .collect()
+        )
+        nums = {int(r["p"]): int(r["c840"]) for r in agg}
+        nw = int(agg[0]["nw"])
+        num_obs = nums[0]
+        c_obs = ((n - 1) / (2.0 * nw)) * ((float(num_obs) / 840.0) / (float(den) / n))
+        n_ge = sum(1 for p in range(1, n_perm + 1) if nums[p] >= num_obs)
+        row = [(c_obs, n_perm, n_ge, float(n_ge + 1) / float(n_perm + 1))]
+        return spark.createDataFrame(
+            row, "c_obs double, n_perm long, n_ge long, p_sim double")
     agg = (
         j.groupBy("p")
         .agg(
@@ -570,6 +653,60 @@ base AS (SELECT px.row, px.col,
 SELECT base.row, base.col, base.gnum, base.wi,
        (base.gnum - {m} * base.wi)
          / ({sh} * sqrt((base.wi * scal.n - base.wi * base.wi) / (scal.n - 1.0))) AS z_gstar
+FROM base, scal"""
+
+
+def g_local(px: DataFrame, rook: bool = False) -> DataFrame:
+    """Plain Getis-Ord G_i per cell — esda G_Local's DEFAULT star=False
+    (georasters.py:1343-1378): binary weights EXCLUDING self, with the
+    Ord & Getis (1995) leave-one-out z-form
+
+        z_i = (Σ_j≠i w_ij v_j − x̄₍ᵢ₎·W_i)
+              / (s₍ᵢ₎ · sqrt(((n−1)·W_i − W_i²) / (n−2)))
+
+    where x̄₍ᵢ₎ = (S − v_i)/(n−1) and s₍ᵢ₎² = (Q − v_i²)/(n−1) − x̄₍ᵢ₎²
+    are the global moments with observation i removed (S₁ᵢ = W_i for
+    binary weights).  All inputs are exact integers; the double
+    expression is written op-for-op like the SQL oracle.  Isolated
+    cells (W_i = 0) have no G_i and are filtered, like the rowstd
+    plan.  Returns (row, col, gnum, wi, z_g)."""
+    scal = px.agg(F.count("value").alias("n"), F.sum("value").alias("s"),
+                  F.sum(F.col("value") * F.col("value")).alias("q")).collect()[0]
+    n, s, q = int(scal["n"]), int(scal["s"]), int(scal["q"])
+    if n < 3:
+        raise ValueError("g_local needs n >= 3 (n-2 in the variance)")
+    foc = focal_stats(px, rook=rook, include_self=False).filter(F.col("ncnt") > 0)
+    xbar_i = (F.lit(float(s)) - F.col("value")) / F.lit(n - 1.0)
+    s2_i = (F.lit(float(q)) - F.col("value") * F.col("value")) / F.lit(n - 1.0) - xbar_i * xbar_i
+    u = F.col("nsum") - xbar_i * F.col("ncnt")
+    rad = F.sqrt((F.col("ncnt") * (n - 1) - F.col("ncnt") * F.col("ncnt")) / F.lit(n - 2.0))
+    return foc.select(
+        "row", "col",
+        F.col("nsum").alias("gnum"),
+        F.col("ncnt").alias("wi"),
+        (u / (F.sqrt(s2_i) * rad)).alias("z_g"),
+    )
+
+
+def g_local_sql(px_cte: str, rook: bool = False) -> str:
+    offs = ROOK if rook else QUEEN
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in offs)
+    xb = "((CAST(scal.s AS DOUBLE) - base.value) / (scal.n - 1.0))"
+    s2 = f"((CAST(scal.q AS DOUBLE) - CAST(base.value AS DOUBLE) * base.value) / (scal.n - 1.0) - {xb} * {xb})"
+    return f"""WITH {px_cte},
+offsets(dr, dc) AS (VALUES {offsets}),
+scal AS (SELECT CAST(COUNT(value) AS BIGINT) AS n, CAST(SUM(value) AS BIGINT) AS s,
+                CAST(SUM(value*value) AS BIGINT) AS q FROM px),
+cand AS (SELECT a.row, a.col, a.row + o.dr AS r2, a.col + o.dc AS c2 FROM px a CROSS JOIN offsets o),
+foc AS (SELECT cand.row, cand.col, CAST(SUM(b.value) AS BIGINT) AS nsum_, CAST(COUNT(*) AS BIGINT) AS ncnt_
+        FROM cand JOIN px b ON b.row = cand.r2 AND b.col = cand.c2 GROUP BY 1, 2),
+base AS (SELECT px.row, px.col, px.value,
+                CAST(foc.nsum_ AS BIGINT) AS gnum, CAST(foc.ncnt_ AS BIGINT) AS wi
+         FROM px JOIN foc ON foc.row = px.row AND foc.col = px.col
+         WHERE foc.ncnt_ > 0)
+SELECT base.row, base.col, base.gnum, base.wi,
+       (base.gnum - {xb} * base.wi)
+         / (sqrt({s2}) * sqrt((base.wi * (scal.n - 1) - base.wi * base.wi) / (scal.n - 2.0))) AS z_g
 FROM base, scal"""
 
 

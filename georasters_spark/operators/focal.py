@@ -186,6 +186,10 @@ def _strips_from_tiles(images: DataFrame, m: int) -> DataFrame:
                     bytes(t.bytes), t.fmt, int(t.w), int(t.h), ndv
                 ).astype(np.float64)
                 h, w = arr.shape
+                if m >= min(h, w):
+                    raise ValueError(
+                        f"focal tiles plan: halo width {m} must be < tile "
+                        f"side ({h}x{w}); re-tile or shrink the kernel")
                 ty, tx = int(t.tile_row), int(t.tile_col)
                 for da in (-1, 0, 1):
                     for db in (-1, 0, 1):
@@ -237,10 +241,8 @@ def focal_apply_tiles(
     from ..sources import codec as _codec
 
     m = k // 2
-    dims = images.select("w", "h").first()
-    t_w, t_h = int(dims["w"]), int(dims["h"])
-    if not (0 < m < min(t_h, t_w)):
-        raise ValueError("need 0 < k//2 < tile side")
+    if m < 1:
+        raise ValueError("need k >= 3 (k//2 >= 1)")
 
     def kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         cols = [c.strip().split()[0] for c in out_schema.split(",")]
@@ -257,6 +259,12 @@ def focal_apply_tiles(
                                  int(t["w"]), int(t["h"]), ndv
                                  ).astype(np.float64)
         h, w = arr.shape
+        # validated here, with the tile row the task already holds —
+        # never as an extra driver-side scan job before the real one
+        if m >= min(h, w):
+            raise ValueError(
+                f"focal_apply_tiles: k//2 = {m} must be < tile side "
+                f"({h}x{w}); re-tile or shrink the kernel")
         ty, tx = int(t["tile_row"]), int(t["tile_col"])
         side_r, side_c = h + 2 * m, w + 2 * m
         val = np.full((side_r, side_c), np.nan)

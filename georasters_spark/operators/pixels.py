@@ -363,12 +363,22 @@ def build_tile_record(
     lr = pdf["row"].to_numpy(dtype=np.int64) - ty * tile
     lc = pdf["col"].to_numpy(dtype=np.int64) - tx * tile
     arr[lr, lc] = pdf[value_col].to_numpy(dtype=np.float64)
-    enc = arr.astype(np.int16) if dtype == "int16" else arr.astype(np.float32)
+    if dtype == "int16":
+        enc = arr.astype(np.int16)
+    elif dtype == "float64":
+        enc = arr  # already float64 — lossless
+    else:
+        enc = arr.astype(np.float32)
     xmin = x0 + tx * tile * cx
     ymax = y0 + ty * tile * cy
     valid = enc != ndv
     checksum = int(np.asarray(enc, dtype=np.int64)[valid].sum()) if dtype == "int16" else int(enc[valid].sum())
-    efmt = fmt if dtype == "int16" else ("rawf32" if fmt == "raw16" else fmt)
+    if dtype == "int16":
+        efmt = fmt
+    elif dtype == "float64":
+        efmt = "rawf64"
+    else:
+        efmt = "rawf32" if fmt == "raw16" else fmt
     return {
         "image_id": f"{grid_id}_{ty:04d}_{tx:04d}",
         "bytes": codec.encode_tile(enc, efmt, ndv),

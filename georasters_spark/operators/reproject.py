@@ -59,7 +59,8 @@ def cea_bounds(lon0: float, lat0: float, lon1: float, lat1: float, phi_s: float 
 
 
 def gather_from_tiles(tgt: DataFrame, images: DataFrame,
-                      carry: tuple = ("xm", "ym")) -> DataFrame:
+                      carry: tuple = ("xm", "ym"),
+                      tile_shape: tuple[int, int] | None = None) -> DataFrame:
     """Exchange-light nearest gather (the 100-TB path): instead of
     exploding every tile into a pixel table and shuffle-joining ~N
     pixel rows against the target lattice (two N-row exchanges plus
@@ -82,8 +83,16 @@ def gather_from_tiles(tgt: DataFrame, images: DataFrame,
 
     # floor division via floor(): SQL DIV truncates toward zero, which
     # would fold negative (out-of-range) indices into tile 0
-    dims = images.select("w", "h").first()
-    t_w, t_h = int(dims["w"]), int(dims["h"])
+    if tile_shape is not None:
+        t_h, t_w = int(tile_shape[0]), int(tile_shape[1])
+    else:
+        # the tile side keys the shuffle, so it must be known up front;
+        # pass tile_shape to skip this one-row probe job
+        dims = images.select("w", "h").first()
+        if dims is None:
+            raise ValueError("gather_from_tiles: empty images table "
+                             "(pass tile_shape to gather over it anyway)")
+        t_w, t_h = int(dims["w"]), int(dims["h"])
     keyed = tgt.select(
         "trow", "tcol", "row", "col", *carry,
         F.floor(F.col("row") / F.lit(t_h)).cast("long").alias("_tr"),

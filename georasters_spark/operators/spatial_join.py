@@ -248,6 +248,11 @@ def _fused_value_counts(
         for zid, v in _iter_zone_hits(
                 batches, zlist, x0, y0, cx, cy, mode, padx, pady):
             u, c = np.unique(v, return_counts=True)
+            if u.dtype.kind == "f" and not np.all(u == np.trunc(u)):
+                raise ValueError(
+                    "zonal count-table plan requires integer values "
+                    "(the int64 count table would silently truncate "
+                    "fractional data); round/scale the raster first")
             for val, cnt in zip(u.tolist(), c.tolist()):
                 key = (zid, val)
                 acc[key] = acc.get(key, 0) + cnt
@@ -358,13 +363,16 @@ def clip(
     ndv: float = -9999.0,
     mode: str = "all_touched",
     keep: bool = False,
+    fmt: str = "raw16",
+    dtype: str = "int16",
 ) -> DataFrame:
     """Per-zone sub-rasters (reference clip, georasters.py:870-906):
     PIP join then re-assemble mini-tiles in ONE grouped-map stage keyed
     by (zone_id, tile block) — the plan is O(1) in the number of zones
     (no per-zone branch/union loop, which would explode the driver plan
     at 10^4 polygons). Returns images-schema rows + zone_id, image_id
-    prefixed by the zone id."""
+    prefixed by the zone id.  fmt/dtype set the output tile encoding —
+    pass float64/rawf64 for non-integer input (frame facade does)."""
     import pandas as pd
 
     from ..sources.synth import IMAGES_SCHEMA
@@ -380,7 +388,7 @@ def clip(
         zid, ty, tx = int(key[0]), int(key[1]), int(key[2])
         rec = PX.build_tile_record(
             pdf, ty, tx, f"clip_z{zid}", origin, cellsize, tile, ndv,
-            fmt="raw16", dtype="int16", crs="EPSG:4326", cell_res=3,
+            fmt=fmt, dtype=dtype, crs="EPSG:4326", cell_res=3,
         )
         rec["zone_id"] = zid
         return pd.DataFrame([rec])

@@ -619,6 +619,22 @@ def sql_gstar_local() -> str:
     return AC.gstar_local_sql(synth.pixel_sql(SPEC))
 
 
+def q_g_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain Getis-Ord G_i (esda G_Local star=False — the reference
+    default; georasters.py:1343-1378): self EXCLUDED from the weights,
+    leave-one-out moments in the z-form."""
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.g_local(px)
+
+
+def sql_g_local() -> str:
+    from .operators import autocorr as AC
+
+    return AC.g_local_sql(synth.pixel_sql(SPEC))
+
+
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import autocorr as AC
 
@@ -2610,6 +2626,57 @@ SELECT (CAST(obs.n AS DOUBLE) / CAST(obs.s0 AS DOUBLE))
 FROM obs, ge"""
 
 
+def q_moran_perm_rowstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: Moran permutation test under the reference's DEFAULT
+    row-standardized weights (esda transformation='r'): the per-pair
+    weight 840/deg(i) rides the fixed graph while values permute, so
+    the 840-scaled pair sums stay exact integers."""
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.moran_permutation_test(px, n_perm=_PERM_N, seed=_PERM_SEED,
+                                     transform="r")
+
+
+def sql_moran_perm_rowstd() -> str:
+    from .operators.autocorr import QUEEN, permutation_params
+
+    n = _t1_valid_count()
+    perms = permutation_params(n, _PERM_N, _PERM_SEED)
+    pvals = ", ".join(f"({p}, {a}, {b})" for p, a, b in perms)
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in QUEEN)
+    return f"""WITH {synth.pixel_sql(SPEC)},
+offsets(dr, dc) AS (VALUES {offsets}),
+perms(p, amul, badd) AS (VALUES {pvals}),
+ranked AS (SELECT row, col, value, ROW_NUMBER() OVER (ORDER BY row, col) - 1 AS k FROM px),
+cand AS (SELECT a.k AS ka, a.row + o.dr AS r2, a.col + o.dc AS c2 FROM ranked a CROSS JOIN offsets o),
+pairs AS (SELECT cand.ka, b.k AS kb FROM cand JOIN ranked b ON b.row = cand.r2 AND b.col = cand.c2),
+pairsw AS (SELECT ka, kb, 840 // COUNT(*) OVER (PARTITION BY ka) AS w840 FROM pairs),
+pp AS (SELECT pe.p, pairsw.w840,
+              (pairsw.ka * pe.amul + pe.badd) % {n} AS pka,
+              (pairsw.kb * pe.amul + pe.badd) % {n} AS pkb
+       FROM pairsw CROSS JOIN perms pe),
+scal AS (SELECT CAST(COUNT(value) AS BIGINT) AS n, CAST(SUM(value) AS BIGINT) AS s,
+                CAST(SUM(value*value) AS BIGINT) AS q FROM px),
+j AS (SELECT pp.p, pp.w840, pp.pka, va.value AS va, vb.value AS vb
+      FROM pp JOIN ranked va ON va.k = pp.pka JOIN ranked vb ON vb.k = pp.pkb),
+agg AS (SELECT j.p,
+               SUM(CAST(j.w840 AS HUGEINT)
+                   * (CAST(scal.n AS HUGEINT) * j.va - scal.s)
+                   * (CAST(scal.n AS HUGEINT) * j.vb - scal.s)) AS a840,
+               CAST(COUNT(DISTINCT j.pka) AS BIGINT) AS nw
+        FROM j, scal GROUP BY j.p),
+obs AS (SELECT a840 AS num_obs, nw FROM agg WHERE p = 0),
+ge AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ge FROM agg, obs WHERE agg.p > 0 AND agg.a840 >= obs.num_obs)
+SELECT (CAST(scal.n AS DOUBLE) / obs.nw)
+       * ((CAST(obs.num_obs AS DOUBLE) / 840.0)
+          / CAST(CAST(scal.n AS HUGEINT)*scal.n*scal.q - CAST(scal.n AS HUGEINT)*scal.s*scal.s AS DOUBLE)) AS i_obs,
+       CAST({_PERM_N} AS BIGINT) AS n_perm,
+       ge.n_ge AS n_ge,
+       CAST(ge.n_ge + 1 AS DOUBLE) / ({_PERM_N} + 1) AS p_sim
+FROM obs, ge, scal"""
+
+
 def q_geary_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: global Geary C permutation test (reference pysal_Geary
     passes permutations= to esda.Geary, georasters.py:1271-1308) —
@@ -2654,6 +2721,151 @@ SELECT (CAST(obs.n - 1 AS DOUBLE) * CAST(obs.num_obs AS DOUBLE) * CAST(obs.n AS 
        ge.n_ge AS n_ge,
        CAST(ge.n_ge + 1 AS DOUBLE) / ({_PERM_N} + 1) AS p_sim
 FROM obs, ge"""
+
+
+def q_geary_perm_rowstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: Geary permutation test under row-standardized weights (the
+    esda default transformation='r') — same fixed-graph 840/deg(i)
+    weighting as moran_perm_rowstd, exact-integer C840 comparison."""
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.geary_permutation_test(px, n_perm=_PERM_N, seed=_PERM_SEED,
+                                     transform="r")
+
+
+def sql_geary_perm_rowstd() -> str:
+    from .operators.autocorr import QUEEN, permutation_params
+
+    n = _t1_valid_count()
+    perms = permutation_params(n, _PERM_N, _PERM_SEED)
+    pvals = ", ".join(f"({p}, {a}, {b})" for p, a, b in perms)
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in QUEEN)
+    return f"""WITH {synth.pixel_sql(SPEC)},
+offsets(dr, dc) AS (VALUES {offsets}),
+perms(p, amul, badd) AS (VALUES {pvals}),
+ranked AS (SELECT row, col, value, ROW_NUMBER() OVER (ORDER BY row, col) - 1 AS k FROM px),
+cand AS (SELECT a.k AS ka, a.row + o.dr AS r2, a.col + o.dc AS c2 FROM ranked a CROSS JOIN offsets o),
+pairs AS (SELECT cand.ka, b.k AS kb FROM cand JOIN ranked b ON b.row = cand.r2 AND b.col = cand.c2),
+pairsw AS (SELECT ka, kb, 840 // COUNT(*) OVER (PARTITION BY ka) AS w840 FROM pairs),
+pp AS (SELECT pe.p, pairsw.w840,
+              (pairsw.ka * pe.amul + pe.badd) % {n} AS pka,
+              (pairsw.kb * pe.amul + pe.badd) % {n} AS pkb
+       FROM pairsw CROSS JOIN perms pe),
+j AS (SELECT pp.p, pp.w840, pp.pka, va.value AS va, vb.value AS vb
+      FROM pp JOIN ranked va ON va.k = pp.pka JOIN ranked vb ON vb.k = pp.pkb),
+agg AS (SELECT p, SUM(CAST(w840 AS HUGEINT) * (va - vb) * (va - vb)) AS c840,
+               CAST(COUNT(DISTINCT pka) AS BIGINT) AS nw
+        FROM j GROUP BY p),
+scal AS (SELECT CAST(COUNT(value) AS BIGINT) AS n, CAST(SUM(value) AS BIGINT) AS s,
+                CAST(SUM(value*value) AS BIGINT) AS q FROM px),
+obs AS (SELECT agg.c840 AS num_obs, agg.nw, scal.n, scal.s, scal.q
+        FROM agg, scal WHERE agg.p = 0),
+ge AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ge
+       FROM agg, obs WHERE agg.p > 0 AND agg.c840 >= obs.num_obs)
+SELECT (CAST(obs.n - 1 AS DOUBLE) / (2.0 * obs.nw))
+       * ((CAST(obs.num_obs AS DOUBLE) / 840.0)
+          / (CAST(CAST(obs.n AS HUGEINT)*obs.q - CAST(obs.s AS HUGEINT)*obs.s AS DOUBLE) / obs.n)) AS c_obs,
+       CAST({_PERM_N} AS BIGINT) AS n_perm,
+       ge.n_ge AS n_ge,
+       CAST(ge.n_ge + 1 AS DOUBLE) / ({_PERM_N} + 1) AS p_sim
+FROM obs, ge"""
+
+
+def q_adpcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: IMA/DVI ADPCM audio (WAV format 0x11, sources/adpcm.py) end
+    to end: 12 deterministic int16 clips encode to 4-bit ADPCM blocks
+    (101 samples/block so every clip crosses block restarts with the
+    step index carried over), ride the real WAV container, and decode
+    back through the multimodal 'wav' dispatch.  ADPCM is lossy but
+    the encode→decode chain is a DETERMINISTIC integer recurrence —
+    the decoder output IS the encoder's predictor chain — so the gate
+    is hash-exact: a DuckDB RECURSIVE CTE replays the quantize/
+    reconstruct/index-walk per sample and must reproduce Σdec and
+    Σdec² bit-for-bit."""
+    import pandas as pd
+
+    from .operators import multimodal as MM
+    from .sources import adpcm
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for cid_ in pdf["id"].tolist():
+                v = int(cid_)
+                n = 400 + 50 * (v % 5)
+                i = np.arange(n, dtype=np.int64)
+                s = ((i * i * 7 + i * 31 + v * 101) % 65536 - 32768).astype(np.int16)
+                buf = adpcm.encode_wav_adpcm(s, 8000, samples_per_block=101)
+                dec, rate = MM.decode_audio(buf, "wav")
+                d = dec.astype(np.int64)
+                rows.append({
+                    "clip_id": v, "n_samples": int(len(d)), "rate": int(rate),
+                    "sum_dec": int(d.sum()),
+                    "energy": int((d * d).sum()),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "n_samples", "rate", "sum_dec", "energy"])
+
+    return spark.range(12).repartition(4).mapInPandas(
+        gen, schema="clip_id long, n_samples long, rate long, "
+                    "sum_dec long, energy long")
+
+
+def sql_adpcm_audio() -> str:
+    from .sources import adpcm
+
+    spb = 101
+    steps_vals = ", ".join(
+        f"({i}, {int(v)})" for i, v in enumerate(adpcm.STEP_TABLE))
+    idx_vals = ", ".join(
+        f"({i}, {int(v)})" for i, v in enumerate([-1, -1, -1, -1, 2, 4, 6, 8]))
+    return f"""
+WITH RECURSIVE
+clips AS (SELECT CAST(v.range AS BIGINT) AS v, 400 + 50 * (v.range % 5) AS n FROM range(12) v),
+smp AS (SELECT c.v, CAST(i.range AS BIGINT) AS i,
+               (i.range * i.range * 7 + i.range * 31 + c.v * 101) % 65536 - 32768 AS s
+        FROM clips c CROSS JOIN range(650) i WHERE i.range < c.n),
+steps(si, step) AS (VALUES {steps_vals}),
+itab(low3, adj) AS (VALUES {idx_vals}),
+-- decoded[i] == encoder predictor after step i; block starts (i % spb
+-- = 0) re-seed the predictor from the true sample (stored int16 in the
+-- 4-byte block header) and CARRY the step index — sources/adpcm.py
+chain(v, i, pred, idx) AS (
+  SELECT v, i, s, 0 FROM smp WHERE i = 0
+  UNION ALL
+  SELECT q.v, q.i,
+         CASE WHEN q.blockstart THEN q.s ELSE q.npred END,
+         CASE WHEN q.blockstart THEN q.idx
+              ELSE LEAST(88, GREATEST(0, q.idx + it.adj)) END
+  FROM (
+    SELECT c.v, smp.i, smp.s, c.idx,
+           smp.i % {spb} = 0 AS blockstart,
+           st.step AS step,
+           smp.s - c.pred AS delta,
+           ABS(smp.s - c.pred) >= st.step AS b2,
+           ABS(smp.s - c.pred) - CASE WHEN ABS(smp.s - c.pred) >= st.step THEN st.step ELSE 0 END AS d1,
+           d1 >= (step >> 1) AS b1,
+           d1 - CASE WHEN b1 THEN step >> 1 ELSE 0 END AS d2,
+           d2 >= (step >> 2) AS b0,
+           (step >> 3) + CASE WHEN b2 THEN step ELSE 0 END
+                       + CASE WHEN b1 THEN step >> 1 ELSE 0 END
+                       + CASE WHEN b0 THEN step >> 2 ELSE 0 END AS diff,
+           LEAST(32767, GREATEST(-32768,
+             c.pred + CASE WHEN delta < 0 THEN -diff ELSE diff END)) AS npred,
+           CASE WHEN b2 THEN 4 ELSE 0 END + CASE WHEN b1 THEN 2 ELSE 0 END
+             + CASE WHEN b0 THEN 1 ELSE 0 END AS low3
+    FROM chain c JOIN smp ON smp.v = c.v AND smp.i = c.i + 1
+    JOIN steps st ON st.si = c.idx
+  ) q JOIN itab it ON it.low3 = q.low3
+)
+SELECT v AS clip_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS rate,
+       CAST(SUM(pred) AS BIGINT) AS sum_dec,
+       CAST(SUM(pred * pred) AS BIGINT) AS energy
+FROM chain GROUP BY v"""
 
 
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4836,6 +5048,15 @@ QUERIES = {
     # the window in r7
     "focal_tiles": (q_focal_tiles, sql_focal_tiles),
     "terrain_tiles": (q_terrain_tiles, sql_terrain),
+    # g_local / *_perm_rowstd are r6-NEW (session 4: plain G_i for
+    # esda's star=False default; row-standardized permutation tests);
+    # past the full driver window — rotate into it in r7
+    "g_local": (q_g_local, sql_g_local),
+    "moran_perm_rowstd": (q_moran_perm_rowstd, sql_moran_perm_rowstd),
+    "geary_perm_rowstd": (q_geary_perm_rowstd, sql_geary_perm_rowstd),
+    # adpcm_audio is r6-NEW (session 4: IMA ADPCM codec, hash-exact
+    # recursive-CTE oracle); past the full driver window — rotate in r7
+    "adpcm_audio": (q_adpcm_audio, sql_adpcm_audio),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -326,6 +326,66 @@ def parse_dims(buf: bytes) -> tuple[int, int]:
             int(_first(entries, buf, bo, _T_HEIGHT)))
 
 
+def tiff_dims(path: str, page: int = 0) -> tuple[int, int]:
+    """TRUE raster dims (h, w) of one page via header+IFD seeks only —
+    no strip/tile decode, no full-file read.  Classic and BigTIFF, both
+    byte orders; ImageWidth/ImageLength (tags 256/257) are count-1
+    SHORT/LONG values and therefore always inline in the entry."""
+    with open(path, "rb") as f:
+        head = f.read(16)
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError("not a TIFF (bad byte-order mark)")
+        (magic,) = struct.unpack_from(bo + "H", head, 2)
+        big = magic == 43
+        if big:
+            osize, pad = struct.unpack_from(bo + "HH", head, 4)
+            if osize != 8 or pad != 0:
+                raise ValueError(f"BigTIFF with offset size {osize} (must be 8)")
+            (off,) = struct.unpack_from(bo + "Q", head, 8)
+        elif magic == 42:
+            (off,) = struct.unpack_from(bo + "I", head, 4)
+        else:
+            raise ValueError(f"not a TIFF (magic {magic})")
+        for _ in range(page + 1):
+            if off == 0:
+                raise ValueError(f"TIFF has no page {page}")
+            f.seek(off)
+            if big:
+                (n,) = struct.unpack(bo + "Q", f.read(8))
+                ent = f.read(20 * n + 8)
+                esz, vofs = 20, 12
+                nxt = struct.unpack_from(bo + "Q", ent, 20 * n)[0]
+            else:
+                (n,) = struct.unpack(bo + "H", f.read(2))
+                ent = f.read(12 * n + 4)
+                esz, vofs = 12, 8
+                nxt = struct.unpack_from(bo + "I", ent, 12 * n)[0]
+            off = nxt
+        w = h = None
+        for i in range(n):
+            tag, typ = struct.unpack_from(bo + "HH", ent, esz * i)
+            if tag in (_T_WIDTH, _T_HEIGHT):
+                if typ == 3:  # SHORT
+                    (v,) = struct.unpack_from(bo + "H", ent, esz * i + vofs)
+                elif typ == 4:  # LONG
+                    (v,) = struct.unpack_from(bo + "I", ent, esz * i + vofs)
+                elif typ == 16:  # LONG8 (BigTIFF)
+                    (v,) = struct.unpack_from(bo + "Q", ent, esz * i + vofs)
+                else:
+                    raise ValueError(f"tiff: dims tag {tag} has type {typ}")
+                if tag == _T_WIDTH:
+                    w = int(v)
+                else:
+                    h = int(v)
+        if w is None or h is None:
+            raise ValueError("tiff: missing ImageWidth/ImageLength")
+        return h, w
+
+
 def parse_tiff(buf: bytes, page: int = 0):
     """Parse one page of a classic TIFF. Returns ``(array, meta)`` where
     array is (h, w) for single-band or (bands, h, w) for chunky

@@ -103,6 +103,94 @@ def test_gstar_local_matches_numpy(spark):
             assert abs(got.loc[(r, c), "z_gstar"] - z) < 1e-9
 
 
+def test_g_local_matches_numpy(spark):
+    """Plain G_i (star=False, self EXCLUDED, leave-one-out moments) vs
+    direct numpy — and it must differ from G*_i everywhere."""
+    import math
+
+    a = GRAD
+    px = _px_df(spark, a).select("row", "col", F.col("value").cast("long").alias("value"))
+    got = AC.g_local(px).toPandas().set_index(["row", "col"])
+    n = a.size
+    S = a.sum()
+    Q = (a * a).sum()
+    h, w = a.shape
+    assert len(got) == n  # no isolated cells on the dense grid
+    for r in range(h):
+        for c in range(w):
+            nb = [a[r + dr, c + dc] for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                  if (dr, dc) != (0, 0)
+                  and 0 <= r + dr < h and 0 <= c + dc < w]
+            wi = len(nb)
+            xbar = (S - a[r, c]) / (n - 1)
+            s2 = (Q - a[r, c] ** 2) / (n - 1) - xbar * xbar
+            z = (sum(nb) - xbar * wi) / (
+                math.sqrt(s2) * math.sqrt((wi * (n - 1) - wi * wi) / (n - 2)))
+            assert abs(got.loc[(r, c), "z_g"] - z) < 1e-9
+            assert got.loc[(r, c), "wi"] == wi
+    gs = AC.gstar_local(px).toPandas().set_index(["row", "col"])
+    assert not np.allclose(got["z_g"].sort_index().to_numpy(),
+                           gs["z_gstar"].sort_index().to_numpy())
+
+
+def test_global_perm_rowstd_mirror(spark):
+    """transform='r' global permutation tests: the p=0 statistic equals
+    global_autocorr_rowstd EXACTLY, and n_ge matches a numpy mirror of
+    the seeded modular permutations under 1/deg weights."""
+    h, w = 7, 8
+    rng = np.random.RandomState(13)
+    a = rng.randint(0, 60, size=(h, w)).astype(np.int64)
+    pdf = pd.DataFrame({
+        "row": np.repeat(np.arange(h), w),
+        "col": np.tile(np.arange(w), h),
+        "value": a.ravel(),
+    })
+    px = spark.createDataFrame(pdf)
+    n = h * w
+    n_perm, seed = 19, 307
+    base = AC.global_autocorr_rowstd(px).collect()[0]
+    mrow = AC.moran_permutation_test(px, n_perm=n_perm, seed=seed,
+                                     transform="r").collect()[0]
+    grow = AC.geary_permutation_test(px, n_perm=n_perm, seed=seed,
+                                     transform="r").collect()[0]
+    assert mrow["i_obs"] == base["moran_r"]
+    assert grow["c_obs"] == base["geary_r"]
+    # numpy mirror of the modular draws (identity p=0 excluded)
+    vals = a.ravel()
+    deg = np.zeros(n, dtype=np.int64)
+    edges = []
+    for r in range(h):
+        for c in range(w):
+            i = r * w + c
+            for dr, dc in AC.QUEEN:
+                if 0 <= r + dr < h and 0 <= c + dc < w:
+                    edges.append((i, (r + dr) * w + (c + dc)))
+                    deg[i] += 1
+    S = int(vals.sum())
+
+    def a840_c840(perm):
+        A = C = 0
+        for i, j in edges:
+            wv = 840 // int(deg[i])
+            va, vb = int(vals[perm[i]]), int(vals[perm[j]])
+            A += wv * (n * va - S) * (n * vb - S)
+            C += wv * (va - vb) ** 2
+        return A, C
+
+    ident = {k: k for k in range(n)}
+    A0, C0 = a840_c840(ident)
+    n_ge_m = n_ge_g = 0
+    for _, amul, badd in AC.permutation_params(n, n_perm, seed)[1:]:
+        perm = {k: (k * amul + badd) % n for k in range(n)}
+        A, C = a840_c840(perm)
+        n_ge_m += int(A >= A0)
+        n_ge_g += int(C >= C0)
+    assert mrow["n_ge"] == n_ge_m
+    assert grow["n_ge"] == n_ge_g
+    assert mrow["p_sim"] == (n_ge_m + 1) / (n_perm + 1)
+    assert grow["p_sim"] == (n_ge_g + 1) / (n_perm + 1)
+
+
 def test_neighbor_pairs_degree_structure(spark):
     px = _px_df(spark, GRAD)
     deg = (

@@ -164,11 +164,64 @@ def test_facade_resize_and_union(frame):
 def test_facade_autocorr_and_weights(frame):
     from georasters_spark.operators import autocorr as AC
 
-    a = frame.pysal_Moran(bin_threshold=1000).collect()
+    # transform='b': binary weights (bin_threshold rides that row)
+    a = frame.pysal_Moran(transform="b", bin_threshold=1000).collect()
     b = AC.global_autocorr(frame.px, bin_threshold=1000).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # DEFAULT transform='r' is the reference/esda row-standardized path
+    r = frame.pysal_Moran().collect()
+    rr = AC.global_autocorr_rowstd(frame.px).collect()
+    assert sorted(map(tuple, r)) == sorted(map(tuple, rr))
+    g = frame.pysal_Geary().collect()
+    assert sorted(map(tuple, g)) == sorted(map(tuple, rr))
     w = frame.raster_weights()
     assert w.count() == AC.neighbor_pairs(frame.px).count()
+
+
+def test_facade_g_local_star_dispatch(frame):
+    from georasters_spark.operators import autocorr as AC
+
+    star = frame.pysal_G_Local(star=True).collect()
+    gs = AC.gstar_local(frame.px).collect()
+    assert sorted(map(tuple, star)) == sorted(map(tuple, gs))
+    plain = frame.pysal_G_Local().collect()  # default star=False = G_i
+    gp = AC.g_local(frame.px).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, gp))
+    # star must actually change the statistic (self in/out of weights)
+    assert sorted(map(tuple, plain)) != sorted(map(tuple, star))
+
+
+def test_facade_float_values_survive_images(dense):
+    """A derived frame with fractional values must round-trip its tiles
+    losslessly (rawf64) — the int16 default would truncate 2.5 -> 2."""
+    from georasters_spark.operators import pixels as PX
+
+    gr, a = dense
+    gr2 = gr / 2
+    back = PX.pixel_table(gr2.images(), valid_only=True)
+    got = {(r["row"], r["col"]): r["value"] for r in back.collect()}
+    exp = a / 2.0
+    assert len(got) == a.size
+    for (r, c), v in got.items():
+        assert v == exp[r, c]  # exact, not approx
+
+
+def test_from_file_true_shape_and_argmax(spark, tmp_path):
+    """from_file probes the TIFF header for the TRUE dims, so flat
+    argmax/argmin indices match the reference even when dims are not
+    tile multiples."""
+    from georasters_spark.sources import geotiff as GT
+
+    h, w = 10, 13
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 2000, size=(h, w)).astype(np.int16)
+    p = tmp_path / "small.tif"
+    p.write_bytes(GT.write_tiff(a, x0=3.0, y0=9.0, cellx=0.5, celly=-0.5))
+    gr = GeoRasterFrame.from_file(spark, str(p), tile=8)
+    assert gr.shape == (h, w)
+    assert gr.argmax() == int(np.argmax(a))
+    assert gr.argmin() == int(np.argmin(a))
+    assert GT.tiff_dims(str(p)) == (h, w)
 
 
 def test_facade_to_pandas_and_geoms(dense, tmp_path):
@@ -204,5 +257,7 @@ def test_facade_reproject_uses_frame_crs(frame):
 
 def test_facade_gamma_join_counts(frame):
     row = frame.pysal_Gamma(bin_threshold=1000).collect()[0]
-    for k in ("bb", "ww", "bw", "moran_i", "geary_c"):
+    for k in ("gamma", "bb", "ww", "bw", "moran_i", "geary_c"):
         assert k in row.asDict()
+    # gamma = Σ_pairs v_i·v_j (cross-product similarity) — nonzero here
+    assert row["gamma"] > 0

@@ -227,10 +227,10 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_audio(buf: bytes, fmt: str) -> tuple[np.ndarray, int]:
-    """Audio codec dispatch: 'wav' (PCM16 + G.711 mu-law/A-law format
-    tags via sources/g711.py) and 'flac' (real from-scratch lossless
-    codec, sources/flac.py) are REAL; mp3 stays the declared stub
-    boundary."""
+    """Audio codec dispatch: 'wav' (PCM16 + G.711 mu-law/A-law + IMA
+    ADPCM format tags via sources/g711.py and sources/adpcm.py) and
+    'flac' (real from-scratch lossless codec, sources/flac.py) are
+    REAL; mp3 stays the declared stub boundary."""
     if fmt == "wav":
         from ..sources import g711
 

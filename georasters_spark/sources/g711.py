@@ -149,4 +149,8 @@ def decode_wav_any(buf: bytes) -> tuple[np.ndarray, int]:
         if bits != 8:
             raise ValueError("wav: A-law must be 8-bit")
         return alaw_decode(np.frombuffer(data, dtype=np.uint8)), rate
+    if tag == 0x11:
+        from . import adpcm
+
+        return adpcm.decode_wav_adpcm(buf)
     raise NotImplementedError(f"wav: format tag {tag} not supported")

@@ -493,13 +493,20 @@ class GeoRasterFrame:
             return AC.global_autocorr_rowstd(self.px, rook=rook)
         return AC.global_autocorr(self.px, bin_threshold=0, rook=rook)
 
-    def pysal_Moran_Local(self, permutations: int = 0, seed: int = 7,
-                          rook: bool = False):
+    def pysal_Moran_Local(self, transform: str = "r", permutations: int = 0,
+                          seed: int = 7, rook: bool = False):
+        """LISA with the reference's DEFAULT row-standardized weights
+        (esda transformation='r'); transform='b' gives the binary
+        plan.  Conditional-permutation p_sim is weight-scale-invariant
+        (within-cell weights are uniform), so the permutation path
+        serves both transforms."""
         from .operators import autocorr as AC
 
         if permutations:
             return AC.local_permutation_test(
                 self.px, n_perm=permutations, seed=seed, rook=rook)
+        if transform.lower().startswith("r"):
+            return AC.local_moran_rowstd(self.px, rook=rook)
         return AC.local_moran(self.px, rook=rook)
 
     def pysal_G_Local(self, star: bool = False, rook: bool = False):

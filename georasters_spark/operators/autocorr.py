@@ -233,6 +233,87 @@ def local_moran(px: DataFrame, rook: bool = False) -> DataFrame:
     )
 
 
+def local_moran_rowstd(px: DataFrame, rook: bool = False) -> DataFrame:
+    """Per-cell local Moran under ROW-STANDARDIZED weights — the esda
+    Moran_Local DEFAULT (transformation='r', georasters.py:1310-1341).
+    With N_k = n·v_k − S and M_i = n·nsum_i − ncnt_i·S,
+
+        Is_i = n·z_i·(Σ_j z_j / deg_i) / Σz² = N_i·M_i / (deg_i·den),
+        den = n·Q − S²
+
+    so the 840-scaled numerator N_i·M_i·(840 div deg_i) is an exact
+    decimal integer (the same budget guards as global_autocorr_rowstd)
+    and the double derives from it in one op chain.  Quadrant labels
+    and conditional-permutation p_sim are weight-scale-invariant (the
+    within-cell weights are uniform), so they are THE SAME as the
+    binary plan's — only the Is value rescales.  Isolated cells
+    (deg = 0) have no row-standardized lag and are filtered, like
+    global_autocorr_rowstd.  Returns (row, col, li_num840, li,
+    quadrant)."""
+    scal = px.agg(F.count("value").alias("n"), F.sum("value").alias("s"),
+                  F.sum(F.col("value") * F.col("value")).alias("q"),
+                  F.max(F.abs("value")).alias("vmax")).collect()[0]
+    n, s, q = int(scal["n"]), int(scal["s"]), int(scal["q"])
+    vmax = int(scal["vmax"])
+    if n * vmax > 6 * 10**16:
+        raise ValueError(
+            f"n*max|value| = {n * vmax:.3g} exceeds the exact-integer "
+            "budget (6e16) of the 840-scaled decimal plan; rescale values")
+    den = n * q - s * s
+    foc = focal_stats(px, rook=rook, include_self=False).filter(F.col("ncnt") > 0)
+    wfac = F.expr(f"CAST({_LCM8} DIV ncnt AS DECIMAL(4,0))")
+    N = (F.col("value") * n - s).cast("decimal(19,0)")
+    M = (F.col("nsum") * n - F.col("ncnt") * s).cast("decimal(20,0)")
+    num840 = N * M * wfac
+    zi = F.col("value") * n - s
+    lag = F.col("nsum") * n - F.col("ncnt") * s
+    quad = (
+        F.when((zi > 0) & (lag > 0), "HH")
+        .when((zi < 0) & (lag < 0), "LL")
+        .when((zi > 0) & (lag < 0), "HL")
+        .when((zi < 0) & (lag > 0), "LH")
+        .otherwise("NS")
+    )
+    return foc.select(
+        "row",
+        "col",
+        # exact digits as a STRING: a decimal(38) column would be
+        # float-coerced (and rounded) by the pandas-side compare
+        num840.cast("string").alias("li_num840"),
+        F.round(num840.cast("double") / (840.0 * float(den)), 6).alias("li"),
+        quad.alias("quadrant"),
+    )
+
+
+def local_moran_rowstd_sql(px_cte: str, rook: bool = False) -> str:
+    offs = ROOK if rook else QUEEN
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in offs)
+    return f"""WITH {px_cte},
+offsets(dr, dc) AS (VALUES {offsets}),
+scal AS (SELECT CAST(COUNT(value) AS BIGINT) AS n, CAST(SUM(value) AS BIGINT) AS s,
+                CAST(SUM(value*value) AS BIGINT) AS q FROM px),
+cand AS (SELECT a.row, a.col, a.row + o.dr AS r2, a.col + o.dc AS c2 FROM px a CROSS JOIN offsets o),
+foc AS (SELECT cand.row, cand.col, CAST(SUM(b.value) AS BIGINT) AS nsum, CAST(COUNT(*) AS BIGINT) AS ncnt
+        FROM cand JOIN px b ON b.row = cand.r2 AND b.col = cand.c2 GROUP BY 1, 2),
+base AS (SELECT px.row, px.col,
+                CAST(px.value AS HUGEINT) * scal.n - scal.s AS zi,
+                CAST(foc.nsum AS HUGEINT) * scal.n - foc.ncnt * scal.s AS lag,
+                840 // foc.ncnt AS wfac,
+                scal.n AS n, scal.s AS s, scal.q AS q
+         FROM px JOIN foc ON foc.row = px.row AND foc.col = px.col, scal
+         WHERE foc.ncnt > 0)
+SELECT base.row, base.col,
+       CAST(base.zi * base.lag * base.wfac AS VARCHAR) AS li_num840,
+       ROUND(CAST(base.zi * base.lag * base.wfac AS DOUBLE)
+             / (840.0 * CAST(CAST(base.n AS HUGEINT) * base.q - CAST(base.s AS HUGEINT) * base.s AS DOUBLE)), 6) AS li,
+       CASE WHEN base.zi > 0 AND base.lag > 0 THEN 'HH'
+            WHEN base.zi < 0 AND base.lag < 0 THEN 'LL'
+            WHEN base.zi > 0 AND base.lag < 0 THEN 'HL'
+            WHEN base.zi < 0 AND base.lag > 0 THEN 'LH'
+            ELSE 'NS' END AS quadrant
+FROM base"""
+
+
 def local_moran_sql(px_cte: str, rook: bool = False) -> str:
     offs = ROOK if rook else QUEEN
     offsets = ", ".join(f"({dr}, {dc})" for dr, dc in offs)

@@ -635,6 +635,22 @@ def sql_g_local() -> str:
     return AC.g_local_sql(synth.pixel_sql(SPEC))
 
 
+def q_local_moran_rowstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISA under the esda-default row-standardized weights
+    (georasters.py:1310-1341): exact 840-scaled decimal numerators,
+    quadrants unchanged from the binary plan (scale-invariant)."""
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.local_moran_rowstd(px)
+
+
+def sql_local_moran_rowstd() -> str:
+    from .operators import autocorr as AC
+
+    return AC.local_moran_rowstd_sql(synth.pixel_sql(SPEC))
+
+
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import autocorr as AC
 
@@ -5057,6 +5073,9 @@ QUERIES = {
     # adpcm_audio is r6-NEW (session 4: IMA ADPCM codec, hash-exact
     # recursive-CTE oracle); past the full driver window — rotate in r7
     "adpcm_audio": (q_adpcm_audio, sql_adpcm_audio),
+    # local_moran_rowstd is r6-NEW (session 4: esda-default LISA
+    # weights); past the full driver window — rotate in r7
+    "local_moran_rowstd": (q_local_moran_rowstd, sql_local_moran_rowstd),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -133,6 +133,29 @@ def test_g_local_matches_numpy(spark):
                            gs["z_gstar"].sort_index().to_numpy())
 
 
+def test_local_moran_rowstd_matches_numpy(spark):
+    """Is_i under row-standardized weights vs direct esda-style numpy
+    (n·z_i·lag_i/Σz²), and quadrants equal to the binary plan's."""
+    a = GRAD
+    px = _px_df(spark, a).select("row", "col", F.col("value").cast("long").alias("value"))
+    got = AC.local_moran_rowstd(px).toPandas().set_index(["row", "col"])
+    h, w = a.shape
+    n = a.size
+    z = a - a.mean()
+    zz = (z * z).sum()
+    for r in range(h):
+        for c in range(w):
+            nb = [z[r + dr, c + dc] for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                  if (dr, dc) != (0, 0)
+                  and 0 <= r + dr < h and 0 <= c + dc < w]
+            lag = sum(nb) / len(nb)
+            exp = n * z[r, c] * lag / zz
+            assert abs(got.loc[(r, c), "li"] - exp) < 1e-5
+    binq = (AC.local_moran(px).toPandas().set_index(["row", "col"])
+            ["quadrant"].sort_index())
+    assert (got["quadrant"].sort_index() == binq).all()
+
+
 def test_global_perm_rowstd_mirror(spark):
     """transform='r' global permutation tests: the p=0 statistic equals
     global_autocorr_rowstd EXACTLY, and n_ge matches a numpy mirror of

@@ -344,18 +344,20 @@ FROM j"""
 
 
 def _permutation_pair_frame(
-    px, n_perm: int, seed: int, rook: bool
+    px, n_perm: int, seed: int, rook: bool, rowstd: bool = False
 ):
     """Shared scaffolding for the GLOBAL permutation tests (Moran,
     Geary): invariant scalars (n, s=Σv, q=Σv²), the seeded modular
     permutation params, and the joined frame j with one row per
     (permutation p, neighbor pair) carrying the permuted endpoint
-    values (p, va, vb) plus the home cell's permutation-INVARIANT
-    row-standardized weight numerator w840 = 840 div deg(i) (weights
-    attach to the fixed graph; values permute over it — esda's
-    conditional permutation). Ranks come from the two-phase distributed
-    enumeration (no global window); any fix to the modular-permutation
-    join lands here ONCE for every consumer."""
+    values (p, va, vb).  With rowstd=True, j also carries the home
+    cell's permutation-INVARIANT row-standardized weight numerator
+    w840 = 840 div deg(i) (weights attach to the fixed graph; values
+    permute over it — esda's conditional permutation); the deg window
+    costs one extra exchange on the pair frame, so the binary path
+    skips it.  Ranks come from the two-phase distributed enumeration
+    (no global window); any fix to the modular-permutation join lands
+    here ONCE for every consumer."""
     from pyspark.sql import Window as W
 
     from .algebra import c_order_index
@@ -371,17 +373,18 @@ def _permutation_pair_frame(
     pairs_rk = neighbor_pairs_keys(ranked, rook=rook).select("ka", "kb")
     # deg(i) over the observed graph — a partition-local window on the
     # ka hash partitioning (no second shuffle vs a groupBy+join)
-    pairs_rk = pairs_rk.withColumn(
-        "deg", F.count(F.lit(1)).over(W.partitionBy("ka"))
-    ).withColumn(
-        "w840", F.expr(f"CAST({_LCM8} AS BIGINT) DIV deg")
-    ).drop("deg")
+    if rowstd:
+        pairs_rk = pairs_rk.withColumn(
+            "deg", F.count(F.lit(1)).over(W.partitionBy("ka"))
+        ).withColumn(
+            "w840", F.expr(f"CAST({_LCM8} AS BIGINT) DIV deg")
+        ).drop("deg")
     vals = ranked.select("k", F.col("value").cast("long").alias("v"))
 
     perm_df = spark.createDataFrame(perms, "p int, amul long, badd long")
     pp = pairs_rk.crossJoin(F.broadcast(perm_df)).select(
         "p",
-        "w840",
+        *(["w840"] if rowstd else []),
         ((F.col("ka") * F.col("amul") + F.col("badd")) % n).alias("pka"),
         ((F.col("kb") * F.col("amul") + F.col("badd")) % n).alias("pkb"),
     )
@@ -422,7 +425,7 @@ def moran_permutation_test(
                 f"n*max|value| = {int(g['n']) * int(g['vmax']):.3g} exceeds "
                 "the exact-integer budget (6e16) of the 840-scaled decimal "
                 "plan; rescale values")
-    spark, n, s, q, j = _permutation_pair_frame(px, n_perm, seed, rook)
+    spark, n, s, q, j = _permutation_pair_frame(px, n_perm, seed, rook, rowstd=rowstd)
     den_i = n * n * q - n * s * s
     if rowstd:
         term = (
@@ -500,7 +503,7 @@ def geary_permutation_test(
             raise ValueError(
                 f"max|value| = {vmax:.3g} exceeds the per-pair int64 budget "
                 "of the Geary numerator ((va-vb)² must fit a BIGINT)")
-    spark, n, s, q, j = _permutation_pair_frame(px, n_perm, seed, rook)
+    spark, n, s, q, j = _permutation_pair_frame(px, n_perm, seed, rook, rowstd=rowstd)
     den = n * q - s * s  # n · Σ(v − mean)²
     if rowstd:
         d = F.col("va") - F.col("vb")

@@ -25,6 +25,10 @@ fmt dispatch:
                                  (sources/mp4.py: sample table,
                                  keyframes, payload extraction);
                                  coded-frame decode is the stub
+  'qoi'                        — REAL QOI (sources/qoi.py, public
+                                 one-page spec): RGB/RGBA lossless;
+                                 color collapses to BT.601 luminance
+                                 like pngc/gif/bmp
   'fake'                       — deterministic pseudo-image from the
                                  byte hash (pipeline testing)
   'webp'/'mp3'                 — NotImplementedError (stub boundary)
@@ -41,7 +45,7 @@ from pyspark.sql import DataFrame
 from ..sources import codec
 
 REAL_FMTS = {"raw16", "rawf32", "png", "q8", "tiff", "jpeg", "pngc", "gif",
-             "bmp"}
+             "bmp", "qoi"}
 
 
 def decode_any(buf: bytes, fmt: str, w: int, h: int, ndv: float = -9999.0) -> np.ndarray:
@@ -86,6 +90,14 @@ def decode_any(buf: bytes, fmt: str, w: int, h: int, ndv: float = -9999.0) -> np
             b = img[..., 2].astype(np.int64)
             img = (299 * r + 587 * g + 114 * b) // 1000
         return img.astype(np.float64)
+    if fmt == "qoi":
+        from ..sources import qoi as _qoi
+
+        img, _m = _qoi.decode(buf)
+        r = img[..., 0].astype(np.int64)
+        g = img[..., 1].astype(np.int64)
+        b = img[..., 2].astype(np.int64)
+        return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.float64)
     if fmt in REAL_FMTS:
         return np.asarray(codec.decode_tile(buf, fmt, w, h, ndv), dtype=np.float64)
     if fmt == "fake":
@@ -468,12 +480,13 @@ _MEDIA_MAGIC = (
     (b"II+\x00", "tiff"), (b"MM\x00+", "tiff"),  # BigTIFF
     (b"RIFF", "wav"),  # refined below (RIFF....WAVE)
     (b"fLaC", "flac"),
+    (b"qoif", "qoi"),
 )
 
 
 def sniff_media(buf: bytes) -> str:
     """Identify a media file by magic bytes: pngc/gif/jpeg/tiff/wav/
-    flac/mp4, else 'unknown'. (MP4 magic is the ftyp box at offset 4.)"""
+    flac/qoi/mp4/bmp, else 'unknown'. (MP4 magic is the ftyp box at offset 4.)"""
     for magic, fmt in _MEDIA_MAGIC:
         if buf[: len(magic)] == magic:
             if fmt == "wav" and buf[8:12] != b"WAVE":
@@ -521,6 +534,9 @@ def _probe_dims(buf: bytes, fmt: str) -> tuple[int, int]:
     if fmt == "bmp":
         w, h = struct.unpack_from("<ii", buf, 18)
         return int(w), int(abs(h))
+    if fmt == "qoi":
+        w, h = struct.unpack_from(">II", buf, 4)
+        return int(w), int(h)
     return 0, 0
 
 
@@ -541,7 +557,7 @@ def load_media_files(spark, path: str) -> DataFrame:
                 buf = bytes(rec.content)
                 fmt = sniff_media(buf)
                 w, h = (_probe_dims(buf, fmt)
-                        if fmt in ("pngc", "gif", "jpeg", "tiff", "bmp")
+                        if fmt in ("pngc", "gif", "jpeg", "tiff", "bmp", "qoi")
                         else (0, 0))
                 rows.append({
                     "media_id": rec.path.rsplit("/", 1)[-1],

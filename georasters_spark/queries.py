@@ -4146,6 +4146,94 @@ SELECT img_id, CAST(MAX(h) AS INT) AS h, CAST(MAX(w) AS INT) AS w,
 FROM vals GROUP BY img_id"""
 
 
+def q_qoi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QOI codec end to end (sources/qoi.py, the public one-page
+    qoiformat.org spec): 12 deterministic files cycling four content
+    kinds chosen to exercise every chunk op — RGB unit-step gradients
+    (DIFF/LUMA), a 16-color palette pattern (INDEX), RGBA with varying
+    alpha (RGBA op), and run-structured stripes (RUN) — are encoded
+    and decoded back executor-side, plus magic-sniffed + header-probed
+    through the media-lake ingest path (operators/multimodal.py
+    sniff_media/_probe_dims). QOI is lossless, so the gate is
+    hash-exact: a position-weighted checksum over every decoded
+    sample, re-derived arithmetically in DuckDB."""
+    import pandas as pd
+
+    from .operators import multimodal as MM
+    from .sources import qoi as QO
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for fid in pdf["id"].tolist():
+                f = int(fid)
+                h, w = _PNG_SIZES[f % 4]
+                kind = f % 4
+                nch = 4 if kind == 2 else 3
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(nch, dtype=np.int64)[None, None, :]
+                if kind == 0:      # unit steps -> DIFF/LUMA
+                    v = (r + c + ch * 11 + f) % 256
+                elif kind == 1:    # 16 colors -> INDEX
+                    v = (((r * 3 + c * 5 + f) % 16) * (17 + ch * 2)) % 256
+                elif kind == 2:    # RGBA incl. varying alpha
+                    v = (r * 7 + c * 13 + ch * 11 + f * 29) % 256
+                else:              # 17-wide stripes -> RUN
+                    v = ((c // 17) * 31 + r * 5 + ch * 3 + f) % 256
+                img = v.astype(np.uint8)
+                buf = QO.encode(img)
+                dec, meta = QO.decode(buf)
+                pw, ph = MM._probe_dims(buf, MM.sniff_media(buf))
+                pos = ((np.arange(h)[:, None, None] * w
+                        + np.arange(w)[None, :, None]) * nch + ch)
+                rows.append({
+                    "img_id": f, "h": h, "w": w, "nch": nch,
+                    "sniff_ok": bool(
+                        MM.sniff_media(buf) == "qoi" and (pw, ph) == (w, h)
+                        and meta["channels"] == nch),
+                    "checksum": int((dec.astype(np.int64)
+                                     * (1 + pos % 97)).sum()),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "img_id", "h", "w", "nch", "sniff_ok", "checksum"])
+
+    return spark.range(12).repartition(4).mapInPandas(
+        gen, schema="img_id long, h int, w int, nch int, "
+                    "sniff_ok boolean, checksum long")
+
+
+def sql_qoi_roundtrip() -> str:
+    dims = ", ".join(f"({i}, {h}, {w})" for i, (h, w) in enumerate(_PNG_SIZES))
+    return f"""
+WITH sizes(k, h, w) AS (VALUES {dims}),
+imgs AS (
+  SELECT CAST(f.range AS BIGINT) AS img_id, s.h, s.w, f.range % 4 AS kind,
+         CASE WHEN f.range % 4 = 2 THEN 4 ELSE 3 END AS nch
+  FROM range(12) f JOIN sizes s ON s.k = f.range % 4),
+px AS (
+  SELECT i.img_id, i.h, i.w, i.kind, i.nch,
+         r.range AS r, c.range AS c, ch.range AS ch
+  FROM imgs i
+  CROSS JOIN range(40) r CROSS JOIN range(40) c CROSS JOIN range(4) ch
+  WHERE r.range < i.h AND c.range < i.w AND ch.range < i.nch),
+vals AS (
+  SELECT img_id, h, w, nch, (r * w + c) * nch + ch AS pos,
+         CASE WHEN kind = 0 THEN (r + c + ch * 11 + img_id) % 256
+              WHEN kind = 1
+                THEN (((r * 3 + c * 5 + img_id) % 16) * (17 + ch * 2)) % 256
+              WHEN kind = 2 THEN (r * 7 + c * 13 + ch * 11 + img_id * 29) % 256
+              ELSE ((c // 17) * 31 + r * 5 + ch * 3 + img_id) % 256
+         END AS v
+  FROM px)
+SELECT img_id, CAST(MAX(h) AS INT) AS h, CAST(MAX(w) AS INT) AS w,
+       CAST(MAX(nch) AS INT) AS nch, TRUE AS sniff_ok,
+       CAST(SUM(v * (1 + pos % 97)) AS BIGINT) AS checksum
+FROM vals GROUP BY img_id"""
+
+
 def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated GIF end to end (sources/gif.py): 8 deterministic
     multi-frame GIFs (formula-indexed frames over a formula palette,
@@ -5076,6 +5164,9 @@ QUERIES = {
     # local_moran_rowstd is r6-NEW (session 4: esda-default LISA
     # weights); past the full driver window — rotate in r7
     "local_moran_rowstd": (q_local_moran_rowstd, sql_local_moran_rowstd),
+    # qoi_roundtrip is r6-NEW (session 5: QOI codec joins the media
+    # lake); past the full driver window — rotate in r7
+    "qoi_roundtrip": (q_qoi_roundtrip, sql_qoi_roundtrip),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

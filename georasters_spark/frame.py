@@ -590,9 +590,19 @@ class GeoRasterFrame:
 
         return AL.polygonize_geoms(self.px, self.origin, self.cellsize)
 
-    def to_file(self, base: str, crs_wkt: str | None = None) -> int:
+    def to_file(self, base: str, crs_wkt: str | None = None,
+                driver: str = "ESRI Shapefile") -> int:
         """to_geopandas().to_file() in one step: region polygons →
-        .shp/.shx/.dbf(+.prj) via the from-scratch shapefile sink."""
+        .shp/.shx/.dbf(+.prj) via the from-scratch shapefile sink, or
+        an RFC 7946 FeatureCollection with driver='GeoJSON' (the two
+        geopandas drivers the reference workflow uses)."""
+        if driver == "GeoJSON":
+            from .sources import geojson as GJ
+
+            path = base if base.endswith(".geojson") else base + ".geojson"
+            return GJ.write_geojson(self.to_geopandas(), path)
+        if driver != "ESRI Shapefile":
+            raise ValueError(f"to_file: unsupported driver {driver!r}")
         from .sources import shapefile as SHP
 
         return SHP.write_shapefile(self.to_geopandas(), base,

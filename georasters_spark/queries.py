@@ -4983,6 +4983,92 @@ SELECT b.zone_id, a.name, a.code, a.weight,
 FROM base b JOIN attrs a USING (zone_id)"""
 
 
+_GJ_ZONES = [
+    ("wedge", 41, 2.25,
+     [[(-60.4, 10.2), (-10.3, 10.2), (-10.3, 70.6),
+       (-35.2, 40.1), (-60.4, 70.6)]]),
+    ("ring", 53, 9.5,
+     [[(-170.3, 20.1), (-100.2, 20.1), (-100.2, 80.4), (-170.3, 80.4)],
+      [(-150.6, 35.2), (-120.4, 35.2), (-120.4, 65.3), (-150.6, 65.3)]]),
+    ("pair", 67, 0.75,
+     [[(30.2, -70.3), (80.6, -65.1), (55.4, -20.2)],
+      [(100.3, -60.2), (160.7, -50.4), (130.2, -15.3)]]),
+]
+
+
+def q_geojson_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GeoJSON twin of shapefile_zonal (the reference reads vector
+    zones via geopandas — RFC 7946 GeoJSON is its other ubiquitous
+    driver): a FeatureCollection fixture is BUILT by the writer
+    (sources/geojson.py encode_feature_collection — RFC ring
+    orientation, closed rings, sorted keys) for a concave pentagon and
+    a donut, then a hand-built MultiPolygon feature (two triangles —
+    the geometry type the .shp gate can't express as one GeoJSON
+    object) is appended; the reader parses the text back into zones +
+    properties and zonal statistics run through the fused even-odd-PIP
+    plan with the JSON properties joined on.  EXACT oracle: the
+    crossing-number predicate and property literals re-derived in
+    SQL."""
+    import json as _json
+
+    from .sources import geojson as GJ
+
+    spec = SPEC
+    text = GJ.encode_feature_collection([
+        (tuple(tuple(p) for p in parts),
+         {"name": n, "code": c, "weight": w})
+        for n, c, w, parts in _GJ_ZONES[:2]])
+    fc = _json.loads(text)
+    n, c, w, parts = _GJ_ZONES[2]
+    fc["features"].append({
+        "type": "Feature",
+        "geometry": {"type": "MultiPolygon", "coordinates": [
+            [[list(p) for p in tri] + [list(tri[0])]] for tri in parts]},
+        "properties": {"name": n, "code": c, "weight": w},
+    })
+    zones, attrs = GJ.zones_from_geojson(_json.dumps(fc))
+    zdf = spark.createDataFrame(
+        [(z.zone_id, a["name"], int(a["code"]), float(a["weight"]))
+         for z, a in zip(zones, attrs)],
+        "zone_id long, name string, code long, weight double")
+    zs = SJ.zonal_stats_fused(
+        images_for(spark, spec), zones,
+        origin=(spec.x0, spec.y0), cellsize=(spec.cellx, spec.celly),
+        mode="center")
+    return zs.join(F.broadcast(zdf), "zone_id").select(
+        "zone_id", "name", "code", "weight",
+        "zcount", "zsum", "zmin", "zmax", "zmean", "zstd")
+
+
+def sql_geojson_zonal() -> str:
+    spec = SPEC
+    preds = []
+    for i, (n, _c, _w, parts) in enumerate(_GJ_ZONES):
+        z = synth.Zone(i + 1, n, tuple(tuple(p) for p in parts))
+        preds.append(
+            f"SELECT {i + 1} AS zone_id, px.value FROM px WHERE "
+            + synth.zone_sql_predicate_evenodd(z, "px.xc", "px.yc"))
+    attrs = " UNION ALL ".join(
+        f"SELECT {i + 1} AS zone_id, '{n}' AS name, "
+        f"CAST({c} AS BIGINT) AS code, CAST({w!r} AS DOUBLE) AS weight"
+        for i, (n, c, w, _p) in enumerate(_GJ_ZONES))
+    return f"""WITH {synth.pixel_sql(spec)}, hits AS ({' UNION ALL '.join(preds)}),
+attrs AS ({attrs}),
+base AS (
+  SELECT zone_id,
+       CAST(COUNT(value) AS BIGINT) AS zcount,
+       CAST(SUM(value) AS BIGINT) AS zsum,
+       CAST(MIN(value) AS BIGINT) AS zmin,
+       CAST(MAX(value) AS BIGINT) AS zmax,
+       ROUND(CAST(SUM(value) AS DOUBLE)/COUNT(value), 6) AS zmean,
+       ROUND(SQRT(CAST(SUM(value*value) AS DOUBLE)/COUNT(value)
+             - (CAST(SUM(value) AS DOUBLE)/COUNT(value))*(CAST(SUM(value) AS DOUBLE)/COUNT(value))), 6) AS zstd
+  FROM hits GROUP BY zone_id)
+SELECT b.zone_id, a.name, a.code, a.weight,
+       b.zcount, b.zsum, b.zmin, b.zmax, b.zmean, b.zstd
+FROM base b JOIN attrs a USING (zone_id)"""
+
+
 # --------------------------------------------------------------------------
 # media_near_dup: one mixed-format lake through the phash dedup stack
 # --------------------------------------------------------------------------
@@ -5167,6 +5253,10 @@ QUERIES = {
     # qoi_roundtrip is r6-NEW (session 5: QOI codec joins the media
     # lake); past the full driver window — rotate in r7
     "qoi_roundtrip": (q_qoi_roundtrip, sql_qoi_roundtrip),
+    # geojson_zonal is r6-NEW (session 5: RFC 7946 vector source/sink,
+    # the shapefile driver's twin incl. MultiPolygon); past the full
+    # driver window — rotate in r7
+    "geojson_zonal": (q_geojson_zonal, sql_geojson_zonal),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -238,6 +238,14 @@ def test_facade_to_pandas_and_geoms(dense, tmp_path):
     from georasters_spark.sources import shapefile as SHP
     recs = SHP.decode_shp((tmp_path / "zones.shp").read_bytes())
     assert len(recs) == n and n > 0
+    # driver='GeoJSON': the same regions through the RFC 7946 sink
+    m = sub.apply(column_fn=lambda v: (v > 25).cast("double")).to_file(
+        str(tmp_path / "zones"), driver="GeoJSON")
+    from georasters_spark.sources import geojson as GJ
+    feats = GJ.parse_geojson((tmp_path / "zones.geojson").read_text())
+    assert len(feats) == m == n
+    with pytest.raises(ValueError, match="unsupported driver"):
+        sub.to_file(str(tmp_path / "z2"), driver="GML")
 
 
 def test_facade_apply_validation(dense):

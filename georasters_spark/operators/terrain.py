@@ -280,6 +280,166 @@ def terrain_numpy_oracle(full: np.ndarray, ndv: float, cellsize: tuple[float, fl
 
 
 # ---------------------------------------------------------------------------
+# gdaldem TPI / TRI / roughness + color-relief (the remaining gdaldem
+# modes next to slope/aspect/hillshade; same reference escape-hatch
+# surface, README.md:70-76).
+# ---------------------------------------------------------------------------
+
+def tpi_tri_roughness(px: DataFrame, round_dp: int = 6) -> DataFrame:
+    """Per-cell gdaldem window statistics from ONE 8-offset neighbor
+    join + one (row, col) aggregate (the horn_sums shape):
+
+      tpi        = z − mean(8 neighbors)          (Topographic Position)
+      tri_wilson = mean(|z − neighbor|)           (gdaldem TRI default)
+      tri_riley  = sqrt(Σ (z − neighbor)²)        (gdaldem -alg Riley)
+      roughness  = max − min of the full 3×3      (exact BIGINT)
+
+    The neighbor sums (Σv, Σ|d|, Σd², min, max) are EXACT integers for
+    integer rasters; only the final /8 and sqrt are doubles. Cells
+    without a full 3×3 window emit NULLs (the slope/aspect edge
+    convention — gdaldem likewise writes nodata there)."""
+    spark = px.sparkSession
+    offs = spark.createDataFrame(
+        [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+         if (dr, dc) != (0, 0)], "dr int, dc int")
+    a = px.select("row", "col", F.col("value").cast("long").alias("value"))
+    b = a.select(F.col("row").alias("r2"), F.col("col").alias("c2"),
+                 F.col("value").alias("vb"))
+    cand = (
+        a.crossJoin(F.broadcast(offs))
+        .select("row", "col", "value",
+                (F.col("row") + F.col("dr")).alias("r2"),
+                (F.col("col") + F.col("dc")).alias("c2"))
+        .join(b, ["r2", "c2"])
+    )
+    d = F.col("vb") - F.col("value")
+    agg = cand.groupBy("row", "col").agg(
+        F.sum("vb").alias("snb"),
+        F.sum(F.abs(d)).alias("sabs"),
+        F.sum(d * d).alias("ssq"),
+        F.max("vb").alias("mx"),
+        F.min("vb").alias("mn"),
+        F.count(F.lit(1)).alias("ncnt"),
+    )
+    out = a.join(agg, ["row", "col"], "left")
+    full = F.col("ncnt") == 8
+    return out.select(
+        "row", "col", "value",
+        F.when(full, F.round(
+            F.col("value") - F.col("snb") / F.lit(8.0), round_dp)).alias("tpi"),
+        F.when(full, F.round(
+            F.col("sabs") / F.lit(8.0), round_dp)).alias("tri_wilson"),
+        F.when(full, F.round(
+            F.sqrt(F.col("ssq").cast("double")), round_dp)).alias("tri_riley"),
+        F.when(full, (F.greatest(F.col("mx"), F.col("value"))
+                      - F.least(F.col("mn"), F.col("value")))
+               .cast("long")).alias("roughness"),
+    )
+
+
+def tpi_sql(px_cte: str, round_dp: int = 6) -> str:
+    """DuckDB oracle for tpi_tri_roughness: the identical exact-integer
+    sums and the identical double expression chain."""
+    offsets = ", ".join(
+        f"({dr}, {dc})" for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+        if (dr, dc) != (0, 0))
+    return f"""WITH {px_cte},
+offs(dr, dc) AS (VALUES {offsets}),
+cand AS (
+  SELECT a.row, a.col, a.value, a.row + o.dr AS r2, a.col + o.dc AS c2
+  FROM px a CROSS JOIN offs o),
+sums AS (
+  SELECT cand.row, cand.col,
+         CAST(MIN(cand.value) AS BIGINT) AS value,
+         CAST(SUM(b.value) AS BIGINT) AS snb,
+         CAST(SUM(ABS(b.value - cand.value)) AS BIGINT) AS sabs,
+         CAST(SUM((b.value - cand.value) * (b.value - cand.value)) AS BIGINT) AS ssq,
+         CAST(MAX(b.value) AS BIGINT) AS mx,
+         CAST(MIN(b.value) AS BIGINT) AS mn,
+         COUNT(*) AS ncnt
+  FROM cand JOIN px b ON b.row = cand.r2 AND b.col = cand.c2
+  GROUP BY 1, 2)
+SELECT p.row, p.col, CAST(p.value AS BIGINT) AS value,
+  CASE WHEN s.ncnt = 8 THEN ROUND(p.value - s.snb / 8.0, {round_dp}) END AS tpi,
+  CASE WHEN s.ncnt = 8 THEN ROUND(s.sabs / 8.0, {round_dp}) END AS tri_wilson,
+  CASE WHEN s.ncnt = 8 THEN ROUND(SQRT(CAST(s.ssq AS DOUBLE)), {round_dp}) END AS tri_riley,
+  CASE WHEN s.ncnt = 8 THEN CAST(GREATEST(s.mx, p.value)
+                                 - LEAST(s.mn, p.value) AS BIGINT) END AS roughness
+FROM px p LEFT JOIN sums s ON s.row = p.row AND s.col = p.col"""
+
+
+def color_relief(px: DataFrame, ramp, value_col: str = "value") -> DataFrame:
+    """gdaldem color-relief: elevation → (r, g, b) through a color ramp
+    ``[(v, r, g, b), ...]`` (sorted by v) with linear interpolation
+    between bracketing entries, clamped to the end colors outside the
+    ramp (gdaldem's default interpolation mode).
+
+    Spark-first plan: the ramp becomes SEGMENTS [(lo, hi) half-open,
+    plus ±inf clamp segments) in a BROADCAST range join — one small
+    build side, no per-entry codegen blowup for long ramps, pixels
+    never shuffle. Channel rounding is floor(x + 0.5) (HALF_UP),
+    expressed identically in the SQL oracle."""
+    spark = px.sparkSession
+    ramp = sorted((float(v), int(r), int(g), int(b)) for v, r, g, b in ramp)
+    if len(ramp) < 2:
+        raise ValueError("color_relief: ramp needs >= 2 entries")
+    if len({v for v, *_ in ramp}) != len(ramp):
+        raise ValueError("color_relief: duplicate ramp values")
+    segs = []
+    v0, r0, g0, b0 = ramp[0]
+    segs.append((float("-inf"), v0, r0, g0, b0, r0, g0, b0))
+    for (lo, r1, g1, b1), (hi, r2, g2, b2) in zip(ramp, ramp[1:]):
+        segs.append((lo, hi, r1, g1, b1, r2, g2, b2))
+    vn, rn, gn, bn = ramp[-1]
+    segs.append((vn, float("inf"), rn, gn, bn, rn, gn, bn))
+    sdf = spark.createDataFrame(
+        segs, "lo double, hi double, r0 int, g0 int, b0 int, "
+              "r1 int, g1 int, b1 int")
+    v = F.col(value_col).cast("double")
+    span = F.col("hi") - F.col("lo")  # infinite on the clamp segments
+    t = F.when(span < F.lit(float("inf")),
+               (v - F.col("lo")) / span).otherwise(F.lit(0.0))
+    joined = px.join(
+        F.broadcast(sdf), (v >= F.col("lo")) & (v < F.col("hi")))
+
+    def chan(c0, c1):
+        return F.floor(F.col(c0) + t * (F.col(c1) - F.col(c0))
+                       + F.lit(0.5)).cast("int")
+
+    return joined.select(
+        *px.columns,
+        chan("r0", "r1").alias("r"),
+        chan("g0", "g1").alias("g"),
+        chan("b0", "b1").alias("b"),
+    )
+
+
+def color_relief_sql(px_cte: str, ramp) -> str:
+    """DuckDB oracle: the same segments as a CASE chain with the same
+    floor(x + 0.5) channel rounding."""
+    from .reproject import dlit
+
+    ramp = sorted((float(v), int(r), int(g), int(b)) for v, r, g, b in ramp)
+    cases = {}
+    for ch in range(3):
+        arms = [f"WHEN value < {dlit(ramp[0][0])} THEN {ramp[0][1 + ch]}"]
+        for (lo, *c1), (hi, *c2) in zip(ramp, ramp[1:]):
+            t = (f"(CAST(value AS DOUBLE) - {dlit(lo)})"
+                 f" / ({dlit(hi)} - {dlit(lo)})")
+            arms.append(
+                f"WHEN value < {dlit(hi)} THEN CAST(FLOOR({c1[ch]}"
+                f" + {t} * ({c2[ch]} - {c1[ch]}) + 0.5) AS INT)")
+        arms.append(f"ELSE {ramp[-1][1 + ch]}")
+        cases["rgb"[ch]] = "CASE " + " ".join(arms) + " END"
+    return f"""WITH {px_cte}
+SELECT px.*,
+  CAST({cases['r']} AS INT) AS r,
+  CAST({cases['g']} AS INT) AS g,
+  CAST({cases['b']} AS INT) AS b
+FROM px"""
+
+
+# ---------------------------------------------------------------------------
 # D8 hydrology: flow direction + flow accumulation.
 # ---------------------------------------------------------------------------
 

@@ -3520,6 +3520,55 @@ def sql_focal_tiles() -> str:
 # recursive downstream-closure oracle).
 # ---------------------------------------------------------------------------
 
+def q_terrain_tpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining gdaldem window modes next to slope/aspect/
+    hillshade: TPI, TRI (Wilson default AND -alg Riley) and roughness
+    from one 8-offset neighbor join + one aggregate
+    (terrain.tpi_tri_roughness), over the same dense synthetic DEM as
+    the terrain gate. EXACT oracle: integer neighbor sums re-derived
+    in SQL, identical double chain (ROUND 6dp), exact BIGINT
+    roughness."""
+    from .operators import terrain as TR
+
+    spec = SPEC
+    return TR.tpi_tri_roughness(_dem(spark, spec.height, spec.width))
+
+
+def sql_terrain_tpi() -> str:
+    from .operators import terrain as TR
+
+    spec = SPEC
+    return TR.tpi_sql(_dem_cte(spec.height, spec.width))
+
+
+_RELIEF_RAMP = [
+    (0, 0, 97, 71), (400, 16, 122, 47), (800, 232, 215, 136),
+    (1200, 161, 67, 0), (1600, 130, 30, 30), (1900, 255, 255, 255),
+]
+
+
+def q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem color-relief (terrain.color_relief): elevation → RGB by
+    linear interpolation through a 6-entry ramp, as a BROADCAST range
+    join of the segment table (clamp segments at ±inf) — pixels never
+    shuffle. The DEM's [0, 1997) value domain exercises interior
+    segments AND the above-ramp clamp. EXACT oracle: the same segment
+    CASE chain with the same floor(x + 0.5) channel rounding."""
+    from .operators import terrain as TR
+
+    spec = SPEC
+    return TR.color_relief(
+        _dem(spark, spec.height, spec.width), _RELIEF_RAMP)
+
+
+def sql_color_relief() -> str:
+    from .operators import terrain as TR
+
+    spec = SPEC
+    return TR.color_relief_sql(
+        _dem_cte(spec.height, spec.width), _RELIEF_RAMP)
+
+
 def _dem(spark: SparkSession, h: int, w: int) -> DataFrame:
     spec = SPEC
     return (
@@ -5257,6 +5306,11 @@ QUERIES = {
     # the shapefile driver's twin incl. MultiPolygon); past the full
     # driver window — rotate in r7
     "geojson_zonal": (q_geojson_zonal, sql_geojson_zonal),
+    # terrain_tpi / color_relief are r6-NEW (session 5: the remaining
+    # gdaldem modes — TPI/TRI/roughness + color-relief); past the full
+    # driver window — rotate in r7
+    "terrain_tpi": (q_terrain_tpi, sql_terrain_tpi),
+    "color_relief": (q_color_relief, sql_color_relief),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -159,3 +159,52 @@ def test_terrain_tiles_plan_matches_join(spark, images_t1):
          for r in TR.slope_aspect_hillshade(
              None, plan="tiles", images=images_t1, **kw).collect()}
     assert a == b and len(a) > 50000
+
+
+def test_tpi_tri_roughness_vs_numpy(spark):
+    """Small dense DEM: every window statistic re-derived with numpy
+    shifts; edge cells NULL."""
+    rng = np.random.default_rng(11)
+    h, w = 14, 17
+    z = rng.integers(0, 500, (h, w)).astype(np.int64)
+    rows = [(int(r), int(c), int(z[r, c])) for r in range(h) for c in range(w)]
+    px = spark.createDataFrame(rows, "row long, col long, value long")
+    got = {(t.row, t.col): t
+           for t in TR.tpi_tri_roughness(px).collect()}
+    assert len(got) == h * w
+    for r in range(h):
+        for c in range(w):
+            t = got[(r, c)]
+            if r in (0, h - 1) or c in (0, w - 1):
+                assert t.tpi is None and t.roughness is None
+                continue
+            win = z[r - 1:r + 2, c - 1:c + 2]
+            nb = np.delete(win.ravel(), 4).astype(np.float64)
+            assert abs(t.tpi - round(z[r, c] - nb.mean(), 6)) < 1e-9
+            assert abs(t.tri_wilson
+                       - round(np.abs(z[r, c] - nb).mean(), 6)) < 1e-9
+            assert abs(t.tri_riley
+                       - round(float(np.sqrt(((z[r, c] - nb) ** 2).sum())), 6)) < 1e-9
+            assert t.roughness == int(win.max() - win.min())
+
+
+def test_color_relief_interpolation_and_clamps(spark):
+    ramp = [(0, 10, 20, 30), (100, 110, 220, 130), (200, 0, 0, 255)]
+    vals = [-50, 0, 25, 100, 150, 200, 900]
+    px = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i long, value long")
+    got = {t.value: (t.r, t.g, t.b)
+           for t in TR.color_relief(px, ramp).collect()}
+    assert len(got) == len(vals)
+    assert got[-50] == (10, 20, 30)          # below-ramp clamp
+    assert got[0] == (10, 20, 30)            # exact first entry
+    assert got[25] == (35, 70, 55)           # t=0.25 lerp
+    assert got[100] == (110, 220, 130)       # exact middle entry
+    assert got[150] == (55, 110, 193)        # floor(+0.5) rounding: 192.5 -> 193
+    assert got[200] == (0, 0, 255)           # last entry (clamp segment)
+    assert got[900] == (0, 0, 255)           # above-ramp clamp
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=">= 2"):
+        TR.color_relief(px, [(0, 1, 2, 3)])
+    with _pytest.raises(ValueError, match="duplicate"):
+        TR.color_relief(px, [(0, 1, 2, 3), (0, 4, 5, 6)])

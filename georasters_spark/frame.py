@@ -519,12 +519,19 @@ class GeoRasterFrame:
             return AC.gstar_local(self.px, rook=rook)
         return AC.g_local(self.px, rook=rook)
 
-    def pysal_Gamma(self, bin_threshold: int = 0, rook: bool = False):
+    def pysal_Gamma(self, bin_threshold: int = 0, rook: bool = False,
+                    permutations: int = 0, seed: int = 7):
         """Gamma / Join-Counts family: the bb/ww/bw pair sums ride the
         same exact-integer one-row result as Moran/Geary/Getis
-        (georasters.py:1190-1229)."""
+        (georasters.py:1190-1229); permutations= runs the esda-default
+        upper-tail tests for Gamma AND the BB join count (exact
+        integer compares, one pair-frame pass)."""
         from .operators import autocorr as AC
 
+        if permutations:
+            return AC.gamma_joincount_permutation_test(
+                self.px, bin_threshold=bin_threshold,
+                n_perm=permutations, seed=seed, rook=rook)
         return AC.global_autocorr(self.px, bin_threshold=bin_threshold,
                                   rook=rook)
 

@@ -543,6 +543,51 @@ def geary_permutation_test(
     return spark.createDataFrame(row, "c_obs double, n_perm long, n_ge long, p_sim double")
 
 
+def gamma_joincount_permutation_test(
+    px: DataFrame, bin_threshold: int, n_perm: int = 19, seed: int = 97,
+    rook: bool = False,
+) -> DataFrame:
+    """Seeded permutation tests for Gamma AND the BB join count in ONE
+    pair-frame pass (the reference's pysal_Gamma / pysal_Join_Counts
+    construct esda.Gamma / esda.Join_Counts, georasters.py:1190-1229,
+    whose DEFAULT permutations=999 runs exactly these tests; re-run
+    here under the engine's seeded modular permutations like
+    moran_permutation_test).
+
+    Both statistics are plain pair sums over the fixed graph, so both
+    reduce to EXACT integer comparisons per permutation:
+      gamma = Σ_directed va·vb          (esda Gamma's default
+                                         cross-product similarity —
+                                         the same quantity
+                                         global_autocorr reports)
+      bb2   = Σ_directed [va>=t][vb>=t] (= 2·BB; the /2 is constant,
+                                         so the >= compare is shared)
+    n_ge counts the upper tail (esda's p_sim_g / p_sim for BB).
+
+    Returns one row: (gamma_obs, gamma_n_ge, gamma_p_sim, bb_obs,
+    bb_n_ge, bb_p_sim, n_perm)."""
+    spark, n, s, q, j = _permutation_pair_frame(px, n_perm, seed, rook)
+    bi = (F.col("va") >= bin_threshold).cast("long")
+    bj = (F.col("vb") >= bin_threshold).cast("long")
+    agg = (
+        j.groupBy("p")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("g"),
+             F.sum(bi * bj).alias("bb2"))
+        .collect()
+    )
+    gs = {int(r["p"]): int(r["g"]) for r in agg}
+    bbs = {int(r["p"]): int(r["bb2"]) for r in agg}
+    g_obs, bb2_obs = gs[0], bbs[0]
+    g_ge = sum(1 for p in range(1, n_perm + 1) if gs[p] >= g_obs)
+    bb_ge = sum(1 for p in range(1, n_perm + 1) if bbs[p] >= bb2_obs)
+    row = [(g_obs, g_ge, float(g_ge + 1) / float(n_perm + 1),
+            bb2_obs // 2, bb_ge, float(bb_ge + 1) / float(n_perm + 1),
+            n_perm)]
+    return spark.createDataFrame(
+        row, "gamma_obs long, gamma_n_ge long, gamma_p_sim double, "
+             "bb_obs long, bb_n_ge long, bb_p_sim double, n_perm long")
+
+
 def permutation_params(n: int, n_perm: int, seed: int) -> list[tuple[int, int, int]]:
     """Deterministic modular permutations of Z_n: rank -> (a·rank+b) % n
     with gcd(a, n) = 1. p = 0 is the identity (observed ordering)."""

@@ -2788,6 +2788,51 @@ SELECT (CAST(obs.n - 1 AS DOUBLE) / (2.0 * obs.nw))
 FROM obs, ge"""
 
 
+def q_gamma_joincount_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6s5: the Gamma + BB-join-count permutation tests (the esda
+    DEFAULT permutations= behavior of the reference's pysal_Gamma /
+    pysal_Join_Counts, georasters.py:1190-1229) in one pair-frame
+    pass; both statistics are exact integer pair sums under the same
+    seeded modular permutations as moran_permutations."""
+    from .operators import autocorr as AC
+
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    return AC.gamma_joincount_permutation_test(
+        px, bin_threshold=_BIN_T, n_perm=_PERM_N, seed=_PERM_SEED)
+
+
+def sql_gamma_joincount_perm() -> str:
+    from .operators.autocorr import QUEEN, permutation_params
+
+    n = _t1_valid_count()
+    perms = permutation_params(n, _PERM_N, _PERM_SEED)
+    pvals = ", ".join(f"({p}, {a}, {b})" for p, a, b in perms)
+    offsets = ", ".join(f"({dr}, {dc})" for dr, dc in QUEEN)
+    return f"""WITH {synth.pixel_sql(SPEC)},
+offsets(dr, dc) AS (VALUES {offsets}),
+perms(p, amul, badd) AS (VALUES {pvals}),
+ranked AS (SELECT row, col, value, ROW_NUMBER() OVER (ORDER BY row, col) - 1 AS k FROM px),
+cand AS (SELECT a.k AS ka, a.row + o.dr AS r2, a.col + o.dc AS c2 FROM ranked a CROSS JOIN offsets o),
+pairs AS (SELECT cand.ka, b.k AS kb FROM cand JOIN ranked b ON b.row = cand.r2 AND b.col = cand.c2),
+pp AS (SELECT pe.p, (pairs.ka * pe.amul + pe.badd) % {n} AS pka, (pairs.kb * pe.amul + pe.badd) % {n} AS pkb
+       FROM pairs CROSS JOIN perms pe),
+j AS (SELECT pp.p, va.value AS va, vb.value AS vb
+      FROM pp JOIN ranked va ON va.k = pp.pka JOIN ranked vb ON vb.k = pp.pkb),
+agg AS (SELECT p, CAST(SUM(va*vb) AS BIGINT) AS g,
+               CAST(SUM(CASE WHEN va >= {_BIN_T} AND vb >= {_BIN_T} THEN 1 ELSE 0 END) AS BIGINT) AS bb2
+        FROM j GROUP BY p),
+obs AS (SELECT g AS g_obs, bb2 AS bb2_obs FROM agg WHERE p = 0),
+ge AS (SELECT CAST(SUM(CASE WHEN agg.g >= obs.g_obs THEN 1 ELSE 0 END) AS BIGINT) AS g_ge,
+              CAST(SUM(CASE WHEN agg.bb2 >= obs.bb2_obs THEN 1 ELSE 0 END) AS BIGINT) AS bb_ge
+       FROM agg, obs WHERE agg.p > 0)
+SELECT obs.g_obs AS gamma_obs, ge.g_ge AS gamma_n_ge,
+       CAST(ge.g_ge + 1 AS DOUBLE) / ({_PERM_N} + 1) AS gamma_p_sim,
+       obs.bb2_obs // 2 AS bb_obs, ge.bb_ge AS bb_n_ge,
+       CAST(ge.bb_ge + 1 AS DOUBLE) / ({_PERM_N} + 1) AS bb_p_sim,
+       CAST({_PERM_N} AS BIGINT) AS n_perm
+FROM obs, ge"""
+
+
 def q_adpcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: IMA/DVI ADPCM audio (WAV format 0x11, sources/adpcm.py) end
     to end: 12 deterministic int16 clips encode to 4-bit ADPCM blocks
@@ -5311,6 +5356,10 @@ QUERIES = {
     # driver window — rotate in r7
     "terrain_tpi": (q_terrain_tpi, sql_terrain_tpi),
     "color_relief": (q_color_relief, sql_color_relief),
+    # gamma_joincount_perm is r6-NEW (session 5: the esda-default
+    # permutation tests for Gamma + BB join counts); past the full
+    # driver window — rotate in r7
+    "gamma_joincount_perm": (q_gamma_joincount_perm, sql_gamma_joincount_perm),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -377,3 +377,54 @@ def test_resize_interp_orders(spark):
     assert len(nn) == th * tw and nn.value.notna().all()
     with pytest.raises(NotImplementedError):
         RP.resize_grid(px, (h, w), out, order=2)
+
+
+def test_gamma_joincount_perm_mirror(spark):
+    """gamma_joincount_permutation_test: the p=0 statistics equal
+    global_autocorr's gamma/bb EXACTLY, and both n_ge match a numpy
+    mirror of the seeded modular permutations."""
+    h, w = 7, 8
+    rng = np.random.RandomState(29)
+    a = rng.randint(0, 60, size=(h, w)).astype(np.int64)
+    pdf = pd.DataFrame({
+        "row": np.repeat(np.arange(h), w),
+        "col": np.tile(np.arange(w), h),
+        "value": a.ravel(),
+    })
+    px = spark.createDataFrame(pdf)
+    n = h * w
+    n_perm, seed, thr = 19, 307, 30
+    base = AC.global_autocorr(px, bin_threshold=thr).collect()[0]
+    row = AC.gamma_joincount_permutation_test(
+        px, bin_threshold=thr, n_perm=n_perm, seed=seed).collect()[0]
+    assert row["gamma_obs"] == base["gamma"]
+    assert row["bb_obs"] == base["bb"]
+    vals = a.ravel()
+    edges = []
+    for r in range(h):
+        for c in range(w):
+            for dr, dc in AC.QUEEN:
+                if 0 <= r + dr < h and 0 <= c + dc < w:
+                    edges.append((r * w + c, (r + dr) * w + (c + dc)))
+
+    def stats(perm):
+        g = bb2 = 0
+        for i, j in edges:
+            va, vb = int(vals[perm[i]]), int(vals[perm[j]])
+            g += va * vb
+            bb2 += int(va >= thr and vb >= thr)
+        return g, bb2
+
+    ident = {k: k for k in range(n)}
+    g0, bb0 = stats(ident)
+    assert row["gamma_obs"] == g0 and row["bb_obs"] == bb0 // 2
+    n_ge_g = n_ge_bb = 0
+    for _, amul, badd in AC.permutation_params(n, n_perm, seed)[1:]:
+        perm = {k: (k * amul + badd) % n for k in range(n)}
+        g, bb2 = stats(perm)
+        n_ge_g += int(g >= g0)
+        n_ge_bb += int(bb2 >= bb0)
+    assert row["gamma_n_ge"] == n_ge_g
+    assert row["bb_n_ge"] == n_ge_bb
+    assert row["gamma_p_sim"] == (n_ge_g + 1) / (n_perm + 1)
+    assert row["bb_p_sim"] == (n_ge_bb + 1) / (n_perm + 1)

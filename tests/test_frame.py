@@ -269,3 +269,8 @@ def test_facade_gamma_join_counts(frame):
         assert k in row.asDict()
     # gamma = Σ_pairs v_i·v_j (cross-product similarity) — nonzero here
     assert row["gamma"] > 0
+    # permutations= dispatches to the exact upper-tail tests; the
+    # observed statistics agree with the base row
+    pr = frame.pysal_Join_Counts(bin_threshold=1000, permutations=9).collect()[0]
+    assert pr["gamma_obs"] == row["gamma"] and pr["bb_obs"] == row["bb"]
+    assert 0.0 < pr["gamma_p_sim"] <= 1.0 and 0.0 < pr["bb_p_sim"] <= 1.0

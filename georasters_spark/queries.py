@@ -4729,7 +4729,7 @@ FROM frames GROUP BY v, k"""
 
 
 def _media_fixture_dir() -> str:
-    """Build (idempotently) the 12-file mixed-media fixture dir used by
+    """Build (idempotently) the 14-file mixed-media fixture dir used by
     media_ingest and media_features."""
     import os
     import tempfile
@@ -4780,6 +4780,13 @@ def _media_fixture_dir() -> str:
         ((r12 * 3 + c12 * 5) % 16).astype(np.uint8),
         np.stack([np.arange(16) * 17] * 3, axis=1).astype(np.uint8),
         rle=True)
+    from .sources import qoi as QO
+
+    r13 = np.arange(11, dtype=np.int64)[:, None, None]
+    c13 = np.arange(15, dtype=np.int64)[None, :, None]
+    ch13 = np.arange(3, dtype=np.int64)[None, None, :]
+    fixtures["m13.qoi"] = QO.encode(
+        ((r13 * 7 + c13 * 13 + ch13 * 11) % 256).astype(np.uint8))
     for name, buf in fixtures.items():
         with open(os.path.join(d, name), "wb") as fh:
             fh.write(buf)
@@ -4787,9 +4794,9 @@ def _media_fixture_dir() -> str:
 
 
 def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media-lake ingest source end to end: 12 deterministic files —
+    """Media-lake ingest source end to end: 14 deterministic files —
     PNG, GIF, JPEG, GeoTIFF (two sizes each), a G.711 WAV, a FLAC, an
-    MP4 and an unknown blob — are written to a scratch dir, scanned by
+    MP4, a BMP, a QOI and an unknown blob — are written to a scratch dir, scanned by
     the binaryFile source (one Spark task per file, the load_tiff
     shape), magic-sniffed and header-probed by
     multimodal.load_media_files. The gate pins (fmt, w, h) per file —
@@ -4811,7 +4818,7 @@ def sql_media_ingest() -> str:
         rows.append(f"('m{f:02d}.{ext}', '{fmt}', {w}, {h})")
     rows += ["('m08.wav', 'wav', 0, 0)", "('m09.flac', 'flac', 0, 0)",
              "('m10.mp4', 'mp4', 0, 0)", "('m11.bin', 'unknown', 0, 0)",
-             "('m12.bmp', 'bmp', 13, 9)"]
+             "('m12.bmp', 'bmp', 13, 9)", "('m13.qoi', 'qoi', 15, 11)"]
     return ("SELECT media_id, fmt, CAST(w AS INT) AS w, CAST(h AS INT) AS h "
             "FROM (VALUES " + ", ".join(rows)
             + ") AS t(media_id, fmt, w, h)")
@@ -4949,8 +4956,8 @@ def sql_flow_accumulation() -> str:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media lake composed end to end: the mixed-format fixture dir
     is binaryFile-scanned + sniffed (load_media_files), the LOSSLESS
-    raster rows (png/gif/tiff — jpeg is lossy and excluded from the
-    exact contract) flow straight into image_features' Arrow kernel
+    raster rows (png/gif/tiff/qoi — jpeg is lossy and excluded from
+    the exact contract; QOI color collapses to BT.601 luminance) flow straight into image_features' Arrow kernel
     with NO per-format branching in the pipeline — the fmt column
     drives decode_any. Gate pins f_mean/f_std/f_min/f_max per file
     against a DuckDB oracle that recomputes them from the pixel
@@ -4962,7 +4969,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _media_fixture_dir()
     media = MM.load_media_files(spark, d)
-    imgs = (media.filter(F.col("fmt").isin("pngc", "gif", "tiff"))
+    imgs = (media.filter(F.col("fmt").isin("pngc", "gif", "tiff", "qoi"))
             .select(F.col("media_id").alias("image_id"),
                     "bytes", "fmt", "w", "h"))
     return MM.image_features(imgs).select(
@@ -4989,7 +4996,17 @@ SELECT 'm0' || CAST(f AS VARCHAR) ||
        ROUND(STDDEV_POP(v), 6) AS f_std,
        CAST(MIN(v) AS DOUBLE) AS f_min,
        CAST(MAX(v) AS DOUBLE) AS f_max
-FROM vals GROUP BY f, kind"""
+FROM vals GROUP BY f, kind
+UNION ALL
+SELECT 'm13.qoi' AS image_id,
+       ROUND(AVG(v), 6) AS f_mean,
+       ROUND(STDDEV_POP(v), 6) AS f_std,
+       CAST(MIN(v) AS DOUBLE) AS f_min,
+       CAST(MAX(v) AS DOUBLE) AS f_max
+FROM (SELECT (299 * ((r.range * 7 + c.range * 13) % 256)
+            + 587 * ((r.range * 7 + c.range * 13 + 11) % 256)
+            + 114 * ((r.range * 7 + c.range * 13 + 22) % 256)) // 1000 AS v
+      FROM range(11) r CROSS JOIN range(15) c)"""
 
 
 # --------------------------------------------------------------------------

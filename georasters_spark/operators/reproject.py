@@ -859,12 +859,14 @@ def reproject(
     if resampling == "lanczos":
         return wgs84_to_cea_grid_lanczos(*args)
     agg = {"average": "mean", "sum": "sum", "min": "min", "max": "max",
-           "count": "count", "mode": "mode"}.get(resampling)
+           "count": "count", "mode": "mode", "rms": "rms", "med": "med",
+           "q1": "q1", "q3": "q3"}.get(resampling)
     if agg is None:
         raise NotImplementedError(
             f"resampling {resampling!r} not supported (have nearest/bilinear/"
-            "cubic/cubicspline/lanczos/average/sum/min/max/count/mode — the "
-            "FULL GDAL mode dict, georasters.py:592-606)")
+            "cubic/cubicspline/lanczos/average/sum/min/max/count/mode/"
+            "rms/med/q1/q3 — the FULL gdalwarp -r enum, "
+            "georasters.py:592-606)")
     return wgs84_to_cea_grid_average(*args, how=agg)
 
 
@@ -1304,7 +1306,8 @@ def kernel_offsets(kernel: str, a: int = 3) -> tuple:
 
 def _bucket_agg(binned: DataFrame, how: str) -> DataFrame:
     """Shared per-target-cell aggregate for the GDAL average-family
-    warp (average/sum/min/max/count/mode): `binned` holds
+    warp (average/sum/min/max/count/mode/rms/med/q1/q3 — the complete
+    gdalwarp -r aggregate family): `binned` holds
     (trow, tcol, value) rows of forward-projected source centers.
     One grouped aggregate; map-side partials make it shuffle-light.
     mode uses a two-level count + max_by with a smallest-value
@@ -1324,6 +1327,15 @@ def _bucket_agg(binned: DataFrame, how: str) -> DataFrame:
         "min": F.min("value"),
         "max": F.max("value"),
         "count": F.count("value").cast("long"),
+        # GDAL's quartile family (gdalwarp -r rms/med/q1/q3): rms from
+        # the exact integer sum of squares; med/q1/q3 by the standard
+        # linear-interpolated quantile (Spark percentile == DuckDB
+        # quantile_cont on integer inputs)
+        "rms": F.round(F.sqrt(F.sum(F.col("value") * F.col("value"))
+                              / F.count("value")), 6),
+        "med": F.round(F.median("value"), 6),
+        "q1": F.round(F.percentile("value", F.lit(0.25)), 6),
+        "q3": F.round(F.percentile("value", F.lit(0.75)), 6),
     }
     if how not in aggs:
         raise ValueError(f"unknown resampling aggregate {how!r}")
@@ -2622,7 +2634,8 @@ def reproject_any(
         tgt3 = tgt2.select("trow", "tcol", u.alias("_u"), v.alias("_v"))
         return _kernel_gather(px, tgt3, F.col("_u"), F.col("_v"), kern)
     agg = {"average": "mean", "sum": "sum", "min": "min", "max": "max",
-           "count": "count", "mode": "mode"}.get(resampling)
+           "count": "count", "mode": "mode", "rms": "rms", "med": "med",
+           "q1": "q1", "q3": "q3"}.get(resampling)
     if agg is not None:
         # forward-bucket path: every valid SOURCE cell center maps
         # src units -> lon/lat -> dst units and bins into its target
@@ -2649,8 +2662,9 @@ def reproject_any(
     if resampling != "nearest":
         raise NotImplementedError(
             f"resampling {resampling!r} not supported (have nearest/bilinear/"
-            "cubic/cubicspline/lanczos/average/sum/min/max/count/mode — the "
-            "FULL GDAL mode dict, georasters.py:592-606)")
+            "cubic/cubicspline/lanczos/average/sum/min/max/count/mode/"
+            "rms/med/q1/q3 — the FULL gdalwarp -r enum, "
+            "georasters.py:592-606)")
     srow = F.floor(F.round((sy - F.lit(y0g)) / F.lit(cy), _Q)).cast("long")
     scol = F.floor(F.round((sx - F.lit(x0g)) / F.lit(cx), _Q)).cast("long")
     tgt = target.select(

@@ -1830,7 +1830,10 @@ def q_reproject_any_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_reproject_any_average() -> str:
+def _sql_from_cea_binned() -> tuple[str, int, int]:
+    """Shared WITH-chain binning every source center CEA→lon/lat→
+    WebMercator into target cells (the reproject_any forward-bucket
+    lattice); returns (cte_sql, th, tw) for the aggregate gates."""
     from .operators import reproject as RP
     from .operators.reproject import _D2R, dlit
 
@@ -1866,10 +1869,53 @@ binned AS (
   SELECT CAST(FLOOR(ROUND((Y - {dlit(Y1b)}) / {dlit(tcy)}, {RP._Q})) AS BIGINT) AS trow,
          CAST(FLOOR(ROUND((X - {dlit(X0)}) / {dlit(tcx)}, {RP._Q})) AS BIGINT) AS tcol,
          value
-  FROM fwd)
+  FROM fwd)""", th, tw
+
+
+def sql_reproject_any_average() -> str:
+    cte, th, tw = _sql_from_cea_binned()
+    return f"""{cte}
 SELECT trow, tcol,
        ROUND(CAST(SUM(value) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE), 6) AS value,
        CAST(COUNT(value) AS BIGINT) AS n_contrib
+FROM binned
+WHERE trow >= 0 AND trow < {th} AND tcol >= 0 AND tcol < {tw}
+GROUP BY 1, 2"""
+
+
+def q_reproject_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6s5: the four remaining gdalwarp -r aggregates — rms, med, q1,
+    q3 — completing the ENTIRE gdalwarp resampling enum. Same
+    CEA→WebMercator forward-bucket warp as reproject_any_average, one
+    mode per pass, results joined on the (identical) target lattice.
+    rms derives from the exact integer sum of squares; med/q1/q3 use
+    the standard linear-interpolated quantile (Spark percentile ==
+    DuckDB quantile_cont on integer inputs)."""
+    from .operators import reproject as RP
+
+    spec = SPEC
+    px = _px(spark, SPEC).select("row", "col", F.col("value").cast("long").alias("value"))
+    kw = dict(
+        src_origin=_FROM_CEA["origin"], src_cellsize=_FROM_CEA["cell"],
+        src_shape=(spec.height, spec.width), out_shape=_FROM_CEA["out"])
+    out = None
+    for m in ("rms", "med", "q1", "q3"):
+        o = RP.reproject(px, "EPSG:6933", "EPSG:3857", resampling=m, **kw)
+        o = o.select("trow", "tcol", F.col("value").alias(m),
+                     *(["n_contrib"] if m == "rms" else []))
+        out = o if out is None else out.join(o, ["trow", "tcol"])
+    return out
+
+
+def sql_reproject_quartiles() -> str:
+    cte, th, tw = _sql_from_cea_binned()
+    return f"""{cte}
+SELECT trow, tcol,
+       ROUND(SQRT(CAST(SUM(value * value) AS DOUBLE) / COUNT(value)), 6) AS rms,
+       CAST(COUNT(value) AS BIGINT) AS n_contrib,
+       ROUND(CAST(MEDIAN(value) AS DOUBLE), 6) AS med,
+       ROUND(quantile_cont(value, 0.25), 6) AS q1,
+       ROUND(quantile_cont(value, 0.75), 6) AS q3
 FROM binned
 WHERE trow >= 0 AND trow < {th} AND tcol >= 0 AND tcol < {tw}
 GROUP BY 1, 2"""
@@ -5377,6 +5423,9 @@ QUERIES = {
     # permutation tests for Gamma + BB join counts); past the full
     # driver window — rotate in r7
     "gamma_joincount_perm": (q_gamma_joincount_perm, sql_gamma_joincount_perm),
+    # reproject_quartiles is r6-NEW (session 5: rms/med/q1/q3 complete
+    # the gdalwarp -r enum); past the full driver window — rotate in r7
+    "reproject_quartiles": (q_reproject_quartiles, sql_reproject_quartiles),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -1133,3 +1133,39 @@ def test_gather_from_tiles_rejects_duplicate_tile_keys(spark, images_t1):
     doubled = images_t1.unionByName(images_t1.limit(1))
     with pytest.raises(Exception, match="image rows share tile"):
         RP.wgs84_to_cea_grid(None, images=doubled, **kw).collect()
+
+
+def test_reproject_quartile_aggregates_vs_numpy(spark, images_t1):
+    """rms/med/q1/q3 (the rest of the gdalwarp -r enum) agree with
+    numpy per-bucket recomputation on sampled target cells."""
+    spec = synth.T1
+    out_shape = (45, 90)
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    kw = dict(src_origin=(spec.x0, spec.y0), src_cellsize=(spec.cellx, spec.celly),
+              src_shape=(spec.height, spec.width), out_shape=out_shape)
+    full = synth.stitched_array(spec).astype(np.float64)
+    h, w = full.shape
+    rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    valid = full != spec.ndv
+    X0, Y1, X1, Y0 = RP.cea_bounds(spec.x0, spec.y0 + h * spec.celly,
+                                   spec.x0 + w * spec.cellx, spec.y0)
+    tcx, tcy = (X1 - X0) / out_shape[1], (Y1 - Y0) / out_shape[0]
+    X = (RP.R * 1.0) * np.radians(spec.x0 + (cc + 0.5) * spec.cellx)
+    Y = (RP.R / 1.0) * np.sin(np.radians(spec.y0 + (rr + 0.5) * spec.celly))
+    trow = np.floor(np.round((Y - Y0) / tcy, 4)).astype(np.int64)
+    tcol = np.floor(np.round((X - X0) / tcx, 4)).astype(np.int64)
+
+    ref = {
+        "rms": lambda v: np.sqrt((v * v).sum() / v.size),
+        "med": lambda v: np.percentile(v, 50, method="linear"),
+        "q1": lambda v: np.percentile(v, 25, method="linear"),
+        "q3": lambda v: np.percentile(v, 75, method="linear"),
+    }
+    for mode, fn in ref.items():
+        got = RP.reproject(px, 4326, 6933, resampling=mode, **kw).toPandas()
+        assert len(got) > 0
+        sample = got.sample(n=8, random_state=1)
+        for t in sample.itertuples(index=False):
+            v = full[valid & (trow == t.trow) & (tcol == t.tcol)]
+            assert v.size == t.n_contrib
+            assert abs(t.value - round(float(fn(v)), 6)) < 1e-9, mode

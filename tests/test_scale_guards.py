@@ -475,3 +475,20 @@ def test_flow_accumulation_logarithmic_rounds(spark):
     # exactness on the chain: cell c drains everything upstream of it
     for t in acc.itertuples(index=False):
         assert t.acc == t.col + 1, (t.col, t.acc)
+
+
+def test_color_relief_plan_broadcast_no_shuffle(spark):
+    """color_relief must stay a broadcast range join: pixels never
+    shuffle, the ramp-segment build side broadcasts."""
+    from georasters_spark.operators import terrain as TR
+
+    px = spark.range(1000).select(
+        F.floor(F.col("id") / 100).alias("row"),
+        (F.col("id") % 100).alias("col"),
+        (F.col("id") % 1997).alias("value"))
+    out = TR.color_relief(
+        px, [(0, 0, 0, 0), (500, 100, 100, 100), (1996, 255, 255, 255)])
+    plan = _plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

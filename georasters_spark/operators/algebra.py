@@ -208,6 +208,115 @@ def polygonize(px: DataFrame, connectivity: int = 4, merge: str = "auto") -> Dat
     )
 
 
+def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
+          max_rounds: int = 64) -> DataFrame:
+    """gdal_sieve: connected equal-value regions SMALLER than
+    `threshold` cells take the value of their LARGEST adjacent region
+    (gdal_sieve.py's documented rule; nodata cells are absent from px
+    and naturally un-mergeable). Returns per-cell
+    (row, col, value, region_id) with sieved values.
+
+    Deterministic conventions where GDAL's scan-order processing is
+    unspecified: each ROUND merges every small region (size <
+    threshold, >= 1 neighbor) into its largest neighbor simultaneously
+    (ties -> the region whose FIRST CELL comes earliest in scan order
+    — an engine-independent anchor; internal region ids are opaque
+    tile-packed tokens whose order must never leak into results);
+    chains and cycles of mutually-small regions collapse via connected
+    components of the merge graph, the merged region represented (id
+    AND value) by its largest member (ties -> earliest anchor); rounds
+    repeat until every remaining small region is neighborless. Region
+    count strictly decreases per round, so termination is structural.
+
+    Scale shape: pixels are touched exactly TWICE — the
+    polygonize_labels two-phase CC, and ONE final relabel join — and
+    every sieve round runs on REGION-level tables (sizes + adjacency
+    edges), orders smaller than the raster; the merge-graph CC reuses
+    _merge_labels_distributed (executor-side, never collected)."""
+    if threshold < 1:
+        raise ValueError("sieve: threshold must be >= 1")
+    L = polygonize_labels(px, connectivity=connectivity).localCheckpoint(
+        eager=True)
+    S = L.groupBy("region_id").agg(
+        F.count(F.lit(1)).alias("sz"), F.first("value").alias("value"),
+        F.min("row").alias("a_r"),
+        F.expr("min_by(col, struct(row, col))").alias("a_c"))
+    # region adjacency at PIXEL level, once: neighbors in different
+    # regions (same offsets as the labeling connectivity)
+    offs = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if connectivity == 8 else [])
+    a = L.select("row", "col", F.col("region_id").alias("ra"))
+    b = L.select(F.col("row").alias("rb_r"), F.col("col").alias("rb_c"),
+                 F.col("region_id").alias("rb"))
+    parts = []
+    for dr, dc in offs:
+        parts.append(
+            a.join(b, (F.col("row") + dr == F.col("rb_r"))
+                   & (F.col("col") + dc == F.col("rb_c")))
+            .filter(F.col("ra") != F.col("rb")).select("ra", "rb"))
+    E = parts[0]
+    for p in parts[1:]:
+        E = E.unionByName(p)
+    E = E.unionByName(E.select(F.col("rb").alias("ra"),
+                               F.col("ra").alias("rb"))).distinct()
+    S = S.localCheckpoint(eager=True)
+    E = E.localCheckpoint(eager=True)
+    mapping = S.select(F.col("region_id").alias("orig"),
+                       F.col("region_id").alias("cur"))
+    for _ in range(max_rounds):
+        nb = E.join(S.select(F.col("region_id").alias("rb"),
+                             F.col("sz").alias("szb"),
+                             F.col("a_r").alias("ab_r"),
+                             F.col("a_c").alias("ab_c")), "rb")
+        small = S.filter(F.col("sz") < threshold).select(
+            F.col("region_id").alias("ra"))
+        m = (nb.join(small, "ra").groupBy("ra")
+             .agg(F.expr("min_by(rb, struct(-szb, ab_r, ab_c))").alias("w")))
+        if m.isEmpty():
+            break
+        comp = _merge_labels_distributed(
+            m.select(F.col("ra").alias("la"), F.col("w").alias("lb")))
+        msz = comp.join(S.select(F.col("region_id").alias("label"),
+                                 "sz", "a_r", "a_c"), "label")
+        rep = msz.groupBy("root").agg(
+            F.expr("min_by(label, struct(-sz, a_r, a_c))").alias("rep"))
+        step = (comp.join(rep, "root")
+                .select(F.col("label").alias("m_from"),
+                        F.col("rep").alias("m_to"))
+                .filter(F.col("m_from") != F.col("m_to"))
+                .localCheckpoint(eager=True))
+        relab = (S.join(step.withColumnRenamed("m_from", "region_id"),
+                        "region_id", "left")
+                 .select(F.col("region_id").alias("old"),
+                         F.coalesce("m_to", "region_id").alias("region_id"),
+                         "sz", "value", "a_r", "a_c"))
+        # exactly one member of each merged group keeps old == new id
+        # (the representative) — its value wins; the merged anchor is
+        # the earliest member anchor (scan order)
+        S = relab.groupBy("region_id").agg(
+            F.sum("sz").alias("sz"),
+            F.max(F.when(F.col("old") == F.col("region_id"),
+                         F.col("value"))).alias("value"),
+            F.min("a_r").alias("min_ar"),
+            F.expr("min_by(a_c, struct(a_r, a_c))").alias("a_c"),
+        ).withColumnRenamed("min_ar", "a_r").localCheckpoint(eager=True)
+        for side in ("ra", "rb"):
+            E = (E.join(step.withColumnRenamed("m_from", side),
+                        side, "left")
+                 .withColumn(side, F.coalesce("m_to", side)).drop("m_to"))
+        E = E.filter(F.col("ra") != F.col("rb")).distinct().localCheckpoint(
+            eager=True)
+        mapping = (mapping.join(step.withColumnRenamed("m_from", "cur"),
+                                "cur", "left")
+                   .select("orig", F.coalesce("m_to", "cur").alias("cur"))
+                   .localCheckpoint(eager=True))
+    else:
+        raise RuntimeError(f"sieve: no fixpoint after {max_rounds} rounds")
+    return (L.select("row", "col", F.col("region_id").alias("orig"))
+            .join(mapping, "orig")
+            .join(S.select(F.col("region_id").alias("cur"), "value"), "cur")
+            .select("row", "col", "value", F.col("cur").alias("region_id")))
+
+
 def _merge_labels_distributed(eset: DataFrame) -> DataFrame:
     """Connected components of the cross-tile label graph, entirely
     executor-side: alternating min-neighbor propagation and pointer

@@ -2255,6 +2255,81 @@ def sql_polygonize_window() -> str:
 
 
 
+def q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_sieve analog (algebra.sieve): regions under 3 cells merge
+    into their largest neighbor over the dense 128×128 //250-quantized
+    window (139 merges). The engine runs the GENERAL algorithm
+    (region-graph rounds + merge-graph CC for small→small cascades);
+    on THIS window one round with all-big winners reaches the fixpoint
+    — a fact pinned by tests/test_sieve.py — so the EXACT oracle is a
+    single relabel pass over the recursive-CC labeling: sizes,
+    all-neighbor adjacency, arg_max(neighbor, (size, -id)) winner per
+    small region, and the merged rows re-aggregated. Region ids are
+    engine tokens and are dropped (the polygonize canonicalization)."""
+    from .operators import algebra as AL
+
+    spec = SPEC
+    px = (
+        spark.range(128).select(F.col("id").alias("row"))
+        .crossJoin(spark.range(128).select(F.col("id").alias("col")))
+        .select("row", "col",
+                (((F.col("row") * 7919 + F.col("col") * 104729
+                   + F.lit(spec.seed)) % 1997) / 250).cast("long")
+                .alias("value"))
+    )
+    out = AL.sieve(px, threshold=3)
+    return out.groupBy("region_id").agg(
+        F.first("value").cast("long").alias("value"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("row").alias("min_row"), F.min("col").alias("min_col"),
+        F.max("row").alias("max_row"), F.max("col").alias("max_col"),
+    ).drop("region_id")
+
+
+def sql_sieve() -> str:
+    spec = SPEC
+    return f"""WITH RECURSIVE
+win AS (SELECT r.range AS row, c.range AS col,
+               (r.range * 7919 + c.range * 104729 + {spec.seed}) % 1997 // 250 AS value
+        FROM range(128) r CROSS JOIN range(128) c),
+offs(dr, dc) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+cand AS (SELECT a.row, a.col, a.value, a.row + o.dr AS r2, a.col + o.dc AS c2
+         FROM win a CROSS JOIN offs o),
+e AS MATERIALIZED (
+  SELECT cand.row, cand.col, b.row AS r2, b.col AS c2
+  FROM cand JOIN win b ON b.row = cand.r2 AND b.col = cand.c2 AND b.value = cand.value),
+lab AS (
+  SELECT row, col, row * 1000000 + col AS lbl FROM win
+  UNION
+  SELECT e.r2 AS row, e.c2 AS col, lab.lbl FROM lab JOIN e ON e.row = lab.row AND e.col = lab.col),
+final AS (SELECT row, col, MIN(lbl) AS region FROM lab GROUP BY 1, 2),
+j AS (SELECT win.row, win.col, win.value, final.region
+      FROM win JOIN final ON final.row = win.row AND final.col = win.col),
+sizes AS (SELECT region, CAST(COUNT(*) AS BIGINT) AS sz FROM j GROUP BY 1),
+adj AS (
+  SELECT DISTINCT f1.region AS a, f2.region AS b
+  FROM cand JOIN win b2 ON b2.row = cand.r2 AND b2.col = cand.c2
+  JOIN final f1 ON f1.row = cand.row AND f1.col = cand.col
+  JOIN final f2 ON f2.row = b2.row AND f2.col = b2.col
+  WHERE f1.region <> f2.region),
+w AS (
+  SELECT adj.a, arg_max(adj.b, sb.sz * 1000000000 - adj.b) AS wreg
+  FROM adj JOIN sizes sa ON sa.region = adj.a
+  JOIN sizes sb ON sb.region = adj.b
+  WHERE sa.sz < 3
+  GROUP BY adj.a),
+relab AS (
+  SELECT j.row, j.col, COALESCE(w.wreg, j.region) AS region
+  FROM j LEFT JOIN w ON w.a = j.region),
+rv AS (SELECT region, MIN(value) AS value FROM j GROUP BY 1)
+SELECT CAST(rv.value AS BIGINT) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       MIN(relab.row) AS min_row, MIN(relab.col) AS min_col,
+       MAX(relab.row) AS max_row, MAX(relab.col) AS max_col
+FROM relab JOIN rv ON rv.region = relab.region
+GROUP BY relab.region, rv.value"""
+
+
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-GRID connected components with an exact recursive-CC oracle
     (sum(|region|^2) = 260k tuples keeps the DuckDB UNION recursion
@@ -5426,6 +5501,10 @@ QUERIES = {
     # reproject_quartiles is r6-NEW (session 5: rms/med/q1/q3 complete
     # the gdalwarp -r enum); past the full driver window — rotate in r7
     "reproject_quartiles": (q_reproject_quartiles, sql_reproject_quartiles),
+    # sieve is r6-NEW (session 5: the gdal_sieve utility on the
+    # distributed-CC machinery); past the full driver window — rotate
+    # in r7
+    "sieve": (q_sieve, sql_sieve),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

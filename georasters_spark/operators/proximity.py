@@ -164,3 +164,106 @@ d AS (
 SELECT px.row, px.col, d.dist2,
        ROUND(SQRT(CAST(d.dist2 AS DOUBLE)), 6) AS dist
 FROM px LEFT JOIN d ON d.row = px.row AND d.col = px.col"""
+
+
+def _offsets_for(dist2s: list[int]) -> list[tuple[int, int, int]]:
+    """(dist2, dr, dc) lattice offsets with dr² + dc² = dist2, for each
+    requested squared distance — the sum-of-two-squares circle points."""
+    out = []
+    for d2 in dist2s:
+        r = int(np.sqrt(d2))
+        while (r + 1) * (r + 1) <= d2:
+            r += 1
+        for dr in range(-r, r + 1):
+            rem = d2 - dr * dr
+            if rem < 0:
+                continue
+            dc = int(np.sqrt(rem))
+            while dc * dc < rem:
+                dc += 1
+            if dc * dc == rem:
+                out.append((d2, dr, dc))
+                if dc:
+                    out.append((d2, dr, -dc))
+    return out
+
+
+def fillnodata(grid: DataFrame, valid: F.Column,
+               value_col: str = "value") -> DataFrame:
+    """gdal_fillnodata role: every nodata cell takes the VALUE of its
+    nearest valid cell — exact Euclidean distance, ties broken
+    canonically by smallest (row, col) of the candidate valid cell (an
+    engine-independent rule; GDAL's own algorithm is inverse-distance
+    smoothing, documented divergence). `grid` must be a DENSE lattice
+    (row, col, value_col, ...); `valid` a boolean Column over it.
+    Returns (row, col, value, dist2): valid cells keep their value at
+    dist2 = 0; unfillable cells (no valid cell anywhere) keep NULL
+    value with NULL dist2.
+
+    Plan: the exact separable EDT (proximity) gives every hole its
+    integer dist² in two grouped-map stages; the DISTINCT dist² values
+    (metadata-scale: lattice distances, not cells) enumerate their
+    sum-of-two-squares circle offsets driver-side; holes × broadcast
+    offsets equi-join the valid cells and one min_by picks the
+    canonical nearest — no radius search, no skewed range join."""
+    spark = grid.sparkSession
+    marked = grid.select("row", "col", F.col(value_col).alias("value"),
+                         valid.alias("is_v"))
+    d = proximity(marked, F.col("is_v"))
+    base = marked.join(d, ["row", "col"])
+    holes = base.filter(~F.col("is_v") & F.col("dist2").isNotNull())
+    dist2s = [int(r["dist2"])
+              for r in holes.select("dist2").distinct().collect()]
+    if not dist2s:
+        return base.select(
+            "row", "col",
+            F.when(F.col("is_v"), F.col("value")).alias("value"),
+            F.when(F.col("is_v"), F.lit(0).cast("long")).alias("dist2"))
+    offs = spark.createDataFrame(_offsets_for(dist2s),
+                                 "dist2 long, dr int, dc int")
+    vals = marked.filter(F.col("is_v")).select(
+        F.col("row").alias("vr"), F.col("col").alias("vc"),
+        F.col("value").alias("vv"))
+    fill = (holes.select("row", "col", "dist2")
+            .join(F.broadcast(offs), "dist2")
+            .select("row", "col", "dist2",
+                    (F.col("row") + F.col("dr")).alias("vr"),
+                    (F.col("col") + F.col("dc")).alias("vc"))
+            .join(vals, ["vr", "vc"])
+            .groupBy("row", "col")
+            .agg(F.expr("min_by(vv, struct(vr, vc))").alias("fv"),
+                 F.min("dist2").alias("fd2")))
+    return (base.join(fill, ["row", "col"], "left")
+            .select("row", "col",
+                    F.when(F.col("is_v"), F.col("value"))
+                    .otherwise(F.col("fv")).alias("value"),
+                    F.when(F.col("is_v"), F.lit(0).cast("long"))
+                    .otherwise(F.col("fd2")).alias("dist2")))
+
+
+def fillnodata_sql(px_cte: str, h: int, w: int) -> str:
+    """Brute-force oracle: the dense lattice minus the valid px rows =
+    holes; each hole's fill = arg-min over ALL valid cells of the
+    composite key d2·10^12 + row·10^6 + col (exact BIGINT — the same
+    (distance, row, col) lexicographic rule)."""
+    return f"""WITH {px_cte},
+grid AS (SELECT r.range AS row, c.range AS col
+         FROM range({h}) r CROSS JOIN range({w}) c),
+holes AS (SELECT g.row, g.col FROM grid g
+          LEFT JOIN px ON px.row = g.row AND px.col = g.col
+          WHERE px.row IS NULL),
+fill AS (
+  SELECT h.row, h.col,
+         arg_min(px.value, ((h.row - px.row) * (h.row - px.row)
+                            + (h.col - px.col) * (h.col - px.col)) * 1000000000000
+                           + px.row * 1000000 + px.col) AS value,
+         MIN((h.row - px.row) * (h.row - px.row)
+             + (h.col - px.col) * (h.col - px.col)) AS dist2
+  FROM holes h CROSS JOIN px
+  GROUP BY 1, 2)
+SELECT px.row, px.col, CAST(px.value AS BIGINT) AS value,
+       CAST(0 AS BIGINT) AS dist2
+FROM px
+UNION ALL
+SELECT row, col, CAST(value AS BIGINT) AS value, CAST(dist2 AS BIGINT) AS dist2
+FROM fill"""

@@ -5032,6 +5032,31 @@ def sql_proximity() -> str:
     return PR.proximity_sql(_dem_cte(96, 96), "value % 89 = 0")
 
 
+def q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_fillnodata role (proximity.fillnodata): nodata cells
+    (value % 13 == 0, ~7.7%) take the value of their nearest valid
+    cell — exact EDT dist², then sum-of-two-squares circle offsets
+    equi-join the candidates and a canonical (row, col) min_by breaks
+    distance ties. EXACT oracle: brute-force arg_min over all valid
+    cells with the same composite (d², row, col) key."""
+    from .operators import proximity as PR
+
+    dem = _dem(spark, 96, 96)
+    return PR.fillnodata(dem, F.col("value") % 13 != 0)
+
+
+def sql_fillnodata() -> str:
+    from .operators import proximity as PR
+
+    spec = SPEC
+    cte = f"""pall AS (
+  SELECT CAST(r.range AS BIGINT) AS row, CAST(c.range AS BIGINT) AS col,
+         CAST((r.range*7919 + c.range*104729 + {spec.seed}) % 1997 AS BIGINT) AS value
+  FROM range(96) r CROSS JOIN range(96) c),
+px AS (SELECT * FROM pall WHERE value % 13 <> 0)"""
+    return PR.fillnodata_sql(cte, 96, 96)
+
+
 _CONTOUR_LEVELS = [500.0, 1000.0, 1500.0]
 
 
@@ -5505,6 +5530,9 @@ QUERIES = {
     # distributed-CC machinery); past the full driver window — rotate
     # in r7
     "sieve": (q_sieve, sql_sieve),
+    # fillnodata is r6-NEW (session 5: the gdal_fillnodata role via the
+    # EDT feature transform); past the full driver window — rotate in r7
+    "fillnodata": (q_fillnodata, sql_fillnodata),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -37,3 +37,38 @@ def test_proximity_no_targets_is_null(spark):
     df, _ = _grid_df(spark, 10, 10)
     got = PR.proximity(df, F.lit(False)).toPandas()
     assert got["dist2"].isna().all() and got["dist"].isna().all()
+
+
+def test_fillnodata_matches_numpy(spark):
+    """Nearest-valid fill with the canonical (d², row, col) tie-break
+    vs a brute-force numpy mirror; valid cells keep value at dist2=0."""
+    from georasters_spark.operators.proximity import fillnodata
+
+    rng = np.random.default_rng(17)
+    h, w = 20, 26
+    v = rng.integers(0, 300, (h, w)).astype(np.int64)
+    ok = (v % 5) != 0  # ~20% holes
+    rows = [(int(r), int(c), int(v[r, c])) for r in range(h) for c in range(w)]
+    grid = spark.createDataFrame(rows, "row long, col long, value long")
+    got = fillnodata(grid, (F.col("value") % 5) != 0).toPandas()
+    assert len(got) == h * w
+    vr, vc = np.nonzero(ok)
+    for t in got.itertuples(index=False):
+        if ok[t.row, t.col]:
+            assert t.dist2 == 0 and int(t.value) == v[t.row, t.col]
+            continue
+        d2 = (vr - t.row) ** 2 + (vc - t.col) ** 2
+        key = d2 * 10**12 + vr * 10**6 + vc
+        j = int(np.argmin(key))
+        assert t.dist2 == int(d2[j])
+        assert int(t.value) == int(v[vr[j], vc[j]])
+
+
+def test_fillnodata_no_valid_cells(spark):
+    from georasters_spark.operators.proximity import fillnodata
+
+    rows = [(r, c, 0) for r in range(3) for c in range(3)]
+    grid = spark.createDataFrame(rows, "row long, col long, value long")
+    got = fillnodata(grid, F.lit(False)).toPandas()
+    assert len(got) == 9
+    assert got["value"].isna().all() and got["dist2"].isna().all()

@@ -623,3 +623,48 @@ def zonal_stats_custom(
             if c != "zone_id":
                 out = out.withColumnRenamed(c, f"{name}_{c}")
     return out
+
+
+def rasterize(spark, zones, origin: tuple[float, float],
+              cellsize: tuple[float, float], shape: tuple[int, int],
+              burn: dict[int, float] | None = None,
+              all_touched: bool = False) -> DataFrame:
+    """gdal_rasterize role: burn polygon zones into a raster lattice.
+    Emits one row per covered cell: (row, col, zone_id, value) — value
+    from `burn[zone_id]` (default: the zone_id itself, gdal_rasterize's
+    `-a` attribute form with the id attribute); cells outside every
+    zone are absent (GDAL leaves them at init/nodata).
+
+    Overlap rule: GDAL burns features sequentially so later features
+    overwrite — here zone order IS zone_id order, so overlaps resolve
+    by MAX zone_id (one aggregate; deterministic).
+
+    Plan: the target lattice comes from two ranges (no data scan),
+    centers are pure Columns, and the zone tag is the same broadcast
+    even-odd-PIP kernel as clip/zonal (pip_join) — one mapInPandas over
+    the lattice, one (row, col) aggregate for overlaps, one broadcast
+    join for burn values."""
+    h, w = shape
+    x0, y0 = origin
+    cx, cy = cellsize
+    lattice = (
+        spark.range(h).select(F.col("id").alias("row"))
+        .crossJoin(spark.range(w).select(F.col("id").alias("col")))
+        .select(
+            "row", "col",
+            (F.lit(x0) + (F.col("col") + F.lit(0.5)) * F.lit(cx)).alias("xc"),
+            (F.lit(y0) + (F.col("row") + F.lit(0.5)) * F.lit(cy)).alias("yc"),
+        )
+    )
+    tagged = pip_join(lattice, zones,
+                      mode="all_touched" if all_touched else "center",
+                      cellsize=cellsize)
+    won = tagged.groupBy("row", "col").agg(F.max("zone_id").alias("zone_id"))
+    if burn is None:
+        return won.select("row", "col", "zone_id",
+                          F.col("zone_id").cast("double").alias("value"))
+    bdf = spark.createDataFrame(
+        [(int(z), float(v)) for z, v in burn.items()],
+        "zone_id long, value double")
+    return won.join(F.broadcast(bdf), "zone_id").select(
+        "row", "col", "zone_id", "value")

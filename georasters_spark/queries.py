@@ -5326,6 +5326,51 @@ SELECT b.zone_id, a.name, a.code, a.weight,
 FROM base b JOIN attrs a USING (zone_id)"""
 
 
+_RASTERIZE_BURN = {1: 10.5, 2: 20.25, 3: 30.75}
+
+
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_rasterize role (spatial_join.rasterize): the three
+    geojson-gate zones (concave + donut + multipart) burn into the full
+    SPEC lattice — lattice from two ranges, the same broadcast
+    even-odd-PIP kernel as clip/zonal, MAX-zone_id overlap rule, burn
+    values from a broadcast map. EXACT oracle: the crossing-number
+    predicate per zone over the identical center arithmetic."""
+    from .operators import spatial_join as SJL
+    from .sources.geojson import zones_from_geojson  # noqa: F401 (parity)
+
+    spec = SPEC
+    zones = [synth.Zone(i + 1, n, tuple(tuple(p) for p in parts))
+             for i, (n, _c, _w, parts) in enumerate(_GJ_ZONES)]
+    return SJL.rasterize(
+        spark, zones, origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly),
+        shape=(spec.height, spec.width), burn=_RASTERIZE_BURN)
+
+
+def sql_rasterize() -> str:
+    from .operators.reproject import dlit
+
+    spec = SPEC
+    preds = []
+    for i, (n, _c, _w, parts) in enumerate(_GJ_ZONES):
+        z = synth.Zone(i + 1, n, tuple(tuple(p) for p in parts))
+        preds.append(
+            f"SELECT row, col, {i + 1} AS zone_id FROM lattice WHERE "
+            + synth.zone_sql_predicate_evenodd(z, "lattice.xc", "lattice.yc"))
+    burns = " ".join(
+        f"WHEN {z} THEN {dlit(v)}" for z, v in _RASTERIZE_BURN.items())
+    return f"""WITH lattice AS (
+  SELECT CAST(r.range AS BIGINT) AS row, CAST(c.range AS BIGINT) AS col,
+         {dlit(spec.x0)} + (c.range + 0.5) * {dlit(spec.cellx)} AS xc,
+         {dlit(spec.y0)} + (r.range + 0.5) * {dlit(spec.celly)} AS yc
+  FROM range({spec.height}) r CROSS JOIN range({spec.width}) c),
+hits AS ({' UNION ALL '.join(preds)}),
+won AS (SELECT row, col, CAST(MAX(zone_id) AS BIGINT) AS zone_id
+        FROM hits GROUP BY 1, 2)
+SELECT row, col, zone_id, CASE zone_id {burns} END AS value FROM won"""
+
+
 # --------------------------------------------------------------------------
 # media_near_dup: one mixed-format lake through the phash dedup stack
 # --------------------------------------------------------------------------
@@ -5533,6 +5578,9 @@ QUERIES = {
     # fillnodata is r6-NEW (session 5: the gdal_fillnodata role via the
     # EDT feature transform); past the full driver window — rotate in r7
     "fillnodata": (q_fillnodata, sql_fillnodata),
+    # rasterize is r6-NEW (session 5: the gdal_rasterize role on the
+    # shared PIP kernel); past the full driver window — rotate in r7
+    "rasterize": (q_rasterize, sql_rasterize),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -397,3 +397,29 @@ def test_build_overviews_pyramid(spark, images_t1):
     # georef scaled
     rec = ovr.limit(1).collect()[0]
     assert abs(rec["cellx"] - spec.cellx * 4) < 1e-12
+
+
+def test_rasterize_semantics(spark):
+    """rasterize: center PIP burn, MAX-zone_id overlap rule, default
+    burn = zone_id, all_touched superset."""
+    z1 = synth.Zone(1, "a", (((0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0)),))
+    z2 = synth.Zone(2, "b", (((3.0, 0.0), (8.0, 0.0), (8.0, 5.0), (3.0, 5.0)),))
+    kw = dict(origin=(0.0, 6.0), cellsize=(1.0, -1.0), shape=(6, 9))
+    out = SJ.rasterize(spark, [z1, z2], burn={1: 7.0, 2: 9.0}, **kw).toPandas()
+    got = {(t.row, t.col): (t.zone_id, t.value)
+           for t in out.itertuples(index=False)}
+    # center (col 0.5, row 5.5 -> y 0.5) inside z1 only
+    assert got[(1, 0)] == (1, 7.0)
+    # overlap band cols 3..4: later feature (max zone_id) wins
+    assert got[(1, 3)] == (2, 9.0)
+    # z2-only band
+    assert got[(1, 6)] == (2, 9.0)
+    # outside every zone: absent (col 8 center x=8.5 > 8; row 0 center
+    # y=5.5 > 5)
+    assert (1, 8) not in got and (0, 0) not in got
+    # default burn = zone_id as double
+    d = SJ.rasterize(spark, [z1], **kw).toPandas()
+    assert set(d["value"]) == {1.0}
+    # all_touched is a superset of center
+    at = SJ.rasterize(spark, [z1, z2], all_touched=True, **kw).toPandas()
+    assert set(map(tuple, at[["row", "col"]].to_numpy())) >= set(got)

@@ -384,3 +384,84 @@ def dedup_keep(docs: DataFrame, pairs: DataFrame, key: str = "doc_id",
     keep = dedup_clusters(docs, pairs, key, a_col, b_col).filter(
         F.col("is_canonical")).select(key)
     return docs.join(keep, key, "left_semi")
+
+
+def minhash_band_index(docs: DataFrame, n: int = 3, num_hashes: int = 64,
+                       bands: int = 16, rows: int = 4) -> DataFrame:
+    """The persistable inverted index a CDC/incremental pipeline keeps
+    between batches: (doc_id, band, bucket) band-bucket rows of the
+    corpus. New batches probe it with ONE equi-join — the corpus is
+    never re-paired against itself."""
+    sigs = minhash_signatures(docs, n, num_hashes)
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(F.slice("sig", i * rows + 1, rows)
+                               .cast("string")).alias("bucket"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+) -> DataFrame:
+    """Incremental near-dup: a NEW document batch probes the EXISTING
+    corpus (the CDC shape of a training-data pipeline — each crawl
+    increment dedups against everything already ingested WITHOUT
+    re-pairing the corpus against itself). Candidates are
+    new×old bucket probes of the persistable band index
+    (minhash_band_index) plus new×new within-batch pairs; both verify
+    with exact Jaccard like minhash_dedup_pairs. Returns
+    (doc_a, doc_b, jaccard, kind) — kind 'new_old' (doc_a = the new
+    doc) or 'new_new' (doc_a < doc_b)."""
+    bn = minhash_band_index(new_docs, n, num_hashes, bands, rows)
+    bo = minhash_band_index(old_docs, n, num_hashes, bands, rows)
+    cand_no = (
+        bn.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(bo.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+              ["band", "bucket"])
+        .select("doc_a", "doc_b").distinct()
+        .withColumn("kind", F.lit("new_old"))
+    )
+    cand_nn = (
+        bn.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(bn.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+              ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .withColumn("kind", F.lit("new_new"))
+    )
+    cand = cand_no.unionByName(cand_nn)
+    sh = shingles(new_docs.unionByName(old_docs), n)
+    cnts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "kind")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ratio = (F.col("inter").cast("double")
+             / (F.col("na") + F.col("nb") - F.col("inter")))
+    j = (
+        inter
+        .join(cnts.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("nsh", "na"), "doc_a")
+        .join(cnts.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("nsh", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(ratio, 6))
+    )
+    return j.filter(ratio >= threshold).select("doc_a", "doc_b", "jaccard", "kind")

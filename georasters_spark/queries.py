@@ -2511,6 +2511,47 @@ FROM pairs JOIN cnts ca ON ca.doc_id = doc_a JOIN cnts cb ON cb.doc_id = doc_b
 WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5"""
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/incremental near-dup (dedup.incremental_minhash_pairs): the
+    documents table split by doc_id % 4 into a NEW batch (25%) and the
+    EXISTING corpus; the new batch probes the persistable band index
+    (new×old) and itself (new×new) — the corpus is never re-paired
+    against itself. Exact-Jaccard verification makes the output equal
+    brute force at this data's jaccard>=0.9 pairs (the minhash_dedup
+    recall argument). EXACT oracle: brute-force pairs filtered to the
+    two kinds."""
+    from .operators import dedup as DD
+
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    return DD.incremental_minhash_pairs(
+        new, old, n=3, threshold=0.5, num_hashes=64, bands=16, rows=4)
+
+
+def sql_incremental_dedup() -> str:
+    return """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id,
+              w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS shingle
+       FROM idx),
+cnts AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT CASE WHEN a.doc_id % 4 = 0 THEN a.doc_id ELSE b.doc_id END AS doc_a,
+         CASE WHEN a.doc_id % 4 = 0 THEN b.doc_id ELSE a.doc_id END AS doc_b,
+         CASE WHEN a.doc_id % 4 = 0 AND b.doc_id % 4 = 0
+              THEN 'new_new' ELSE 'new_old' END AS kind,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0
+  GROUP BY 1, 2, 3)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter), 6) AS jaccard,
+       kind
+FROM pairs JOIN cnts ca ON ca.doc_id = doc_a JOIN cnts cb ON cb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5"""
+
+
 _SPLIT_FRACS = {"train": 0.90, "val": 0.05, "test": 0.05}
 
 
@@ -5581,6 +5622,10 @@ QUERIES = {
     # rasterize is r6-NEW (session 5: the gdal_rasterize role on the
     # shared PIP kernel); past the full driver window — rotate in r7
     "rasterize": (q_rasterize, sql_rasterize),
+    # incremental_dedup is r6-NEW (session 5: CDC-shape near-dup — new
+    # batch probes the persisted band index); past the full driver
+    # window — rotate in r7
+    "incremental_dedup": (q_incremental_dedup, sql_incremental_dedup),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -392,3 +392,33 @@ def test_dedup_clusters_matches_networkless_oracle(spark, docs):
     for r in docs.select("doc_id").collect():
         d = r["doc_id"]
         assert got[d] == find(d), d
+
+
+def test_incremental_minhash_equals_full_restriction(spark, docs):
+    """Incremental probe (new batch vs corpus index) finds EXACTLY the
+    full-table pairs touching a new doc — nothing lost by never
+    re-pairing the corpus, nothing invented."""
+    from georasters_spark.operators import dedup as DD
+
+    full = DD.minhash_dedup_pairs(docs, n=3, threshold=0.5).toPandas()
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    inc = DD.incremental_minhash_pairs(new, old, n=3, threshold=0.5).toPandas()
+    exp = set()
+    for t in full.itertuples(index=False):
+        an, bn = t.doc_a % 4 == 0, t.doc_b % 4 == 0
+        if an and bn:
+            exp.add((t.doc_a, t.doc_b, "new_new"))
+        elif an:
+            exp.add((t.doc_a, t.doc_b, "new_old"))
+        elif bn:
+            exp.add((t.doc_b, t.doc_a, "new_old"))
+    got = {(t.doc_a, t.doc_b, t.kind) for t in inc.itertuples(index=False)}
+    assert got == exp
+    # jaccard values agree with the full run
+    jmap = {}
+    for t in full.itertuples(index=False):
+        jmap[(t.doc_a, t.doc_b)] = t.jaccard
+        jmap[(t.doc_b, t.doc_a)] = t.jaccard
+    for t in inc.itertuples(index=False):
+        assert jmap[(t.doc_a, t.doc_b)] == t.jaccard

@@ -588,6 +588,12 @@ def main():
             spark.stop()
         lc_eff = (lc_results[4]["pixels_per_sec"]
                   / (4 * lc_results[1]["pixels_per_sec"]))
+        # NOTE: this template REWRITES BENCH/BASELINE.md. The committed
+        # file carries r6 co-location-attribution sections (membw.py,
+        # pinned_scaling.py) added OUTSIDE this template — re-running
+        # --scaling drops them; diff before committing the regenerated
+        # file and re-graft those sections (or keep the committed copy
+        # when the fresh numbers aren't better).
         md = f"""# BENCH — measured scaling (sandbox proxy for N→4N executors)
 
 Job: ONE fused Arrow pass over the bench tier replicated 4x

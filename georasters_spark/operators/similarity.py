@@ -400,3 +400,102 @@ def quantized_topk(
         .filter(F.col("sim_rank") <= k)
         .select("query_id", "vec_id", "qcos", "sim_rank")
     )
+
+
+def pq_fit(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 0,
+           id_col: str = "vec_id") -> np.ndarray:
+    """Product-quantization codebooks (m, k, d/m): per-subspace Lloyd
+    k-means through the SAME deterministic kmeans_fit (lowest-id init,
+    fixed iterations). iters=0 returns the init codebook itself — the
+    k lowest-id vectors' subvectors — which is exactly SQL-derivable
+    (the gate form); production fits pass iters>0 (recall pytest)."""
+    d = len(emb.select("embedding").first()[0])
+    if d % m:
+        raise ValueError(f"pq: d={d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for s in range(m):
+        sdf = emb.select(
+            id_col, F.slice(F.col("embedding").cast("array<double>"),
+                            s * sub + 1, sub).alias("embedding"))
+        books.append(kmeans_fit(sdf, k=k, iters=iters, id_col=id_col))
+    return np.stack(books)  # (m, k, sub)
+
+
+def pq_encode(emb: DataFrame, books: np.ndarray,
+              id_col: str = "vec_id") -> DataFrame:
+    """(id, codes array<int>): per-subspace nearest-codeword ids, one
+    Arrow batch GEMM per subspace against the broadcast codebooks
+    (ties -> smallest codeword id, matching SQL arg_min)."""
+    bks = np.asarray(books, dtype=np.float64)
+    m, kcw, sub = bks.shape
+
+    @F.pandas_udf("array<int>")
+    def enc(e: pd.Series) -> pd.Series:
+        x = np.asarray(e.tolist(), dtype=np.float64)  # (n, d)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * sub:(s + 1) * sub]
+            d2 = (((xs[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2))
+            codes[:, s] = np.argmin(d2, axis=1)  # first (smallest) argmin
+        return pd.Series(list(codes))
+
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      enc("embedding").alias("codes"))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, books: np.ndarray,
+            k: int = 5, id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the corpus is scanned as
+    (m)-byte codes only; each query builds its (m, k) LUT of exact
+    subspace distances to every codeword and corpus distances are m
+    lookups + a sum — the PQ scan shape (codes are ~d·4/m× smaller
+    than the raw vectors). Distances ship in exact integer MICRO-UNITS
+    (LUT entries rounded to 1e-6 before summing), so rank order is an
+    integer compare with a vec_id tie-break — engine-exact, making the
+    gate form (iters=0 books) SQL-oracle-able."""
+    bks = np.asarray(books, dtype=np.float64)
+    m, kcw, sub = bks.shape
+    codes = pq_encode(corpus, books, id_col)
+    qp = queries.select(F.col(id_col).alias("query_id"), "embedding") \
+        .toPandas()
+    qids = qp["query_id"].to_numpy(np.int64)
+    qm = np.asarray(qp["embedding"].tolist(), dtype=np.float64)  # (nq, d)
+    # (nq, m, kcw) LUTs quantized to EXACT integer micro-units (1e-6):
+    # the per-corpus-vector distance is then an integer SUM of m
+    # lookups, so ranking is engine-exact (float summation order can
+    # never flip a rank)
+    luts = np.stack([
+        np.rint((((qm[:, s * sub:(s + 1) * sub][:, None, :]
+                   - bks[s][None, :, :]) ** 2).sum(axis=2)) * 1e6)
+        .astype(np.int64)
+        for s in range(m)
+    ], axis=1)
+    spark = corpus.sparkSession
+    b_luts = spark.sparkContext.broadcast(luts)
+    b_qids = spark.sparkContext.broadcast(qids)
+
+    def scan(batches):
+        lt = b_luts.value
+        qi = b_qids.value
+        nq = len(qi)
+        for pdf in batches:
+            cm = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            # dist (nq, n): integer sum over subspaces of LUT gathers
+            d = np.zeros((nq, len(cm)), dtype=np.int64)
+            for s in range(m):
+                d += lt[:, s, :][:, cm[:, s]]
+            out = pd.DataFrame({
+                "query_id": np.repeat(qi, len(cm)),
+                "vec_id": np.tile(vids, nq),
+                "d2_u6": d.ravel(),
+            })
+            yield out[out["query_id"] != out["vec_id"]]
+
+    scored = codes.mapInPandas(
+        scan, schema="query_id long, vec_id long, d2_u6 long")
+    w = W.partitionBy("query_id").orderBy("d2_u6", "vec_id")
+    return (scored.withColumn("sim_rank", F.row_number().over(w))
+            .filter(F.col("sim_rank") <= k)
+            .select("query_id", "vec_id", "d2_u6", "sim_rank"))

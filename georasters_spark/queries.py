@@ -3199,6 +3199,64 @@ SELECT query_id, vec_id, qcos, sim_rank FROM ranked WHERE sim_rank <= {_ANN_K}""
 
 
 _IVF_CLUSTERS = 8
+_PQ_M = 4
+_PQ_K = 16
+
+
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (similarity.pq_fit/pq_encode/
+    pq_topk): 64-dim embeddings split into 4×16-dim subspaces, 16
+    codewords each; the corpus scans as 4-byte codes, queries build
+    exact LUTs and rank by integer micro-unit ADC distance. The gate
+    uses the iters=0 init codebook (codewords = the 16 lowest-id
+    vectors' subvectors) so EVERY stage — codebook, encode argmin,
+    LUT, sum, rank — is re-derived exactly in SQL; kmeans-fitted books
+    (iters>0) are recall-pytested."""
+    from .operators import similarity as SM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = SM.pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=0)
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    return SM.pq_topk(emb, queries, books, k=_ANN_K)
+
+
+def sql_pq_ann() -> str:
+    sub = 64 // _PQ_M
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cw AS (
+  SELECT s.range AS s, e.vec_id AS j,
+         list_slice(e.v, CAST(s.range * {sub} + 1 AS INT),
+                    CAST(s.range * {sub} + {sub} AS INT)) AS c
+  FROM e CROSS JOIN range({_PQ_M}) s WHERE e.vec_id < {_PQ_K}),
+subv AS (
+  SELECT e.vec_id, s.range AS s,
+         list_slice(e.v, CAST(s.range * {sub} + 1 AS INT),
+                    CAST(s.range * {sub} + {sub} AS INT)) AS x
+  FROM e CROSS JOIN range({_PQ_M}) s),
+dists AS (
+  SELECT subv.vec_id, subv.s, cw.j,
+         list_sum(list_transform(list_zip(subv.x, cw.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM subv JOIN cw ON cw.s = subv.s),
+codes AS (
+  SELECT vec_id, s, arg_min(j, d2) AS code
+  FROM dists GROUP BY 1, 2),
+lut AS (
+  SELECT d.vec_id AS query_id, d.s, d.j,
+         CAST(ROUND(d.d2 * 1000000) AS BIGINT) AS du
+  FROM dists d WHERE d.vec_id < {_ANN_NQ}),
+adc AS (
+  SELECT lut.query_id, codes.vec_id, CAST(SUM(lut.du) AS BIGINT) AS d2_u6
+  FROM codes JOIN lut ON lut.s = codes.s AND lut.j = codes.code
+  WHERE codes.vec_id <> lut.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id, d2_u6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY d2_u6, vec_id) AS BIGINT) AS sim_rank
+  FROM adc)
+SELECT query_id, vec_id, d2_u6, sim_rank FROM ranked WHERE sim_rank <= {_ANN_K}"""
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5626,6 +5684,10 @@ QUERIES = {
     # batch probes the persisted band index); past the full driver
     # window — rotate in r7
     "incremental_dedup": (q_incremental_dedup, sql_incremental_dedup),
+    # pq_ann is r6-NEW (session 5: product-quantization ADC search —
+    # the 4th embedding index next to brute/LSH/IVF/SQ8); past the
+    # full driver window — rotate in r7
+    "pq_ann": (q_pq_ann, sql_pq_ann),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

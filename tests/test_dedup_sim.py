@@ -422,3 +422,54 @@ def test_incremental_minhash_equals_full_restriction(spark, docs):
         jmap[(t.doc_b, t.doc_a)] = t.jaccard
     for t in inc.itertuples(index=False):
         assert jmap[(t.doc_a, t.doc_b)] == t.jaccard
+
+
+def test_pq_adc_matches_numpy_and_recall(spark, emb):
+    """PQ: fitted codebooks encode deterministically; ADC ranking
+    equals a numpy mirror exactly (integer micro-unit distances); and
+    PQ top-k keeps useful L2 recall vs exact search."""
+    m, kcw, topk = 4, 16, 5
+    books = SM.pq_fit(emb, m=m, k=kcw, iters=2)
+    assert books.shape == (m, kcw, 16)
+    assert np.array_equal(books, SM.pq_fit(emb, m=m, k=kcw, iters=2))
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = SM.pq_topk(emb, queries, books, k=topk).toPandas()
+
+    ep = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    ids = ep["vec_id"].to_numpy(np.int64)
+    X = np.asarray(ep["embedding"].tolist(), dtype=np.float64)
+    sub = X.shape[1] // m
+    codes = np.stack([
+        np.argmin(((X[:, s*sub:(s+1)*sub][:, None, :]
+                    - books[s][None, :, :]) ** 2).sum(axis=2), axis=1)
+        for s in range(m)], axis=1)
+    qm = X[ids < 10]
+    qi = ids[ids < 10]
+    luts = np.stack([
+        np.rint((((qm[:, s*sub:(s+1)*sub][:, None, :]
+                   - books[s][None, :, :]) ** 2).sum(axis=2)) * 1e6)
+        .astype(np.int64) for s in range(m)], axis=1)
+    exp = {}
+    for a, q in enumerate(qi):
+        d = np.zeros(len(ids), np.int64)
+        for s in range(m):
+            d += luts[a, s][codes[:, s]]
+        order = sorted((int(d[i]), int(ids[i])) for i in range(len(ids))
+                       if ids[i] != q)[:topk]
+        exp[int(q)] = order
+    for q, rows in got.groupby("query_id"):
+        r = rows.sort_values("sim_rank")
+        assert [(int(t.d2_u6), int(t.vec_id))
+                for t in r.itertuples(index=False)] == exp[int(q)]
+
+    # recall vs exact L2 top-k (near-random 64-d embeddings; PQ with
+    # m=4 is a coarse sketch — assert it beats chance handily)
+    exact = {}
+    for a, q in enumerate(qi):
+        d2 = ((X - qm[a][None, :]) ** 2).sum(axis=1)
+        order = sorted((float(d2[i]), int(ids[i])) for i in range(len(ids))
+                       if ids[i] != q)[:topk]
+        exact[int(q)] = {v for _, v in order}
+    hits = sum(len(exact[q] & {v for _, v in exp[q]}) for q in exact)
+    recall = hits / (len(exact) * topk)
+    assert recall >= 0.2, recall

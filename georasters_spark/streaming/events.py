@@ -353,3 +353,62 @@ def run_attribution_stream(spark, sf_dir: str, query_name: str = "attrib"):
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
+
+
+def run_incremental_dedup_stream(spark, src_dir: str, work_dir: str,
+                                 query_name: str = "cdcdedup",
+                                 n: int = 3, threshold: float = 0.5):
+    """The CDC dedup loop as a STREAM: each micro-batch of documents
+    probes the archive of everything already ingested
+    (dedup.incremental_minhash_pairs — new×old via the band index plus
+    new×new), lands its near-dup pairs, and appends itself to the
+    archive. Every pair is emitted exactly once — at the batch where
+    its LATER member arrives — so the union over batches equals the
+    full-corpus minhash_dedup_pairs (parity-tested). Replay-safe:
+    pairs land under per-batch paths written with overwrite, and the
+    archive append is guarded by a per-batch marker file.
+
+    Returns the accumulated pairs DataFrame (doc_a, doc_b, jaccard,
+    kind, batch_id)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..operators.dedup import incremental_minhash_pairs
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    archive = os.path.join(work_dir, "archive")
+    pairs_root = os.path.join(work_dir, "pairs")
+    marks = os.path.join(work_dir, "marks")
+    os.makedirs(marks, exist_ok=True)
+
+    def sink(batch_df, batch_id: int):
+        new = batch_df.select("doc_id", "source", "text")
+        if os.path.isdir(archive):
+            old = spark.read.parquet(archive).select("doc_id", "source", "text")
+        else:
+            old = spark.createDataFrame([], schema)
+        pairs = incremental_minhash_pairs(new, old, n=n, threshold=threshold)
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite").parquet(os.path.join(pairs_root, f"b{batch_id:05d}"))
+        mark = os.path.join(marks, f"b{batch_id:05d}")
+        if not os.path.exists(mark):  # replayed batch: archive already has it
+            new.write.mode("append").parquet(archive)
+            with open(mark, "w") as fh:
+                fh.write("done")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(os.path.join(pairs_root, "b*"))

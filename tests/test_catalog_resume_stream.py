@@ -585,3 +585,52 @@ def test_file_manifest_minmax_skipping(spark, images_t1, tmp_path):
     # and the skipped scan is a subset of the directory scan
     dir_ids = {r["image_id"] for r in dir_only.select("image_id").collect()}
     assert got_ids <= dir_ids
+
+
+def test_incremental_dedup_stream_matches_full_batch(spark, tmp_path):
+    """The streaming CDC dedup loop (probe archive -> land pairs ->
+    append archive) accumulates EXACTLY the full-corpus
+    minhash_dedup_pairs: every pair surfaces once, at the batch where
+    its later member arrives."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from georasters_spark.operators import dedup as DD
+    from georasters_spark.streaming.events import run_incremental_dedup_stream
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .select("doc_id", "source", "text")
+    n = docs.count()
+    src = str(tmp_path / "cdc_src")
+    d = docs.orderBy("doc_id")
+    d.limit(n // 3).write.parquet(f"{src}/f0")
+    d.offset(n // 3).limit(n // 3).write.parquet(f"{src}/f1")
+    d.offset(2 * (n // 3)).write.parquet(f"{src}/f2")
+    flat = str(tmp_path / "cdc_flat")
+    os.makedirs(flat)
+    base = time.time() - 1000
+    for i, f in enumerate(sorted(glob.glob(f"{src}/f*/part-*.parquet"))):
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i, base + i))
+
+    got = run_incremental_dedup_stream(
+        spark, flat, str(tmp_path / "cdc_work")).toPandas()
+    full = DD.minhash_dedup_pairs(docs, n=3, threshold=0.5).toPandas()
+    assert len(full) > 0
+    canon_g = {tuple(sorted((int(t.doc_a), int(t.doc_b)))): t.jaccard
+               for t in got.itertuples(index=False)}
+    canon_f = {tuple(sorted((int(t.doc_a), int(t.doc_b)))): t.jaccard
+               for t in full.itertuples(index=False)}
+    assert canon_g == canon_f
+    assert len(canon_g) == len(got)  # no pair emitted twice
+    # kinds are consistent with batch membership
+    b = n // 3
+    for t in got.itertuples(index=False):
+        same = (min(t.doc_a, t.doc_b) // b == min(t.doc_b // b, 2)
+                and (t.doc_a // b if t.doc_a // b < 2 else 2)
+                == (t.doc_b // b if t.doc_b // b < 2 else 2))
+        assert t.kind == ("new_new" if same else "new_old")

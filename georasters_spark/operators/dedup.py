@@ -135,9 +135,11 @@ def minhash_signatures(
     return sh.groupBy("doc_id").applyInPandas(fold, schema="doc_id long, sig array<long>")
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket → candidate pair."""
-    banded = sigs.select(
+def _band_rows(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bucket): the banded-LSH inverted-index rows — the
+    ONE place the bucket hash is defined (lsh_candidate_pairs,
+    minhash_band_index and the incremental probe all share it)."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -149,6 +151,11 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> Data
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket → candidate pair."""
+    banded = _band_rows(sigs, bands, rows)
     l = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     r = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -157,6 +164,35 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> Data
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def _jaccard_verify(cand: DataFrame, docs: DataFrame, n: int,
+                    threshold: float, keep_cols: tuple = ()) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b [, keep_cols])
+    candidates against the docs' shingle sets — the ONE verify block
+    minhash_dedup_pairs and incremental_minhash_pairs share."""
+    sh = shingles(docs, n)
+    cnts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", *keep_cols)
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ratio = (F.col("inter").cast("double")
+             / (F.col("na") + F.col("nb") - F.col("inter")))
+    j = (
+        inter
+        .join(cnts.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("nsh", "na"), "doc_a")
+        .join(cnts.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("nsh", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(ratio, 6))
+    )
+    return j.filter(ratio >= threshold).select(
+        "doc_a", "doc_b", "jaccard", *keep_cols)
 
 
 def minhash_dedup_pairs(
@@ -172,23 +208,7 @@ def minhash_dedup_pairs(
     banding curve gives ~1 recall; verified in pytest)."""
     sigs = minhash_signatures(docs, n, num_hashes)
     cand = lsh_candidate_pairs(sigs, bands, rows)
-    sh = shingles(docs, n)
-    cnts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    ratio = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    j = (
-        inter.join(cnts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-        .join(cnts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
-        .withColumn("jaccard", F.round(ratio, 6))
-    )
-    return j.filter(ratio >= threshold).select("doc_a", "doc_b", "jaccard")
+    return _jaccard_verify(cand, docs, n, threshold)
 
 
 def phash_near_dup_pairs(
@@ -392,20 +412,7 @@ def minhash_band_index(docs: DataFrame, n: int = 3, num_hashes: int = 64,
     between batches: (doc_id, band, bucket) band-bucket rows of the
     corpus. New batches probe it with ONE equi-join — the corpus is
     never re-paired against itself."""
-    sigs = minhash_signatures(docs, n, num_hashes)
-    return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.xxhash64(F.slice("sig", i * rows + 1, rows)
-                               .cast("string")).alias("bucket"),
-                )
-                for i in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    return _band_rows(minhash_signatures(docs, n, num_hashes), bands, rows)
 
 
 def incremental_minhash_pairs(
@@ -432,6 +439,9 @@ def incremental_minhash_pairs(
         bn.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
         .join(bo.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
               ["band", "bucket"])
+        # defense against a caller whose batches overlap (e.g. a replay
+        # that re-ingested docs into the corpus): never a self-pair
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b").distinct()
         .withColumn("kind", F.lit("new_old"))
     )
@@ -444,24 +454,5 @@ def incremental_minhash_pairs(
         .withColumn("kind", F.lit("new_new"))
     )
     cand = cand_no.unionByName(cand_nn)
-    sh = shingles(new_docs.unionByName(old_docs), n)
-    cnts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "kind")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    ratio = (F.col("inter").cast("double")
-             / (F.col("na") + F.col("nb") - F.col("inter")))
-    j = (
-        inter
-        .join(cnts.withColumnRenamed("doc_id", "doc_a")
-              .withColumnRenamed("nsh", "na"), "doc_a")
-        .join(cnts.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("nsh", "nb"), "doc_b")
-        .withColumn("jaccard", F.round(ratio, 6))
-    )
-    return j.filter(ratio >= threshold).select("doc_a", "doc_b", "jaccard", "kind")
+    return _jaccard_verify(cand, new_docs.unionByName(old_docs), n,
+                           threshold, keep_cols=("kind",))

@@ -210,7 +210,10 @@ def fillnodata(grid: DataFrame, valid: F.Column,
     marked = grid.select("row", "col", F.col(value_col).alias("value"),
                          valid.alias("is_v"))
     d = proximity(marked, F.col("is_v"))
-    base = marked.join(d, ["row", "col"])
+    # the two-stage EDT is the dominant cost: pin it once — the plan
+    # below reads base for the distinct-dist2 job AND twice in the
+    # final join tree
+    base = marked.join(d, ["row", "col"]).localCheckpoint(eager=True)
     holes = base.filter(~F.col("is_v") & F.col("dist2").isNotNull())
     dist2s = [int(r["dist2"])
               for r in holes.select("dist2").distinct().collect()]
@@ -245,7 +248,14 @@ def fillnodata_sql(px_cte: str, h: int, w: int) -> str:
     """Brute-force oracle: the dense lattice minus the valid px rows =
     holes; each hole's fill = arg-min over ALL valid cells of the
     composite key d2·10^12 + row·10^6 + col (exact BIGINT — the same
-    (distance, row, col) lexicographic rule)."""
+    (distance, row, col) lexicographic rule). The packing bounds the
+    lattice: cols < 10^6 and h² + w² < 9.2·10^6 (else the key would
+    collide/overflow int64) — far beyond any gate window, guarded
+    explicitly."""
+    if w >= 10**6 or h * h + w * w >= 92 * 10**5:
+        raise ValueError(
+            f"fillnodata_sql: lattice {h}x{w} exceeds the composite-key "
+            "packing bounds (col < 1e6, h²+w² < 9.2e6)")
     return f"""WITH {px_cte},
 grid AS (SELECT r.range AS row, c.range AS col
          FROM range({h}) r CROSS JOIN range({w}) c),

@@ -663,6 +663,11 @@ def rasterize(spark, zones, origin: tuple[float, float],
     if burn is None:
         return won.select("row", "col", "zone_id",
                           F.col("zone_id").cast("double").alias("value"))
+    missing = {int(z.zone_id) for z in zones} - {int(z) for z in burn}
+    if missing:
+        raise ValueError(
+            f"rasterize: burn map missing zone ids {sorted(missing)} — "
+            "cells won by an unmapped zone would silently vanish")
     bdf = spark.createDataFrame(
         [(int(z), float(v)) for z, v in burn.items()],
         "zone_id long, value double")

@@ -3244,7 +3244,7 @@ codes AS (
   FROM dists GROUP BY 1, 2),
 lut AS (
   SELECT d.vec_id AS query_id, d.s, d.j,
-         CAST(ROUND(d.d2 * 1000000) AS BIGINT) AS du
+         CAST(round_even(d.d2 * 1000000, 0) AS BIGINT) AS du
   FROM dists d WHERE d.vec_id < {_ANN_NQ}),
 adc AS (
   SELECT lut.query_id, codes.vec_id, CAST(SUM(lut.du) AS BIGINT) AS d2_u6

@@ -364,12 +364,15 @@ def run_incremental_dedup_stream(spark, src_dir: str, work_dir: str,
     new×new), lands its near-dup pairs, and appends itself to the
     archive. Every pair is emitted exactly once — at the batch where
     its LATER member arrives — so the union over batches equals the
-    full-corpus minhash_dedup_pairs (parity-tested). Replay-safe:
-    pairs land under per-batch paths written with overwrite, and the
-    archive append is guarded by a per-batch marker file.
+    full-corpus minhash_dedup_pairs (parity-tested). Replay-safe: BOTH
+    pairs and the archive land under per-batch paths written with
+    overwrite, and a batch only ever reads STRICTLY EARLIER archive
+    batches — a replayed batch redoes identical work and never probes
+    itself.
 
     Returns the accumulated pairs DataFrame (doc_a, doc_b, jaccard,
     kind, batch_id)."""
+    import glob
     import os
 
     from pyspark.sql import types as T
@@ -381,25 +384,27 @@ def run_incremental_dedup_stream(spark, src_dir: str, work_dir: str,
         T.StructField("source", T.StringType()),
         T.StructField("text", T.StringType()),
     ])
-    archive = os.path.join(work_dir, "archive")
+    archive_root = os.path.join(work_dir, "archive")
     pairs_root = os.path.join(work_dir, "pairs")
-    marks = os.path.join(work_dir, "marks")
-    os.makedirs(marks, exist_ok=True)
 
     def sink(batch_df, batch_id: int):
         new = batch_df.select("doc_id", "source", "text")
-        if os.path.isdir(archive):
-            old = spark.read.parquet(archive).select("doc_id", "source", "text")
+        # the corpus = STRICTLY EARLIER batches: per-batch archive dirs
+        # keyed by the checkpoint-sequence batch id make both sides of
+        # the loop idempotent — a replayed batch overwrites its own
+        # archive/pairs dirs and never sees itself (or later batches)
+        # in `old`
+        older = [d for d in sorted(glob.glob(f"{archive_root}/b*"))
+                 if int(os.path.basename(d)[1:]) < batch_id]
+        if older:
+            old = spark.read.parquet(*older).select("doc_id", "source", "text")
         else:
             old = spark.createDataFrame([], schema)
         pairs = incremental_minhash_pairs(new, old, n=n, threshold=threshold)
         pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "overwrite").parquet(os.path.join(pairs_root, f"b{batch_id:05d}"))
-        mark = os.path.join(marks, f"b{batch_id:05d}")
-        if not os.path.exists(mark):  # replayed batch: archive already has it
-            new.write.mode("append").parquet(archive)
-            with open(mark, "w") as fh:
-                fh.write("done")
+        new.write.mode("overwrite").parquet(
+            os.path.join(archive_root, f"b{batch_id:05d}"))
 
     q = (
         spark.readStream.schema(schema)

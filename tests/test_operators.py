@@ -423,3 +423,7 @@ def test_rasterize_semantics(spark):
     # all_touched is a superset of center
     at = SJ.rasterize(spark, [z1, z2], all_touched=True, **kw).toPandas()
     assert set(map(tuple, at[["row", "col"]].to_numpy())) >= set(got)
+    # a burn map that misses a zone id must refuse, not drop cells
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing zone ids \\[2\\]"):
+        SJ.rasterize(spark, [z1, z2], burn={1: 7.0}, **kw)

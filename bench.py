@@ -198,6 +198,13 @@ def run_heavy_block(spark, sf_dir: str, times: dict, cal: dict, imgs,
     ).select("row", "col", (F.col("value").cast("long") / 250).cast("long").alias("value"))
     _timed(times, cal, "polygonize_1M_distributed" + suffix,
            lambda: AL.polygonize(pxq, merge="distributed").count())
+    # r6s5: sieve over the same 1M-cell window — the region-graph merge
+    # rounds on top of the CC labeling (pixels shuffle exactly twice).
+    # threshold=2 = the despeckle shape (only 1-cell regions merge, the
+    # gdal_sieve use case); the /250 noise field makes larger
+    # thresholds degenerate (most of the 400k regions merge at once)
+    _timed(times, cal, "sieve_1M" + suffix,
+           lambda: AL.sieve(pxq, threshold=2).count())
 
     import numpy as np
     import pandas as pd
@@ -233,6 +240,14 @@ def run_heavy_block(spark, sf_dir: str, times: dict, cal: dict, imgs,
     _timed(times, cal, "focal_mean5_9M" + suffix,
            lambda: FO.focal_sums(dem9, k=5)
            .agg(F.count("fmean"), F.sum("fsum")).collect())
+    # r6s5: color-relief LUT burn at 9.3M px — BroadcastNestedLoopJoin
+    # of the ramp segments, zero exchanges, pure codegen lerp
+    _timed(times, cal, "color_relief_9M" + suffix,
+           lambda: TR.color_relief(
+               dem9, [(0, 0, 97, 71), (400, 16, 122, 47),
+                      (800, 232, 215, 136), (1200, 161, 67, 0),
+                      (1600, 130, 30, 30), (1900, 255, 255, 255)])
+           .agg(F.sum("r"), F.sum("g"), F.sum("b")).collect())
     # r6: tiles-in stencil over the STORED tiles (decode-in-place +
     # halo-strip exchange — ~80x less exchanged rows than the pixel
     # halo plan at cluster scale; equivalence pytest-pinned).  The

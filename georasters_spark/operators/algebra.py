@@ -209,7 +209,7 @@ def polygonize(px: DataFrame, connectivity: int = 4, merge: str = "auto") -> Dat
 
 
 def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
-          max_rounds: int = 64) -> DataFrame:
+          max_rounds: int = 64, driver_edge_cap: int = 500_000) -> DataFrame:
     """gdal_sieve: connected equal-value regions SMALLER than
     `threshold` cells take the value of their LARGEST adjacent region
     (gdal_sieve.py's documented rule; nodata cells are absent from px
@@ -231,10 +231,16 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
     Scale shape: pixels are touched exactly TWICE — the
     polygonize_labels two-phase CC, and ONE final relabel join — and
     every sieve round runs on REGION-level tables (sizes + adjacency
-    edges), orders smaller than the raster; the merge-graph CC reuses
-    _merge_labels_distributed (executor-side, never collected)."""
+    edges), orders smaller than the raster. The per-round merge-graph
+    CC takes the driver union-find fast path while the merge edge set
+    fits driver_edge_cap (one collect of region-METADATA rows — the
+    polygonize merge='auto' precedent; merge components are stars/
+    small chains, trivially resolved) and falls back to
+    _merge_labels_distributed (executor-side, never collected) past
+    the cap — the 100-TB path."""
     if threshold < 1:
         raise ValueError("sieve: threshold must be >= 1")
+    spark = px.sparkSession
     L = polygonize_labels(px, connectivity=connectivity).localCheckpoint(
         eager=True)
     S = L.groupBy("region_id").agg(
@@ -268,22 +274,74 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
                              F.col("a_r").alias("ab_r"),
                              F.col("a_c").alias("ab_c")), "rb")
         small = S.filter(F.col("sz") < threshold).select(
-            F.col("region_id").alias("ra"))
-        m = (nb.join(small, "ra").groupBy("ra")
-             .agg(F.expr("min_by(rb, struct(-szb, ab_r, ab_c))").alias("w")))
-        if m.isEmpty():
+            F.col("region_id").alias("ra"), F.col("sz").alias("sza"),
+            F.col("a_r").alias("aa_r"), F.col("a_c").alias("aa_c"))
+        # one row per merging small region, CARRYING both endpoints'
+        # (size, anchor) metadata so the driver fast path needs exactly
+        # one collect
+        m = (nb.join(small, "ra")
+             .groupBy("ra", "sza", "aa_r", "aa_c")
+             .agg(F.expr(
+                 "min_by(struct(rb, szb, ab_r, ab_c),"
+                 " struct(-szb, ab_r, ab_c))").alias("w"))
+             .select("ra", "sza", "aa_r", "aa_c",
+                     F.col("w.rb").alias("w"), F.col("w.szb").alias("szw"),
+                     F.col("w.ab_r").alias("aw_r"),
+                     F.col("w.ab_c").alias("aw_c"))
+             .localCheckpoint(eager=True))
+        n_merge = m.count()
+        if n_merge == 0:
             break
-        comp = _merge_labels_distributed(
-            m.select(F.col("ra").alias("la"), F.col("w").alias("lb")))
-        msz = comp.join(S.select(F.col("region_id").alias("label"),
-                                 "sz", "a_r", "a_c"), "label")
-        rep = msz.groupBy("root").agg(
-            F.expr("min_by(label, struct(-sz, a_r, a_c))").alias("rep"))
-        step = (comp.join(rep, "root")
-                .select(F.col("label").alias("m_from"),
-                        F.col("rep").alias("m_to"))
-                .filter(F.col("m_from") != F.col("m_to"))
-                .localCheckpoint(eager=True))
+        if n_merge <= driver_edge_cap:
+            # driver fast path: the merge graph is region-METADATA
+            # sized (one row per merging small region), its components
+            # are stars and short chains — one collect + union-find
+            # beats O(log) distributed rounds of tiny jobs
+            mp = m.toPandas()
+            info = {}
+            for t in mp.itertuples(index=False):
+                info[int(t.ra)] = (int(t.sza), int(t.aa_r), int(t.aa_c))
+                info[int(t.w)] = (int(t.szw), int(t.aw_r), int(t.aw_c))
+            parent = {}
+
+            def find(x):
+                while parent.get(x, x) != x:
+                    parent[x] = parent.get(parent[x], parent[x])
+                    x = parent[x]
+                return x
+
+            for ra, wv in zip(mp["ra"].tolist(), mp["w"].tolist()):
+                xa, xb = find(ra), find(wv)
+                if xa != xb:
+                    parent[max(xa, xb)] = min(xa, xb)
+            comps = {}
+            for x in info:
+                comps.setdefault(find(x), []).append(x)
+            froms, tos = [], []
+            for members in comps.values():
+                rep_id = min(members,
+                             key=lambda x: (-info[x][0], info[x][1],
+                                            info[x][2]))
+                for x in members:
+                    if x != rep_id:
+                        froms.append(x)
+                        tos.append(rep_id)
+            step = spark.createDataFrame(
+                pd.DataFrame({"m_from": pd.array(froms, dtype="int64"),
+                              "m_to": pd.array(tos, dtype="int64")}))
+        else:
+            comp = _merge_labels_distributed(
+                m.select(F.col("ra").alias("la"), F.col("w").alias("lb")))
+            # (the metadata columns on m are unused on this path)
+            msz = comp.join(S.select(F.col("region_id").alias("label"),
+                                     "sz", "a_r", "a_c"), "label")
+            rep = msz.groupBy("root").agg(
+                F.expr("min_by(label, struct(-sz, a_r, a_c))").alias("rep"))
+            step = (comp.join(rep, "root")
+                    .select(F.col("label").alias("m_from"),
+                            F.col("rep").alias("m_to"))
+                    .filter(F.col("m_from") != F.col("m_to"))
+                    .localCheckpoint(eager=True))
         relab = (S.join(step.withColumnRenamed("m_from", "region_id"),
                         "region_id", "left")
                  .select(F.col("region_id").alias("old"),

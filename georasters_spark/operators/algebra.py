@@ -247,21 +247,63 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
         F.count(F.lit(1)).alias("sz"), F.first("value").alias("value"),
         F.min("row").alias("a_r"),
         F.expr("min_by(col, struct(row, col))").alias("a_c"))
-    # region adjacency at PIXEL level, once: neighbors in different
-    # regions (same offsets as the labeling connectivity)
+    # region adjacency at PIXEL level, once — but never as a full-table
+    # pixel join: INTRA-tile edges come from one numpy-shift grouped
+    # map (each task emits its tile's DEDUPED different-region pairs),
+    # and CROSS-tile edges from border-band joins where both sides are
+    # O(border) rows (the polygonize cross-tile precedent). One
+    # exchange of the labels instead of per-offset sort-merge joins of
+    # the whole pixel table.
     offs = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if connectivity == 8 else [])
-    a = L.select("row", "col", F.col("region_id").alias("ra"))
-    b = L.select(F.col("row").alias("rb_r"), F.col("col").alias("rb_c"),
-                 F.col("region_id").alias("rb"))
-    parts = []
-    for dr, dc in offs:
-        parts.append(
-            a.join(b, (F.col("row") + dr == F.col("rb_r"))
+    tile = 64
+    keyed = L.withColumn("trow", F.floor(F.col("row") / tile).cast("int"))              .withColumn("tcol", F.floor(F.col("col") / tile).cast("int"))
+
+    def tile_edges(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        r = pdf["row"].to_numpy(np.int64) - ty * tile
+        c = pdf["col"].to_numpy(np.int64) - tx * tile
+        lab = pdf["region_id"].to_numpy(np.int64)
+        grid = np.full((tile, tile), -1, np.int64)
+        grid[r, c] = lab
+        pairs = []
+        for dr, dc in offs:
+            sa = grid[max(0, -dr):tile - max(0, dr),
+                      max(0, -dc):tile - max(0, dc)]
+            sb = grid[max(0, dr):tile + min(0, dr),
+                      max(0, dc):tile + min(0, dc)]
+            m2 = (sa >= 0) & (sb >= 0) & (sa != sb)
+            if m2.any():
+                pairs.append(np.stack([sa[m2], sb[m2]], axis=1))
+        if not pairs:
+            return pd.DataFrame({"ra": np.empty(0, np.int64),
+                                 "rb": np.empty(0, np.int64)})
+        e = np.unique(np.concatenate(pairs), axis=0)
+        return pd.DataFrame({"ra": e[:, 0], "rb": e[:, 1]})
+
+    E = keyed.groupBy("trow", "tcol").applyInPandas(
+        tile_edges, schema="ra long, rb long")
+    a = keyed.select("row", "col", F.col("region_id").alias("ra"))
+    b = keyed.select(F.col("row").alias("rb_r"), F.col("col").alias("rb_c"),
+                     F.col("region_id").alias("rb"))
+    band_dirs = [((0, 1), (F.col("col") + 1) % tile == 0,
+                  F.col("rb_c") % tile == 0),
+                 ((1, 0), (F.col("row") + 1) % tile == 0,
+                  F.col("rb_r") % tile == 0)]
+    if connectivity == 8:
+        band_dirs += [
+            ((1, 1),
+             ((F.col("row") + 1) % tile == 0) | ((F.col("col") + 1) % tile == 0),
+             (F.col("rb_r") % tile == 0) | (F.col("rb_c") % tile == 0)),
+            ((1, -1),
+             ((F.col("row") + 1) % tile == 0) | (F.col("col") % tile == 0),
+             (F.col("rb_r") % tile == 0) | ((F.col("rb_c") + 1) % tile == 0)),
+        ]
+    for (dr, dc), band, band_b in band_dirs:
+        e = (a.filter(band)
+             .join(b.filter(band_b), (F.col("row") + dr == F.col("rb_r"))
                    & (F.col("col") + dc == F.col("rb_c")))
-            .filter(F.col("ra") != F.col("rb")).select("ra", "rb"))
-    E = parts[0]
-    for p in parts[1:]:
-        E = E.unionByName(p)
+             .filter(F.col("ra") != F.col("rb")).select("ra", "rb"))
+        E = E.unionByName(e)
     E = E.unionByName(E.select(F.col("rb").alias("ra"),
                                F.col("ra").alias("rb"))).distinct()
     S = S.localCheckpoint(eager=True)

@@ -279,6 +279,107 @@ def terrain_numpy_oracle(full: np.ndarray, ndv: float, cellsize: tuple[float, fl
     return slope, aspect, hs
 
 
+def hillshade_multidirectional(
+    px: DataFrame,
+    cellsize: tuple[float, float],
+    zfactor: float = 1.0,
+    altitude: float = 45.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """gdaldem -multidirectional hillshade (the documented Mark 1992
+    form GDAL implements): hillshades from azimuths 225/270/315/360
+    combined with weights sin²(aspect − azimuth),
+
+        md = Σ wᵢ·hsᵢ / Σ wᵢ,   wᵢ = sin²(aspect − azᵢ)
+
+    over the same exact-integer Horn sums as slope/aspect/hillshade
+    (one neighbor join + one aggregate; NULL on cells without a full
+    3×3 window). Flat cells (both weighted sums exactly 0) have no
+    aspect: every directional hillshade degenerates to 255·cos(zen),
+    so md is defined as that constant there (the single-azimuth flat
+    rule). Σwᵢ = Σ sin²(aspect − azᵢ) over the four fixed azimuths is
+    2 identically, so the quotient is always defined."""
+    sums = horn_sums(px)
+    cx, cy = cellsize
+    full = F.col("ncnt") == 8
+    dzdx = F.col("sx") * F.lit(float(zfactor)) / F.lit(8.0 * abs(cx))
+    dzdy = F.col("sy") * F.lit(float(zfactor)) / F.lit(8.0 * abs(cy))
+    slope_rad = F.atan(F.sqrt(dzdx * dzdx + dzdy * dzdy))
+    flat = (F.col("sx") == 0) & (F.col("sy") == 0)
+    a_deg = F.atan2(dzdy, -dzdx) * F.lit(180.0) / F.lit(math.pi)
+    asp_rad = F.pmod(F.lit(90.0) - a_deg, F.lit(360.0)) * F.lit(math.pi / 180.0)
+    zen = math.radians(90.0 - altitude)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for az_deg in (225.0, 270.0, 315.0, 360.0):
+        az = math.radians(az_deg)
+        hs_i = F.lit(255.0) * F.greatest(
+            F.lit(0.0),
+            F.lit(math.cos(zen)) * F.cos(slope_rad)
+            + F.lit(math.sin(zen)) * F.sin(slope_rad)
+            * F.cos(F.lit(az) - asp_rad),
+        )
+        w_i = F.pow(F.sin(asp_rad - F.lit(az)), F.lit(2.0))
+        num = num + w_i * hs_i
+        den = den + w_i
+    md = F.when(flat, F.lit(255.0 * math.cos(zen))).otherwise(num / den)
+    return sums.select(
+        "row", "col", "value",
+        F.when(full, F.round(md, round_dp)).alias("hillshade_md"),
+    )
+
+
+def hillshade_md_sql(px_cte: str, cellsize: tuple[float, float],
+                     zfactor: float = 1.0, altitude: float = 45.0,
+                     round_dp: int = 6) -> str:
+    """DuckDB oracle emitting the identical expression chain."""
+    from .reproject import dlit
+
+    cx, cy = cellsize
+    offsets = ", ".join(f"({dr}, {dc}, {wx}, {wy})"
+                        for dr, dc, wx, wy in HORN_OFFSETS)
+    zen = math.radians(90.0 - altitude)
+    terms_n, terms_d = [], []
+    for az_deg in (225.0, 270.0, 315.0, 360.0):
+        az = math.radians(az_deg)
+        hs = (f"255.0 * GREATEST(0.0, {dlit(math.cos(zen))} * cos(slope_rad)"
+              f" + {dlit(math.sin(zen))} * sin(slope_rad)"
+              f" * cos({dlit(az)} - asp_rad))")
+        w = f"POW(sin(asp_rad - {dlit(az)}), 2.0)"
+        terms_n.append(f"({w}) * ({hs})")
+        terms_d.append(f"({w})")
+    return f"""WITH {px_cte},
+offs(dr, dc, wx, wy) AS (VALUES {offsets}),
+cand AS (
+  SELECT a.row, a.col, a.value, a.row + o.dr AS r2, a.col + o.dc AS c2, o.wx, o.wy
+  FROM px a CROSS JOIN offs o),
+sums AS (
+  SELECT cand.row, cand.col,
+         CAST(MIN(cand.value) AS BIGINT) AS value,
+         CAST(SUM(cand.wx * b.value) AS BIGINT) AS sx,
+         CAST(SUM(cand.wy * b.value) AS BIGINT) AS sy,
+         COUNT(*) AS ncnt
+  FROM cand JOIN px b ON b.row = cand.r2 AND b.col = cand.c2
+  GROUP BY 1, 2),
+d AS (
+  SELECT row, col, value, ncnt, sx, sy,
+         sx * {dlit(float(zfactor))} / {dlit(8.0 * abs(cx))} AS dzdx,
+         sy * {dlit(float(zfactor))} / {dlit(8.0 * abs(cy))} AS dzdy
+  FROM sums),
+t AS (
+  SELECT row, col, value, ncnt, sx, sy,
+         atan(sqrt(dzdx * dzdx + dzdy * dzdy)) AS slope_rad,
+         (((90.0 - atan2(dzdy, -dzdx) * 180.0 / pi()) % 360.0 + 360.0) % 360.0)
+           * {dlit(math.pi / 180.0)} AS asp_rad
+  FROM d)
+SELECT p.row, p.col, CAST(p.value AS BIGINT) AS value,
+  CASE WHEN t.ncnt = 8 THEN ROUND(
+    CASE WHEN t.sx = 0 AND t.sy = 0 THEN {dlit(255.0 * math.cos(zen))}
+         ELSE (0.0 + {' + '.join(terms_n)}) / (0.0 + {' + '.join(terms_d)})
+    END, {round_dp}) END AS hillshade_md
+FROM px p LEFT JOIN t ON t.row = p.row AND t.col = p.col"""
+
+
 # ---------------------------------------------------------------------------
 # gdaldem TPI / TRI / roughness + color-relief (the remaining gdaldem
 # modes next to slope/aspect/hillshade; same reference escape-hatch

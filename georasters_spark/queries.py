@@ -3806,6 +3806,28 @@ def sql_terrain_tpi() -> str:
     return TR.tpi_sql(_dem_cte(spec.height, spec.width))
 
 
+def q_hillshade_md(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem -multidirectional hillshade (terrain.
+    hillshade_multidirectional): four-azimuth Mark 1992 combination
+    over the same exact-integer Horn sums as the terrain gate. EXACT
+    oracle: the identical expression chain re-derived in SQL."""
+    from .operators import terrain as TR
+
+    spec = SPEC
+    return TR.hillshade_multidirectional(
+        _dem(spark, spec.height, spec.width),
+        cellsize=(spec.cellx, spec.celly), zfactor=0.001)
+
+
+def sql_hillshade_md() -> str:
+    from .operators import terrain as TR
+
+    spec = SPEC
+    return TR.hillshade_md_sql(
+        _dem_cte(spec.height, spec.width),
+        cellsize=(spec.cellx, spec.celly), zfactor=0.001)
+
+
 _RELIEF_RAMP = [
     (0, 0, 97, 71), (400, 16, 122, 47), (800, 232, 215, 136),
     (1200, 161, 67, 0), (1600, 130, 30, 30), (1900, 255, 255, 255),
@@ -5663,6 +5685,7 @@ QUERIES = {
     # driver window — rotate in r7
     "terrain_tpi": (q_terrain_tpi, sql_terrain_tpi),
     "color_relief": (q_color_relief, sql_color_relief),
+    "hillshade_md": (q_hillshade_md, sql_hillshade_md),
     # gamma_joincount_perm is r6-NEW (session 5: the esda-default
     # permutation tests for Gamma + BB join counts); past the full
     # driver window — rotate in r7

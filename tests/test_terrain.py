@@ -208,3 +208,46 @@ def test_color_relief_interpolation_and_clamps(spark):
         TR.color_relief(px, [(0, 1, 2, 3)])
     with _pytest.raises(ValueError, match="duplicate"):
         TR.color_relief(px, [(0, 1, 2, 3), (0, 4, 5, 6)])
+
+
+def test_hillshade_multidirectional_vs_numpy(spark):
+    """Four-azimuth Mark 1992 combination vs direct numpy; flat cells
+    get the 255·cos(zen) constant; md stays in [0, 255]."""
+    import math
+
+    rng = np.random.default_rng(23)
+    h, w = 12, 15
+    z = rng.integers(0, 800, (h, w)).astype(np.int64)
+    z[4:7, 4:7] = 300  # a flat patch
+    rows = [(int(r), int(c), int(z[r, c])) for r in range(h) for c in range(w)]
+    px = spark.createDataFrame(rows, "row long, col long, value long")
+    got = {(t.row, t.col): t.hillshade_md
+           for t in TR.hillshade_multidirectional(
+               px, cellsize=(1.0, -1.0), zfactor=1.0).collect()}
+    zen = math.radians(45.0)
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            win = z[r - 1:r + 2, c - 1:c + 2].astype(np.float64)
+            sx = (win[:, 2] * [1, 2, 1]).sum() - (win[:, 0] * [1, 2, 1]).sum()
+            sy = (win[2, :] * [1, 2, 1]).sum() - (win[0, :] * [1, 2, 1]).sum()
+            dzdx, dzdy = sx / 8.0, sy / 8.0
+            srad = math.atan(math.hypot(dzdx, dzdy))
+            if sx == 0 and sy == 0:
+                exp = 255.0 * math.cos(zen)
+            else:
+                asp = math.radians((90.0 - math.degrees(
+                    math.atan2(dzdy, -dzdx))) % 360.0)
+                num = den = 0.0
+                for azd in (225.0, 270.0, 315.0, 360.0):
+                    az = math.radians(azd)
+                    hs = 255.0 * max(0.0, math.cos(zen) * math.cos(srad)
+                                     + math.sin(zen) * math.sin(srad)
+                                     * math.cos(az - asp))
+                    wgt = math.sin(asp - az) ** 2
+                    num += wgt * hs
+                    den += wgt
+                exp = num / den
+            assert abs(got[(r, c)] - round(exp, 6)) < 1e-6
+            assert -1e-9 <= got[(r, c)] <= 255.0 + 1e-9
+    assert got[(0, 0)] is None  # edge rule
+    assert abs(got[(5, 5)] - round(255.0 * math.cos(zen), 6)) < 1e-9  # flat

@@ -1,0 +1,235 @@
+"""XYZ (slippy-map) Web-Mercator tile pyramid — the gdal2tiles role.
+
+The reference ecosystem's standard publishing step for a raster is
+``gdal2tiles.py``: warp to EPSG:3857, cut the global 2^z x 2^z grid of
+``tile_px`` x ``tile_px`` tiles at a base zoom, then build every lower
+zoom by 2x2 average-downsampling the level below (GDAL's default
+``--resampling=average``).  This module re-expresses that pipeline
+Spark-first over the engine's images table:
+
+* ``xyz_base_tiles`` — the base level.  The target lattice is generated
+  from two ``spark.range`` calls (no data scan), each global pixel's
+  source index is a pure-Column inverse-Mercator expression (the exact
+  quantized-floor contract of ``reproject.wgs84_to_webmercator_grid``),
+  the gather runs through ``reproject.gather_from_tiles`` (shuffle =
+  M lattice rows + #tiles, each source tile decoded ONCE), and tiles
+  assemble + PNG-encode in one grouped-map keyed by (x, y).  Pixels
+  cross exactly two exchanges: lattice->source-tile, gather->target-tile.
+* ``xyz_overview`` — level z-1 from level z: one grouped-map over
+  (x//2, y//2) decoding <=4 children and 2x2 valid-aware block-mean
+  averaging (round half up, GDAL average semantics for integer bands).
+  Cost per level is #tiles rows — the pyramid above the base is
+  metadata-scale, never a pixel-table shuffle.
+
+Tiles are int16 grayscale PNGs through the gated ``sources.codec`` png16
+path (lossless, ndv bit-preserved), so every level is exactly
+re-decodable — the ``xyz_pyramid`` driver gate checksums decoded pixels
+of BOTH levels against a DuckDB oracle that recomputes the warp and the
+overview averaging arithmetically.
+
+At 100-TB scale: the base-level lattice for zoom z is 4^z tiles but is
+*generated*, so Catalyst prunes it with a WHERE on x/y ranges (publish a
+bbox without touching the rest of the world), and the per-level overview
+reduction is a single narrow shuffle of encoded tiles.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources import codec as _codec
+from .reproject import R, _Q, dlit, gather_from_tiles
+
+# half-extent of the Web-Mercator square (EPSG:3857 valid domain)
+M_HALF = math.pi * R
+
+
+def _lattice(spark, zoom: int, tile_px: int,
+             src_origin: tuple[float, float],
+             src_cellsize: tuple[float, float],
+             bbox_tiles: tuple[int, int, int, int] | None = None) -> DataFrame:
+    """Global zoom-level pixel lattice with nearest source indices.
+
+    Returns (trow, tcol, row, col): trow/tcol the global target pixel
+    coordinates (y-down from the north-west corner of the Mercator
+    square), row/col the quantized-floor nearest source pixel — the
+    same engine-stable gather rule as every reproject plan (see
+    reproject.py module doc).  ``bbox_tiles=(x0, y0, x1, y1)``
+    restricts generation to a tile window (half-open) — partition
+    pruning on a generated lattice.
+    """
+    side = (1 << zoom) * tile_px
+    tcx = 2.0 * M_HALF / side
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+
+    rows = spark.range(side).select(F.col("id").alias("trow"))
+    cols = spark.range(side).select(F.col("id").alias("tcol"))
+    if bbox_tiles is not None:
+        bx0, by0, bx1, by1 = bbox_tiles
+        rows = rows.filter((F.col("trow") >= by0 * tile_px)
+                           & (F.col("trow") < by1 * tile_px))
+        cols = cols.filter((F.col("tcol") >= bx0 * tile_px)
+                           & (F.col("tcol") < bx1 * tile_px))
+    target = rows.crossJoin(cols)
+
+    xm = F.lit(-M_HALF) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
+    ym = F.lit(M_HALF) - (F.col("trow") + F.lit(0.5)) * F.lit(tcx)
+    lon = xm / F.lit(R) * F.lit(180.0) / F.lit(math.pi)
+    lat = (F.lit(2.0) * F.atan(F.exp(ym / F.lit(R))) - F.lit(math.pi / 2)) \
+        * F.lit(180.0) / F.lit(math.pi)
+    srow = F.floor(F.round((lat - F.lit(y0g)) / F.lit(cy), _Q)).cast("long")
+    scol = F.floor(F.round((lon - F.lit(x0g)) / F.lit(cx), _Q)).cast("long")
+    return target.select("trow", "tcol", srow.alias("row"), scol.alias("col"))
+
+
+def xyz_base_tiles(images: DataFrame,
+                   src_origin: tuple[float, float],
+                   src_cellsize: tuple[float, float],
+                   zoom: int,
+                   tile_px: int = 256,
+                   ndv: float = -9999.0,
+                   bbox_tiles: tuple[int, int, int, int] | None = None,
+                   tile_shape: tuple[int, int] | None = None) -> DataFrame:
+    """Base zoom level: (z, x, y, n_valid, bytes) PNG tile rows."""
+    import pandas as pd
+
+    spark = images.sparkSession
+    tgt = _lattice(spark, zoom, tile_px, src_origin, src_cellsize,
+                   bbox_tiles=bbox_tiles)
+    gathered = gather_from_tiles(tgt, images, carry=(),
+                                 tile_shape=tile_shape)
+
+    indv = int(ndv)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.full((tile_px, tile_px), indv, dtype=np.int16)
+        i = (pdf["trow"].to_numpy() % tile_px).astype(np.int64)
+        j = (pdf["tcol"].to_numpy() % tile_px).astype(np.int64)
+        v = pdf["value"].to_numpy(dtype=np.float64, na_value=np.nan)
+        ok = ~np.isnan(v)
+        arr[i[ok], j[ok]] = v[ok].astype(np.int16)
+        x = int(pdf["tcol"].iloc[0]) // tile_px
+        y = int(pdf["trow"].iloc[0]) // tile_px
+        return pd.DataFrame({
+            "z": [zoom], "x": [x], "y": [y],
+            "n_valid": [int(ok.sum())],
+            "bytes": [_codec.encode_tile(arr, "png", ndv)],
+        })
+
+    keyed = gathered.withColumn("_x", F.floor(F.col("tcol") / tile_px)) \
+                    .withColumn("_y", F.floor(F.col("trow") / tile_px))
+    return keyed.groupBy("_x", "_y").applyInPandas(
+        assemble, schema="z long, x long, y long, n_valid long, bytes binary")
+
+
+def xyz_overview(tiles: DataFrame, tile_px: int = 256,
+                 ndv: float = -9999.0) -> DataFrame:
+    """Level z-1 from level z by 2x2 valid-aware average (round half
+    up — GDAL integer-band average semantics); absent children are
+    all-nodata.  One exchange of #tiles encoded rows."""
+    import pandas as pd
+
+    indv = int(ndv)
+
+    def reduce4(pdf: pd.DataFrame) -> pd.DataFrame:
+        big = np.full((2 * tile_px, 2 * tile_px), np.nan)
+        z = int(pdf["z"].iloc[0])
+        for t in pdf.itertuples(index=False):
+            a = _codec.decode_tile(bytes(t.bytes), "png",
+                                   tile_px, tile_px, ndv).astype(np.float64)
+            a[a == indv] = np.nan
+            oy, ox = (int(t.y) % 2) * tile_px, (int(t.x) % 2) * tile_px
+            big[oy:oy + tile_px, ox:ox + tile_px] = a
+        q = big.reshape(tile_px, 2, tile_px, 2)
+        cnt = (~np.isnan(q)).sum(axis=(1, 3))
+        s = np.nansum(q, axis=(1, 3))
+        out = np.full((tile_px, tile_px), indv, dtype=np.int16)
+        ok = cnt > 0
+        out[ok] = np.floor(s[ok] / cnt[ok] + 0.5).astype(np.int16)
+        return pd.DataFrame({
+            "z": [z - 1],
+            "x": [int(pdf["x"].iloc[0]) // 2],
+            "y": [int(pdf["y"].iloc[0]) // 2],
+            "n_valid": [int(ok.sum())],
+            "bytes": [_codec.encode_tile(out, "png", ndv)],
+        })
+
+    keyed = tiles.withColumn("_px", F.floor(F.col("x") / 2)) \
+                 .withColumn("_py", F.floor(F.col("y") / 2))
+    return keyed.groupBy("_px", "_py").applyInPandas(
+        reduce4, schema="z long, x long, y long, n_valid long, bytes binary")
+
+
+def xyz_pyramid(images: DataFrame,
+                src_origin: tuple[float, float],
+                src_cellsize: tuple[float, float],
+                base_zoom: int,
+                min_zoom: int = 0,
+                tile_px: int = 256,
+                ndv: float = -9999.0,
+                tile_shape: tuple[int, int] | None = None) -> DataFrame:
+    """Full pyramid base_zoom..min_zoom as one unioned tile frame."""
+    level = xyz_base_tiles(images, src_origin, src_cellsize, base_zoom,
+                           tile_px=tile_px, ndv=ndv, tile_shape=tile_shape)
+    out = level
+    for _ in range(base_zoom, min_zoom, -1):
+        level = xyz_overview(level, tile_px=tile_px, ndv=ndv)
+        out = out.unionByName(level)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle emitter (driver gate): recomputes the warp and the 2x2
+# overview averaging arithmetically from the synthetic pixel formulas.
+# ---------------------------------------------------------------------------
+
+def xyz_checksum_sql(px_cte: str,
+                     src_origin: tuple[float, float],
+                     src_cellsize: tuple[float, float],
+                     zoom: int, tile_px: int = 256) -> str:
+    """Per-tile (z, x, y, n_valid, checksum) for the base level AND one
+    overview level, checksum = sum(value * (1 + local_pos % 97)) —
+    mirrors the decode-side checksum of q_xyz_pyramid term for term."""
+    side = (1 << zoom) * tile_px
+    tcx = 2.0 * M_HALF / side
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    t = tile_px
+    return f"""WITH {px_cte},
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(-M_HALF)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
+         {dlit(M_HALF)} - (tr.range + 0.5) * {dlit(tcx)} AS ym
+  FROM range({side}) tr CROSS JOIN range({side}) tc),
+loc AS (
+  SELECT trow, tcol,
+         CAST(FLOOR(ROUND(((2.0 * atan(exp(ym / {dlit(R)})) - {dlit(math.pi / 2)}) * 180.0 / pi() - {dlit(y0g)}) / {dlit(cy)}, {_Q})) AS BIGINT) AS row,
+         CAST(FLOOR(ROUND((xm / {dlit(R)} * 180.0 / pi() - {dlit(x0g)}) / {dlit(cx)}, {_Q})) AS BIGINT) AS col
+  FROM tgt),
+base AS (
+  SELECT loc.trow, loc.tcol, px.value
+  FROM loc LEFT JOIN px ON px.row = loc.row AND px.col = loc.col),
+blev AS (
+  SELECT CAST({zoom} AS BIGINT) AS z, trow // {t} AS y, tcol // {t} AS x,
+         CAST(COUNT(value) AS BIGINT) AS n_valid,
+         CAST(COALESCE(SUM(value * (1 + ((trow % {t}) * {t} + tcol % {t}) % 97)), 0) AS BIGINT) AS checksum
+  FROM base GROUP BY 2, 3),
+opix AS (
+  SELECT trow // 2 AS orow, tcol // 2 AS ocol,
+         CASE WHEN COUNT(value) > 0
+              THEN CAST(FLOOR(AVG(CAST(value AS DOUBLE)) + 0.5) AS BIGINT)
+         END AS v
+  FROM base GROUP BY 1, 2),
+olev AS (
+  SELECT CAST({zoom - 1} AS BIGINT) AS z, orow // {t} AS y, ocol // {t} AS x,
+         CAST(COUNT(v) AS BIGINT) AS n_valid,
+         CAST(COALESCE(SUM(v * (1 + ((orow % {t}) * {t} + ocol % {t}) % 97)), 0) AS BIGINT) AS checksum
+  FROM opix GROUP BY 2, 3)
+SELECT z, x, y, n_valid, checksum FROM blev
+UNION ALL
+SELECT z, x, y, n_valid, checksum FROM olev"""

@@ -5589,6 +5589,79 @@ FROM range(4) g CROSS JOIN fmt a CROSS JOIN fmt b
 WHERE a.i < b.i"""
 
 
+# ---------------------------------------------------------------------------
+# q: xyz_pyramid — gdal2tiles role: Web-Mercator z/x/y tile pyramid
+# (base-level warp + PNG tile sink + 2x2-average overview level)
+# ---------------------------------------------------------------------------
+
+_XYZ = {"zoom": 2, "tile_px": 256}
+
+
+def q_xyz_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal2tiles analog over the images table (operators/xyz.py): warp
+    the WGS84 grid onto the global Web-Mercator zoom-2 lattice via the
+    tile-cogroup gather, assemble 16 z/x/y 256px PNG tiles, then build
+    zoom 1 by 2x2 valid-aware averaging of the encoded level below —
+    and prove the whole chain by DECODING every emitted tile and
+    checksumming its pixels (position-weighted), n_valid cross-checked
+    against the stored column.  The reference publishes rasters through
+    exactly this pipeline (gdal2tiles.py); DuckDB recomputes both
+    levels arithmetically from the synthetic field formulas."""
+    import pandas as pd
+
+    from .operators import xyz as XYZ
+    from .sources import codec
+
+    spec = SPEC
+    p = _XYZ
+    t = p["tile_px"]
+    tiles = XYZ.xyz_pyramid(
+        images_for(spark, spec),
+        (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        base_zoom=p["zoom"], min_zoom=p["zoom"] - 1, tile_px=t,
+        ndv=spec.ndv, tile_shape=(spec.tile, spec.tile),
+    )
+    indv = int(spec.ndv)
+
+    def kernel(batches):
+        import numpy as np
+
+        pos = np.arange(t * t, dtype=np.int64).reshape(t, t)
+        wgt = 1 + pos % 97
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = codec.decode_tile(bytes(r.bytes), "png", t, t, spec.ndv)
+                v = a.astype(np.int64)
+                ok = v != indv
+                nv = int(ok.sum())
+                if nv != int(r.n_valid):
+                    raise ValueError(
+                        f"xyz tile z{r.z}/{r.x}/{r.y}: stored n_valid "
+                        f"{r.n_valid} != decoded {nv}")
+                rows.append({
+                    "z": int(r.z), "x": int(r.x), "y": int(r.y),
+                    "n_valid": nv,
+                    "checksum": int((v[ok] * wgt[ok]).sum()) if nv else 0,
+                })
+            yield pd.DataFrame(
+                rows, columns=["z", "x", "y", "n_valid", "checksum"])
+
+    return tiles.mapInPandas(
+        kernel, schema="z long, x long, y long, n_valid long, checksum long")
+
+
+def sql_xyz_pyramid() -> str:
+    from .operators import xyz as XYZ
+
+    spec = SPEC
+    return XYZ.xyz_checksum_sql(
+        synth.pixel_sql(spec),
+        (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        zoom=_XYZ["zoom"], tile_px=_XYZ["tile_px"],
+    )
+
+
 QUERIES = {
     # --- round-6 driver-window rotation: the driver gates the FIRST 50
     # entries. Front: gates NEW in round 6 (inserted below as built),
@@ -5711,6 +5784,7 @@ QUERIES = {
     # the 4th embedding index next to brute/LSH/IVF/SQ8); past the
     # full driver window — rotate in r7
     "pq_ann": (q_pq_ann, sql_pq_ann),
+    "xyz_pyramid": (q_xyz_pyramid, sql_xyz_pyramid),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -1,0 +1,123 @@
+"""XYZ tile pyramid (operators/xyz.py — the gdal2tiles role).
+
+Numpy differential oracle: the base-level warp must equal a
+straightforward inverse-Mercator nearest gather over the stitched
+array, and the overview level must equal a 2x2 valid-aware rounded
+average of the base tiles.  Plus bbox pruning and absent-child
+semantics.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from georasters_spark import queries as Q
+from georasters_spark.operators import xyz as XYZ
+from georasters_spark.sources import codec, synth
+
+SPEC = synth.T1
+T = 256
+
+
+def _numpy_base(zoom: int, tile_px: int = T) -> np.ndarray:
+    """(side, side) int64 lattice of gathered values, ndv where invalid."""
+    full = synth.stitched_array(SPEC).astype(np.int64)
+    side = (1 << zoom) * tile_px
+    tcx = 2.0 * XYZ.M_HALF / side
+    xm = -XYZ.M_HALF + (np.arange(side) + 0.5) * tcx
+    ym = XYZ.M_HALF - (np.arange(side) + 0.5) * tcx
+    lon = xm / XYZ.R * 180.0 / math.pi
+    lat = (2.0 * np.arctan(np.exp(ym / XYZ.R)) - math.pi / 2) * 180.0 / math.pi
+    # the engine-stable quantized floor (reproject module doc)
+    col = np.floor(np.round((lon - SPEC.x0) / SPEC.cellx, 4)).astype(np.int64)
+    row = np.floor(np.round((lat - SPEC.y0) / SPEC.celly, 4)).astype(np.int64)
+    out = np.full((side, side), int(SPEC.ndv), dtype=np.int64)
+    okr = (row >= 0) & (row < SPEC.height)
+    okc = (col >= 0) & (col < SPEC.width)
+    rr = np.where(okr, row, 0)[:, None]
+    cc = np.where(okc, col, 0)[None, :]
+    vals = full[rr, cc]
+    mask = okr[:, None] & okc[None, :]
+    out[mask] = vals[mask]
+    return out
+
+
+def _decode_tiles(rows, tile_px: int = T) -> dict:
+    out = {}
+    for r in rows:
+        a = codec.decode_tile(bytes(r["bytes"]), "png", tile_px, tile_px,
+                              SPEC.ndv)
+        out[(int(r["z"]), int(r["x"]), int(r["y"]))] = (
+            a.astype(np.int64), int(r["n_valid"]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def base_rows(spark, images_t1):
+    tiles = XYZ.xyz_base_tiles(
+        images_t1, (SPEC.x0, SPEC.y0), (SPEC.cellx, SPEC.celly),
+        zoom=1, ndv=SPEC.ndv, tile_shape=(SPEC.tile, SPEC.tile))
+    return tiles.collect()
+
+
+def test_base_level_matches_numpy(base_rows):
+    lattice = _numpy_base(zoom=1)
+    got = _decode_tiles(base_rows)
+    assert set(got) == {(1, x, y) for x in range(2) for y in range(2)}
+    for (z, x, y), (arr, n_valid) in got.items():
+        exp = lattice[y * T:(y + 1) * T, x * T:(x + 1) * T]
+        assert (arr == exp).all(), f"tile {z}/{x}/{y} mismatch"
+        assert n_valid == int((exp != int(SPEC.ndv)).sum())
+
+
+def test_overview_matches_numpy(spark, base_rows):
+    base = spark.createDataFrame(base_rows)
+    got = _decode_tiles(XYZ.xyz_overview(base, ndv=SPEC.ndv).collect())
+    assert set(got) == {(0, 0, 0)}
+    lattice = _numpy_base(zoom=1).astype(np.float64)
+    lattice[lattice == int(SPEC.ndv)] = np.nan
+    q = lattice.reshape(T, 2, T, 2)
+    cnt = (~np.isnan(q)).sum(axis=(1, 3))
+    s = np.nansum(q, axis=(1, 3))
+    exp = np.full((T, T), int(SPEC.ndv), dtype=np.int64)
+    ok = cnt > 0
+    exp[ok] = np.floor(s[ok] / cnt[ok] + 0.5).astype(np.int64)
+    arr, n_valid = got[(0, 0, 0)]
+    assert (arr == exp).all()
+    assert n_valid == int(ok.sum())
+
+
+def test_overview_absent_children(spark, base_rows):
+    """Dropping a child tile must yield all-ndv in that quadrant, not
+    an error or stale data."""
+    kept = [r for r in base_rows if not (r["x"] == 1 and r["y"] == 0)]
+    base = spark.createDataFrame(kept)
+    arr, n_valid = _decode_tiles(
+        XYZ.xyz_overview(base, ndv=SPEC.ndv).collect())[(0, 0, 0)]
+    half = T // 2
+    assert (arr[:half, half:] == int(SPEC.ndv)).all()
+    # the other three quadrants still carry data
+    assert (arr[:half, :half] != int(SPEC.ndv)).any()
+
+
+def test_bbox_pruning(spark, images_t1):
+    """bbox_tiles restricts generation — only the window's tiles are
+    emitted, value-identical to the full run."""
+    tiles = XYZ.xyz_base_tiles(
+        images_t1, (SPEC.x0, SPEC.y0), (SPEC.cellx, SPEC.celly),
+        zoom=1, ndv=SPEC.ndv, tile_shape=(SPEC.tile, SPEC.tile),
+        bbox_tiles=(0, 0, 1, 1))
+    got = _decode_tiles(tiles.collect())
+    assert set(got) == {(1, 0, 0)}
+    exp = _numpy_base(zoom=1)[:T, :T]
+    assert (got[(1, 0, 0)][0] == exp).all()
+
+
+def test_pyramid_union_shape(spark, images_t1):
+    rows = XYZ.xyz_pyramid(
+        images_t1, (SPEC.x0, SPEC.y0), (SPEC.cellx, SPEC.celly),
+        base_zoom=1, min_zoom=0, ndv=SPEC.ndv,
+        tile_shape=(SPEC.tile, SPEC.tile)).collect()
+    zs = sorted((int(r["z"]), int(r["x"]), int(r["y"])) for r in rows)
+    assert zs == [(0, 0, 0), (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)]

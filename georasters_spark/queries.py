@@ -5662,6 +5662,59 @@ def sql_xyz_pyramid() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# q: pansharpen — gdal_pansharpen role (weighted Brovey, operators/
+# pansharpen.py): bilinear MS upsample + pseudo-pan ratio, zero UDFs
+# ---------------------------------------------------------------------------
+
+_PS = {"win": (128, 256), "ms_shape": (135, 270), "ratio": 2,
+       "n_bands": 3, "seed0": 142}
+
+
+def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Brovey pansharpening: the t1 grid (REAL decode path) is
+    the pan band, three synthetic ratio-2-coarser MS bands upsample
+    bilinearly (dyadic corner weights — exact in float64) and fuse as
+    ms_up·pan/pseudo_pan with weights (1/4, 3/8, 3/8).  DuckDB mirrors
+    the corner clamp, weights and the single double divide term for
+    term."""
+    from .operators import pansharpen as PS
+
+    p = _PS
+    wh, ww = p["win"]
+    mh, mw = p["ms_shape"]
+    pan = _px(spark, SPEC).filter(
+        (F.col("row") < wh) & (F.col("col") < ww)
+    ).select("row", "col", F.col("value").cast("double").alias("value"))
+    ms = (
+        spark.range(p["n_bands"]).select(F.col("id").alias("band"))
+        .crossJoin(spark.range(mh).select(F.col("id").alias("row")))
+        .crossJoin(spark.range(mw).select(F.col("id").alias("col")))
+        .select("band", "row", "col",
+                ((F.col("row") * 7919 + F.col("col") * 104729
+                  + (F.lit(p["seed0"]) + F.col("band"))) % 1997
+                 ).cast("double").alias("value"))
+    )
+    return PS.brovey_pansharpen(pan, ms, (mh, mw), p["ratio"], p["n_bands"])
+
+
+def sql_pansharpen() -> str:
+    from .operators import pansharpen as PS
+
+    p = _PS
+    wh, ww = p["win"]
+    pan_cte = (
+        f"WITH {synth.pixel_sql(SPEC)},\n"
+        f"pan AS (SELECT row, col, CAST(value AS DOUBLE) AS value\n"
+        f"        FROM px WHERE row < {wh} AND col < {ww})"
+    )
+    return PS.brovey_sql(
+        pan_cte,
+        f"(r.range * 7919 + c.range * 104729 + ({p['seed0']} + b.range)) % 1997",
+        p["ms_shape"], p["ratio"], p["n_bands"],
+    )
+
+
 QUERIES = {
     # --- round-6 driver-window rotation: the driver gates the FIRST 50
     # entries. Front: gates NEW in round 6 (inserted below as built),
@@ -5785,6 +5838,7 @@ QUERIES = {
     # full driver window — rotate in r7
     "pq_ann": (q_pq_ann, sql_pq_ann),
     "xyz_pyramid": (q_xyz_pyramid, sql_xyz_pyramid),
+    "pansharpen": (q_pansharpen, sql_pansharpen),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

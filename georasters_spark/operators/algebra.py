@@ -856,3 +856,56 @@ def polygonize_geoms(
     ).localCheckpoint(eager=True)  # small (one row per region)
     lab.unpersist()
     return out
+
+
+def histogram_equalize(px: DataFrame, levels: int = 256) -> DataFrame:
+    """Histogram equalization — the ``gdalenhance -equalize`` role.
+
+    out(v) = floor((cdf(v) − cdf_min) / (N − cdf_min) · (levels−1) + 0.5)
+
+    with cdf over the VALID pixel values and cdf_min the lowest
+    bucket's count (the classic equalization LUT).  A constant image
+    (N == cdf_min) maps to 0.
+
+    Plan: one map-side-combined groupBy(value) builds the value-count
+    table — bounded by the value DOMAIN (int16 ⇒ ≤65k rows), never by
+    pixel count — a single window over that metadata-scale table forms
+    the CDF, and the LUT broadcasts back onto the pixel scan.  Pixels
+    cross exactly one exchange (the count partial-agg, rows = domain ×
+    partitions); the LUT join is a BroadcastHashJoin.
+    """
+    counts = px.groupBy("value").agg(F.count("*").alias("cnt"))
+    # domain-bounded table: a global window here is O(|domain| log) on
+    # one task, not a pixel-table sort (see gini_agg for the pixel-scale
+    # alternative when the domain is unbounded)
+    cdf = counts.withColumn("cdf", F.sum("cnt").over(W.orderBy("value")))
+    bounds = cdf.agg(F.max("cdf").alias("tot"), F.min("cdf").alias("cdfmin"))
+    lut = cdf.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        F.when(F.col("tot") == F.col("cdfmin"), F.lit(0).cast("long"))
+         .otherwise(F.floor(
+             (F.col("cdf") - F.col("cdfmin")).cast("double")
+             / (F.col("tot") - F.col("cdfmin"))
+             * F.lit(float(levels - 1)) + F.lit(0.5)).cast("long"))
+         .alias("eq"),
+    )
+    return px.join(F.broadcast(lut), "value").drop("value") \
+             .withColumnRenamed("eq", "value")
+
+
+def histogram_equalize_sql(px_cte: str, levels: int = 256,
+                           keys: str = "row, col") -> str:
+    """DuckDB oracle for histogram_equalize over a ``px(row, col,
+    value)`` CTE — mirrors the CDF/LUT arithmetic term for term."""
+    return f"""WITH {px_cte},
+counts AS (SELECT value, COUNT(*) AS cnt FROM px GROUP BY value),
+cdf AS (SELECT value, SUM(cnt) OVER (ORDER BY value) AS cdf FROM counts),
+bounds AS (SELECT MAX(cdf) AS tot, MIN(cdf) AS cdfmin FROM cdf),
+lut AS (SELECT value,
+               CASE WHEN tot = cdfmin THEN 0
+                    ELSE CAST(FLOOR(CAST(cdf - cdfmin AS DOUBLE)
+                              / (tot - cdfmin) * {float(levels - 1)!r} + 0.5)
+                         AS BIGINT) END AS eq
+        FROM cdf CROSS JOIN bounds)
+SELECT {keys}, lut.eq AS value
+FROM px JOIN lut ON lut.value = px.value"""

@@ -5715,6 +5715,31 @@ def sql_pansharpen() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# q: histogram_eq — gdalenhance -equalize role (algebra.histogram_equalize)
+# ---------------------------------------------------------------------------
+
+def q_histogram_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization of the t1 grid (REAL decode path): the
+    classic CDF LUT out = floor((cdf−cdf_min)/(N−cdf_min)·255 + 0.5)
+    over all 109,725 valid pixels.  The value-count table is bounded by
+    the value domain (1997 here), the LUT broadcasts back — pixels
+    cross one exchange.  DuckDB re-derives the CDF and LUT from the
+    synthetic formulas."""
+    from .operators import algebra as ALG
+
+    px = _px(spark, SPEC).select("row", "col",
+                                 F.col("value").cast("long").alias("value"))
+    out = ALG.histogram_equalize(px, levels=256)
+    return out.select("row", "col", F.col("value").cast("long").alias("value"))
+
+
+def sql_histogram_eq() -> str:
+    from .operators import algebra as ALG
+
+    return ALG.histogram_equalize_sql(synth.pixel_sql(SPEC), levels=256)
+
+
 QUERIES = {
     # --- round-6 driver-window rotation: the driver gates the FIRST 50
     # entries. Front: gates NEW in round 6 (inserted below as built),
@@ -5839,6 +5864,7 @@ QUERIES = {
     "pq_ann": (q_pq_ann, sql_pq_ann),
     "xyz_pyramid": (q_xyz_pyramid, sql_xyz_pyramid),
     "pansharpen": (q_pansharpen, sql_pansharpen),
+    "histogram_eq": (q_histogram_eq, sql_histogram_eq),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

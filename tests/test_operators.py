@@ -427,3 +427,32 @@ def test_rasterize_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="missing zone ids \\[2\\]"):
         SJ.rasterize(spark, [z1, z2], burn={1: 7.0}, **kw)
+
+
+def test_histogram_equalize_numpy_mirror(spark):
+    """algebra.histogram_equalize vs the classic numpy CDF LUT."""
+    import numpy as np
+
+    from georasters_spark.operators import algebra as ALG
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 40, size=500)
+    px = spark.createDataFrame(
+        [(i, 0, int(v)) for i, v in enumerate(vals)],
+        "row long, col long, value long")
+    got = {r["row"]: r["value"]
+           for r in ALG.histogram_equalize(px, levels=256).collect()}
+    uniq, cnt = np.unique(vals, return_counts=True)
+    cdf = np.cumsum(cnt)
+    lut = {int(u): int(np.floor((c - cdf[0]) / (cdf[-1] - cdf[0]) * 255.0 + 0.5))
+           for u, c in zip(uniq, cdf)}
+    assert got == {i: lut[int(v)] for i, v in enumerate(vals)}
+
+
+def test_histogram_equalize_constant_image(spark):
+    from georasters_spark.operators import algebra as ALG
+
+    px = spark.createDataFrame([(r, 0, 7) for r in range(10)],
+                               "row long, col long, value long")
+    rows = ALG.histogram_equalize(px).collect()
+    assert len(rows) == 10 and all(r["value"] == 0 for r in rows)

@@ -5740,6 +5740,55 @@ def sql_histogram_eq() -> str:
     return ALG.histogram_equalize_sql(synth.pixel_sql(SPEC), levels=256)
 
 
+# ---------------------------------------------------------------------------
+# q: grid_points — gdal_grid role (operators/gridding.py): scattered
+# points -> raster via bucket-join radius search
+# ---------------------------------------------------------------------------
+
+_GRID = {"n_pts": 2000, "out": (45, 90), "radius": 3.0}
+
+
+def q_grid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid over 2,000 deterministic scattered points: moving-
+    window average, nearest (min-d² then min-pid tie-break), min/max
+    and count per 4° cell with a 3° search radius.  The engine's
+    radius search is the 3x3 bucket join (pair count bounded by local
+    density); DuckDB brute-forces lattice x points with identical
+    center/distance arithmetic."""
+    from .operators import gridding as GR
+
+    p = _GRID
+    pts = spark.range(p["n_pts"]).select(
+        F.col("id").alias("pid"),
+        (F.lit(-180.0) + ((F.col("id") * 7351) % 3600).cast("double") / 10.0)
+        .alias("x"),
+        (F.lit(90.0) - ((F.col("id") * 4099) % 1800).cast("double") / 10.0)
+        .alias("y"),
+        ((F.col("id") * 7919 + 13) % 1997).alias("value"),
+    )
+    th, tw = p["out"]
+    return GR.grid_points(
+        pts, (-180.0, 90.0), (360.0 / tw, -180.0 / th), (th, tw),
+        p["radius"])
+
+
+def sql_grid_points() -> str:
+    from .operators import gridding as GR
+
+    p = _GRID
+    th, tw = p["out"]
+    pts_cte = (
+        f"pts AS (SELECT CAST(range AS BIGINT) AS pid,\n"
+        f"  -180.0 + CAST((range * 7351) % 3600 AS DOUBLE) / 10.0 AS x,\n"
+        f"  90.0 - CAST((range * 4099) % 1800 AS DOUBLE) / 10.0 AS y,\n"
+        f"  CAST((range * 7919 + 13) % 1997 AS BIGINT) AS value\n"
+        f"FROM range({p['n_pts']}))"
+    )
+    return GR.grid_points_sql(
+        pts_cte, (-180.0, 90.0), (360.0 / tw, -180.0 / th), (th, tw),
+        p["radius"])
+
+
 QUERIES = {
     # --- round-6 driver-window rotation: the driver gates the FIRST 50
     # entries. Front: gates NEW in round 6 (inserted below as built),
@@ -5865,6 +5914,7 @@ QUERIES = {
     "xyz_pyramid": (q_xyz_pyramid, sql_xyz_pyramid),
     "pansharpen": (q_pansharpen, sql_pansharpen),
     "histogram_eq": (q_histogram_eq, sql_histogram_eq),
+    "grid_points": (q_grid_points, sql_grid_points),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -426,6 +426,61 @@ class GeoRasterFrame:
 
     merge = union  # georasters.py:707-713 delegates to union
 
+    def equalize(self, levels: int = 256):
+        """Histogram equalization (gdalenhance -equalize role)."""
+        from .operators import algebra as AL
+
+        return self._like(
+            AL.histogram_equalize(
+                self.px.select("row", "col", "value"), levels=levels))
+
+    def to_xyz(self, base_zoom: int, min_zoom: int | None = None,
+               tile_px: int = 256) -> DataFrame:
+        """Web-Mercator z/x/y PNG tile pyramid (gdal2tiles role) —
+        returns the (z, x, y, n_valid, bytes) tile frame."""
+        from .operators import xyz as XYZ
+
+        return XYZ.xyz_pyramid(
+            self.images(), self.origin, self.cellsize,
+            base_zoom=base_zoom,
+            min_zoom=base_zoom if min_zoom is None else min_zoom,
+            tile_px=tile_px, ndv=self.ndv)
+
+    def pansharpen(self, ms: DataFrame, ms_shape: tuple[int, int],
+                   ratio: int, n_bands: int, weights=None):
+        """Weighted-Brovey fuse of this frame (pan band) with a
+        ratio-coarser MS band table (gdal_pansharpen role); returns the
+        (row, col, band, value) sharpened table."""
+        from .operators import pansharpen as PS
+
+        return PS.brovey_pansharpen(
+            self.px.select("row", "col", "value"), ms, ms_shape, ratio,
+            n_bands,
+            weights=PS.DEFAULT_WEIGHTS if weights is None else weights)
+
+    @classmethod
+    def from_points(cls, points: DataFrame, origin, cellsize,
+                    shape: tuple[int, int], radius: float,
+                    algorithm: str = "average", ndv: float = -9999.0,
+                    power: float = 2.0) -> "GeoRasterFrame":
+        """gdal_grid role: interpolate a raster from scattered (pid, x,
+        y, value) points — algorithm in average/nearest/min/max/invdist."""
+        from .operators import gridding as GR
+
+        if algorithm == "invdist":
+            out = GR.grid_points_invdist(points, origin, cellsize, shape,
+                                         radius, power=power)
+        else:
+            col = {"average": "avg_value", "nearest": "nearest_value",
+                   "min": "vmin", "max": "vmax", "count": "n_pts"}.get(algorithm)
+            if col is None:
+                raise ValueError(f"gdal_grid: unknown algorithm {algorithm!r}")
+            out = GR.grid_points(points, origin, cellsize, shape, radius) \
+                .select("trow", "tcol", F.col(col).cast("double").alias("value"))
+        px = out.select(F.col("trow").alias("row"),
+                        F.col("tcol").alias("col"), "value")
+        return cls(px, origin=origin, cellsize=cellsize, shape=shape, ndv=ndv)
+
     # -- spatial joins (georasters.py:870-947) ------------------------
     def clip(self, zones, keep: bool = False):
         from .operators import spatial_join as SJ

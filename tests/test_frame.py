@@ -274,3 +274,45 @@ def test_facade_gamma_join_counts(frame):
     pr = frame.pysal_Join_Counts(bin_threshold=1000, permutations=9).collect()[0]
     assert pr["gamma_obs"] == row["gamma"] and pr["bb_obs"] == row["bb"]
     assert 0.0 < pr["gamma_p_sim"] <= 1.0 and 0.0 < pr["bb_p_sim"] <= 1.0
+
+
+def test_facade_equalize_and_from_points(spark, dense):
+    from georasters_spark.operators import algebra as AL
+
+    gr, _a = dense
+    got = sorted(gr.equalize().px.collect())
+    exp = sorted(AL.histogram_equalize(
+        gr.px.select("row", "col", "value")).collect())
+    assert got == exp
+
+    pts = spark.createDataFrame(
+        [(0, 1.0, 89.0, 10), (1, 1.2, 89.0, 20)],
+        "pid long, x double, y double, value long")
+    spec = synth.T1
+    gr = GeoRasterFrame.from_points(
+        pts, (spec.x0, spec.y0), (2.0, -2.0), (4, 4), radius=200.0,
+        algorithm="average")
+    vals = {(r["row"], r["col"]): r["value"] for r in gr.px.collect()}
+    assert all(v == 15.0 for v in vals.values()) and vals
+    with pytest.raises(ValueError, match="algorithm"):
+        GeoRasterFrame.from_points(pts, (0, 0), (1, -1), (2, 2), 1.0,
+                                   algorithm="bogus")
+
+
+def test_facade_to_xyz_and_pansharpen(frame, spark):
+    tiles = frame.to_xyz(base_zoom=1, min_zoom=0).collect()
+    assert sorted((r["z"], r["x"], r["y"]) for r in tiles) == [
+        (0, 0, 0), (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)]
+
+    ms = spark.createDataFrame(
+        [(b, r, c, 1 + b) for b in range(3) for r in range(2) for c in range(2)],
+        "band long, row long, col long, value long")
+    tiny = GeoRasterFrame(
+        spark.createDataFrame([(0, 0, 6.0), (1, 1, 12.0)],
+                              "row long, col long, value double"),
+        origin=(0.0, 0.0), cellsize=(1.0, -1.0), shape=(4, 4), ndv=-9999.0)
+    rows = tiny.pansharpen(ms, (2, 2), 2, 3).collect()
+    # constant MS bands 1/2/3, pseudo = 1/4·1 + 3/8·2 + 3/8·3 = 2.125
+    by = {(r["row"], r["col"], r["band"]): r["value"] for r in rows}
+    assert by[(0, 0, 0)] == pytest.approx(round(1 * 6.0 / 2.125, 6))
+    assert by[(1, 1, 2)] == pytest.approx(round(3 * 12.0 / 2.125, 6))

@@ -262,6 +262,46 @@ def run_heavy_block(spark, sf_dir: str, times: dict, cal: dict, imgs,
            .agg(F.count("fmean"), F.sum("fsum")).collect())
     dem9_tiles.unpersist()
 
+    # r6s6: gdal2tiles publish — the canonical downsampling base zoom
+    # for this source (zoom-3 global Mercator lattice, 4.2M target px,
+    # from 9.3M source px) through the tile-cogroup gather, 64 PNG
+    # tiles assembled + encoded, then 2x2-average overviews to zoom 0.
+    # zoom 4 (16.8M lattice, upsampling) measured 3x this wall — and
+    # the JVM pixel-join plan measured 2.8x WORSE than the tile
+    # cogroup there (141.8 s vs ~50 s), so 'tiles' stays the default
+    # for both regimes (PLANS row)
+    from georasters_spark.operators import xyz as XYZ
+    _timed(times, cal, "xyz_pyramid_z3" + suffix,
+           lambda: XYZ.xyz_pyramid(
+               imgs, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+               base_zoom=3, min_zoom=0, ndv=spec.ndv,
+               tile_shape=(spec.tile, spec.tile),
+           ).agg(F.count("*"), F.sum("n_valid")).collect())
+
+    # r6s6: weighted-Brovey pansharpen over a 4.7M-px pan window
+    # (3 synthetic half-res MS bands; explode(4) corner gather + one
+    # conditional-sum aggregate building all bands AND the pseudo-pan
+    # — the gated pansharpen plan)
+    from georasters_spark.operators import pansharpen as PSH
+    mh, mw = spec.height // 2, spec.width // 2
+    ms9 = (
+        spark.range(3).select(F.col("id").alias("band"))
+        .crossJoin(spark.range(mh).select(F.col("id").alias("row")))
+        .crossJoin(spark.range(mw).select(F.col("id").alias("col")))
+        .select("band", "row", "col",
+                ((F.col("row") * 7919 + F.col("col") * 104729
+                  + F.lit(142) + F.col("band")) % 1997)
+                .cast("double").alias("value"))
+    )
+    # block-cogroup plan (one exchange per side, numpy kernel) — the
+    # exploded-corner pixel join measured ~10x slower (45.5 s warm);
+    # equivalence to the gated pixel plan is pytest-pinned
+    pan_half = dem9.filter(F.col("row") < spec.height // 2)
+    _timed(times, cal, "pansharpen_4p7M" + suffix,
+           lambda: PSH.brovey_pansharpen_blocks(
+               pan_half, ms9, (mh, mw), 2, 3, block=128)
+           .agg(F.count("value"), F.sum("value")).collect())
+
 
 def run_queries(spark, sf_dir: str):
     from pyspark.sql import functions as F

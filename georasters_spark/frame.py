@@ -447,16 +447,24 @@ class GeoRasterFrame:
             tile_px=tile_px, ndv=self.ndv)
 
     def pansharpen(self, ms: DataFrame, ms_shape: tuple[int, int],
-                   ratio: int, n_bands: int, weights=None):
+                   ratio: int, n_bands: int, weights=None,
+                   plan: str = "pixels"):
         """Weighted-Brovey fuse of this frame (pan band) with a
         ratio-coarser MS band table (gdal_pansharpen role); returns the
-        (row, col, band, value) sharpened table."""
+        (row, col, band, value) sharpened table.  plan='blocks' runs
+        the block-cogroup kernel (the fast path; NULL rows where no MS
+        is in reach instead of dropped rows)."""
         from .operators import pansharpen as PS
 
-        return PS.brovey_pansharpen(
-            self.px.select("row", "col", "value"), ms, ms_shape, ratio,
-            n_bands,
-            weights=PS.DEFAULT_WEIGHTS if weights is None else weights)
+        w = PS.DEFAULT_WEIGHTS if weights is None else weights
+        pan = self.px.select("row", "col", "value")
+        if plan == "blocks":
+            return PS.brovey_pansharpen_blocks(pan, ms, ms_shape, ratio,
+                                               n_bands, weights=w)
+        if plan != "pixels":
+            raise ValueError(f"pansharpen: unknown plan {plan!r}")
+        return PS.brovey_pansharpen(pan, ms, ms_shape, ratio, n_bands,
+                                    weights=w)
 
     @classmethod
     def from_points(cls, points: DataFrame, origin, cellsize,

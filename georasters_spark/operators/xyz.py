@@ -94,15 +94,41 @@ def xyz_base_tiles(images: DataFrame,
                    tile_px: int = 256,
                    ndv: float = -9999.0,
                    bbox_tiles: tuple[int, int, int, int] | None = None,
-                   tile_shape: tuple[int, int] | None = None) -> DataFrame:
-    """Base zoom level: (z, x, y, n_valid, bytes) PNG tile rows."""
+                   tile_shape: tuple[int, int] | None = None,
+                   plan: str = "tiles",
+                   px: DataFrame | None = None) -> DataFrame:
+    """Base zoom level: (z, x, y, n_valid, bytes) PNG tile rows.
+
+    ``plan='tiles'`` (default) gathers through the tile-cogroup kernel
+    — the downsampling-publish shape (few targets per source tile, each
+    tile decoded once, shuffle = M + #tiles).  ``plan='join'`` explodes
+    the source to a pixel table and equi-joins it onto the lattice in
+    pure JVM — the documented reproject crossover: when the base zoom
+    UPSAMPLES (M ≳ N, targets outnumber source pixels) the Arrow
+    transfer of M rows through the cogroup dominates and the
+    whole-stage-codegen join wins (same rule as
+    reproject_tiles_bilinear, BENCH/PLANS.md).  Both plans share the
+    same lattice expressions, so they are value-identical
+    (pytest-pinned)."""
     import pandas as pd
 
     spark = images.sparkSession
     tgt = _lattice(spark, zoom, tile_px, src_origin, src_cellsize,
                    bbox_tiles=bbox_tiles)
-    gathered = gather_from_tiles(tgt, images, carry=(),
-                                 tile_shape=tile_shape)
+    if plan == "join":
+        if px is None:
+            from .pixels import pixel_table
+
+            px = pixel_table(images, valid_only=True,
+                             origin=src_origin, cellsize=src_cellsize)
+        gathered = tgt.join(px.select("row", "col", "value"),
+                            ["row", "col"], "left") \
+                      .select("trow", "tcol", "value")
+    elif plan == "tiles":
+        gathered = gather_from_tiles(tgt, images, carry=(),
+                                     tile_shape=tile_shape)
+    else:
+        raise ValueError(f"xyz_base_tiles: unknown plan {plan!r}")
 
     indv = int(ndv)
 
@@ -172,10 +198,12 @@ def xyz_pyramid(images: DataFrame,
                 min_zoom: int = 0,
                 tile_px: int = 256,
                 ndv: float = -9999.0,
-                tile_shape: tuple[int, int] | None = None) -> DataFrame:
+                tile_shape: tuple[int, int] | None = None,
+                plan: str = "tiles") -> DataFrame:
     """Full pyramid base_zoom..min_zoom as one unioned tile frame."""
     level = xyz_base_tiles(images, src_origin, src_cellsize, base_zoom,
-                           tile_px=tile_px, ndv=ndv, tile_shape=tile_shape)
+                           tile_px=tile_px, ndv=ndv, tile_shape=tile_shape,
+                           plan=plan)
     out = level
     for _ in range(base_zoom, min_zoom, -1):
         level = xyz_overview(level, tile_px=tile_px, ndv=ndv)

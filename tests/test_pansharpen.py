@@ -96,3 +96,43 @@ def test_gate_window_sizes():
     grid (keeps the georef aligned by construction)."""
     spec = synth.T1
     assert (spec.height // 2, spec.width // 2) == (135, 270)
+
+
+def test_blocks_plan_matches_pixel_plan(spark):
+    """brovey_pansharpen_blocks ≡ brovey_pansharpen on aligned grids
+    (exact dyadic corner sums; blocks rounds via _round_half_up)."""
+    pan = spark.createDataFrame(
+        [(r, c, float((r * 7 + c * 13) % 97)) for r in range(H) for c in range(W)],
+        "row long, col long, value double")
+    ms = spark.createDataFrame(
+        [(b, r, c, float(_ms_field(b)[r, c]))
+         for b in range(NB) for r in range(MH) for c in range(MW)],
+        "band long, row long, col long, value double")
+    a = {(r["row"], r["col"], r["band"]): r["value"]
+         for r in PS.brovey_pansharpen(pan, ms, (MH, MW), RATIO, NB).collect()}
+    b = {(r["row"], r["col"], r["band"]): r["value"]
+         for r in PS.brovey_pansharpen_blocks(
+             pan, ms, (MH, MW), RATIO, NB, block=8, round_dp=6).collect()
+         if r["value"] is not None}
+    assert a == b
+
+
+def test_blocks_plan_out_of_reach_is_null(spark):
+    """A pan pixel farther than one MS cell past the MS domain emits
+    NULL in the blocks plan (the pixel plan would clamp-extrapolate —
+    documented divergence outside the aligned domain)."""
+    pan = spark.createDataFrame([(50, 50, 5.0)],
+                                "row long, col long, value double")
+    ms = spark.createDataFrame(
+        [(b, r, c, 1.0) for b in range(NB) for r in range(2) for c in range(2)],
+        "band long, row long, col long, value double")
+    rows = PS.brovey_pansharpen_blocks(pan, ms, (2, 2), RATIO, NB,
+                                       block=16).collect()
+    assert rows and all(r["value"] is None for r in rows)
+
+
+def test_blocks_plan_block_validation(spark):
+    pan = spark.createDataFrame([(0, 0, 1.0)], "row long, col long, value double")
+    with pytest.raises(ValueError, match="block"):
+        PS.brovey_pansharpen_blocks(pan, pan, (1, 1), 8, 1, weights=(1.0,),
+                                    block=16)

@@ -63,9 +63,6 @@ def _lattice(spark, zoom: int, tile_px: int,
     pruning on a generated lattice.
     """
     side = (1 << zoom) * tile_px
-    tcx = 2.0 * M_HALF / side
-    x0g, y0g = src_origin
-    cx, cy = src_cellsize
 
     rows = spark.range(side).select(F.col("id").alias("trow"))
     cols = spark.range(side).select(F.col("id").alias("tcol"))
@@ -75,8 +72,21 @@ def _lattice(spark, zoom: int, tile_px: int,
                            & (F.col("trow") < by1 * tile_px))
         cols = cols.filter((F.col("tcol") >= bx0 * tile_px)
                            & (F.col("tcol") < bx1 * tile_px))
-    target = rows.crossJoin(cols)
+    return _invert(rows.crossJoin(cols), zoom, tile_px,
+                   src_origin, src_cellsize)
 
+
+def _invert(target: DataFrame, zoom: int, tile_px: int,
+            src_origin: tuple[float, float],
+            src_cellsize: tuple[float, float]) -> DataFrame:
+    """Attach quantized-floor nearest source indices to a (trow, tcol)
+    global-pixel frame (shared by the full lattice and the
+    key-restricted incremental lattice — identical expressions, so
+    rebuilt tiles are bit-identical to full-recompute tiles)."""
+    side = (1 << zoom) * tile_px
+    tcx = 2.0 * M_HALF / side
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
     xm = F.lit(-M_HALF) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)
     ym = F.lit(M_HALF) - (F.col("trow") + F.lit(0.5)) * F.lit(tcx)
     lon = xm / F.lit(R) * F.lit(180.0) / F.lit(math.pi)
@@ -85,6 +95,22 @@ def _lattice(spark, zoom: int, tile_px: int,
     srow = F.floor(F.round((lat - F.lit(y0g)) / F.lit(cy), _Q)).cast("long")
     scol = F.floor(F.round((lon - F.lit(x0g)) / F.lit(cx), _Q)).cast("long")
     return target.select("trow", "tcol", srow.alias("row"), scol.alias("col"))
+
+
+def _lattice_for_keys(keys: DataFrame, zoom: int, tile_px: int,
+                      src_origin: tuple[float, float],
+                      src_cellsize: tuple[float, float]) -> DataFrame:
+    """Lattice restricted to the (x, y) tile keys in ``keys`` —
+    generated per key, so cost is #affected-tiles x tile_px², not the
+    global level size."""
+    spark = keys.sparkSession
+    i = spark.range(tile_px).select(F.col("id").alias("_i"))
+    j = spark.range(tile_px).select(F.col("id").alias("_j"))
+    target = keys.crossJoin(i).crossJoin(j).select(
+        (F.col("y") * tile_px + F.col("_i")).alias("trow"),
+        (F.col("x") * tile_px + F.col("_j")).alias("tcol"),
+    )
+    return _invert(target, zoom, tile_px, src_origin, src_cellsize)
 
 
 def xyz_base_tiles(images: DataFrame,
@@ -110,8 +136,6 @@ def xyz_base_tiles(images: DataFrame,
     reproject_tiles_bilinear, BENCH/PLANS.md).  Both plans share the
     same lattice expressions, so they are value-identical
     (pytest-pinned)."""
-    import pandas as pd
-
     spark = images.sparkSession
     tgt = _lattice(spark, zoom, tile_px, src_origin, src_cellsize,
                    bbox_tiles=bbox_tiles)
@@ -129,6 +153,14 @@ def xyz_base_tiles(images: DataFrame,
                                      tile_shape=tile_shape)
     else:
         raise ValueError(f"xyz_base_tiles: unknown plan {plan!r}")
+    return _assemble_tiles(gathered, zoom, tile_px, ndv)
+
+
+def _assemble_tiles(gathered: DataFrame, zoom: int, tile_px: int,
+                    ndv: float) -> DataFrame:
+    """(trow, tcol, value) -> one PNG-encoded (z, x, y, n_valid, bytes)
+    row per target tile (one grouped-map exchange)."""
+    import pandas as pd
 
     indv = int(ndv)
 
@@ -218,6 +250,108 @@ def xyz_pyramid(images: DataFrame,
         if z - 1 > min_zoom:
             level = level.localCheckpoint(eager=True)
         out = out.unionByName(level)
+    return out
+
+
+def affected_base_tiles(changed_src_tiles, src_origin, src_cellsize,
+                        src_tile: int, zoom: int,
+                        tile_px: int = 256,
+                        lat_clip: float = 85.05112878) -> set:
+    """Map changed SOURCE tiles to the base-zoom (x, y) target tiles
+    whose content can depend on them.  Pure driver math over CDC
+    metadata (KB-scale — the list of changed tiles, never pixels); a
+    ±1-target-pixel margin absorbs the quantized-floor gather boundary,
+    so over-approximation only rebuilds tiles to identical content."""
+    side = (1 << zoom) * tile_px
+    n = 1 << zoom
+    x0, y0 = src_origin
+    cx, cy = src_cellsize
+    out = set()
+    for tr, tc in changed_src_tiles:
+        lon_lo = x0 + tc * src_tile * cx
+        lon_hi = x0 + (tc + 1) * src_tile * cx
+        lat_hi = y0 + tr * src_tile * cy          # cy < 0: top edge
+        lat_lo = y0 + (tr + 1) * src_tile * cy
+        lat_hi = min(lat_hi, lat_clip)
+        lat_lo = max(lat_lo, -lat_clip)
+        if lat_lo >= lat_hi:
+            continue
+        X_lo = R * math.radians(lon_lo)
+        X_hi = R * math.radians(lon_hi)
+        Y_hi = R * math.log(math.tan(math.pi / 4 + math.radians(lat_hi) / 2))
+        Y_lo = R * math.log(math.tan(math.pi / 4 + math.radians(lat_lo) / 2))
+        gx_lo = (X_lo + M_HALF) / (2 * M_HALF) * side
+        gx_hi = (X_hi + M_HALF) / (2 * M_HALF) * side
+        gy_lo = (M_HALF - Y_hi) / (2 * M_HALF) * side
+        gy_hi = (M_HALF - Y_lo) / (2 * M_HALF) * side
+        bx0 = max(0, int(math.floor(gx_lo - 1)) // tile_px)
+        bx1 = min(n - 1, int(math.ceil(gx_hi + 1)) // tile_px)
+        by0 = max(0, int(math.floor(gy_lo - 1)) // tile_px)
+        by1 = min(n - 1, int(math.ceil(gy_hi + 1)) // tile_px)
+        for x in range(bx0, bx1 + 1):
+            for y in range(by0, by1 + 1):
+                out.add((x, y))
+    return out
+
+
+def xyz_update(images: DataFrame,
+               src_origin: tuple[float, float],
+               src_cellsize: tuple[float, float],
+               changed_src_tiles,
+               prior: DataFrame,
+               base_zoom: int,
+               min_zoom: int = 0,
+               src_tile: int = 64,
+               tile_px: int = 256,
+               ndv: float = -9999.0,
+               tile_shape: tuple[int, int] | None = None) -> DataFrame:
+    """Incremental pyramid maintenance — the CDC re-tiling step of a
+    10^12-image lake: given the NEW images table and the list of
+    changed source tiles, rebuild ONLY the affected z/x/y tiles and
+    merge them over ``prior`` (the pyramid frame of the previous
+    snapshot).  Per level the work is #affected-tiles x tile_px²
+    gathers plus a #tiles-scale anti-join — the untouched ocean of
+    tiles is never decoded, re-warped or re-encoded.  Output is the
+    full pyramid at the new state, exactly equal to a from-scratch
+    xyz_pyramid over the new images (the xyz_incremental gate)."""
+    spark = images.sparkSession
+    affected = affected_base_tiles(changed_src_tiles, src_origin,
+                                   src_cellsize, src_tile, base_zoom,
+                                   tile_px=tile_px)
+    levels = []
+    keys = sorted(affected)
+    prior_lvl = {z: prior.filter(F.col("z") == z)
+                 for z in range(min_zoom, base_zoom + 1)}
+    if not keys:
+        return prior
+    keys_df = spark.createDataFrame(keys, "x long, y long")
+    tgt = _lattice_for_keys(keys_df, base_zoom, tile_px,
+                            src_origin, src_cellsize)
+    rebuilt = _assemble_tiles(
+        gather_from_tiles(tgt, images, carry=(), tile_shape=tile_shape),
+        base_zoom, tile_px, ndv)
+    merged = prior_lvl[base_zoom].join(
+        F.broadcast(keys_df), ["x", "y"], "left_anti"
+    ).unionByName(rebuilt).localCheckpoint(eager=True)
+    levels.append(merged)
+    for z in range(base_zoom, min_zoom, -1):
+        parents = sorted({(x // 2, y // 2) for x, y in keys})
+        pkeys_df = spark.createDataFrame(parents, "x long, y long")
+        children = merged.join(
+            F.broadcast(pkeys_df.select(
+                F.col("x").alias("_px"), F.col("y").alias("_py"))),
+            (F.floor(F.col("x") / 2) == F.col("_px"))
+            & (F.floor(F.col("y") / 2) == F.col("_py")),
+        ).drop("_px", "_py")
+        rebuilt_p = xyz_overview(children, tile_px=tile_px, ndv=ndv)
+        merged = prior_lvl[z - 1].join(
+            F.broadcast(pkeys_df), ["x", "y"], "left_anti"
+        ).unionByName(rebuilt_p).localCheckpoint(eager=True)
+        levels.append(merged)
+        keys = parents
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
     return out
 
 

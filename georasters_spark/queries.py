@@ -5607,21 +5607,28 @@ def q_xyz_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the stored column.  The reference publishes rasters through
     exactly this pipeline (gdal2tiles.py); DuckDB recomputes both
     levels arithmetically from the synthetic field formulas."""
-    import pandas as pd
-
     from .operators import xyz as XYZ
-    from .sources import codec
 
     spec = SPEC
     p = _XYZ
-    t = p["tile_px"]
     tiles = XYZ.xyz_pyramid(
         images_for(spark, spec),
         (spec.x0, spec.y0), (spec.cellx, spec.celly),
-        base_zoom=p["zoom"], min_zoom=p["zoom"] - 1, tile_px=t,
+        base_zoom=p["zoom"], min_zoom=p["zoom"] - 1, tile_px=p["tile_px"],
         ndv=spec.ndv, tile_shape=(spec.tile, spec.tile),
     )
-    indv = int(spec.ndv)
+    return _xyz_checksums(tiles, p["tile_px"], spec.ndv)
+
+
+def _xyz_checksums(tiles: DataFrame, t: int, ndv: float) -> DataFrame:
+    """Decode every emitted z/x/y PNG tile, cross-check the stored
+    n_valid, and position-weight checksum its pixels (shared by the
+    pyramid and incremental gates)."""
+    import pandas as pd
+
+    from .sources import codec
+
+    indv = int(ndv)
 
     def kernel(batches):
         import numpy as np
@@ -5631,7 +5638,7 @@ def q_xyz_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                a = codec.decode_tile(bytes(r.bytes), "png", t, t, spec.ndv)
+                a = codec.decode_tile(bytes(r.bytes), "png", t, t, ndv)
                 v = a.astype(np.int64)
                 ok = v != indv
                 nv = int(ok.sum())
@@ -5658,6 +5665,68 @@ def sql_xyz_pyramid() -> str:
     return XYZ.xyz_checksum_sql(
         synth.pixel_sql(spec),
         (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        zoom=_XYZ["zoom"], tile_px=_XYZ["tile_px"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q: xyz_incremental — CDC re-tiling: xyz_update over changed source
+# tiles must equal a from-scratch pyramid at the new state
+# ---------------------------------------------------------------------------
+
+def _xyz_changed(tr, tc):
+    return (tr * 3 + tc) % 7 == 0
+
+
+def q_xyz_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental pyramid maintenance end to end: build the v1
+    pyramid, mutate 7 of the 45 source tiles (seed 42 -> 77), run
+    xyz_update over the CDC change list — rebuilding ONLY the affected
+    z/x/y tiles and anti-join-merging them over the prior snapshot —
+    then decode + checksum every tile of the result.  The DuckDB
+    oracle recomputes the FULL pyramid from the v2 per-tile-seed field,
+    so any stale, missed or mis-merged tile hash-fails."""
+    from .operators import xyz as XYZ
+
+    spec = SPEC
+    p = _XYZ
+    t = spec.tile
+    v1 = images_for(spark, spec)
+    changed = [(tr, tc) for tr in range(spec.tiles_y)
+               for tc in range(spec.tiles_x) if _xyz_changed(tr, tc)]
+    spec77 = GridSpec(seed=77)
+    v2 = synth.build_images(spark, spec77).filter(
+        ((F.col("tile_row") * 3 + F.col("tile_col")) % 7) == 0
+    ).unionByName(v1.filter(((F.col("tile_row") * 3 + F.col("tile_col")) % 7) != 0))
+    prior = XYZ.xyz_pyramid(
+        v1, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        base_zoom=p["zoom"], min_zoom=p["zoom"] - 1, tile_px=p["tile_px"],
+        ndv=spec.ndv, tile_shape=(t, t),
+    )
+    out = XYZ.xyz_update(
+        v2, (spec.x0, spec.y0), (spec.cellx, spec.celly), changed, prior,
+        base_zoom=p["zoom"], min_zoom=p["zoom"] - 1, src_tile=t,
+        tile_px=p["tile_px"], ndv=spec.ndv, tile_shape=(t, t),
+    )
+    return _xyz_checksums(out, p["tile_px"], spec.ndv)
+
+
+def sql_xyz_incremental() -> str:
+    from .operators import xyz as XYZ
+
+    spec = SPEC
+    t = spec.tile
+    px_cte = f"""cells AS (
+  SELECT CAST(r.range AS BIGINT) AS row, CAST(c.range AS BIGINT) AS col,
+         CASE WHEN ((r.range // {t}) * 3 + (c.range // {t})) % 7 = 0
+              THEN 77 ELSE {spec.seed} END AS seed
+  FROM range({spec.height}) r CROSS JOIN range({spec.width}) c),
+px AS (
+  SELECT row, col,
+         CAST((row * 7919 + col * 104729 + seed) % 1997 AS BIGINT) AS value
+  FROM cells WHERE NOT ((row * 31 + col * 17 + seed * 7) % 97 < 24))"""
+    return XYZ.xyz_checksum_sql(
+        px_cte, (spec.x0, spec.y0), (spec.cellx, spec.celly),
         zoom=_XYZ["zoom"], tile_px=_XYZ["tile_px"],
     )
 
@@ -5915,6 +5984,7 @@ QUERIES = {
     "pansharpen": (q_pansharpen, sql_pansharpen),
     "histogram_eq": (q_histogram_eq, sql_histogram_eq),
     "grid_points": (q_grid_points, sql_grid_points),
+    "xyz_incremental": (q_xyz_incremental, sql_xyz_incremental),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

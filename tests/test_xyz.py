@@ -11,6 +11,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from georasters_spark import queries as Q
 from georasters_spark.operators import xyz as XYZ
@@ -121,3 +122,59 @@ def test_pyramid_union_shape(spark, images_t1):
         tile_shape=(SPEC.tile, SPEC.tile)).collect()
     zs = sorted((int(r["z"]), int(r["x"]), int(r["y"])) for r in rows)
     assert zs == [(0, 0, 0), (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)]
+
+
+def test_incremental_update_equals_full_recompute(spark, images_t1):
+    """xyz_update over one changed source tile == from-scratch pyramid
+    at the new state; untouched tiles stay BIT-identical to the prior
+    snapshot (never re-encoded)."""
+    spec = SPEC
+    changed = [(1, 2)]
+    v2 = synth.build_images(spark, synth.GridSpec(seed=91)).filter(
+        (F.col("tile_row") == 1) & (F.col("tile_col") == 2)
+    ).unionByName(images_t1.filter(
+        ~((F.col("tile_row") == 1) & (F.col("tile_col") == 2))))
+    kw = dict(tile_px=T, ndv=spec.ndv, tile_shape=(spec.tile, spec.tile))
+    prior = XYZ.xyz_pyramid(images_t1, (spec.x0, spec.y0),
+                            (spec.cellx, spec.celly), base_zoom=1,
+                            min_zoom=0, **kw)
+    got = XYZ.xyz_update(v2, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+                         changed, prior, base_zoom=1, min_zoom=0,
+                         src_tile=spec.tile, **{k: v for k, v in kw.items()
+                                                if k != "tile_shape"},
+                         tile_shape=(spec.tile, spec.tile))
+    full = XYZ.xyz_pyramid(v2, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+                           base_zoom=1, min_zoom=0, **kw)
+    g = {(r["z"], r["x"], r["y"]): bytes(r["bytes"]) for r in got.collect()}
+    f = {(r["z"], r["x"], r["y"]): bytes(r["bytes"]) for r in full.collect()}
+    p = {(r["z"], r["x"], r["y"]): bytes(r["bytes"]) for r in prior.collect()}
+    assert set(g) == set(f)
+    affected = XYZ.affected_base_tiles(changed, (spec.x0, spec.y0),
+                                       (spec.cellx, spec.celly),
+                                       spec.tile, 1, tile_px=T)
+    for k, b in g.items():
+        # decoded content must equal the full recompute everywhere
+        av = XYZ._codec.decode_tile(b, "png", T, T, spec.ndv)
+        fv = XYZ._codec.decode_tile(f[k], "png", T, T, spec.ndv)
+        assert (av == fv).all(), f"content mismatch at {k}"
+        if k[0] == 1 and (k[1], k[2]) not in affected:
+            assert b == p[k], f"untouched base tile {k} was re-encoded"
+
+
+def test_affected_base_tiles_covers_changed_extent(spark):
+    spec = SPEC
+    aff = XYZ.affected_base_tiles([(0, 0)], (spec.x0, spec.y0),
+                                  (spec.cellx, spec.celly), spec.tile, 1,
+                                  tile_px=T)
+    # tile (0,0) is the NW corner: must include target tile (0,0)
+    assert (0, 0) in aff
+    assert all(0 <= x < 2 and 0 <= y < 2 for x, y in aff)
+
+
+def test_empty_change_list_returns_prior(spark, base_rows):
+    spec = SPEC
+    prior = spark.createDataFrame(base_rows)
+    out = XYZ.xyz_update(prior, (spec.x0, spec.y0),
+                         (spec.cellx, spec.celly), [], prior,
+                         base_zoom=1, min_zoom=1)
+    assert out is prior

@@ -426,6 +426,17 @@ class GeoRasterFrame:
 
     merge = union  # georasters.py:707-713 delegates to union
 
+    def viewshed(self, observer: tuple[int, int], radius: int,
+                 eye_height: int = 0, target_height: int = 0):
+        """gdal_viewshed role: integer-exact R3 line-of-sight around an
+        observer cell; returns (row, col, d_cheb, blocked_steps,
+        visible)."""
+        from .operators import viewshed as VS
+
+        return VS.viewshed(self.px.select("row", "col", "value"), observer,
+                           radius, eye_height=eye_height,
+                           target_height=target_height)
+
     def equalize(self, levels: int = 256):
         """Histogram equalization (gdalenhance -equalize role)."""
         from .operators import algebra as AL

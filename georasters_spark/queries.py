@@ -5785,6 +5785,36 @@ def sql_pansharpen() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: viewshed — gdal_viewshed role (operators/viewshed.py)
+# ---------------------------------------------------------------------------
+
+_VS = {"observer": (100, 100), "radius": 40, "eye_height": 50}
+
+
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 line-of-sight viewshed around (100,100) with a 40-cell
+    Chebyshev radius and +50 eye height over the REAL decoded t1 grid:
+    every slope comparison is denominator-cleared integer math and the
+    minor-axis nearest sample is integer floor division, so DuckDB
+    replays every ray bit-for-bit (nodata cells never block; nodata
+    targets unreported)."""
+    from .operators import viewshed as VS
+
+    p = _VS
+    px = _px(spark, SPEC).select("row", "col", "value")
+    return VS.viewshed(px, p["observer"], p["radius"],
+                       eye_height=p["eye_height"])
+
+
+def sql_viewshed() -> str:
+    from .operators import viewshed as VS
+
+    p = _VS
+    return VS.viewshed_sql(synth.pixel_sql(SPEC), p["observer"],
+                           p["radius"], eye_height=p["eye_height"])
+
+
+# ---------------------------------------------------------------------------
 # q: histogram_eq — gdalenhance -equalize role (algebra.histogram_equalize)
 # ---------------------------------------------------------------------------
 
@@ -5985,6 +6015,7 @@ QUERIES = {
     "histogram_eq": (q_histogram_eq, sql_histogram_eq),
     "grid_points": (q_grid_points, sql_grid_points),
     "xyz_incremental": (q_xyz_incremental, sql_xyz_incremental),
+    "viewshed": (q_viewshed, sql_viewshed),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

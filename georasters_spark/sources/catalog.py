@@ -99,6 +99,48 @@ class SnapshotTable:
         os.rename(cur_tmp, os.path.join(self.root, "CURRENT"))
         return version
 
+    def overwrite(self, df, props: dict | None = None) -> int:
+        """Iceberg REPLACE-snapshot analog: commit df as the table's
+        NEW FULL CONTENT — the snapshot's dir list is just the new data
+        dir, not the appended lineage.  Prior snapshots stay readable
+        (time travel) until expire_snapshots drops them; their data
+        dirs become orphan-GC-able once expired.  The maintenance
+        commit for recomputed tables (e.g. an xyz_update pyramid)."""
+        import uuid
+
+        parent = self.current_version()
+        version = parent + 1
+        data_dir = os.path.join(
+            self.root, "data", f"snap-{version}-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("errorifexists").parquet(data_dir)
+        # same loud-missing-manifest rule as append: overwriting on top
+        # of a corrupted current pointer must fail, not quietly restart
+        # the lineage
+        self.snapshot(parent, required=parent > 0)
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "dirs": [data_dir],
+            "props": props or {},
+            "committed_at": time.time(),
+            "metrics": {"rows": None},
+            "operation": "overwrite",
+        }
+        tmp = os.path.join(self.root, "snapshots", f".v{version}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.root, "snapshots", f"v{version}.json"))
+        cur_tmp = os.path.join(self.root, ".CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(cur_tmp, os.path.join(self.root, "CURRENT"))
+        return version
+
     def rollback(self, version: int) -> None:
         if self.snapshot(version) is None:
             raise ValueError(f"no snapshot v{version}")

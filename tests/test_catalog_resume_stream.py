@@ -29,6 +29,28 @@ def test_snapshot_append_scan_rollback(spark, tmp_path):
     assert t2.current_version() == 1
 
 
+def test_snapshot_overwrite_replaces_content(spark, tmp_path):
+    """overwrite = Iceberg REPLACE: the new snapshot IS the table; old
+    versions stay time-travelable until expired, then their data dirs
+    become orphan-GC-able."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(5).withColumn("tag", F.lit("a")))
+    v2 = t.overwrite(spark.range(3).withColumn("tag", F.lit("b")))
+    assert v2 == 2
+    assert t.scan(spark).count() == 3                      # replaced, not unioned
+    assert {r["tag"] for r in t.scan(spark).collect()} == {"b"}
+    assert t.scan(spark, version=1).count() == 5           # time travel intact
+    v1_dirs = t.snapshot(1)["dirs"]
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError):
+        t.scan(spark, version=1)
+    gone = t.remove_orphan_files(older_than_seconds=0)
+    assert set(gone) >= set(v1_dirs)                       # overwritten data GC'd
+    assert t.scan(spark).count() == 3                      # current untouched
+
+
 def test_resume_after_kill_identical_output(spark, tmp_path):
     """North-rule drill: kill mid-job → resume → identical output, and
     per-partition lineage metrics recorded."""

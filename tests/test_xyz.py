@@ -178,3 +178,51 @@ def test_empty_change_list_returns_prior(spark, base_rows):
                          (spec.cellx, spec.celly), [], prior,
                          base_zoom=1, min_zoom=1)
     assert out is prior
+
+
+def test_pyramid_catalog_snapshots_and_time_travel(spark, images_t1, tmp_path):
+    """The published pyramid lives in the Iceberg-lite catalog like any
+    other table: v1 pyramid appended as snapshot 1, the xyz_update
+    result as snapshot 2 — time travel reads v1 back bit-identically
+    while the current scan serves the updated tiles."""
+    from georasters_spark.sources.catalog import SnapshotTable
+
+    spec = SPEC
+    kw = dict(tile_px=T, ndv=spec.ndv, tile_shape=(spec.tile, spec.tile))
+    p1 = XYZ.xyz_pyramid(images_t1, (spec.x0, spec.y0),
+                         (spec.cellx, spec.celly), base_zoom=1,
+                         min_zoom=0, **kw)
+    tbl = SnapshotTable(str(tmp_path / "pyramid"))
+    tbl.append(p1, props={"base_zoom": "1", "state": "v1"})
+
+    changed = [(2, 3)]
+    v2 = synth.build_images(spark, synth.GridSpec(seed=93)).filter(
+        (F.col("tile_row") == 2) & (F.col("tile_col") == 3)
+    ).unionByName(images_t1.filter(
+        ~((F.col("tile_row") == 2) & (F.col("tile_col") == 3))))
+    p2 = XYZ.xyz_update(v2, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+                        changed, tbl.scan(spark), base_zoom=1, min_zoom=0,
+                        src_tile=spec.tile, **kw)
+    # overwrite, not append: the update is the table's new FULL content
+    # (append semantics would union both pyramids in the v2 scan)
+    tbl.overwrite(p2, props={"base_zoom": "1", "state": "v2"})
+
+    assert tbl.current_version() == 2
+    cur = {(r["z"], r["x"], r["y"]): bytes(r["bytes"])
+           for r in tbl.scan(spark, version=2).collect()}
+    old = {(r["z"], r["x"], r["y"]): bytes(r["bytes"])
+           for r in tbl.scan(spark, version=1).collect()}
+    v1_direct = {(r["z"], r["x"], r["y"]): bytes(r["bytes"])
+                 for r in p1.collect()}
+    assert old == v1_direct                       # time travel is exact
+    assert set(cur) == set(old)
+    diff = {k for k in cur if cur[k] != old[k]}
+    assert diff                                   # the update landed
+    full2 = {(r["z"], r["x"], r["y"]): bytes(r["bytes"])
+             for r in XYZ.xyz_pyramid(v2, (spec.x0, spec.y0),
+                                      (spec.cellx, spec.celly), base_zoom=1,
+                                      min_zoom=0, **kw).collect()}
+    for k in cur:
+        av = codec.decode_tile(cur[k], "png", T, T, spec.ndv)
+        fv = codec.decode_tile(full2[k], "png", T, T, spec.ndv)
+        assert (av == fv).all()

@@ -59,13 +59,41 @@ class SnapshotTable:
             return None
 
     # -- commits ----------------------------------------------------------
-    def append(self, df, props: dict | None = None) -> int:
-        """Write df as a new data dir + snapshot manifest. Returns the
-        new version."""
+    def _next_version(self) -> int:
+        """Snapshot numbers are NEVER reused (Iceberg invariant): after
+        rollback(1) on a 3-version table the next commit is v4, not a
+        clobber of the surviving v2.json."""
+        vmax = self.current_version()
+        for name in os.listdir(os.path.join(self.root, "snapshots")):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    vmax = max(vmax, int(name[1:-5]))
+                except ValueError:
+                    continue
+        return vmax + 1
+
+    def _set_current(self, version: int) -> None:
+        cur_tmp = os.path.join(self.root, ".CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(cur_tmp, os.path.join(self.root, "CURRENT"))
+
+    def _commit(self, df, props: dict | None, operation: str) -> int:
+        """Shared commit path for append/overwrite: guard BEFORE the
+        expensive parquet write, exclusive manifest creation (os.link
+        fails on collision — a concurrent committer loses loudly
+        instead of silently clobbering history), CURRENT updated
+        last."""
         import uuid
 
         parent = self.current_version()
-        version = parent + 1
+        # required: a MISSING current manifest must fail the commit, not
+        # silently found a new single-dir lineage over invisible data —
+        # and it must fail BEFORE the (potentially huge) dataset write
+        prev = self.snapshot(parent, required=parent > 0)
+        version = self._next_version()
         # unique attempt suffix: a writer that crashes mid-parquet-write
         # leaves an UNREFERENCED dir (garbage), never a partial dir that
         # permanently blocks the next attempt at the same version
@@ -73,31 +101,42 @@ class SnapshotTable:
             self.root, "data", f"snap-{version}-{uuid.uuid4().hex[:8]}"
         )
         df.write.mode("errorifexists").parquet(data_dir)
-        rows = None  # cheap: let metrics be optional; callers can count
-        # required: a MISSING current manifest must fail the commit, not
-        # silently found a new single-dir lineage over invisible data
-        prev = self.snapshot(parent, required=parent > 0)
+        dirs = ([data_dir] if operation == "overwrite"
+                else (prev["dirs"] if prev else []) + [data_dir])
         manifest = {
             "version": version,
             "parent": parent,
-            "dirs": (prev["dirs"] if prev else []) + [data_dir],
+            "dirs": dirs,
             "props": props or {},
             "committed_at": time.time(),
-            "metrics": {"rows": rows},
+            "metrics": {"rows": None},
+            "operation": operation,
         }
-        tmp = os.path.join(self.root, "snapshots", f".v{version}.json.tmp")
+        tmp = os.path.join(self.root, "snapshots",
+                           f".v{version}.{uuid.uuid4().hex[:8]}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(self.root, "snapshots", f"v{version}.json"))
-        cur_tmp = os.path.join(self.root, ".CURRENT.tmp")
-        with open(cur_tmp, "w") as f:
-            f.write(str(version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(cur_tmp, os.path.join(self.root, "CURRENT"))
+        final = os.path.join(self.root, "snapshots", f"v{version}.json")
+        try:
+            # atomic AND exclusive: two racing committers cannot both
+            # win the same version — optimistic concurrency, like an
+            # Iceberg catalog's compare-and-swap
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"catalog: concurrent commit lost the race for v{version} "
+                f"({self.root}); retry on the new current version")
+        finally:
+            os.unlink(tmp)
+        self._set_current(version)
         return version
+
+    def append(self, df, props: dict | None = None) -> int:
+        """Write df as a new data dir + snapshot manifest (table = union
+        of the lineage's dirs). Returns the new version."""
+        return self._commit(df, props, "append")
 
     def overwrite(self, df, props: dict | None = None) -> int:
         """Iceberg REPLACE-snapshot analog: commit df as the table's
@@ -106,50 +145,12 @@ class SnapshotTable:
         (time travel) until expire_snapshots drops them; their data
         dirs become orphan-GC-able once expired.  The maintenance
         commit for recomputed tables (e.g. an xyz_update pyramid)."""
-        import uuid
-
-        parent = self.current_version()
-        version = parent + 1
-        data_dir = os.path.join(
-            self.root, "data", f"snap-{version}-{uuid.uuid4().hex[:8]}"
-        )
-        df.write.mode("errorifexists").parquet(data_dir)
-        # same loud-missing-manifest rule as append: overwriting on top
-        # of a corrupted current pointer must fail, not quietly restart
-        # the lineage
-        self.snapshot(parent, required=parent > 0)
-        manifest = {
-            "version": version,
-            "parent": parent,
-            "dirs": [data_dir],
-            "props": props or {},
-            "committed_at": time.time(),
-            "metrics": {"rows": None},
-            "operation": "overwrite",
-        }
-        tmp = os.path.join(self.root, "snapshots", f".v{version}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(self.root, "snapshots", f"v{version}.json"))
-        cur_tmp = os.path.join(self.root, ".CURRENT.tmp")
-        with open(cur_tmp, "w") as f:
-            f.write(str(version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(cur_tmp, os.path.join(self.root, "CURRENT"))
-        return version
+        return self._commit(df, props, "overwrite")
 
     def rollback(self, version: int) -> None:
         if self.snapshot(version) is None:
             raise ValueError(f"no snapshot v{version}")
-        cur_tmp = os.path.join(self.root, ".CURRENT.tmp")
-        with open(cur_tmp, "w") as f:
-            f.write(str(version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(cur_tmp, os.path.join(self.root, "CURRENT"))
+        self._set_current(version)
 
     # -- maintenance --------------------------------------------------------
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:

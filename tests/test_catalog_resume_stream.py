@@ -51,6 +51,22 @@ def test_snapshot_overwrite_replaces_content(spark, tmp_path):
     assert t.scan(spark).count() == 3                      # current untouched
 
 
+def test_rollback_then_commit_never_reuses_versions(spark, tmp_path):
+    """Snapshot ids are never reused: rollback(1) on a 3-version table
+    followed by a commit creates v4 — the surviving v2/v3 manifests are
+    not clobbered and stay time-travelable."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for tag in ("a", "b", "c"):
+        t.append(spark.range(2).withColumn("tag", F.lit(tag)))
+    t.rollback(1)
+    v = t.append(spark.range(1).withColumn("tag", F.lit("d")))
+    assert v == 4
+    assert t.snapshot(4)["parent"] == 1
+    assert {r["tag"] for r in t.scan(spark, version=3).collect()} == {"a", "b", "c"}
+    assert {r["tag"] for r in t.scan(spark).collect()} == {"a", "d"}
+    assert t.snapshot(4)["operation"] == "append"
+
+
 def test_resume_after_kill_identical_output(spark, tmp_path):
     """North-rule drill: kill mid-job → resume → identical output, and
     per-partition lineage metrics recorded."""

@@ -874,6 +874,9 @@ def histogram_equalize(px: DataFrame, levels: int = 256) -> DataFrame:
     cross exactly one exchange (the count partial-agg, rows = domain ×
     partitions); the LUT join is a BroadcastHashJoin.
     """
+    # mask ≅ NULL: a NULL bucket would contaminate cdf_min and N (the
+    # LUT would shift every level) — NULL pixels neither count nor emit
+    px = px.filter(F.col("value").isNotNull())
     counts = px.groupBy("value").agg(F.count("*").alias("cnt"))
     # domain-bounded table: a global window here is O(|domain| log) on
     # one task, not a pixel-table sort (see gini_agg for the pixel-scale

@@ -80,22 +80,18 @@ def grid_points(points: DataFrame, origin: tuple[float, float],
     avg_value, nearest_value, vmin, vmax) for every cell with >= 1
     point in radius.  ``points``: (pid, x, y, value)."""
     cand = _candidates(points, origin, cellsize, out_shape, radius)
-    stats = cand.groupBy("trow", "tcol").agg(
+    # ONE aggregate: nearest = min_by on the lexicographic (d2, pid)
+    # struct — the same min-d²-then-min-pid tie-break as a second pass,
+    # without re-executing the bucket-join subtree and re-joining
+    return cand.groupBy("trow", "tcol").agg(
         F.count("*").alias("n_pts"),
         F.round(F.sum("value").cast("double") / F.count("*"), round_dp)
          .alias("avg_value"),
+        F.min_by("value", F.struct("d2", "pid")).alias("nearest_value"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
-        F.min("d2").alias("_mind2"),
-    )
-    nearest = (
-        cand.join(stats.select("trow", "tcol", "_mind2"), ["trow", "tcol"])
-        .filter(F.col("d2") == F.col("_mind2"))
-        .groupBy("trow", "tcol")
-        .agg(F.min_by("value", "pid").alias("nearest_value"))
-    )
-    return stats.join(nearest, ["trow", "tcol"]).select(
-        "trow", "tcol", "n_pts", "avg_value", "nearest_value", "vmin", "vmax")
+    ).select("trow", "tcol", "n_pts", "avg_value", "nearest_value",
+             "vmin", "vmax")
 
 
 def grid_points_invdist(points: DataFrame, origin: tuple[float, float],

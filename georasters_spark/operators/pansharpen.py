@@ -45,9 +45,10 @@ from .reproject import dlit
 DEFAULT_WEIGHTS = (0.25, 0.375, 0.375)
 
 
-def _corner_cols(ratio: int, n_coarse: int, axis_col: str):
+def _corner_cols(ratio: int, axis_col: str):
     """(base index, frac) for the bilinear source coordinate
-    u = (i + 0.5)/ratio - 0.5 along one axis, plus a clamp helper."""
+    u = (i + 0.5)/ratio - 0.5 along one axis (clamping is the caller's
+    _clamp)."""
     u = (F.col(axis_col) + F.lit(0.5)) / F.lit(float(ratio)) - F.lit(0.5)
     i0 = F.floor(u)
     fr = u - i0
@@ -71,8 +72,8 @@ def brovey_pansharpen(pan: DataFrame, ms: DataFrame,
         raise ValueError(f"pansharpen: {n_bands} bands but "
                          f"{len(weights)} weights")
     mh, mw = ms_shape
-    r0, fr = _corner_cols(ratio, mh, "row")
-    c0, fc = _corner_cols(ratio, mw, "col")
+    r0, fr = _corner_cols(ratio, "row")
+    c0, fc = _corner_cols(ratio, "col")
 
     corners = pan.select(
         "row", "col", F.col("value").alias("pan"),
@@ -111,9 +112,22 @@ def brovey_pansharpen(pan: DataFrame, ms: DataFrame,
         F.sum(F.col("wgt") * F.col(f"_mv{b}")).alias(f"_ms{b}")
         for b in range(n_bands)
     ]
+    # per-band corner-weight totals: a missing MS cell or band entry
+    # leaves wsum < 1 (exact dyadics, so the == 1.0 test is exact) —
+    # a partial bilinear sum must surface as NULL, not a plausible
+    # wrong value (matches the blocks plan's NaN-slab rule)
+    ws_cols = [
+        F.sum(F.when(F.col(f"_mv{b}").isNotNull(), F.col("wgt")))
+         .alias(f"_ws{b}")
+        for b in range(n_bands)
+    ]
     # pan is functionally dependent on (row, col) — grouping on it too
     # avoids a first() aggregate
-    wide = joined.groupBy("row", "col", "pan").agg(*up_cols)
+    wide = joined.groupBy("row", "col", "pan").agg(*up_cols, *ws_cols)
+    for b in range(n_bands):
+        wide = wide.withColumn(
+            f"_ms{b}",
+            F.when(F.col(f"_ws{b}") == 1.0, F.col(f"_ms{b}")))
 
     pseudo = None
     for b, w in enumerate(weights):

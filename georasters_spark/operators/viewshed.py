@@ -52,6 +52,13 @@ def viewshed(px: DataFrame, observer: tuple[int, int],
     base = px.select("row", "col", F.col("value").cast("long").alias("z"))
     obs = base.filter((F.col("row") == r0) & (F.col("col") == c0)) \
               .select((F.col("z") + F.lit(int(eye_height))).alias("z0"))
+    # gdal_viewshed errors on an invalid observer; a nodata/out-of-grid
+    # observer would otherwise empty the cross join and return 0 rows —
+    # indistinguishable from a legitimately empty window
+    if obs.isEmpty():
+        raise ValueError(
+            f"viewshed: observer cell ({r0}, {c0}) is nodata or outside "
+            "the raster")
 
     tgt = base.filter(
         (F.abs(F.col("row") - r0) <= radius)

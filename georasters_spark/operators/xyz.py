@@ -170,7 +170,17 @@ def _assemble_tiles(gathered: DataFrame, zoom: int, tile_px: int,
         j = (pdf["tcol"].to_numpy() % tile_px).astype(np.int64)
         v = pdf["value"].to_numpy(dtype=np.float64, na_value=np.nan)
         ok = ~np.isnan(v)
-        arr[i[ok], j[ok]] = v[ok].astype(np.int16)
+        vv = v[ok]
+        # int16 grayscale PNG is the tile contract: casting would
+        # silently truncate fractions / wrap |v| > 32767 (and a wrap
+        # onto ndv would even flip data to nodata) — refuse loudly
+        if len(vv) and ((vv != np.floor(vv)).any()
+                        or (vv < -32768).any() or (vv > 32767).any()
+                        or (vv == indv).any()):
+            raise ValueError(
+                "xyz: tile values must be int16-range integers distinct "
+                "from ndv (scale/round the frame first)")
+        arr[i[ok], j[ok]] = vv.astype(np.int16)
         x = int(pdf["tcol"].iloc[0]) // tile_px
         y = int(pdf["trow"].iloc[0]) // tile_px
         return pd.DataFrame({

@@ -121,8 +121,7 @@ class SnapshotTable:
         final = os.path.join(self.root, "snapshots", f"v{version}.json")
         try:
             # atomic AND exclusive: two racing committers cannot both
-            # win the same version — optimistic concurrency, like an
-            # Iceberg catalog's compare-and-swap
+            # win the same version number
             os.link(tmp, final)
         except FileExistsError:
             raise RuntimeError(
@@ -130,6 +129,20 @@ class SnapshotTable:
                 f"({self.root}); retry on the new current version")
         finally:
             os.unlink(tmp)
+        # optimistic-concurrency parent check: the version-collision
+        # guard alone misses a racer that claimed a DIFFERENT number
+        # after we read parent — an append built on a stale dir list
+        # would silently drop their data.  Re-verify, and withdraw the
+        # manifest (CURRENT never pointed at it) on conflict.  The
+        # residual read-check-set window means committers to ONE table
+        # should still be serialized externally; this guard turns the
+        # common races into loud failures instead of silent drops.
+        if self.current_version() != parent:
+            os.unlink(final)
+            raise RuntimeError(
+                f"catalog: concurrent commit moved the table past "
+                f"v{parent} while v{version} was being written "
+                f"({self.root}); retry on the new current version")
         self._set_current(version)
         return version
 

@@ -136,3 +136,24 @@ def test_blocks_plan_block_validation(spark):
     with pytest.raises(ValueError, match="block"):
         PS.brovey_pansharpen_blocks(pan, pan, (1, 1), 8, 1, weights=(1.0,),
                                     block=16)
+
+
+def test_pixel_plan_partial_ms_is_null(spark):
+    """A missing MS corner cell (or band entry) must surface as NULL in
+    the affected band, not a partial weighted sum (review finding)."""
+    pan = spark.createDataFrame(
+        [(0, 0, 10.0), (2, 2, 10.0)], "row long, col long, value double")
+    ms_rows = [(b, r, c, 5.0) for b in range(NB)
+               for r in range(2) for c in range(2)]
+    # drop band 1's (1, 1) entry: pan (2,2)'s bilinear corners include
+    # ms (1,1); pan (0,0)'s clamp to ms (0,0) only
+    ms = spark.createDataFrame(
+        [x for x in ms_rows if x[:3] != (1, 1, 1)],
+        "band long, row long, col long, value double")
+    got = {(r["row"], r["col"], r["band"]): r["value"]
+           for r in PS.brovey_pansharpen(pan, ms, (2, 2), RATIO, NB).collect()}
+    # pan (0,0): every band's (clamped) corners present -> defined
+    assert all(got[(0, 0, b)] is not None for b in range(NB))
+    # pan (2,2): band 1 misses a corner -> the pseudo-pan is undefined
+    # -> NULL for EVERY band, never a partial sum
+    assert all(got[(2, 2, b)] is None for b in range(NB))

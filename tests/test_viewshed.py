@@ -73,3 +73,12 @@ def test_adjacent_cells_always_visible(spark):
     got = {(r["row"], r["col"]): r["visible"]
            for r in VS.viewshed(_px_df(spark, dem), (1, 1), 1).collect()}
     assert len(got) == 9 and all(got.values())
+
+
+def test_invalid_observer_raises(spark):
+    dem = np.zeros((4, 4), dtype=np.int64)
+    px = _px_df(spark, dem, drop={(1, 1)})
+    with pytest.raises(ValueError, match="observer"):
+        VS.viewshed(px, (1, 1), 2)         # nodata observer
+    with pytest.raises(ValueError, match="observer"):
+        VS.viewshed(px, (9, 9), 2)         # outside the raster

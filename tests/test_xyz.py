@@ -226,3 +226,23 @@ def test_pyramid_catalog_snapshots_and_time_travel(spark, images_t1, tmp_path):
         av = codec.decode_tile(cur[k], "png", T, T, spec.ndv)
         fv = codec.decode_tile(full2[k], "png", T, T, spec.ndv)
         assert (av == fv).all()
+
+
+def test_assemble_refuses_non_int16_values(spark, images_t1):
+    """Fractional / out-of-range / ndv-colliding values must refuse
+    loudly instead of wrapping into garbage PNG tiles (review
+    finding)."""
+    from georasters_spark.operators import pixels as PX
+
+    spec = SPEC
+    px = Q._px(spark, spec).select(
+        "row", "col",
+        (F.col("value").cast("double") + F.lit(0.5)).alias("value"))
+    frac_imgs = PX.assemble_tiles(
+        px, grid_id="gfrac", origin=(spec.x0, spec.y0),
+        cellsize=(spec.cellx, spec.celly), tile=spec.tile, ndv=spec.ndv,
+        fmt="rawf64", dtype="float64")
+    with pytest.raises(Exception, match="int16-range integers"):
+        XYZ.xyz_base_tiles(frac_imgs, (spec.x0, spec.y0),
+                           (spec.cellx, spec.celly), zoom=1, ndv=spec.ndv,
+                           tile_shape=(spec.tile, spec.tile)).count()

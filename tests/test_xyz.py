@@ -246,3 +246,66 @@ def test_assemble_refuses_non_int16_values(spark, images_t1):
         XYZ.xyz_base_tiles(frac_imgs, (spec.x0, spec.y0),
                            (spec.cellx, spec.celly), zoom=1, ndv=spec.ndv,
                            tile_shape=(spec.tile, spec.tile)).count()
+
+
+def test_streaming_pyramid_maintenance_matches_batch(spark, images_t1,
+                                                     tmp_path):
+    """Two micro-batches of tile updates through streaming/pyramid.py:
+    the final catalog pyramid must decode identically to a from-scratch
+    xyz_pyramid over the final images state, the final images table
+    must equal the later-wins merge, and intermediate versions stay
+    time-travelable."""
+    from georasters_spark.sources.catalog import SnapshotTable
+    from georasters_spark.streaming.pyramid import stream_pyramid_maintenance
+
+    spec = SPEC
+    kw = dict(tile_px=T, ndv=spec.ndv, tile_shape=(spec.tile, spec.tile))
+    imgs_root = str(tmp_path / "imgs")
+    pyr_root = str(tmp_path / "pyr")
+    SnapshotTable(imgs_root).append(images_t1)
+    SnapshotTable(pyr_root).append(
+        XYZ.xyz_pyramid(images_t1, (spec.x0, spec.y0),
+                        (spec.cellx, spec.celly), base_zoom=1, min_zoom=0,
+                        **kw))
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    upd1 = synth.build_images(spark, synth.GridSpec(seed=91)).filter(
+        (F.col("tile_row") == 1) & (F.col("tile_col") == 2))
+    upd2 = synth.build_images(spark, synth.GridSpec(seed=92)).filter(
+        (F.col("tile_row") == 3) & (F.col("tile_col") == 4))
+    upd1.coalesce(1).write.parquet(str(src / "b1"))
+    upd2.coalesce(1).write.parquet(str(src / "b2"))
+    # the stream source reads the union of part files under src
+    import shutil
+    for d in ("b1", "b2"):
+        for f in (src / d).glob("part-*.parquet"):
+            shutil.move(str(f), str(src / f"{d}.parquet"))
+        shutil.rmtree(src / d)
+
+    iv, pv = stream_pyramid_maintenance(
+        spark, str(src), imgs_root, pyr_root,
+        (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        base_zoom=1, min_zoom=0, src_tile=spec.tile, tile_px=T,
+        ndv=spec.ndv)
+    assert iv == 3 and pv == 3            # bootstrap + 2 batches
+
+    final_imgs = SnapshotTable(imgs_root).scan(spark)
+    assert final_imgs.count() == images_t1.count()
+    v2 = upd1.unionByName(upd2).unionByName(images_t1.filter(
+        ~(((F.col("tile_row") == 1) & (F.col("tile_col") == 2))
+          | ((F.col("tile_row") == 3) & (F.col("tile_col") == 4)))))
+    got = {(r["z"], r["x"], r["y"]): bytes(r["bytes"])
+           for r in SnapshotTable(pyr_root).scan(spark).collect()}
+    exp = {(r["z"], r["x"], r["y"]): bytes(r["bytes"])
+           for r in XYZ.xyz_pyramid(v2, (spec.x0, spec.y0),
+                                    (spec.cellx, spec.celly), base_zoom=1,
+                                    min_zoom=0, **kw).collect()}
+    assert set(got) == set(exp)
+    for k in got:
+        av = codec.decode_tile(got[k], "png", T, T, spec.ndv)
+        fv = codec.decode_tile(exp[k], "png", T, T, spec.ndv)
+        assert (av == fv).all(), f"streamed pyramid differs at {k}"
+    # intermediate pyramid (after batch 1 only) is still readable
+    mid = SnapshotTable(pyr_root).scan(spark, version=2)
+    assert mid.count() == 5

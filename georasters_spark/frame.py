@@ -437,6 +437,13 @@ class GeoRasterFrame:
                            radius, eye_height=eye_height,
                            target_height=target_height)
 
+    def rescale(self, dst=(0.0, 255.0), src=None):
+        """Linear rescale (gdal_translate -scale role)."""
+        from .operators import algebra as AL
+
+        return self._like(AL.linear_rescale(
+            self.px.select("row", "col", "value"), dst=dst, src=src))
+
     def equalize(self, levels: int = 256):
         """Histogram equalization (gdalenhance -equalize role)."""
         from .operators import algebra as AL

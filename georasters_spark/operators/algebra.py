@@ -912,3 +912,47 @@ lut AS (SELECT value,
         FROM cdf CROSS JOIN bounds)
 SELECT {keys}, lut.eq AS value
 FROM px JOIN lut ON lut.value = px.value"""
+
+
+def linear_rescale(px: DataFrame, dst: tuple[float, float] = (0.0, 255.0),
+                   src: tuple[float, float] | None = None) -> DataFrame:
+    """Linear rescale — the ``gdal_translate -scale`` role.
+
+    out = floor((v − src_min) · (dst_hi − dst_lo)/(src_max − src_min)
+                + dst_lo + 0.5)
+
+    With ``src=None`` the source bounds come from the data (one global
+    aggregate broadcast back — gdal_translate's default); a constant
+    image maps to dst_lo.  Pixels never shuffle: the bounds row is a
+    BroadcastNestedLoopJoin onto the scan and the affine map is a
+    codegen Column.
+    """
+    dlo, dhi = float(dst[0]), float(dst[1])
+    if src is None:
+        bounds = px.agg(F.min("value").alias("_smin"),
+                        F.max("value").alias("_smax"))
+        out = px.crossJoin(F.broadcast(bounds))
+    else:
+        out = px.withColumn("_smin", F.lit(src[0])) \
+                .withColumn("_smax", F.lit(src[1]))
+    scaled = F.when(
+        F.col("_smax") == F.col("_smin"), F.lit(int(dlo)).cast("long")
+    ).otherwise(
+        F.floor((F.col("value") - F.col("_smin")).cast("double")
+                * F.lit(dhi - dlo) / (F.col("_smax") - F.col("_smin"))
+                + F.lit(dlo) + F.lit(0.5)).cast("long"))
+    return out.withColumn("value", scaled).drop("_smin", "_smax")
+
+
+def linear_rescale_sql(px_cte: str, dst: tuple[float, float] = (0.0, 255.0),
+                       keys: str = "row, col") -> str:
+    """DuckDB oracle for linear_rescale (data-derived bounds)."""
+    dlo, dhi = float(dst[0]), float(dst[1])
+    return f"""WITH {px_cte},
+b AS (SELECT MIN(value) AS smin, MAX(value) AS smax FROM px)
+SELECT {keys},
+       CASE WHEN smax = smin THEN CAST({int(dlo)} AS BIGINT)
+            ELSE CAST(FLOOR(CAST(value - smin AS DOUBLE) * {dhi - dlo!r}
+                            / (smax - smin) + {dlo!r} + 0.5) AS BIGINT)
+       END AS value
+FROM px CROSS JOIN b"""

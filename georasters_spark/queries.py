@@ -5785,6 +5785,28 @@ def sql_pansharpen() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: linear_rescale — gdal_translate -scale role (algebra.linear_rescale)
+# ---------------------------------------------------------------------------
+
+def q_linear_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -scale over the REAL decoded t1 grid: affine map
+    of the data-derived [min, max] onto [0, 255] with floor(x+0.5)
+    rounding.  The bounds row broadcasts onto the scan — pixels never
+    shuffle."""
+    from .operators import algebra as ALG
+
+    px = _px(spark, SPEC).select("row", "col",
+                                 F.col("value").cast("long").alias("value"))
+    return ALG.linear_rescale(px).select("row", "col", "value")
+
+
+def sql_linear_rescale() -> str:
+    from .operators import algebra as ALG
+
+    return ALG.linear_rescale_sql(synth.pixel_sql(SPEC))
+
+
+# ---------------------------------------------------------------------------
 # q: viewshed — gdal_viewshed role (operators/viewshed.py)
 # ---------------------------------------------------------------------------
 
@@ -6021,6 +6043,7 @@ QUERIES = {
     "grid_points": (q_grid_points, sql_grid_points),
     "xyz_incremental": (q_xyz_incremental, sql_xyz_incremental),
     "viewshed": (q_viewshed, sql_viewshed),
+    "linear_rescale": (q_linear_rescale, sql_linear_rescale),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

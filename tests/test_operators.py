@@ -456,3 +456,28 @@ def test_histogram_equalize_constant_image(spark):
                                "row long, col long, value long")
     rows = ALG.histogram_equalize(px).collect()
     assert len(rows) == 10 and all(r["value"] == 0 for r in rows)
+
+
+def test_linear_rescale_numpy_mirror(spark):
+    """algebra.linear_rescale vs the gdal_translate -scale affine map."""
+    import numpy as np
+
+    from georasters_spark.operators import algebra as ALG
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(5, 900, size=300)
+    px = spark.createDataFrame(
+        [(i, 0, int(v)) for i, v in enumerate(vals)],
+        "row long, col long, value long")
+    got = {r["row"]: r["value"] for r in ALG.linear_rescale(px).collect()}
+    smin, smax = vals.min(), vals.max()
+    exp = np.floor((vals - smin) * 255.0 / (smax - smin) + 0.5).astype(int)
+    assert got == {i: int(exp[i]) for i in range(len(vals))}
+    # explicit src bounds + constant image
+    got2 = {r["row"]: r["value"]
+            for r in ALG.linear_rescale(px, dst=(10, 20), src=(0, 1000)).collect()}
+    exp2 = np.floor(vals * 10.0 / 1000 + 10 + 0.5).astype(int)
+    assert got2 == {i: int(exp2[i]) for i in range(len(vals))}
+    const = spark.createDataFrame([(0, 0, 7), (1, 0, 7)],
+                                  "row long, col long, value long")
+    assert all(r["value"] == 0 for r in ALG.linear_rescale(const).collect())

@@ -456,3 +456,66 @@ def incremental_minhash_pairs(
     cand = cand_no.unionByName(cand_nn)
     return _jaccard_verify(cand, new_docs.unionByName(old_docs), n,
                            threshold, keep_cols=("kind",))
+
+
+def substring_windows(docs: DataFrame, window: int = 8) -> DataFrame:
+    """(doc_id, pos, wkey): one row per token-window position; wkey is
+    the md5 of the space-joined window — a 128-bit collision-safe
+    inverted-index key (the text itself never shuffles).  Documents
+    shorter than ``window`` tokens yield no rows."""
+    t = tokens(docs).filter(F.size("w") >= window)
+    idx = t.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(0), F.size("w") - window)).alias("pos"),
+    )
+    return idx.select(
+        "doc_id", "pos",
+        F.md5(F.array_join(F.slice(F.col("w"), F.col("pos") + 1, window),
+                           " ")).alias("wkey"),
+    )
+
+
+def substring_dup_pairs(docs: DataFrame, window: int = 8,
+                        df_cap: int | None = 50,
+                        min_windows: int = 1) -> DataFrame:
+    """Exact-substring near-duplication (the Lee et al. 2021
+    'Deduplicating Training Data' exact-substring criterion, bounded):
+    document pairs sharing >= min_windows exact ``window``-token
+    windows, with the longest shared span in doc_a's coordinates.
+
+    Plan: window inverted index (explode + md5, pure JVM) → optional
+    document-frequency cap drops boilerplate windows (mirrored in the
+    oracle, so deterministic) → wkey equi-join (never doc x doc) →
+    distinct doc_a positions per pair → gaps-and-islands longest run
+    (window over the PAIR partition — bounded by document length,
+    never corpus size).  max_span_tokens = longest consecutive-pos run
+    + window - 1.
+    """
+    from pyspark.sql import Window as W
+
+    wins = substring_windows(docs, window)
+    if df_cap is not None:
+        keep = wins.groupBy("wkey").agg(
+            F.countDistinct("doc_id").alias("_df")
+        ).filter(F.col("_df") <= df_cap).select("wkey")
+        wins = wins.join(keep, "wkey")
+    a = wins.select(F.col("doc_id").alias("doc_a"),
+                    F.col("pos").alias("pa"), "wkey")
+    b = wins.select(F.col("doc_id").alias("doc_b"), "wkey")
+    hits = (a.join(b, "wkey")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "pa").distinct())
+    grp = (F.col("pa")
+           - F.row_number().over(W.partitionBy("doc_a", "doc_b")
+                                 .orderBy("pa"))).alias("_g")
+    runs = hits.select("doc_a", "doc_b", "pa", grp) \
+               .groupBy("doc_a", "doc_b", "_g") \
+               .agg(F.count(F.lit(1)).alias("_run"))
+    out = runs.groupBy("doc_a", "doc_b").agg(
+        F.sum("_run").alias("n_windows"),
+        (F.max("_run") + F.lit(window - 1)).alias("max_span_tokens"),
+    )
+    return out.filter(F.col("n_windows") >= min_windows).select(
+        "doc_a", "doc_b",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("max_span_tokens").cast("long").alias("max_span_tokens"))

@@ -2402,6 +2402,41 @@ FROM pairs JOIN cnts ca ON ca.doc_id = doc_a JOIN cnts cb ON cb.doc_id = doc_b
 WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5"""
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring near-duplication (Lee et al. 2021 criterion,
+    SURVEY pipeline mandate): pairs sharing >= 2 exact 8-token windows
+    with the longest shared span, via the md5-window inverted index +
+    df-cap + gaps-and-islands run length.  DuckDB recomputes every
+    window hash, the cap, and the island runs."""
+    from .operators import dedup as DD
+
+    return DD.substring_dup_pairs(_docs(spark, sf_dir), window=8,
+                                  df_cap=50, min_windows=2)
+
+
+def sql_substring_dedup() -> str:
+    return """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 8),
+wins AS (SELECT doc_id, CAST(unnest(range(0, len(w) - 7)) AS BIGINT) AS pos, w
+         FROM toks),
+keyed AS (SELECT doc_id, pos,
+                 md5(array_to_string(w[CAST(pos + 1 AS INT):CAST(pos + 8 AS INT)], ' ')) AS wkey
+          FROM wins),
+keep AS (SELECT wkey FROM keyed GROUP BY wkey
+         HAVING COUNT(DISTINCT doc_id) <= 50),
+k2 AS (SELECT keyed.* FROM keyed JOIN keep USING (wkey)),
+hits AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa
+         FROM k2 a JOIN k2 b ON a.wkey = b.wkey AND a.doc_id < b.doc_id),
+runs AS (SELECT doc_a, doc_b,
+                pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b ORDER BY pa) AS g
+         FROM hits),
+rc AS (SELECT doc_a, doc_b, g, COUNT(*) AS run FROM runs GROUP BY 1, 2, 3)
+SELECT doc_a, doc_b, CAST(SUM(run) AS BIGINT) AS n_windows,
+       CAST(MAX(run) + 7 AS BIGINT) AS max_span_tokens
+FROM rc GROUP BY 1, 2 HAVING SUM(run) >= 2"""
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup, exact-verified: 60-bit md5-token SimHash,
     4-band equi-join blocking (lossless for hamming <= 3 by
@@ -6044,6 +6079,7 @@ QUERIES = {
     "xyz_incremental": (q_xyz_incremental, sql_xyz_incremental),
     "viewshed": (q_viewshed, sql_viewshed),
     "linear_rescale": (q_linear_rescale, sql_linear_rescale),
+    "substring_dedup": (q_substring_dedup, sql_substring_dedup),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

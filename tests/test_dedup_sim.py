@@ -473,3 +473,37 @@ def test_pq_adc_matches_numpy_and_recall(spark, emb):
     hits = sum(len(exact[q] & {v for _, v in exp[q]}) for q in exact)
     recall = hits / (len(exact) * topk)
     assert recall >= 0.2, recall
+
+
+def test_substring_dup_pairs_spans(spark):
+    """Hand-built corpus: known shared 3-token windows, island merging,
+    df-cap drop, and the min_windows filter."""
+    from georasters_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h"),          # shares a..f with doc 2
+        (2, "a b c d e f x y"),
+        (3, "q r s t u v w z"),          # no overlap
+        (4, "k k k m a b c"),            # single shared window with 1/2
+        (5, "k k k m n o p"),
+    ], "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): (r["n_windows"], r["max_span_tokens"])
+           for r in DD.substring_dup_pairs(docs, window=3, df_cap=50,
+                                           min_windows=1).collect()}
+    # docs 1/2 share windows at doc-1 positions 0..3 (a b c, b c d,
+    # c d e, d e f): one island of 4 -> span 4 + 3 - 1 = 6 tokens
+    assert got[(1, 2)] == (4, 6)
+    # docs 4/5 share 'k k k' and 'k k m'? no — 4 is 'k k k m a b c':
+    # windows 'k k k','k k m','k m a','m a b','a b c'; 5 has 'k k k',
+    # 'k k m','k m n',... -> shared at positions 0,1: island of 2
+    assert got[(4, 5)] == (2, 4)
+    # doc 1/4 and 2/4 share 'a b c' (one window each)
+    assert got[(1, 4)] == (1, 3) and got[(2, 4)] == (1, 3)
+    assert not any(3 in k for k in got)
+    # min_windows=2 drops the single-window pairs
+    got2 = {(r["doc_a"], r["doc_b"])
+            for r in DD.substring_dup_pairs(docs, window=3, min_windows=2)
+            .collect()}
+    assert got2 == {(1, 2), (4, 5)}
+    # df_cap=1 drops every shared window (each appears in >= 2 docs)
+    assert DD.substring_dup_pairs(docs, window=3, df_cap=1).count() == 0

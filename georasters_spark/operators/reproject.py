@@ -3399,3 +3399,81 @@ def merc3395_inverse_sql(x_expr: str, y_expr: str) -> tuple[str, str]:
         for j, d in enumerate(delta, 1))
     lon = f"(({x_expr}) / {Al} / {d2r})"
     return lon, f"(({phi.replace('chi', chi)}) / {d2r})"
+
+
+def warp_cutline(px: DataFrame | None,
+                 src_origin: tuple[float, float],
+                 src_cellsize: tuple[float, float],
+                 src_shape: tuple[int, int],
+                 out_shape: tuple[int, int],
+                 zones,
+                 phi_s: float = 0.0,
+                 images: DataFrame | None = None) -> DataFrame:
+    """gdalwarp -cutline role: warp onto the CEA target grid and keep
+    only target cells whose CENTER falls inside a cutline polygon
+    (cutline given in the source CRS lon/lat, GDAL's default; concave
+    rings and holes via the even-odd kernel).  Returns (trow, tcol,
+    zone_id, xm, ym, value) — cells outside every cutline are dropped,
+    a cell inside k cutlines appears k times (one per zone_id, the
+    multi-cutline analog of running gdalwarp per cutline).
+
+    Plan: the standard warp (pixel join or tile cogroup) + the target
+    centers' closed-form inverse back to lon/lat as pure Columns + the
+    SAME broadcast even-odd-PIP kernel as clip/zonal/rasterize — the
+    cutline never shuffles pixels, it rides the already-warped rows."""
+    from .spatial_join import pip_join
+
+    warped = wgs84_to_cea_grid(px, src_origin, src_cellsize, src_shape,
+                               out_shape, phi_s=phi_s, images=images)
+    k = math.cos(math.radians(phi_s))
+    lon = F.col("xm") / F.lit(R * k) * F.lit(180.0) / F.lit(math.pi)
+    lat = F.asin(F.col("ym") * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
+    withc = warped.select("trow", "tcol", "xm", "ym", "value",
+                          lon.alias("xc"), lat.alias("yc"))
+    hits = pip_join(withc, zones, mode="center")
+    return hits.select("trow", "tcol", F.col("zone_id").cast("long").alias("zone_id"),
+                       "xm", "ym", "value")
+
+
+def warp_cutline_sql(px_cte: str,
+                     src_origin: tuple[float, float],
+                     src_cellsize: tuple[float, float],
+                     src_shape: tuple[int, int],
+                     out_shape: tuple[int, int],
+                     zones,
+                     phi_s: float = 0.0) -> str:
+    """DuckDB oracle for warp_cutline: the wgs84_to_cea_sql lattice +
+    the even-odd crossing-number predicate per zone over the SAME
+    inverse lon/lat expressions."""
+    from ..sources.synth import zone_sql_predicate_evenodd
+
+    h, w = src_shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    k = math.cos(math.radians(phi_s))
+    lon = f"(xm / {dlit(R * k)} * 180.0 / pi())"
+    lat = f"(asin(ym * {dlit(k / R)}) * 180.0 / pi())"
+    preds = " UNION ALL ".join(
+        f"SELECT trow, tcol, CAST({z.zone_id} AS BIGINT) AS zone_id, xm, ym, "
+        f"row, col FROM loc WHERE "
+        + zone_sql_predicate_evenodd(z, lon, lat)
+        for z in zones)
+    return f"""WITH {px_cte},
+tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
+         {dlit(Y0)} + (tr.range + 0.5) * {dlit(tcy)} AS ym
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+loc AS (
+  SELECT trow, tcol, xm, ym,
+         CAST(FLOOR(ROUND((asin(ym * {dlit(k / R)}) * 180.0 / pi() - {dlit(y0g)}) / {dlit(cy)}, {_Q})) AS BIGINT) AS row,
+         CAST(FLOOR(ROUND((xm / {dlit(R * k)} * 180.0 / pi() - {dlit(x0g)}) / {dlit(cx)}, {_Q})) AS BIGINT) AS col
+  FROM tgt),
+hits AS ({preds})
+SELECT hits.trow, hits.tcol, hits.zone_id, hits.xm AS xm, hits.ym AS ym,
+       px.value
+FROM hits LEFT JOIN px ON px.row = hits.row AND px.col = hits.col"""

@@ -5820,6 +5820,44 @@ def sql_pansharpen() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: warp_cutline — gdalwarp -cutline role (reproject.warp_cutline)
+# ---------------------------------------------------------------------------
+
+def _cutline_zones():
+    # convex + concave L + donut-with-hole: the even-odd kernel and its
+    # SQL mirror both see every ring class
+    return [synth.ZONES_T1[0], synth.ZONES_EXTRA[0], synth.ZONES_EXTRA[1]]
+
+
+def q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -cutline: CEA warp of the t1 grid with three cutlines
+    (convex rect, concave L, donut WITH hole) applied to the target
+    cell centers via the shared even-odd kernel — cells outside every
+    cutline never leave the plan.  DuckDB replays the lattice, the
+    inverse lon/lat and the crossing-number predicates."""
+    from .operators import reproject as RP
+
+    spec = SPEC
+    return RP.warp_cutline(
+        None, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), (180, 360), _cutline_zones(),
+        images=images_for(spark, spec),
+    ).select("trow", "tcol", "zone_id", "xm", "ym",
+             F.col("value").cast("long").alias("value"))
+
+
+def sql_warp_cutline() -> str:
+    from .operators import reproject as RP
+
+    spec = SPEC
+    return RP.warp_cutline_sql(
+        synth.pixel_sql(spec), (spec.x0, spec.y0),
+        (spec.cellx, spec.celly), (spec.height, spec.width), (180, 360),
+        _cutline_zones(),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q: linear_rescale — gdal_translate -scale role (algebra.linear_rescale)
 # ---------------------------------------------------------------------------
 
@@ -6080,6 +6118,7 @@ QUERIES = {
     "viewshed": (q_viewshed, sql_viewshed),
     "linear_rescale": (q_linear_rescale, sql_linear_rescale),
     "substring_dedup": (q_substring_dedup, sql_substring_dedup),
+    "warp_cutline": (q_warp_cutline, sql_warp_cutline),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

@@ -1169,3 +1169,41 @@ def test_reproject_quartile_aggregates_vs_numpy(spark, images_t1):
             v = full[valid & (trow == t.trow) & (tcol == t.tcol)]
             assert v.size == t.n_contrib
             assert abs(t.value - round(float(fn(v)), 6)) < 1e-9, mode
+
+
+def test_warp_cutline_matches_pip_filter(spark, images_t1):
+    """warp_cutline == full warp + numpy even-odd filter on the target
+    centers' inverse lon/lat; the donut hole stays excluded."""
+    import math
+
+    import numpy as np
+
+    from georasters_spark.functions import geometry as geom
+    from georasters_spark.operators import reproject as RP
+    from georasters_spark.sources import synth
+
+    spec = synth.T1
+    zones = [synth.ZONES_T1[0], synth.ZONES_EXTRA[1]]  # rect + donut
+    got = RP.warp_cutline(
+        None, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), (90, 180), zones,
+        images=images_t1).collect()
+    full = RP.wgs84_to_cea_grid(
+        None, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+        (spec.height, spec.width), (90, 180), images=images_t1).collect()
+    exp = set()
+    for r in full:
+        lon = r["xm"] / RP.R * 180.0 / math.pi
+        lat = math.asin(r["ym"] / RP.R) * 180.0 / math.pi
+        for z in zones:
+            rings = [np.asarray(ring, dtype=np.float64) for ring in z.rings]
+            if geom.points_in_rings(np.array([lon]), np.array([lat]),
+                                    rings)[0]:
+                exp.add((r["trow"], r["tcol"], z.zone_id))
+    assert {(r["trow"], r["tcol"], r["zone_id"]) for r in got} == exp
+    # the donut hole region (inside outer, inside hole) is excluded:
+    # a center near (55, -50) falls in the hole
+    hole_rows = [r for r in got if r["zone_id"] == 5
+                 and 45.2 < r["xm"] / RP.R * 180.0 / math.pi < 65.8
+                 and -60.3 < math.asin(r["ym"] / RP.R) * 180.0 / math.pi < -40.7]
+    assert not hole_rows

@@ -2206,7 +2206,7 @@ def q_polygonize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_sql(spec: GridSpec, r_max: int, c_max: int, divisor: int = 250,
-            struct: bool = False) -> str:
+            struct: bool = False, connectivity: int = 4) -> str:
     """Recursive min-label connected-components oracle over the
     /divisor-quantized field restricted to rows < r_max, cols < c_max.
     Viable because UNION-dedup recursion costs sum(|region|^2) tuples —
@@ -2215,9 +2215,12 @@ def _cc_sql(spec: GridSpec, r_max: int, c_max: int, divisor: int = 250,
     area_cells, perim_steps) per region, with perim_steps = 4·n −
     Σdeg recomputed from the 4-adjacency degree — the label-side
     identity the stitched ring lengths must reproduce."""
+    offs_vals = "(1, 0), (-1, 0), (0, 1), (0, -1)"
+    if connectivity == 8:
+        offs_vals += ", (1, 1), (1, -1), (-1, 1), (-1, -1)"
     head = f"""WITH RECURSIVE {synth.pixel_sql(spec)},
 win AS (SELECT row, col, value // {divisor} AS value FROM px WHERE row < {r_max} AND col < {c_max}),
-offs(dr, dc) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+offs(dr, dc) AS (VALUES {offs_vals}),
 cand AS (SELECT a.row, a.col, a.value, a.row + o.dr AS r2, a.col + o.dc AS c2
          FROM win a CROSS JOIN offs o),
 e AS MATERIALIZED (
@@ -2250,6 +2253,60 @@ FROM j GROUP BY region, value"""
 
 def sql_polygonize_window() -> str:
     return _cc_sql(SPEC, 128, 128)
+
+
+def q_polygonize_8conn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_polygonize -8 / rasterio connectivity=8: diagonal-touching
+    equal-value cells merge.  The standard /250 field has NO
+    diagonal-only equal pairs (its diagonal residue deltas 816/1043
+    exceed the 250-wide buckets — the 4- and 8-conn results coincide,
+    a vacuous gate), so this gate runs the mask-formula field
+    ((row·31+col·17+seed·7)%97 // 20), whose anti-diagonal delta 14 <
+    bucket 20 yields 2,512 diagonal merges on the 96x96 window (8,088
+    regions at 4-conn vs 5,576 at 8-conn) — any missed or spurious
+    diagonal merge changes the multiset and hash-fails."""
+    from .operators import algebra as AL
+
+    spec = SPEC
+    px = (
+        spark.range(96).select(F.col("id").alias("row"))
+        .crossJoin(spark.range(96).select(F.col("id").alias("col")))
+        .select("row", "col",
+                (((F.col("row") * 31 + F.col("col") * 17
+                   + F.lit(spec.seed * 7)) % 97) / 20)
+                .cast("long").cast("double").alias("value"))
+    )
+    return AL.polygonize(px, connectivity=8, merge="distributed").select(
+        F.col("value").cast("long").alias("value"),
+        "n_cells", "min_row", "min_col", "max_row", "max_col",
+    )
+
+
+def sql_polygonize_8conn() -> str:
+    spec = SPEC
+    return f"""WITH RECURSIVE
+win AS (SELECT r.range AS row, c.range AS col,
+               (r.range * 31 + c.range * 17 + {spec.seed * 7}) % 97 // 20 AS value
+        FROM range(96) r CROSS JOIN range(96) c),
+offs(dr, dc) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1),
+                        (1, 1), (1, -1), (-1, 1), (-1, -1)),
+cand AS (SELECT a.row, a.col, a.value, a.row + o.dr AS r2, a.col + o.dc AS c2
+         FROM win a CROSS JOIN offs o),
+e AS MATERIALIZED (
+  SELECT cand.row, cand.col, b.row AS r2, b.col AS c2
+  FROM cand JOIN win b ON b.row = cand.r2 AND b.col = cand.c2 AND b.value = cand.value),
+lab AS (
+  SELECT row, col, row * 1000000 + col AS lbl FROM win
+  UNION
+  SELECT e.r2 AS row, e.c2 AS col, lab.lbl FROM lab JOIN e ON e.row = lab.row AND e.col = lab.col),
+final AS (SELECT row, col, MIN(lbl) AS region FROM lab GROUP BY 1, 2),
+j AS (SELECT win.row, win.col, win.value, final.region
+      FROM win JOIN final ON final.row = win.row AND final.col = win.col)
+SELECT CAST(value AS BIGINT) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       MIN(row) AS min_row, MIN(col) AS min_col,
+       MAX(row) AS max_row, MAX(col) AS max_col
+FROM j GROUP BY region, value"""
 
 
 
@@ -6119,6 +6176,7 @@ QUERIES = {
     "linear_rescale": (q_linear_rescale, sql_linear_rescale),
     "substring_dedup": (q_substring_dedup, sql_substring_dedup),
     "warp_cutline": (q_warp_cutline, sql_warp_cutline),
+    "polygonize_8conn": (q_polygonize_8conn, sql_polygonize_8conn),
     # --- round-5-checked gates (CORRECTNESS_r05 green, freshest) ---
     "map_vector": (q_map_vector, sql_map_vector),
     "cost_distance": (q_cost_distance, sql_cost_distance),

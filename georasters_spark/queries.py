@@ -6048,12 +6048,12 @@ QUERIES = {
     # pixel_decode..align_grids). The 50 r5-checked gates move to the
     # back (CORRECTNESS_r05 green — within the two-round freshness
     # bar through r7). Gates built in LATER r6 sessions (reproject_tiles
-    # .. viewshed, the middle block) are locally check_oracle-verified
-    # and deliberately OUTSIDE the first-50 window so they don't evict
-    # the stale-r4 block. ROUND-7 ROTATION: front = new-r7 gates, then
-    # the middle block (reproject_tiles..viewshed — no driver rows yet),
-    # then as much of the r5-checked back block as fits; the r6-fronted
-    # 50 move back.
+    # .. polygonize_8conn, the middle block) are locally
+    # check_oracle-verified and deliberately OUTSIDE the first-50 window
+    # so they don't evict the stale-r4 block. ROUND-7 ROTATION: front =
+    # new-r7 gates, then the middle block (reproject_tiles ..
+    # polygonize_8conn — no driver rows yet), then as much of the
+    # r5-checked back block as fits; the r6-fronted 50 move back.
     # --- gates new in round 6 ---
     "shapefile_zonal": (q_shapefile_zonal, sql_shapefile_zonal),
     "resize_cubic_spline": (q_resize_cubic_spline, sql_resize_cubic_spline),

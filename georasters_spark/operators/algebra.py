@@ -9,6 +9,8 @@ connected equal-value cells).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W
@@ -935,8 +937,11 @@ def linear_rescale(px: DataFrame, dst: tuple[float, float] = (0.0, 255.0),
     else:
         out = px.withColumn("_smin", F.lit(src[0])) \
                 .withColumn("_smax", F.lit(src[1]))
+    # constant image: the SAME floor(x+0.5) rule as the affine branch
+    # (int() would truncate toward zero for fractional/negative dst_lo)
+    const_out = int(math.floor(dlo + 0.5))
     scaled = F.when(
-        F.col("_smax") == F.col("_smin"), F.lit(int(dlo)).cast("long")
+        F.col("_smax") == F.col("_smin"), F.lit(const_out).cast("long")
     ).otherwise(
         F.floor((F.col("value") - F.col("_smin")).cast("double")
                 * F.lit(dhi - dlo) / (F.col("_smax") - F.col("_smin"))
@@ -951,7 +956,7 @@ def linear_rescale_sql(px_cte: str, dst: tuple[float, float] = (0.0, 255.0),
     return f"""WITH {px_cte},
 b AS (SELECT MIN(value) AS smin, MAX(value) AS smax FROM px)
 SELECT {keys},
-       CASE WHEN smax = smin THEN CAST({int(dlo)} AS BIGINT)
+       CASE WHEN smax = smin THEN CAST({int(math.floor(dlo + 0.5))} AS BIGINT)
             ELSE CAST(FLOOR(CAST(value - smin AS DOUBLE) * {dhi - dlo!r}
                             / (smax - smin) + {dlo!r} + 0.5) AS BIGINT)
        END AS value

@@ -485,11 +485,14 @@ def substring_dup_pairs(docs: DataFrame, window: int = 8,
 
     Plan: window inverted index (explode + md5, pure JVM) → optional
     document-frequency cap drops boilerplate windows (mirrored in the
-    oracle, so deterministic) → wkey equi-join (never doc x doc) →
-    distinct doc_a positions per pair → gaps-and-islands longest run
+    oracle, so deterministic) → wkey equi-join carrying BOTH positions
+    (never doc x doc) → gaps-and-islands along the (pa − pb) DIAGONAL
     (window over the PAIR partition — bounded by document length,
-    never corpus size).  max_span_tokens = longest consecutive-pos run
-    + window - 1.
+    never corpus size).  A shared contiguous substring is exactly a
+    diagonal run (consecutive pa with pa − pb constant); a run of pa
+    alone would over-report spans doc_b only contains in pieces.
+    max_span_tokens = longest diagonal run + window - 1; n_windows =
+    distinct shared doc_a window positions.
     """
     from pyspark.sql import Window as W
 
@@ -501,20 +504,25 @@ def substring_dup_pairs(docs: DataFrame, window: int = 8,
         wins = wins.join(keep, "wkey")
     a = wins.select(F.col("doc_id").alias("doc_a"),
                     F.col("pos").alias("pa"), "wkey")
-    b = wins.select(F.col("doc_id").alias("doc_b"), "wkey")
+    b = wins.select(F.col("doc_id").alias("doc_b"),
+                    F.col("pos").alias("pb"), "wkey")
     hits = (a.join(b, "wkey")
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "pa").distinct())
+            .select("doc_a", "doc_b", "pa", "pb").distinct())
+    diag = (F.col("pa") - F.col("pb")).alias("_d")
     grp = (F.col("pa")
-           - F.row_number().over(W.partitionBy("doc_a", "doc_b")
+           - F.row_number().over(W.partitionBy("doc_a", "doc_b", "_d")
                                  .orderBy("pa"))).alias("_g")
-    runs = hits.select("doc_a", "doc_b", "pa", grp) \
-               .groupBy("doc_a", "doc_b", "_g") \
+    runs = hits.select("doc_a", "doc_b", "pa", diag) \
+               .select("doc_a", "doc_b", "pa", "_d", grp) \
+               .groupBy("doc_a", "doc_b", "_d", "_g") \
                .agg(F.count(F.lit(1)).alias("_run"))
     out = runs.groupBy("doc_a", "doc_b").agg(
-        F.sum("_run").alias("n_windows"),
         (F.max("_run") + F.lit(window - 1)).alias("max_span_tokens"),
-    )
+    ).join(
+        hits.groupBy("doc_a", "doc_b")
+            .agg(F.countDistinct("pa").alias("n_windows")),
+        ["doc_a", "doc_b"])
     return out.filter(F.col("n_windows") >= min_windows).select(
         "doc_a", "doc_b",
         F.col("n_windows").cast("long").alias("n_windows"),

@@ -207,6 +207,31 @@ def wgs84_to_cea_grid(
     return tgt.join(src, ["row", "col"], "left").select("trow", "tcol", "xm", "ym", "value")
 
 
+def _cea_tgt_loc_ctes(src_origin, src_cellsize, src_shape, out_shape,
+                      phi_s: float = 0.0) -> str:
+    """The shared tgt/loc CTE pair of every CEA-target oracle (the
+    lattice + quantized-floor inverse) — ONE copy, composed by
+    wgs84_to_cea_sql and warp_cutline_sql."""
+    h, w = src_shape
+    th, tw = out_shape
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
+    tcx = (X1 - X0) / tw
+    tcy = (Y1 - Y0) / th
+    k = math.cos(math.radians(phi_s))
+    return f"""tgt AS (
+  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
+         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
+         {dlit(Y0)} + (tr.range + 0.5) * {dlit(tcy)} AS ym
+  FROM range({th}) tr CROSS JOIN range({tw}) tc),
+loc AS (
+  SELECT trow, tcol, xm, ym,
+         CAST(FLOOR(ROUND((asin(ym * {dlit(k / R)}) * 180.0 / pi() - {dlit(y0g)}) / {dlit(cy)}, {_Q})) AS BIGINT) AS row,
+         CAST(FLOOR(ROUND((xm / {dlit(R * k)} * 180.0 / pi() - {dlit(x0g)}) / {dlit(cx)}, {_Q})) AS BIGINT) AS col
+  FROM tgt)"""
+
+
 def wgs84_to_cea_sql(
     px_cte: str,
     src_origin: tuple[float, float],
@@ -218,25 +243,10 @@ def wgs84_to_cea_sql(
     """DuckDB oracle for wgs84_to_cea_grid: the same closed-form inverse
     gather over the same pixel CTE, constant-for-constant and
     association-for-association (incl. the round-4 quantized floor)."""
-    h, w = src_shape
-    th, tw = out_shape
-    x0g, y0g = src_origin
-    cx, cy = src_cellsize
-    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
-    tcx = (X1 - X0) / tw
-    tcy = (Y1 - Y0) / th
-    k = math.cos(math.radians(phi_s))
+    ctes = _cea_tgt_loc_ctes(src_origin, src_cellsize, src_shape,
+                             out_shape, phi_s)
     return f"""WITH {px_cte},
-tgt AS (
-  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
-         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
-         {dlit(Y0)} + (tr.range + 0.5) * {dlit(tcy)} AS ym
-  FROM range({th}) tr CROSS JOIN range({tw}) tc),
-loc AS (
-  SELECT trow, tcol, xm, ym,
-         CAST(FLOOR(ROUND((asin(ym * {dlit(k / R)}) * 180.0 / pi() - {dlit(y0g)}) / {dlit(cy)}, {_Q})) AS BIGINT) AS row,
-         CAST(FLOOR(ROUND((xm / {dlit(R * k)} * 180.0 / pi() - {dlit(x0g)}) / {dlit(cx)}, {_Q})) AS BIGINT) AS col
-  FROM tgt)
+{ctes}
 SELECT loc.trow, loc.tcol, loc.xm AS xm, loc.ym AS ym, px.value
 FROM loc LEFT JOIN px ON px.row = loc.row AND px.col = loc.col"""
 
@@ -3447,13 +3457,6 @@ def warp_cutline_sql(px_cte: str,
     inverse lon/lat expressions."""
     from ..sources.synth import zone_sql_predicate_evenodd
 
-    h, w = src_shape
-    th, tw = out_shape
-    x0g, y0g = src_origin
-    cx, cy = src_cellsize
-    X0, Y1, X1, Y0 = cea_bounds(x0g, y0g + h * cy, x0g + w * cx, y0g, phi_s)
-    tcx = (X1 - X0) / tw
-    tcy = (Y1 - Y0) / th
     k = math.cos(math.radians(phi_s))
     lon = f"(xm / {dlit(R * k)} * 180.0 / pi())"
     lat = f"(asin(ym * {dlit(k / R)}) * 180.0 / pi())"
@@ -3462,17 +3465,10 @@ def warp_cutline_sql(px_cte: str,
         f"row, col FROM loc WHERE "
         + zone_sql_predicate_evenodd(z, lon, lat)
         for z in zones)
+    ctes = _cea_tgt_loc_ctes(src_origin, src_cellsize, src_shape,
+                             out_shape, phi_s)
     return f"""WITH {px_cte},
-tgt AS (
-  SELECT CAST(tr.range AS BIGINT) AS trow, CAST(tc.range AS BIGINT) AS tcol,
-         {dlit(X0)} + (tc.range + 0.5) * {dlit(tcx)} AS xm,
-         {dlit(Y0)} + (tr.range + 0.5) * {dlit(tcy)} AS ym
-  FROM range({th}) tr CROSS JOIN range({tw}) tc),
-loc AS (
-  SELECT trow, tcol, xm, ym,
-         CAST(FLOOR(ROUND((asin(ym * {dlit(k / R)}) * 180.0 / pi() - {dlit(y0g)}) / {dlit(cy)}, {_Q})) AS BIGINT) AS row,
-         CAST(FLOOR(ROUND((xm / {dlit(R * k)} * 180.0 / pi() - {dlit(x0g)}) / {dlit(cx)}, {_Q})) AS BIGINT) AS col
-  FROM tgt),
+{ctes},
 hits AS ({preds})
 SELECT hits.trow, hits.tcol, hits.zone_id, hits.xm AS xm, hits.ym AS ym,
        px.value

@@ -2206,7 +2206,8 @@ def q_polygonize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_sql(spec: GridSpec, r_max: int, c_max: int, divisor: int = 250,
-            struct: bool = False, connectivity: int = 4) -> str:
+            struct: bool = False, connectivity: int = 4,
+            win_cte: str | None = None) -> str:
     """Recursive min-label connected-components oracle over the
     /divisor-quantized field restricted to rows < r_max, cols < c_max.
     Viable because UNION-dedup recursion costs sum(|region|^2) tuples —
@@ -2217,9 +2218,15 @@ def _cc_sql(spec: GridSpec, r_max: int, c_max: int, divisor: int = 250,
     identity the stitched ring lengths must reproduce."""
     offs_vals = "(1, 0), (-1, 0), (0, 1), (0, -1)"
     if connectivity == 8:
+        if struct:
+            # perim_steps = 4n - Σdeg is the 4-adjacency identity only
+            raise ValueError("_cc_sql: struct projection is 4-conn-only")
         offs_vals += ", (1, 1), (1, -1), (-1, 1), (-1, -1)"
-    head = f"""WITH RECURSIVE {synth.pixel_sql(spec)},
-win AS (SELECT row, col, value // {divisor} AS value FROM px WHERE row < {r_max} AND col < {c_max}),
+    if win_cte is None:
+        win_cte = (f"{synth.pixel_sql(spec)},\n"
+                   f"win AS (SELECT row, col, value // {divisor} AS value "
+                   f"FROM px WHERE row < {r_max} AND col < {c_max})")
+    head = f"""WITH RECURSIVE {win_cte},
 offs(dr, dc) AS (VALUES {offs_vals}),
 cand AS (SELECT a.row, a.col, a.value, a.row + o.dr AS r2, a.col + o.dc AS c2
          FROM win a CROSS JOIN offs o),
@@ -2284,29 +2291,10 @@ def q_polygonize_8conn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_polygonize_8conn() -> str:
     spec = SPEC
-    return f"""WITH RECURSIVE
-win AS (SELECT r.range AS row, c.range AS col,
-               (r.range * 31 + c.range * 17 + {spec.seed * 7}) % 97 // 20 AS value
-        FROM range(96) r CROSS JOIN range(96) c),
-offs(dr, dc) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1),
-                        (1, 1), (1, -1), (-1, 1), (-1, -1)),
-cand AS (SELECT a.row, a.col, a.value, a.row + o.dr AS r2, a.col + o.dc AS c2
-         FROM win a CROSS JOIN offs o),
-e AS MATERIALIZED (
-  SELECT cand.row, cand.col, b.row AS r2, b.col AS c2
-  FROM cand JOIN win b ON b.row = cand.r2 AND b.col = cand.c2 AND b.value = cand.value),
-lab AS (
-  SELECT row, col, row * 1000000 + col AS lbl FROM win
-  UNION
-  SELECT e.r2 AS row, e.c2 AS col, lab.lbl FROM lab JOIN e ON e.row = lab.row AND e.col = lab.col),
-final AS (SELECT row, col, MIN(lbl) AS region FROM lab GROUP BY 1, 2),
-j AS (SELECT win.row, win.col, win.value, final.region
-      FROM win JOIN final ON final.row = win.row AND final.col = win.col)
-SELECT CAST(value AS BIGINT) AS value,
-       CAST(COUNT(*) AS BIGINT) AS n_cells,
-       MIN(row) AS min_row, MIN(col) AS min_col,
-       MAX(row) AS max_row, MAX(col) AS max_col
-FROM j GROUP BY region, value"""
+    win = (f"win AS (SELECT r.range AS row, c.range AS col,\n"
+           f"               (r.range * 31 + c.range * 17 + {spec.seed * 7}) % 97 // 20 AS value\n"
+           f"        FROM range(96) r CROSS JOIN range(96) c)")
+    return _cc_sql(SPEC, 96, 96, connectivity=8, win_cte=win)
 
 
 
@@ -2483,15 +2471,22 @@ keyed AS (SELECT doc_id, pos,
 keep AS (SELECT wkey FROM keyed GROUP BY wkey
          HAVING COUNT(DISTINCT doc_id) <= 50),
 k2 AS (SELECT keyed.* FROM keyed JOIN keep USING (wkey)),
-hits AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa
+hits AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.pos AS pa, b.pos AS pb
          FROM k2 a JOIN k2 b ON a.wkey = b.wkey AND a.doc_id < b.doc_id),
-runs AS (SELECT doc_a, doc_b,
-                pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b ORDER BY pa) AS g
+runs AS (SELECT doc_a, doc_b, pa - pb AS d,
+                pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                        ORDER BY pa) AS g
          FROM hits),
-rc AS (SELECT doc_a, doc_b, g, COUNT(*) AS run FROM runs GROUP BY 1, 2, 3)
-SELECT doc_a, doc_b, CAST(SUM(run) AS BIGINT) AS n_windows,
-       CAST(MAX(run) + 7 AS BIGINT) AS max_span_tokens
-FROM rc GROUP BY 1, 2 HAVING SUM(run) >= 2"""
+rc AS (SELECT doc_a, doc_b, d, g, COUNT(*) AS run
+       FROM runs GROUP BY 1, 2, 3, 4),
+spans AS (SELECT doc_a, doc_b, CAST(MAX(run) + 7 AS BIGINT) AS max_span_tokens
+          FROM rc GROUP BY 1, 2),
+nw AS (SELECT doc_a, doc_b, CAST(COUNT(DISTINCT pa) AS BIGINT) AS n_windows
+       FROM hits GROUP BY 1, 2)
+SELECT nw.doc_a, nw.doc_b, nw.n_windows, spans.max_span_tokens
+FROM nw JOIN spans ON spans.doc_a = nw.doc_a AND spans.doc_b = nw.doc_b
+WHERE nw.n_windows >= 2"""
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

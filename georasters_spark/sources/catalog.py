@@ -395,3 +395,23 @@ def scan_bbox(spark, root: str, bbox: tuple[float, float, float, float],
             return spark.read.parquet(root).limit(0)
         return spark.read.option("basePath", root).parquet(*files)
     return spark.read.option("basePath", root).parquet(*dirs)
+
+
+def source_high_water_mark(tbl: SnapshotTable, src_dir: str) -> int:
+    """Max committed batch id for one source stream across the snapshot
+    chain — the shared exactly-once replay guard (events.
+    stream_ingest_to_catalog and streaming/pyramid.py).  Walking
+    parents means a non-ingest commit (no max_batch_id prop) can't
+    reset the guard to -1; scoping by source means a DIFFERENT stream
+    ingesting into the same table (its own checkpoint restarts batch
+    ids at 0) is never silently skipped."""
+    v = tbl.current_version()
+    while v:
+        snap = tbl.snapshot(v)
+        if snap is None:
+            return -1  # expired manifest: end of walkable chain
+        props = snap.get("props") or {}
+        if "max_batch_id" in props and props.get("source") == src_dir:
+            return int(props["max_batch_id"])
+        v = snap.get("parent", 0)
+    return -1

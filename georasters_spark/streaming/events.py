@@ -152,31 +152,12 @@ def stream_ingest_to_catalog(spark, src_dir: str, schema, table_root: str,
     foreachBatch (idempotence by batch-id property — a replayed batch
     is skipped when its id is already committed). Returns the final
     table version."""
-    from ..sources.catalog import SnapshotTable
+    from ..sources.catalog import SnapshotTable, source_high_water_mark
 
     tbl = SnapshotTable(table_root)
 
-    def high_water_mark() -> int:
-        """Max committed batch id FOR THIS SOURCE STREAM across the
-        whole snapshot chain. Walking parents means a non-ingest append
-        (no max_batch_id prop) can't reset the guard to -1; scoping by
-        source means a DIFFERENT stream ingesting into the same table
-        (its own checkpoint restarts batch ids at 0) is never silently
-        skipped. Batch ids are per-source because they come from the
-        stream's own checkpoint sequence."""
-        v = tbl.current_version()
-        while v:
-            snap = tbl.snapshot(v)
-            if snap is None:
-                return -1  # expired manifest: end of walkable chain
-            props = snap.get("props") or {}
-            if "max_batch_id" in props and props.get("source") == src_dir:
-                return int(props["max_batch_id"])
-            v = snap.get("parent", 0)
-        return -1
-
     def sink(batch_df, batch_id: int):
-        if batch_id <= high_water_mark():
+        if batch_id <= source_high_water_mark(tbl, src_dir):
             return  # replay after restart: already committed
         tbl.append(
             batch_df,

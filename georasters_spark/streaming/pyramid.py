@@ -19,22 +19,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def _high_water_mark(tbl, src_dir: str) -> int:
-    """Max committed batch id for this source stream across the
-    snapshot chain (same parent-walk scoping rules as
-    events.stream_ingest_to_catalog)."""
-    v = tbl.current_version()
-    while v:
-        snap = tbl.snapshot(v)
-        if snap is None:
-            return -1
-        props = snap.get("props") or {}
-        if "max_batch_id" in props and props.get("source") == src_dir:
-            return int(props["max_batch_id"])
-        v = snap.get("parent", 0)
-    return -1
-
-
 def stream_pyramid_maintenance(spark, src_dir: str, images_root: str,
                                pyramid_root: str,
                                src_origin: tuple[float, float],
@@ -42,24 +26,43 @@ def stream_pyramid_maintenance(spark, src_dir: str, images_root: str,
                                base_zoom: int, min_zoom: int,
                                src_tile: int = 64, tile_px: int = 256,
                                ndv: float = -9999.0,
-                               query_name: str = "pyramid") -> tuple[int, int]:
+                               query_name: str = "pyramid",
+                               checkpoint_dir: str | None = None) -> tuple[int, int]:
     """Drain ``src_dir`` (parquet stream of replaced images-table rows)
     into the images + pyramid catalog tables.  Both tables must be
     bootstrapped (images state + its xyz_pyramid) before the first
     batch.  Returns (images_version, pyramid_version)."""
+    import os
+
     from ..operators import xyz as XYZ
-    from ..sources.catalog import SnapshotTable
+    from ..sources.catalog import SnapshotTable, source_high_water_mark
     from ..sources.synth import IMAGES_SCHEMA
 
     imgs_tbl = SnapshotTable(images_root)
     pyr_tbl = SnapshotTable(pyramid_root)
+    # a DURABLE checkpoint is what makes the batch-id high-water mark
+    # meaningful across restarts: with a temp checkpoint a restarted
+    # stream renumbers from 0 and "batch_id <= hwm" would silently skip
+    # genuinely new data
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(pyramid_root, "_stream_checkpoint")
     if imgs_tbl.current_version() == 0 or pyr_tbl.current_version() == 0:
         raise ValueError("stream_pyramid_maintenance: bootstrap the "
                          "images and pyramid tables first")
 
     def sink(batch_df, batch_id: int):
-        if batch_id <= _high_water_mark(pyr_tbl, src_dir):
+        if batch_id <= source_high_water_mark(pyr_tbl, src_dir):
             return  # replay after restart: fully committed already
+        dup = (batch_df.groupBy("tile_row", "tile_col").count()
+               .filter(F.col("count") > 1))
+        if not dup.isEmpty():
+            # two replacements of one tile inside a single batch have
+            # no defined order — merging both would duplicate the key
+            # and double-count every pixel downstream; refuse loudly
+            raise ValueError(
+                "stream_pyramid_maintenance: batch carries multiple "
+                "rows for one (tile_row, tile_col); emit one "
+                "replacement per tile per file")
         changed = [(int(r["tile_row"]), int(r["tile_col"]))
                    for r in batch_df.select("tile_row", "tile_col")
                    .distinct().collect()]  # CDC metadata: KB-scale
@@ -86,6 +89,7 @@ def stream_pyramid_maintenance(spark, src_dir: str, images_root: str,
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
         .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
         .start()
     )

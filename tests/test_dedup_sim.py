@@ -507,3 +507,20 @@ def test_substring_dup_pairs_spans(spark):
     assert got2 == {(1, 2), (4, 5)}
     # df_cap=1 drops every shared window (each appears in >= 2 docs)
     assert DD.substring_dup_pairs(docs, window=3, df_cap=1).count() == 0
+
+
+def test_substring_span_requires_diagonal_contiguity(spark):
+    """A run of consecutive doc_a positions whose doc_b matches are
+    DISJOINT must not be reported as one long span (review finding):
+    doc_b contains 'a b c' and 'b c d' but never 'a b c d'."""
+    from georasters_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame([
+        (1, "a b c d"),
+        (2, "a b c x b c d"),
+    ], "doc_id long, text string")
+    rows = DD.substring_dup_pairs(docs, window=3, min_windows=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_windows"] == 2            # both windows shared
+    assert r["max_span_tokens"] == 3      # but never contiguously

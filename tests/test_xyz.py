@@ -276,11 +276,19 @@ def test_streaming_pyramid_maintenance_matches_batch(spark, images_t1,
         (F.col("tile_row") == 3) & (F.col("tile_col") == 4))
     upd1.coalesce(1).write.parquet(str(src / "b1"))
     upd2.coalesce(1).write.parquet(str(src / "b2"))
-    # the stream source reads the union of part files under src
+    # the stream source reads the union of part files under src;
+    # distinct mtimes pin the file->batch order (a modified-time tie
+    # makes the two-batch sequencing arbitrary)
+    import os
     import shutil
-    for d in ("b1", "b2"):
+    import time as _time
+
+    now = _time.time()
+    for k, d in enumerate(("b1", "b2")):
         for f in (src / d).glob("part-*.parquet"):
-            shutil.move(str(f), str(src / f"{d}.parquet"))
+            dst = src / f"{d}.parquet"
+            shutil.move(str(f), str(dst))
+            os.utime(dst, (now + 10 * k, now + 10 * k))
         shutil.rmtree(src / d)
 
     iv, pv = stream_pyramid_maintenance(

@@ -310,69 +310,123 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
                                F.col("ra").alias("rb"))).distinct()
     S = S.localCheckpoint(eager=True)
     E = E.localCheckpoint(eager=True)
-    mapping = S.select(F.col("region_id").alias("orig"),
-                       F.col("region_id").alias("cur"))
+    S0 = S  # original region table: reps keep their id AND value, so the
+    # final value of any merged region is its rep's ORIGINAL value — the
+    # last round never needs to rebuild S just for the output join.
+    # changed-only mapping state: regions never touched by a merge are
+    # identity-mapped implicitly (coalesce at the final join), so the
+    # mapping table is merge-count-sized instead of region-count-sized.
+    drv_map: dict[int, int] = {}   # orig -> current rep (driver rounds)
+    drv_val: dict[int, float] = {}  # node -> its ORIGINAL value
+    drv_ok = True                   # every round so far took the driver path
+    changed = None                  # DataFrame (orig, cur) once distributed
     for _ in range(max_rounds):
-        nb = E.join(S.select(F.col("region_id").alias("rb"),
-                             F.col("sz").alias("szb"),
-                             F.col("a_r").alias("ab_r"),
-                             F.col("a_c").alias("ab_c")), "rb")
         small = S.filter(F.col("sz") < threshold).select(
             F.col("region_id").alias("ra"), F.col("sz").alias("sza"),
+            F.col("value").alias("va"),
             F.col("a_r").alias("aa_r"), F.col("a_c").alias("aa_c"))
         # one row per merging small region, CARRYING both endpoints'
-        # (size, anchor) metadata so the driver fast path needs exactly
-        # one collect
-        m = (nb.join(small, "ra")
-             .groupBy("ra", "sza", "aa_r", "aa_c")
+        # (size, value, anchor) metadata so the driver fast path needs
+        # exactly one collect; the small-side join runs FIRST so the
+        # region metadata only attaches to edges that can merge
+        m = (E.join(small, "ra")
+             .join(S.select(F.col("region_id").alias("rb"),
+                            F.col("sz").alias("szb"),
+                            F.col("value").alias("vb"),
+                            F.col("a_r").alias("ab_r"),
+                            F.col("a_c").alias("ab_c")), "rb")
+             .groupBy("ra", "sza", "va", "aa_r", "aa_c")
              .agg(F.expr(
-                 "min_by(struct(rb, szb, ab_r, ab_c),"
+                 "min_by(struct(rb, szb, vb, ab_r, ab_c),"
                  " struct(-szb, ab_r, ab_c))").alias("w"))
-             .select("ra", "sza", "aa_r", "aa_c",
+             .select("ra", "sza", "va", "aa_r", "aa_c",
                      F.col("w.rb").alias("w"), F.col("w.szb").alias("szw"),
+                     F.col("w.vb").alias("vw"),
                      F.col("w.ab_r").alias("aw_r"),
                      F.col("w.ab_c").alias("aw_c"))
              .localCheckpoint(eager=True))
         n_merge = m.count()
         if n_merge == 0:
             break
+        terminal = False
         if n_merge <= driver_edge_cap:
             # driver fast path: the merge graph is region-METADATA
-            # sized (one row per merging small region), its components
-            # are stars and short chains — one collect + union-find
-            # beats O(log) distributed rounds of tiny jobs
+            # sized (one row per merging small region); components via
+            # vectorized min-label propagation + pointer jumping in
+            # numpy (the dict union-find was the slowest driver step)
             mp = m.toPandas()
-            info = {}
-            for t in mp.itertuples(index=False):
-                info[int(t.ra)] = (int(t.sza), int(t.aa_r), int(t.aa_c))
-                info[int(t.w)] = (int(t.szw), int(t.aw_r), int(t.aw_c))
-            parent = {}
-
-            def find(x):
-                while parent.get(x, x) != x:
-                    parent[x] = parent.get(parent[x], parent[x])
-                    x = parent[x]
-                return x
-
-            for ra, wv in zip(mp["ra"].tolist(), mp["w"].tolist()):
-                xa, xb = find(ra), find(wv)
-                if xa != xb:
-                    parent[max(xa, xb)] = min(xa, xb)
-            comps = {}
-            for x in info:
-                comps.setdefault(find(x), []).append(x)
-            froms, tos = [], []
-            for members in comps.values():
-                rep_id = min(members,
-                             key=lambda x: (-info[x][0], info[x][1],
-                                            info[x][2]))
-                for x in members:
-                    if x != rep_id:
-                        froms.append(x)
-                        tos.append(rep_id)
+            ra_a = mp["ra"].to_numpy(np.int64)
+            w_a = mp["w"].to_numpy(np.int64)
+            nodes = np.unique(np.concatenate([ra_a, w_a]))
+            ia = np.searchsorted(nodes, ra_a)
+            ib = np.searchsorted(nodes, w_a)
+            nn = len(nodes)
+            sz_n = np.empty(nn, np.int64)
+            ar_n = np.empty(nn, np.int64)
+            ac_n = np.empty(nn, np.int64)
+            vl_n = np.empty(nn, np.float64)
+            sz_n[ib] = mp["szw"].to_numpy(np.int64)
+            ar_n[ib] = mp["aw_r"].to_numpy(np.int64)
+            ac_n[ib] = mp["aw_c"].to_numpy(np.int64)
+            vl_n[ib] = mp["vw"].to_numpy(np.float64)
+            sz_n[ia] = mp["sza"].to_numpy(np.int64)
+            ar_n[ia] = mp["aa_r"].to_numpy(np.int64)
+            ac_n[ia] = mp["aa_c"].to_numpy(np.int64)
+            vl_n[ia] = mp["va"].to_numpy(np.float64)
+            lab = np.arange(nn, dtype=np.int64)
+            while True:
+                l2 = lab.copy()
+                np.minimum.at(l2, ia, lab[ib])
+                np.minimum.at(l2, ib, lab[ia])
+                l2 = l2[l2]
+                if np.array_equal(l2, lab):
+                    break
+                lab = l2
+            while True:           # full compression
+                l2 = lab[lab]
+                if np.array_equal(l2, lab):
+                    break
+                lab = l2
+            # rep per component = min by (-sz, anchor); anchors are
+            # first-cell scan positions, globally unique => total order
+            order = np.lexsort((ac_n, ar_n, -sz_n, lab))
+            slab = lab[order]
+            first = np.ones(nn, bool)
+            first[1:] = slab[1:] != slab[:-1]
+            uniq = slab[first]
+            rep_node_idx = order[first]
+            pos = np.searchsorted(uniq, lab)
+            rep_idx = rep_node_idx[pos]
+            comp_sz = np.zeros(len(uniq), np.int64)
+            np.add.at(comp_sz, pos, sz_n)
+            # fixpoint detection WITHOUT another round: all remaining
+            # small regions are either neighborless (never in any m) or
+            # this round's unions — if every union is >= threshold the
+            # next m is provably empty, so skip the S/E rebuilds AND
+            # the empty-probe round entirely
+            terminal = bool((comp_sz >= threshold).all())
+            mask = rep_idx != np.arange(nn)
+            froms = nodes[mask]
+            tos = nodes[rep_idx[mask]]
+            if drv_ok:
+                step_d = dict(zip(froms.tolist(), tos.tolist()))
+                for o, c in drv_map.items():
+                    nc = step_d.get(c)
+                    if nc is not None:
+                        drv_map[o] = nc
+                for f, t in step_d.items():
+                    if f not in drv_map:
+                        drv_map[f] = t
+                for x, v in zip(nodes.tolist(), vl_n.tolist()):
+                    drv_val[x] = v
+            if terminal and drv_ok:
+                break
             step = spark.createDataFrame(
                 pd.DataFrame({"m_from": pd.array(froms, dtype="int64"),
                               "m_to": pd.array(tos, dtype="int64")}))
+            # the step table is <= driver_edge_cap rows by construction:
+            # broadcast it so the S/E/mapping relabels never shuffle
+            step = F.broadcast(step)
         else:
             comp = _merge_labels_distributed(
                 m.select(F.col("ra").alias("la"), F.col("w").alias("lb")))
@@ -386,6 +440,31 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
                             F.col("rep").alias("m_to"))
                     .filter(F.col("m_from") != F.col("m_to"))
                     .localCheckpoint(eager=True))
+        if not (n_merge <= driver_edge_cap) or not drv_ok:
+            # maintain the changed-only mapping as a DataFrame: a
+            # m_from is always a LIVE current id, never a previously
+            # absorbed one, so remap-then-append never duplicates origs
+            if drv_ok:  # flush the driver-composed prefix exactly once
+                drv_ok = False
+                if drv_map:
+                    changed = spark.createDataFrame(
+                        pd.DataFrame({
+                            "orig": pd.array(list(drv_map), dtype="int64"),
+                            "cur": pd.array(list(drv_map.values()),
+                                            dtype="int64")}))
+            if changed is None:
+                changed = step.select(F.col("m_from").alias("orig"),
+                                      F.col("m_to").alias("cur"))
+            else:
+                changed = (changed.join(
+                    step.withColumnRenamed("m_from", "cur"), "cur", "left")
+                    .select("orig", F.coalesce("m_to", "cur").alias("cur"))
+                    .unionByName(step.select(
+                        F.col("m_from").alias("orig"),
+                        F.col("m_to").alias("cur"))))
+            changed = changed.localCheckpoint(eager=True)
+        if terminal:
+            break
         relab = (S.join(step.withColumnRenamed("m_from", "region_id"),
                         "region_id", "left")
                  .select(F.col("region_id").alias("old"),
@@ -407,15 +486,30 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
                  .withColumn(side, F.coalesce("m_to", side)).drop("m_to"))
         E = E.filter(F.col("ra") != F.col("rb")).distinct().localCheckpoint(
             eager=True)
-        mapping = (mapping.join(step.withColumnRenamed("m_from", "cur"),
-                                "cur", "left")
-                   .select("orig", F.coalesce("m_to", "cur").alias("cur"))
-                   .localCheckpoint(eager=True))
     else:
         raise RuntimeError(f"sieve: no fixpoint after {max_rounds} rounds")
-    return (L.select("row", "col", F.col("region_id").alias("orig"))
-            .join(mapping, "orig")
-            .join(S.select(F.col("region_id").alias("cur"), "value"), "cur")
+    base = L.select("row", "col", "value", F.col("region_id").alias("orig"))
+    if drv_ok:
+        # all rounds took the driver path: ONE broadcast left join
+        # carries both the new id and the rep's original value
+        if not drv_map:
+            return base.select("row", "col", "value",
+                               F.col("orig").alias("region_id"))
+        ch = spark.createDataFrame(pd.DataFrame({
+            "orig": pd.array(list(drv_map), dtype="int64"),
+            "cur": pd.array(list(drv_map.values()), dtype="int64"),
+            "vnew": pd.array([drv_val[c] for c in drv_map.values()],
+                             dtype="float64")}))
+        return (base.join(F.broadcast(ch), "orig", "left")
+                .select("row", "col",
+                        F.coalesce("vnew", "value").alias("value"),
+                        F.coalesce("cur", "orig").alias("region_id")))
+    # distributed rounds happened: values via the original region table
+    out = (base.drop("value")
+           .join(changed, "orig", "left")
+           .withColumn("cur", F.coalesce("cur", "orig")))
+    return (out.join(S0.select(F.col("region_id").alias("cur"), "value"),
+                     "cur")
             .select("row", "col", "value", F.col("cur").alias("region_id")))
 
 
@@ -437,6 +531,25 @@ def _merge_labels_distributed(eset: DataFrame) -> DataFrame:
         eset.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
     ).distinct()
     sym = sym.localCheckpoint(eager=True)
+    # scale-adaptive layout: the label graph is usually orders smaller
+    # than the raster, and the per-round joins then cost task-scheduling
+    # overhead, not data — coalesce (narrow, no shuffle) to ~2M edges
+    # per partition so a small graph runs single-task rounds while a
+    # 100-TB border graph keeps its parallelism
+    n_edges = sym.count()
+    cur_parts = sym.rdd.getNumPartitions()
+    p = max(1, min(cur_parts, int(n_edges // 2_000_000) + 1))
+    if p < cur_parts:
+        sym = sym.coalesce(p)
+    # scale-adaptive join strategy: comp has <= 2·n_edges rows, so for a
+    # small graph every per-round join broadcasts its small side (one
+    # shuffle per round — the groupBy — instead of three); a 100-TB
+    # border graph keeps the shuffle joins
+    small_graph = n_edges <= 1_000_000
+
+    def _b(df):
+        return F.broadcast(df) if small_graph else df
+
     comp = (
         sym.groupBy("la")
         .agg(F.min("lb").alias("m"))
@@ -447,19 +560,19 @@ def _merge_labels_distributed(eset: DataFrame) -> DataFrame:
         # neighbor-min propagation: comp'[a] = min(comp[a], min_b comp[b])
         nb = (
             sym.join(
-                cur.select(F.col("node").alias("lb"), F.col("comp").alias("cb")), "lb"
+                _b(cur.select(F.col("node").alias("lb"), F.col("comp").alias("cb"))), "lb"
             )
             .groupBy("la")
             .agg(F.min("cb").alias("nmin"))
         )
-        c1 = cur.join(nb.withColumnRenamed("la", "node"), "node", "left").select(
+        c1 = cur.join(_b(nb.withColumnRenamed("la", "node")), "node", "left").select(
             "node", F.least("comp", F.coalesce("nmin", "comp")).alias("comp")
         )
         # pointer jump: comp''[x] = comp'[comp'[x]] (comp' values are
         # themselves nodes, so the inner self-join always matches)
         return (
             c1.alias("x")
-            .join(c1.alias("p"), F.col("x.comp") == F.col("p.node"))
+            .join(_b(c1.alias("p")), F.col("x.comp") == F.col("p.node"))
             .select(F.col("x.node").alias("node"), F.col("p.comp").alias("comp"))
         )
 
@@ -638,14 +751,20 @@ def polygonize_labels(
     eset = eset.distinct()
 
     if merge == "auto":
-        # counting is one map-side-combined aggregate over the edge set;
-        # it decides driver vs distributed without materializing edges
+        # the auto decision needs a count AND the chosen path reads the
+        # edges again (toPandas / sym) — checkpoint once so the border
+        # band joins over the labeled cache run a single time
+        eset = eset.localCheckpoint(eager=True)
         merge = "driver" if eset.count() <= driver_edge_cap else "distributed"
 
     map_df = None
     if merge == "distributed":
         map_df = _merge_labels_distributed(eset)
-        # roots table is O(#border labels); hash join, AQE may broadcast
+        # roots table is O(#border labels) and already checkpointed by
+        # the merge — count it (cheap) and broadcast when small so the
+        # full pixel table is never shuffled just to pick up its root
+        if map_df.count() <= 2_000_000:
+            map_df = F.broadcast(map_df)
         final = labeled.join(map_df, "label", "left").withColumn(
             "region_id", F.coalesce("root", "label")
         )

@@ -199,8 +199,43 @@ def wgs84_to_cea_grid(
         scol.alias("col"),
     )
     if images is not None:
-        return gather_from_tiles(tgt, images)
+        # xm/ym are pure functions of trow/tcol: recompute them AFTER
+        # the gather instead of carrying two doubles per row through the
+        # shuffle and both Arrow crossings (same Column expressions, so
+        # bit-identical values)
+        g = gather_from_tiles(tgt.select("trow", "tcol", "row", "col"),
+                              images, carry=())
+        return g.select(
+            "trow", "tcol",
+            (F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)).alias("xm"),
+            (F.lit(Y0) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy)).alias("ym"),
+            "value",
+        )
     src = px.select("row", "col", "value")
+    # pre-filter the big side before its exchange (a broadcast semi-join
+    # per axis, the Bloom-filter move with an EXACT filter): the nearest
+    # gather's source set is a PRODUCT set — srow depends only on trow
+    # and scol only on tcol — so the used rows/cols are two tiny distinct
+    # sets re-derived from the same expressions over bare ranges.  A
+    # downsampling warp then shuffles ~M source pixels instead of N
+    # (93M -> 8.4M at the sf1 tier); the left join result is unchanged
+    # because dropped source rows can never match a target.
+    rows_used = (
+        spark.range(th).select(F.col("id").alias("trow"))
+        .select(F.floor(F.round(
+            (F.asin((F.lit(Y0) + (F.col("trow") + F.lit(0.5)) * F.lit(tcy))
+                    * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
+             - F.lit(y0g)) / F.lit(cy), _Q)).cast("long").alias("row"))
+        .distinct())
+    cols_used = (
+        spark.range(tw).select(F.col("id").alias("tcol"))
+        .select(F.floor(F.round(
+            ((F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx))
+             / F.lit(R * k) * F.lit(180.0) / F.lit(math.pi)
+             - F.lit(x0g)) / F.lit(cx), _Q)).cast("long").alias("col"))
+        .distinct())
+    src = (src.join(F.broadcast(rows_used), "row", "left_semi")
+              .join(F.broadcast(cols_used), "col", "left_semi"))
     # xm/ym are pure arithmetic over repr-round-tripped literal doubles:
     # bit-identical across engines, so they ship UNROUNDED (rounding to
     # 6 dp can itself straddle a decimal tie and flip the last digit)

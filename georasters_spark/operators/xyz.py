@@ -149,11 +149,145 @@ def xyz_base_tiles(images: DataFrame,
                             ["row", "col"], "left") \
                       .select("trow", "tcol", "value")
     elif plan == "tiles":
-        gathered = gather_from_tiles(tgt, images, carry=(),
-                                     tile_shape=tile_shape)
+        # fused gather+assemble (r7): key the lattice by TARGET tile and
+        # replicate each source tile's encoded BYTES to the target tiles
+        # its Mercator bbox can feed (the affected_base_tiles margin
+        # math as Column exprs).  One exchange of M narrow lattice rows
+        # + #tiles byte rows, ONE Arrow crossing whose output is a
+        # handful of PNG rows — the r6 plan shuffled the gathered M-row
+        # pixel frame a second time and crossed Arrow twice more just to
+        # regroup it by target tile.  Same indices, same assembly, same
+        # encoder => bit-identical tiles (gate-checked by checksum).
+        return _fused_base_tiles(tgt, images, zoom, tile_px, ndv,
+                                 src_origin, src_cellsize, tile_shape)
     else:
         raise ValueError(f"xyz_base_tiles: unknown plan {plan!r}")
     return _assemble_tiles(gathered, zoom, tile_px, ndv)
+
+
+def _fused_base_tiles(tgt: DataFrame, images: DataFrame, zoom: int,
+                      tile_px: int, ndv: float,
+                      src_origin: tuple[float, float],
+                      src_cellsize: tuple[float, float],
+                      tile_shape: tuple[int, int] | None,
+                      lat_clip: float = 85.05112878) -> DataFrame:
+    """plan='tiles' base level as ONE target-tile-keyed cogroup: lattice
+    rows shuffle once (narrow ints), source tiles ship as compact
+    encoded bytes to every target tile they can feed, and each task
+    decodes + indexes + assembles + PNG-encodes in numpy."""
+    import pandas as pd
+
+    spark = images.sparkSession
+    if tile_shape is not None:
+        t_h, t_w = int(tile_shape[0]), int(tile_shape[1])
+    else:
+        dims = images.select("w", "h").first()
+        if dims is None:
+            raise ValueError("xyz_base_tiles: empty images table "
+                             "(pass tile_shape)")
+        t_w, t_h = int(dims["w"]), int(dims["h"])
+    side = (1 << zoom) * tile_px
+    n = 1 << zoom
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    indv = int(ndv)
+
+    # lattice keyed by target tile; indices fit int for any real zoom
+    keyed = tgt.select(
+        F.col("trow").cast("long").alias("trow"),
+        F.col("tcol").cast("long").alias("tcol"),
+        "row", "col",
+        F.floor(F.col("tcol") / tile_px).cast("long").alias("_x"),
+        F.floor(F.col("trow") / tile_px).cast("long").alias("_y"),
+    )
+
+    # source tile -> covered target-tile window (the affected_base_tiles
+    # driver math, expressed as Column arithmetic over the tiles table;
+    # the ±1-target-pixel margin makes over-approximation the only
+    # failure mode, which the exact per-row indexing absorbs)
+    deg = F.lit(math.pi / 180.0)
+    lon_lo = F.lit(x0g) + F.col("tile_col") * F.lit(t_w * cx)
+    lon_hi = F.lit(x0g) + (F.col("tile_col") + 1) * F.lit(t_w * cx)
+    lat_hi = F.least(F.lit(lat_clip),
+                     F.lit(y0g) + F.col("tile_row") * F.lit(t_h * cy))
+    lat_lo = F.greatest(F.lit(-lat_clip),
+                        F.lit(y0g) + (F.col("tile_row") + 1) * F.lit(t_h * cy))
+    x_merc_lo = F.lit(R) * (lon_lo * deg)
+    x_merc_hi = F.lit(R) * (lon_hi * deg)
+    y_merc_hi = F.lit(R) * F.log(F.tan(F.lit(math.pi / 4) + lat_hi * deg / 2))
+    y_merc_lo = F.lit(R) * F.log(F.tan(F.lit(math.pi / 4) + lat_lo * deg / 2))
+    gx_lo = (x_merc_lo + F.lit(M_HALF)) / F.lit(2 * M_HALF) * side
+    gx_hi = (x_merc_hi + F.lit(M_HALF)) / F.lit(2 * M_HALF) * side
+    gy_lo = (F.lit(M_HALF) - y_merc_hi) / F.lit(2 * M_HALF) * side
+    gy_hi = (F.lit(M_HALF) - y_merc_lo) / F.lit(2 * M_HALF) * side
+    bx0 = F.greatest(F.lit(0), F.floor(F.floor(gx_lo - 1) / tile_px))
+    bx1 = F.least(F.lit(n - 1), F.floor(F.ceil(gx_hi + 1) / tile_px))
+    by0 = F.greatest(F.lit(0), F.floor(F.floor(gy_lo - 1) / tile_px))
+    by1 = F.least(F.lit(n - 1), F.floor(F.ceil(gy_hi + 1) / tile_px))
+    rep = (images
+           .select(F.col("tile_row").cast("long").alias("tile_row"),
+                   F.col("tile_col").cast("long").alias("tile_col"),
+                   "bytes", "fmt", "w", "h", "ndv",
+                   bx0.cast("long").alias("_bx0"),
+                   bx1.cast("long").alias("_bx1"),
+                   by0.cast("long").alias("_by0"),
+                   by1.cast("long").alias("_by1"))
+           .filter((F.col("_bx0") <= F.col("_bx1"))
+                   & (F.col("_by0") <= F.col("_by1")))
+           .withColumn("_x", F.explode(F.sequence("_bx0", "_bx1")))
+           .withColumn("_y", F.explode(F.sequence("_by0", "_by1")))
+           .drop("_bx0", "_bx1", "_by0", "_by1"))
+
+    def kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = ["z", "x", "y", "n_valid", "bytes"]
+        if not len(left):
+            # lattice restricted by bbox_tiles: a replicated source tile
+            # addressed outside the published window emits nothing
+            return pd.DataFrame({c: [] for c in cols})
+        if len(right) and right.duplicated(["tile_row", "tile_col"]).any():
+            raise ValueError(
+                "xyz_base_tiles: duplicate source tiles; resolve "
+                "(e.g. union_mosaic) first")
+        rows = left["row"].to_numpy(np.int64)
+        colsv = left["col"].to_numpy(np.int64)
+        vals = np.full(len(left), np.nan)
+        for t in right.itertuples(index=False):
+            t_ndv = float(t.ndv)
+            tr, tc = int(t.tile_row), int(t.tile_col)
+            arr = _codec.decode_tile(bytes(t.bytes), t.fmt,
+                                     int(t.w), int(t.h), t_ndv)
+            h, w = arr.shape
+            sel = ((rows >= tr * h) & (rows < (tr + 1) * h)
+                   & (colsv >= tc * w) & (colsv < (tc + 1) * w))
+            if sel.any():
+                v = arr[rows[sel] - tr * h, colsv[sel] - tc * w].astype(
+                    np.float64)
+                v[v == t_ndv] = np.nan
+                vals[sel] = v
+        arr_out = np.full((tile_px, tile_px), indv, dtype=np.int16)
+        i = (left["trow"].to_numpy(np.int64) % tile_px)
+        j = (left["tcol"].to_numpy(np.int64) % tile_px)
+        ok = ~np.isnan(vals)
+        vv = vals[ok]
+        # same int16 contract check as _assemble_tiles
+        if len(vv) and ((vv != np.floor(vv)).any()
+                        or (vv < -32768).any() or (vv > 32767).any()
+                        or (vv == indv).any()):
+            raise ValueError(
+                "xyz: tile values must be int16-range integers distinct "
+                "from ndv (scale/round the frame first)")
+        arr_out[i[ok], j[ok]] = vv.astype(np.int16)
+        return pd.DataFrame({
+            "z": [zoom], "x": [int(key[0])], "y": [int(key[1])],
+            "n_valid": [int(ok.sum())],
+            "bytes": [_codec.encode_tile(arr_out, "png", ndv)],
+        })
+
+    return (keyed.groupBy("_x", "_y")
+            .cogroup(rep.groupBy("_x", "_y"))
+            .applyInPandas(kernel,
+                           schema="z long, x long, y long, n_valid long, "
+                                  "bytes binary"))
 
 
 def _assemble_tiles(gathered: DataFrame, zoom: int, tile_px: int,
@@ -256,11 +390,71 @@ def xyz_pyramid(images: DataFrame,
         level = level.localCheckpoint(eager=True)
     out = level
     for z in range(base_zoom, min_zoom, -1):
+        if 4 ** z <= 256:
+            # the whole remaining pyramid is <= 256 tiles (a few MB of
+            # encoded rows): build every level above z in ONE task
+            # instead of one grouped-map job + checkpoint per level —
+            # the per-level arithmetic is identical (2x2 valid-aware
+            # half-up average on the lossless-decoded child arrays)
+            out = out.unionByName(_overview_tail(
+                level, z, min_zoom, tile_px=tile_px, ndv=ndv))
+            break
         level = xyz_overview(level, tile_px=tile_px, ndv=ndv)
         if z - 1 > min_zoom:
             level = level.localCheckpoint(eager=True)
         out = out.unionByName(level)
     return out
+
+
+def _overview_tail(tiles: DataFrame, zoom: int, min_zoom: int,
+                   tile_px: int = 256, ndv: float = -9999.0) -> DataFrame:
+    """Levels zoom-1 .. min_zoom from the zoom-level tiles in one
+    single-task pass (use only when 4^zoom is small).  Per level the
+    reduction is exactly ``xyz_overview``'s: decode children (png16 is
+    lossless, so the freshly built int16 array IS its decode), 2x2
+    valid-aware mean with round-half-up, absent children all-nodata."""
+    import pandas as pd
+
+    indv = int(ndv)
+
+    def gen(batches):
+        cur: dict[tuple[int, int], np.ndarray] = {}
+        for pdf in batches:
+            for t in pdf.itertuples(index=False):
+                a = _codec.decode_tile(bytes(t.bytes), "png",
+                                       tile_px, tile_px, ndv)
+                cur[(int(t.x), int(t.y))] = a
+        rows = []
+        for z in range(zoom, min_zoom, -1):
+            nxt: dict[tuple[int, int], np.ndarray] = {}
+            parents = sorted({(x // 2, y // 2) for x, y in cur})
+            for px_, py in parents:
+                big = np.full((2 * tile_px, 2 * tile_px), np.nan)
+                for (x, y), a in cur.items():
+                    if x // 2 == px_ and y // 2 == py:
+                        af = a.astype(np.float64)
+                        af[af == indv] = np.nan
+                        oy, ox = (y % 2) * tile_px, (x % 2) * tile_px
+                        big[oy:oy + tile_px, ox:ox + tile_px] = af
+                q = big.reshape(tile_px, 2, tile_px, 2)
+                cnt = (~np.isnan(q)).sum(axis=(1, 3))
+                s = np.nansum(q, axis=(1, 3))
+                outa = np.full((tile_px, tile_px), indv, dtype=np.int16)
+                ok = cnt > 0
+                outa[ok] = np.floor(s[ok] / cnt[ok] + 0.5).astype(np.int16)
+                nxt[(px_, py)] = outa
+                rows.append({
+                    "z": z - 1, "x": px_, "y": py,
+                    "n_valid": int(ok.sum()),
+                    "bytes": _codec.encode_tile(outa, "png", ndv),
+                })
+            cur = nxt
+        yield pd.DataFrame(rows,
+                           columns=["z", "x", "y", "n_valid", "bytes"])
+
+    return tiles.select("z", "x", "y", "n_valid", "bytes").coalesce(1) \
+        .mapInPandas(gen, schema="z long, x long, y long, n_valid long, "
+                                 "bytes binary")
 
 
 def affected_base_tiles(changed_src_tiles, src_origin, src_cellsize,

@@ -60,7 +60,9 @@ def cea_bounds(lon0: float, lat0: float, lon1: float, lat1: float, phi_s: float 
 
 def gather_from_tiles(tgt: DataFrame, images: DataFrame,
                       carry: tuple = ("xm", "ym"),
-                      tile_shape: tuple[int, int] | None = None) -> DataFrame:
+                      tile_shape: tuple[int, int] | None = None,
+                      n_targets: int | None = None,
+                      src_shape: tuple[int, int] | None = None) -> DataFrame:
     """Exchange-light nearest gather (the 100-TB path): instead of
     exploding every tile into a pixel table and shuffle-joining ~N
     pixel rows against the target lattice (two N-row exchanges plus
@@ -76,7 +78,17 @@ def gather_from_tiles(tgt: DataFrame, images: DataFrame,
     ``images`` is the standard tiles table (tile_row, tile_col, bytes,
     fmt, w, h, ndv).  Out-of-range indices and masked (ndv) cells emit
     NULL, exactly like the left-join gather (pytest-pinned
-    equivalence)."""
+    equivalence).
+
+    When ``n_targets`` and ``src_shape`` are given, tiles group into
+    B×B SUPERBLOCKS sized so each cogroup task resolves ~32k targets:
+    one stored-tile-per-group made the per-group Python overhead (a few
+    hundred µs × #tiles) the dominant cost once targets/tile fell below
+    ~1k (measured: the sf1 nearest gather spent most of its wall in
+    22.9k group invocations of ~370 rows).  The block factor derives
+    from the measured work per group — target count over tile count —
+    not from the local core count, so it adapts from the 45-tile gate
+    grids to a cluster-scale lattice."""
     import pandas as pd
 
     from ..sources import codec as _codec
@@ -93,10 +105,17 @@ def gather_from_tiles(tgt: DataFrame, images: DataFrame,
             raise ValueError("gather_from_tiles: empty images table "
                              "(pass tile_shape to gather over it anyway)")
         t_w, t_h = int(dims["w"]), int(dims["h"])
+    block = 1
+    if n_targets is not None and src_shape is not None:
+        n_tiles = max(1, -(-int(src_shape[0]) // t_h)
+                      * (-(-int(src_shape[1]) // t_w)))
+        block = max(1, min(64, math.ceil(math.sqrt(
+            32768 * n_tiles / max(1, int(n_targets))))))
+    b_h, b_w = block * t_h, block * t_w
     keyed = tgt.select(
         "trow", "tcol", "row", "col", *carry,
-        F.floor(F.col("row") / F.lit(t_h)).cast("long").alias("_tr"),
-        F.floor(F.col("col") / F.lit(t_w)).cast("long").alias("_tc"),
+        F.floor(F.col("row") / F.lit(b_h)).cast("long").alias("_tr"),
+        F.floor(F.col("col") / F.lit(b_w)).cast("long").alias("_tc"),
     )
     out_cols = ["trow", "tcol", *carry, "value"]
     schema = ", ".join(
@@ -107,27 +126,27 @@ def gather_from_tiles(tgt: DataFrame, images: DataFrame,
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         out = left[["trow", "tcol", *carry]].copy()
         vals = np.full(len(left), np.nan)
-        if len(right) > 1:
+        if len(right) and right.duplicated(["tile_row", "tile_col"]).any():
             # one row per (tile_row, tile_col) is the tiles-table
-            # contract; silently decoding right.iloc[0] on a mosaic /
+            # contract; silently decoding one of them on a mosaic /
             # unioned images table would mix grids nondeterministically
             raise ValueError(
-                "gather_from_tiles: "
-                f"{len(right)} image rows share tile "
-                f"({int(right['tile_row'].iloc[0])},"
-                f" {int(right['tile_col'].iloc[0])}); "
+                "gather_from_tiles: duplicate image rows share tile keys; "
                 "resolve duplicates (e.g. union_mosaic) first")
-        if len(right):
-            t = right.iloc[0]
-            ndv = float(t["ndv"])
-            arr = _codec.decode_tile(bytes(t["bytes"]), t["fmt"],
-                                     int(t["w"]), int(t["h"]), ndv)
-            li = (left["row"] - int(t["tile_row"]) * arr.shape[0]).to_numpy()
-            lj = (left["col"] - int(t["tile_col"]) * arr.shape[1]).to_numpy()
+        rows = left["row"].to_numpy(np.int64)
+        colsv = left["col"].to_numpy(np.int64)
+        for t in right.itertuples(index=False):
+            ndv = float(t.ndv)
+            arr = _codec.decode_tile(bytes(t.bytes), t.fmt,
+                                     int(t.w), int(t.h), ndv)
+            li = rows - int(t.tile_row) * arr.shape[0]
+            lj = colsv - int(t.tile_col) * arr.shape[1]
             ok = ((li >= 0) & (li < arr.shape[0])
                   & (lj >= 0) & (lj < arr.shape[1]))
-            vals[ok] = arr[li[ok], lj[ok]].astype(np.float64)
-            vals[vals == ndv] = np.nan
+            if ok.any():
+                v = arr[li[ok], lj[ok]].astype(np.float64)
+                v[v == ndv] = np.nan
+                vals[ok] = v
         out["value"] = pd.array(vals, dtype="Float64")  # NaN -> NULL
         return out
 
@@ -135,12 +154,18 @@ def gather_from_tiles(tgt: DataFrame, images: DataFrame,
     # hash partitioning is type-sensitive (int 1 and long 1 hash to
     # different partitions), so an int tile_row against a long _tr
     # silently yields empty right-side groups
-    imgs_keyed = images.withColumn(
-        "tile_row", F.col("tile_row").cast("long")).withColumn(
-        "tile_col", F.col("tile_col").cast("long"))
+    imgs_keyed = images.select(
+        F.col("tile_row").cast("long").alias("tile_row"),
+        F.col("tile_col").cast("long").alias("tile_col"),
+        "bytes", "fmt", "w", "h", "ndv",
+    ).withColumn(
+        "_tr", F.floor(F.col("tile_row") * F.lit(t_h) / F.lit(b_h)).cast("long")
+    ).withColumn(
+        "_tc", F.floor(F.col("tile_col") * F.lit(t_w) / F.lit(b_w)).cast("long")
+    )
     return (
         keyed.groupBy("_tr", "_tc")
-        .cogroup(imgs_keyed.groupBy("tile_row", "tile_col"))
+        .cogroup(imgs_keyed.groupBy("_tr", "_tc"))
         .applyInPandas(kernel, schema)
     )
 
@@ -204,7 +229,8 @@ def wgs84_to_cea_grid(
         # shuffle and both Arrow crossings (same Column expressions, so
         # bit-identical values)
         g = gather_from_tiles(tgt.select("trow", "tcol", "row", "col"),
-                              images, carry=())
+                              images, carry=(), n_targets=th * tw,
+                              src_shape=src_shape)
         return g.select(
             "trow", "tcol",
             (F.lit(X0) + (F.col("tcol") + F.lit(0.5)) * F.lit(tcx)).alias("xm"),
@@ -236,6 +262,11 @@ def wgs84_to_cea_grid(
         .distinct())
     src = (src.join(F.broadcast(rows_used), "row", "left_semi")
               .join(F.broadcast(cols_used), "col", "left_semi"))
+    # the semi-filters shrink the OPTIMIZER'S estimate of src so far
+    # that it would auto-broadcast a table that is really M rows (8.4M
+    # at the sf1 tier, unbounded at scale): pin a shuffled-hash join —
+    # both sides exchange by (row, col), no sort, no driver collect
+    src = src.hint("shuffle_hash")
     # xm/ym are pure arithmetic over repr-round-tripped literal doubles:
     # bit-identical across engines, so they ship UNROUNDED (rounding to
     # 6 dp can itself straddle a decimal tie and flip the last digit)
@@ -482,6 +513,8 @@ def _bilinear_from_lonlat_tiles(
     lat,
     src_origin: tuple[float, float],
     src_cellsize: tuple[float, float],
+    n_targets: int | None = None,
+    src_shape: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Tile-cogrouped bilinear (the 100-TB path, r6): same corner
     lattice as ``_bilinear_from_lonlat`` but the 4M corner rows gather
@@ -493,18 +526,126 @@ def _bilinear_from_lonlat_tiles(
     NULL and are excluded from BOTH the weighted sum and the weight
     mass, reproducing the inner-join renormalization exactly
     (pytest-pinned equivalence)."""
-    corners = _bilinear_corners(target, lon, lat, src_origin, src_cellsize)
-    g = gather_from_tiles(corners, images, carry=("wgt",))
-    vw = F.when(F.col("value").isNotNull(), F.col("wgt"))
-    return g.groupBy("trow", "tcol").agg(
-        F.when(
-            F.sum(vw) > 0,
-            F.round(F.sum(F.col("wgt") * F.col("value")) / F.sum(vw), 6),
-        ).alias("value"),
+    import pandas as pd
+
+    from ..sources import codec as _codec
+
+    # r7 fused plan: do NOT explode 4 corner rows per target before the
+    # exchange.  The un-exploded target frame (r0, c0, du, dv) shuffles
+    # ONCE keyed by the tile of its top-left corner; each task assembles
+    # its tile plus a one-cell right/bottom halo from the <=4 replicated
+    # neighbor tiles (tile BYTES move, not pixel rows) and resolves all
+    # 4 corners in numpy.  The 4·M corner shuffle, both of its Arrow
+    # crossings and the (trow, tcol) re-aggregation exchange disappear;
+    # the weighted-sum/weight-mass/round arithmetic stays in the JVM on
+    # the kernel's (num, den, n) partials, so the NULL guards and 6-dp
+    # rounding are the same expressions as before (pytest-pinned
+    # equivalence with the pixel-join plan).
+    spark = images.sparkSession
+    dims = images.select("w", "h").first()
+    if dims is None:
+        raise ValueError("bilinear tiles plan: empty images table")
+    t_w, t_h = int(dims["w"]), int(dims["h"])
+    # tile SUPERBLOCKS sized for ~32k targets per task (see
+    # gather_from_tiles): one-tile groups drown in per-group Python
+    # overhead when targets/tile is small
+    block = 1
+    if n_targets is not None and src_shape is not None:
+        n_tiles = max(1, -(-int(src_shape[0]) // t_h)
+                      * (-(-int(src_shape[1]) // t_w)))
+        block = max(1, min(64, math.ceil(math.sqrt(
+            32768 * n_tiles / max(1, int(n_targets))))))
+    b_h, b_w = block * t_h, block * t_w
+    x0g, y0g = src_origin
+    cx, cy = src_cellsize
+    u = F.round((lat - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
+    v = F.round((lon - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
+    frac = target.select(
+        "trow", "tcol",
+        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
+        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
+    ).select(
+        "*",
+        F.floor(F.col("r0") / F.lit(b_h)).cast("long").alias("_tr"),
+        F.floor(F.col("c0") / F.lit(b_w)).cast("long").alias("_tc"),
+    )
+    # each stored tile feeds its own superblock task, plus the up/left/
+    # up-left tasks whose one-cell halo it supplies when it sits on its
+    # block's top/left edge
+    rep = (images
+           .select(F.col("tile_row").cast("long").alias("tile_row"),
+                   F.col("tile_col").cast("long").alias("tile_col"),
+                   "bytes", "fmt", "w", "h", "ndv")
+           .withColumn("_da", F.explode(F.array(F.lit(0), F.lit(-1))))
+           .withColumn("_db", F.explode(F.array(F.lit(0), F.lit(-1))))
+           .filter(((F.col("_da") == 0) | (F.col("tile_row") % block == 0))
+                   & ((F.col("_db") == 0) | (F.col("tile_col") % block == 0)))
+           .select((F.floor(F.col("tile_row") / block).cast("long")
+                    + F.col("_da")).alias("_tr"),
+                   (F.floor(F.col("tile_col") / block).cast("long")
+                    + F.col("_db")).alias("_tc"),
+                   "tile_row", "tile_col", "bytes", "fmt", "w", "h", "ndv")
+           .filter((F.col("_tr") >= 0) & (F.col("_tc") >= 0)))
+
+    def kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = ["trow", "tcol", "num", "den", "n"]
+        if not len(left):
+            return pd.DataFrame({c: [] for c in cols})
+        if len(right) and right.duplicated(["tile_row", "tile_col"]).any():
+            raise ValueError(
+                "bilinear tiles plan: duplicate image rows share tile keys; "
+                "resolve duplicates (e.g. union_mosaic) first")
+        base_r, base_c = int(key[0]) * b_h, int(key[1]) * b_w
+        win = np.full((b_h + 1, b_w + 1), np.nan)
+        for t in right.itertuples(index=False):
+            t_ndv = float(t.ndv)
+            arr = _codec.decode_tile(bytes(t.bytes), t.fmt,
+                                     int(t.w), int(t.h), t_ndv)
+            h, w = arr.shape
+            gr0 = int(t.tile_row) * h
+            gc0 = int(t.tile_col) * w
+            r_lo, r_hi = max(gr0, base_r), min(gr0 + h, base_r + b_h + 1)
+            c_lo, c_hi = max(gc0, base_c), min(gc0 + w, base_c + b_w + 1)
+            if r_lo < r_hi and c_lo < c_hi:
+                sub = arr[r_lo - gr0:r_hi - gr0,
+                          c_lo - gc0:c_hi - gc0].astype(np.float64)
+                sub = np.where(sub == t_ndv, np.nan, sub)
+                win[r_lo - base_r:r_hi - base_r,
+                    c_lo - base_c:c_hi - base_c] = sub
+        r0l = left["r0"].to_numpy(np.int64) - base_r
+        c0l = left["c0"].to_numpy(np.int64) - base_c
+        du = left["du"].to_numpy(np.float64)
+        dv = left["dv"].to_numpy(np.float64)
+        num = np.zeros(len(left))
+        den = np.zeros(len(left))
+        n = np.zeros(len(left), np.int64)
+        for a in (0, 1):
+            wa = du if a == 1 else 1.0 - du
+            for b in (0, 1):
+                wb = dv if b == 1 else 1.0 - dv
+                vv = win[r0l + a, c0l + b]
+                ok = ~np.isnan(vv)
+                wgt = wa * wb
+                num[ok] += wgt[ok] * vv[ok]
+                den[ok] += wgt[ok]
+                n[ok] += 1
+        return pd.DataFrame({
+            "trow": left["trow"].to_numpy(np.int64),
+            "tcol": left["tcol"].to_numpy(np.int64),
+            "num": num, "den": den, "n": n,
+        })
+
+    g = (frac.groupBy("_tr", "_tc")
+         .cogroup(rep.groupBy("_tr", "_tc"))
+         .applyInPandas(kernel, schema="trow long, tcol long, num double, "
+                                       "den double, n long"))
+    return g.select(
+        "trow", "tcol",
+        F.when(F.col("den") > 0,
+               F.round(F.col("num") / F.col("den"), 6)).alias("value"),
         # NULL (not 0) when no corner was valid — matches the pixel
         # plan's left join against the inner-join aggregate
-        F.when(F.count("value") > 0, F.count("value"))
-        .cast("long").alias("n_contrib"),
+        F.when(F.col("n") > 0, F.col("n")).cast("long").alias("n_contrib"),
     )
 
 
@@ -577,7 +718,8 @@ def wgs84_to_cea_grid_bilinear(
     lat = F.asin(ym * F.lit(k / R)) * F.lit(180.0) / F.lit(math.pi)
     if images is not None:
         return _bilinear_from_lonlat_tiles(
-            images, target, lon, lat, src_origin, src_cellsize)
+            images, target, lon, lat, src_origin, src_cellsize,
+            n_targets=th * tw, src_shape=src_shape)
     return _bilinear_from_lonlat(px, target, lon, lat, src_origin, src_cellsize)
 
 

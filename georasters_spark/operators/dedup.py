@@ -88,15 +88,25 @@ def jaccard_pairs(
     if df_cap is not None:
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= df_cap)
         sh = sh.join(freq.select("shingle"), "shingle")
+    # the shingle table feeds the pair generation AND the per-doc counts
+    # — without the checkpoint the explode+distinct lineage executed up
+    # to 4x (the broadcast boundary defeats exchange reuse)
+    sh = sh.localCheckpoint(eager=True)
     cnts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # pair generation from sorted posting lists: ONE exchange keyed by
+    # shingle + a JVM higher-order-function explode, instead of the
+    # two-sided self-join shuffle; per shingle the emitted (a < b)
+    # pairs are exactly the join's
+    plists = (sh.groupBy("shingle")
+              .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+              .filter(F.size("ds") >= 2))
+    pairs = plists.select(F.explode(F.expr(
+        "flatten(transform(ds, (x, i) -> transform("
+        "slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))")).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("inter"))
     ratio = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     j = (
         inter.join(cnts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")

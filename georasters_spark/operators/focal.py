@@ -67,7 +67,7 @@ def focal_apply(
     px: DataFrame,
     fn,
     k: int,
-    tile: int = 64,
+    tile: int = 128,
     out_schema: str = "row long, col long, value double",
     out_builder=None,
 ) -> DataFrame:
@@ -109,7 +109,7 @@ def focal_apply(
     )
 
 
-def focal_sums(px: DataFrame, k: int, tile: int = 64, round_dp: int = 6) -> DataFrame:
+def focal_sums(px: DataFrame, k: int, tile: int = 128, round_dp: int = 6) -> DataFrame:
     """Exact k×k focal sum/count/mean of VALID cells (self-inclusive):
     (row, col, value, fsum, fcnt, fmean). Integer inputs stay exact
     BIGINTs through the window sums; fmean = round(double(fsum)/fcnt)."""

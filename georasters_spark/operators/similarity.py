@@ -265,18 +265,54 @@ def kmeans_fit(
     except the k×d centroid matrix itself)."""
     d0 = emb.select(id_col, "embedding").orderBy(id_col).limit(k).toPandas()
     cents = np.asarray(d0["embedding"].tolist(), dtype=np.float64)
+    sel = emb.select("embedding")
 
     for _ in range(iters):
-        assigned = kmeans_assign(emb, cents, id_col=id_col)
-        upd = (
-            assigned.select("cluster", F.posexplode(F.col("embedding").cast("array<double>")))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("col").alias("m"))
-            .toPandas()
-        )
+        c_bc = cents
+
+        # r7: the update is ONE fused Arrow pass — assignment argmin and
+        # per-cluster (sum, count) partials in the same numpy batch loop
+        # — instead of assignment + an n×d posexplode shuffle + a
+        # grouped avg.  Only (#partitions × k) partial rows leave the
+        # executors; the driver combines them in (cluster, partition)
+        # sort order so reruns are bit-identical (the determinism
+        # contract of this fit).
+        def partials(batches, c=c_bc):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            kk, d = c.shape
+            sums = np.zeros((kk, d))
+            cnt = np.zeros(kk, np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+                d2 = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+                a = np.argmin(d2, axis=1)
+                np.add.at(sums, a, m)
+                cnt += np.bincount(a, minlength=kk)
+            nz = np.flatnonzero(cnt)
+            yield pd.DataFrame({
+                "pid": np.full(len(nz), pid, np.int64),
+                "cluster": nz.astype(np.int64),
+                "s": [sums[i].tolist() for i in nz],
+                "c": cnt[nz],
+            })
+
+        up = sel.mapInPandas(
+            partials, schema="pid long, cluster long, s array<double>, c long"
+        ).toPandas()
         nxt = cents.copy()  # empty clusters keep their previous centroid
-        for c, g in upd.groupby("cluster"):
-            nxt[int(c)] = g.sort_values("pos")["m"].to_numpy()
+        if len(up):
+            up = up.sort_values(["cluster", "pid"])
+            for cl, g in up.groupby("cluster", sort=True):
+                s = np.zeros(cents.shape[1])
+                n = 0
+                for t in g.itertuples(index=False):
+                    s += np.asarray(t.s, dtype=np.float64)
+                    n += int(t.c)
+                nxt[int(cl)] = s / n
         cents = nxt
     return cents
 

@@ -54,6 +54,7 @@ def pip_join(
     zones,
     mode: str = "center",
     cellsize: tuple[float, float] | None = None,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """(pixel rows with xc, yc) x zones -> one row per (pixel, zone) hit.
 
@@ -78,10 +79,14 @@ def pip_join(
 
     from pyspark.sql import types as T
 
+    # `keep` prunes the opaque kernel's OUTPUT: columns the caller will
+    # drop anyway (e.g. the xc/yc the test itself consumes) would
+    # otherwise ride the Arrow return for nothing
+    fields = keep if keep is not None else [f.name for f in pixel_df.schema.fields]
     out_schema = T.StructType(
-        list(pixel_df.schema.fields) + [T.StructField("zone_id", T.LongType())]
+        [pixel_df.schema[f] for f in fields]
+        + [T.StructField("zone_id", T.LongType())]
     )
-    fields = [f.name for f in pixel_df.schema.fields]
 
     def kernel(batches):
         for pdf in batches:
@@ -324,7 +329,13 @@ def zonal_stats(
         cellsize=cellsize,
         bboxes=[geom.rings_bbox(z.rings) for z in zones],
     )
-    hits = pip_join(px, zones, mode=mode, cellsize=cellsize)
+    # pass only what the PIP kernel and the aggregate consume: the
+    # corner coords (x, y) would otherwise ride through both Arrow
+    # crossings of the opaque kernel (16 dead bytes/row), and xc/yc
+    # only need to cross INTO it
+    px = px.select("image_id", "row", "col", "value", "xc", "yc")
+    hits = pip_join(px, zones, mode=mode, cellsize=cellsize,
+                    keep=["image_id", "row", "col", "value"])
     v = F.col("value")
     if salt:
         # explicit two-phase salted aggregate for skewed zones
@@ -457,8 +468,8 @@ def zonal_stats_extended(
             pruned, valid_only=True, origin=origin, cellsize=cellsize,
             bboxes=[geom.rings_bbox(z.rings) for z in zones],
         )
-        hits = pip_join(px, zones, mode=mode, cellsize=cellsize).select(
-            "zone_id", "value")
+        hits = pip_join(px.select("value", "xc", "yc"), zones, mode=mode,
+                        cellsize=cellsize, keep=["value"])
         vc = hits.groupBy("zone_id", "value").agg(F.count(F.lit(1)).alias("cnt"))
     # everything below is ONE downstream of vc (windows + a single
     # grouped aggregate, no joins) — so the count table, and with it
@@ -568,9 +579,8 @@ def zonal_stats_custom(
             pruned, valid_only=True, origin=origin, cellsize=cellsize,
             bboxes=[geom.rings_bbox(z.rings) for z in zones],
         )
-        hits = pip_join(px, zones, mode=mode, cellsize=cellsize).select(
-            "zone_id", "value"
-        )
+        hits = pip_join(px.select("value", "xc", "yc"), zones, mode=mode,
+                        cellsize=cellsize, keep=["value"])
         whole = {k: f for k, f in add_stats.items() if not isinstance(f, tuple)}
         comb = {k: f for k, f in add_stats.items() if isinstance(f, tuple)}
         out = base

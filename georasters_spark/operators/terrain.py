@@ -79,7 +79,7 @@ def horn_sums(px: DataFrame) -> DataFrame:
     )
 
 
-def horn_sums_halo(px: DataFrame, tile: int = 64) -> DataFrame:
+def horn_sums_halo(px: DataFrame, tile: int = 128) -> DataFrame:
     """The same exact Horn sums via the focal_apply tile+halo stencil —
     the 100-TB fast path: ONE tile-keyed grouped-map instead of an
     8x-replicated neighbor-join shuffle. Integer sums stay exact in

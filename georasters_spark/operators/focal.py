@@ -20,6 +20,8 @@ assembly loses/duplicates nothing across tile seams.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -167,13 +169,15 @@ FROM s"""
 # tiles-in stencil: decode in place, exchange only halo strips
 # ---------------------------------------------------------------------------
 
-def _strips_from_tiles(images: DataFrame, m: int) -> DataFrame:
+def _strips_from_tiles(images: DataFrame, m: int, block: int = 1) -> DataFrame:
     """Decode each stored tile ONCE (mapInPandas, no shuffle) and emit
     only its width-m halo bands as pixel rows addressed to the
-    neighboring tiles' stencil tasks: (trow, tcol, row, col, value),
-    valid cells only.  Per tile that is ~2m(h+w)+4m² rows instead of
-    h·w — the stencil analog of gather_from_tiles' no-pixel-explode
-    rule."""
+    neighboring SUPERBLOCK stencil tasks: (trow, tcol, row, col,
+    value), valid cells only, trow/tcol in block units.  Per tile that
+    is ~2m(h+w)+4m² rows instead of h·w — the stencil analog of
+    gather_from_tiles' no-pixel-explode rule; with block > 1 only the
+    bands that actually cross a block boundary ship (interior seams
+    resolve inside the task that holds both tiles)."""
     from ..sources import codec as _codec
 
     def gen(batches):
@@ -182,14 +186,8 @@ def _strips_from_tiles(images: DataFrame, m: int) -> DataFrame:
             outs = []
             for t in pdf.itertuples(index=False):
                 ndv = float(t.ndv)
-                arr = _codec.decode_tile(
-                    bytes(t.bytes), t.fmt, int(t.w), int(t.h), ndv
-                ).astype(np.float64)
-                h, w = arr.shape
-                if m >= min(h, w):
-                    raise ValueError(
-                        f"focal tiles plan: halo width {m} must be < tile "
-                        f"side ({h}x{w}); re-tile or shrink the kernel")
+                arr = None
+                h, w = int(t.h), int(t.w)
                 ty, tx = int(t.tile_row), int(t.tile_col)
                 for da in (-1, 0, 1):
                     for db in (-1, 0, 1):
@@ -197,6 +195,21 @@ def _strips_from_tiles(images: DataFrame, m: int) -> DataFrame:
                             continue
                         if ty + da < 0 or tx + db < 0:
                             continue
+                        # superblock of the neighbor tile: skip bands
+                        # that stay inside this tile's own block
+                        by, bx = (ty + da) // block, (tx + db) // block
+                        if by == ty // block and bx == tx // block:
+                            continue
+                        if arr is None:
+                            arr = _codec.decode_tile(
+                                bytes(t.bytes), t.fmt, w, h, ndv
+                            ).astype(np.float64)
+                            h, w = arr.shape
+                            if m >= min(h, w):
+                                raise ValueError(
+                                    f"focal tiles plan: halo width {m} must "
+                                    f"be < tile side ({h}x{w}); re-tile or "
+                                    "shrink the kernel")
                         # the band of THIS tile adjacent to that neighbor
                         rs = (slice(h - m, h) if da == 1
                               else slice(0, m) if da == -1 else slice(0, h))
@@ -207,8 +220,8 @@ def _strips_from_tiles(images: DataFrame, m: int) -> DataFrame:
                         if not len(vi):
                             continue
                         outs.append(pd.DataFrame({
-                            "trow": np.int64(ty + da),
-                            "tcol": np.int64(tx + db),
+                            "trow": np.int64(by),
+                            "tcol": np.int64(bx),
                             "row": ty * h + (rs.start or 0) + vi.astype(np.int64),
                             "col": tx * w + (cs.start or 0) + vj.astype(np.int64),
                             "value": sub[vi, vj],
@@ -243,37 +256,48 @@ def focal_apply_tiles(
     m = k // 2
     if m < 1:
         raise ValueError("need k >= 3 (k//2 >= 1)")
+    # SUPERBLOCKS of B×B stored tiles per task, sized for ~64k cells of
+    # stencil work: one-tile groups drown in per-group Python overhead
+    # (the gather_from_tiles measurement), and intra-block seams then
+    # resolve in-task so only block-boundary strips ever ship
+    dims = images.select("w", "h").first()
+    if dims is None:
+        raise ValueError("focal_apply_tiles: empty images table")
+    t_w, t_h = int(dims["w"]), int(dims["h"])
+    block = max(1, int(round(math.sqrt(65536.0 / max(1, t_w * t_h)))))
 
     def kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         cols = [c.strip().split()[0] for c in out_schema.split(",")]
         if not len(right):
-            # strips addressed past the grid edge: no home tile, no rows
+            # strips addressed past the grid edge: no home tiles, no rows
             return pd.DataFrame({c: [] for c in cols})
-        if len(right) > 1:
+        if right.duplicated(["tile_row", "tile_col"]).any():
             raise ValueError(
-                f"focal_apply_tiles: {len(right)} image rows share tile "
-                f"({int(key[0])}, {int(key[1])}); resolve duplicates first")
-        t = right.iloc[0]
-        ndv = float(t["ndv"])
-        arr = _codec.decode_tile(bytes(t["bytes"]), t["fmt"],
-                                 int(t["w"]), int(t["h"]), ndv
-                                 ).astype(np.float64)
-        h, w = arr.shape
-        # validated here, with the tile row the task already holds —
-        # never as an extra driver-side scan job before the real one
-        if m >= min(h, w):
-            raise ValueError(
-                f"focal_apply_tiles: k//2 = {m} must be < tile side "
-                f"({h}x{w}); re-tile or shrink the kernel")
-        ty, tx = int(t["tile_row"]), int(t["tile_col"])
-        side_r, side_c = h + 2 * m, w + 2 * m
+                "focal_apply_tiles: duplicate image rows share tile keys; "
+                "resolve duplicates first")
+        by, bx = int(key[0]), int(key[1])
+        base_r, base_c = by * block * t_h - m, bx * block * t_w - m
+        side_r, side_c = block * t_h + 2 * m, block * t_w + 2 * m
         val = np.full((side_r, side_c), np.nan)
-        center = arr.copy()
-        center[center == ndv] = np.nan
-        val[m:m + h, m:m + w] = center
+        for t in right.itertuples(index=False):
+            ndv = float(t.ndv)
+            arr = _codec.decode_tile(bytes(t.bytes), t.fmt,
+                                     int(t.w), int(t.h), ndv
+                                     ).astype(np.float64)
+            h, w = arr.shape
+            # validated here, with rows the task already holds — never
+            # as an extra driver-side scan job before the real one
+            if m >= min(h, w):
+                raise ValueError(
+                    f"focal_apply_tiles: k//2 = {m} must be < tile side "
+                    f"({h}x{w}); re-tile or shrink the kernel")
+            arr[arr == ndv] = np.nan
+            r0 = int(t.tile_row) * h - base_r
+            c0 = int(t.tile_col) * w - base_c
+            val[r0:r0 + h, c0:c0 + w] = arr
         if len(left):
-            lr = left["row"].to_numpy(np.int64) - (ty * h - m)
-            lc = left["col"].to_numpy(np.int64) - (tx * w - m)
+            lr = left["row"].to_numpy(np.int64) - base_r
+            lc = left["col"].to_numpy(np.int64) - base_c
             val[lr, lc] = left["value"].to_numpy(np.float64)
         valid = ~np.isnan(val)
         swv = np.lib.stride_tricks.sliding_window_view(val, (k, k))
@@ -282,8 +306,8 @@ def focal_apply_tiles(
         interior_valid = valid[m:-m, m:-m]
         rr, cc = np.nonzero(interior_valid)
         out = {
-            "row": rr.astype(np.int64) + ty * h,
-            "col": cc.astype(np.int64) + tx * w,
+            "row": rr.astype(np.int64) + by * block * t_h,
+            "col": cc.astype(np.int64) + bx * block * t_w,
         }
         if isinstance(res, dict):
             for name, a in res.items():
@@ -296,11 +320,15 @@ def focal_apply_tiles(
         F.col("tile_row").cast("long").alias("tile_row"),
         F.col("tile_col").cast("long").alias("tile_col"),
         "bytes", "fmt", "w", "h", "ndv",
+    ).withColumn(
+        "_btr", F.floor(F.col("tile_row") / block).cast("long")
+    ).withColumn(
+        "_btc", F.floor(F.col("tile_col") / block).cast("long")
     )
     return (
-        _strips_from_tiles(images, m)
+        _strips_from_tiles(images, m, block=block)
         .groupBy("trow", "tcol")
-        .cogroup(imgs_keyed.groupBy("tile_row", "tile_col"))
+        .cogroup(imgs_keyed.groupBy("_btr", "_btc"))
         .applyInPandas(kernel, schema=out_schema)
     )
 

@@ -96,16 +96,29 @@ def jaccard_pairs(
     # pair generation from sorted posting lists: ONE exchange keyed by
     # shingle + a JVM higher-order-function explode, instead of the
     # two-sided self-join shuffle; per shingle the emitted (a < b)
-    # pairs are exactly the join's
+    # pairs are exactly the join's.  Postings longer than _HOT cannot
+    # materialize their O(p²) struct array in one row (a stop-shingle
+    # with 100k docs would OOM the task) — those few hot shingles route
+    # through the streaming self-join instead, same pair multiset.
+    _HOT = 1024
+    # checkpointed: the small/hot split below reads it twice, and the
+    # grouped collect_list must not re-aggregate per branch
     plists = (sh.groupBy("shingle")
               .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-              .filter(F.size("ds") >= 2))
-    pairs = plists.select(F.explode(F.expr(
+              .filter(F.size("ds") >= 2)).localCheckpoint(eager=True)
+    pairs = plists.filter(F.size("ds") <= _HOT).select(F.explode(F.expr(
         "flatten(transform(ds, (x, i) -> transform("
         "slice(ds, i + 2, size(ds) - i - 1), "
         "y -> struct(x AS doc_a, y AS doc_b))))")).alias("p")
     ).select("p.doc_a", "p.doc_b")
-    inter = pairs.groupBy("doc_a", "doc_b").agg(
+    hot = plists.filter(F.size("ds") > _HOT).select(
+        "shingle", F.explode("ds").alias("doc_id"))
+    hot_pairs = (hot.select("shingle", F.col("doc_id").alias("doc_a"))
+                 .join(hot.select("shingle", F.col("doc_id").alias("doc_b")),
+                       "shingle")
+                 .filter(F.col("doc_a") < F.col("doc_b"))
+                 .select("doc_a", "doc_b"))
+    inter = pairs.unionByName(hot_pairs).groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("inter"))
     ratio = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     j = (

@@ -241,6 +241,7 @@ def focal_apply_tiles(
     fn,
     k: int,
     out_schema: str = "row long, col long, value double",
+    tile_shape: tuple[int, int] | None = None,
 ) -> DataFrame:
     """`focal_apply` semantics straight off the stored tiles table —
     the 100-TB stencil plan: tiles decode inside their own stencil task
@@ -260,10 +261,14 @@ def focal_apply_tiles(
     # stencil work: one-tile groups drown in per-group Python overhead
     # (the gather_from_tiles measurement), and intra-block seams then
     # resolve in-task so only block-boundary strips ever ship
-    dims = images.select("w", "h").first()
-    if dims is None:
-        raise ValueError("focal_apply_tiles: empty images table")
-    t_w, t_h = int(dims["w"]), int(dims["h"])
+    if tile_shape is not None:
+        t_h, t_w = int(tile_shape[0]), int(tile_shape[1])
+    else:
+        # pass tile_shape to skip this one-row probe job
+        dims = images.select("w", "h").first()
+        if dims is None:
+            raise ValueError("focal_apply_tiles: empty images table")
+        t_w, t_h = int(dims["w"]), int(dims["h"])
     block = max(1, int(round(math.sqrt(65536.0 / max(1, t_w * t_h)))))
 
     def kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -334,7 +339,8 @@ def focal_apply_tiles(
 
 
 def focal_sums_tiles(images: DataFrame, k: int,
-                     round_dp: int = 6) -> DataFrame:
+                     round_dp: int = 6,
+                     tile_shape: tuple[int, int] | None = None) -> DataFrame:
     """`focal_sums` off the stored tiles table via focal_apply_tiles —
     value-identical to focal_sums(pixel_table(images, valid_only=True))
     (pytest-pinned) with no pixel explode."""
@@ -347,7 +353,7 @@ def focal_sums_tiles(images: DataFrame, k: int,
                 "fcnt": swm.sum(axis=(2, 3)).astype(np.float64)}
 
     raw = focal_apply_tiles(
-        images, fn, k,
+        images, fn, k, tile_shape=tile_shape,
         out_schema="row long, col long, value double, fsum double, fcnt double",
     )
     return raw.select(

@@ -58,6 +58,19 @@ def cea_bounds(lon0: float, lat0: float, lon1: float, lat1: float, phi_s: float 
     return x0, y0, x1, y1
 
 
+def _superblock(n_targets, src_shape, t_h: int, t_w: int) -> int:
+    """Tile superblock factor for the cogroup gathers: size each task
+    for ~32k targets (per-group Python overhead dominates below ~1k
+    targets/tile — measured), derived from the data shape, never from
+    the local core count.  1 when the shapes are unknown."""
+    if n_targets is None or src_shape is None:
+        return 1
+    n_tiles = max(1, -(-int(src_shape[0]) // t_h)
+                  * (-(-int(src_shape[1]) // t_w)))
+    return max(1, min(64, math.ceil(math.sqrt(
+        32768 * n_tiles / max(1, int(n_targets))))))
+
+
 def gather_from_tiles(tgt: DataFrame, images: DataFrame,
                       carry: tuple = ("xm", "ym"),
                       tile_shape: tuple[int, int] | None = None,
@@ -105,12 +118,7 @@ def gather_from_tiles(tgt: DataFrame, images: DataFrame,
             raise ValueError("gather_from_tiles: empty images table "
                              "(pass tile_shape to gather over it anyway)")
         t_w, t_h = int(dims["w"]), int(dims["h"])
-    block = 1
-    if n_targets is not None and src_shape is not None:
-        n_tiles = max(1, -(-int(src_shape[0]) // t_h)
-                      * (-(-int(src_shape[1]) // t_w)))
-        block = max(1, min(64, math.ceil(math.sqrt(
-            32768 * n_tiles / max(1, int(n_targets))))))
+    block = _superblock(n_targets, src_shape, t_h, t_w)
     b_h, b_w = block * t_h, block * t_w
     keyed = tgt.select(
         "trow", "tcol", "row", "col", *carry,
@@ -546,15 +554,8 @@ def _bilinear_from_lonlat_tiles(
     if dims is None:
         raise ValueError("bilinear tiles plan: empty images table")
     t_w, t_h = int(dims["w"]), int(dims["h"])
-    # tile SUPERBLOCKS sized for ~32k targets per task (see
-    # gather_from_tiles): one-tile groups drown in per-group Python
-    # overhead when targets/tile is small
-    block = 1
-    if n_targets is not None and src_shape is not None:
-        n_tiles = max(1, -(-int(src_shape[0]) // t_h)
-                      * (-(-int(src_shape[1]) // t_w)))
-        block = max(1, min(64, math.ceil(math.sqrt(
-            32768 * n_tiles / max(1, int(n_targets))))))
+    # tile SUPERBLOCKS sized for ~32k targets per task (shared rule)
+    block = _superblock(n_targets, src_shape, t_h, t_w)
     b_h, b_w = block * t_h, block * t_w
     x0g, y0g = src_origin
     cx, cy = src_cellsize
@@ -584,8 +585,12 @@ def _bilinear_from_lonlat_tiles(
                     + F.col("_da")).alias("_tr"),
                    (F.floor(F.col("tile_col") / block).cast("long")
                     + F.col("_db")).alias("_tc"),
-                   "tile_row", "tile_col", "bytes", "fmt", "w", "h", "ndv")
-           .filter((F.col("_tr") >= 0) & (F.col("_tc") >= 0)))
+                   "tile_row", "tile_col", "bytes", "fmt", "w", "h", "ndv"))
+    # NO _tr/_tc >= 0 filter: a target whose top-left corner index is
+    # negative (upsampling at the grid's top/left edge) keys to block
+    # -1, and the row-0/col-0 tiles must reach that task as its halo so
+    # the in-range corners renormalize exactly like the pixel plan —
+    # review finding r7: the filter returned NULL for those targets
 
     def kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         cols = ["trow", "tcol", "num", "den", "n"]

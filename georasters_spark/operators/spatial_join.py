@@ -331,11 +331,17 @@ def zonal_stats(
     )
     # pass only what the PIP kernel and the aggregate consume: the
     # corner coords (x, y) would otherwise ride through both Arrow
-    # crossings of the opaque kernel (16 dead bytes/row), and xc/yc
-    # only need to cross INTO it
-    px = px.select("image_id", "row", "col", "value", "xc", "yc")
-    hits = pip_join(px, zones, mode=mode, cellsize=cellsize,
-                    keep=["image_id", "row", "col", "value"])
+    # crossings of the opaque kernel (16 dead bytes/row), xc/yc only
+    # need to cross INTO it, and image_id/row/col only exist to feed
+    # the salted path's hash key
+    if salt:
+        px = px.select("image_id", "row", "col", "value", "xc", "yc")
+        hits = pip_join(px, zones, mode=mode, cellsize=cellsize,
+                        keep=["image_id", "row", "col", "value"])
+    else:
+        px = px.select("value", "xc", "yc")
+        hits = pip_join(px, zones, mode=mode, cellsize=cellsize,
+                        keep=["value"])
     v = F.col("value")
     if salt:
         # explicit two-phase salted aggregate for skewed zones

@@ -48,6 +48,19 @@ from .reproject import R, _Q, dlit, gather_from_tiles
 M_HALF = math.pi * R
 
 
+def _check_int16_tile_values(vv: np.ndarray, indv: int) -> None:
+    """int16 grayscale PNG tile contract (shared by the fused and the
+    assemble paths): casting would silently truncate fractions / wrap
+    |v| > 32767 (and a wrap onto ndv would even flip data to nodata)
+    — refuse loudly."""
+    if len(vv) and ((vv != np.floor(vv)).any()
+                    or (vv < -32768).any() or (vv > 32767).any()
+                    or (vv == indv).any()):
+        raise ValueError(
+            "xyz: tile values must be int16-range integers distinct "
+            "from ndv (scale/round the frame first)")
+
+
 def _lattice(spark, zoom: int, tile_px: int,
              src_origin: tuple[float, float],
              src_cellsize: tuple[float, float],
@@ -269,13 +282,7 @@ def _fused_base_tiles(tgt: DataFrame, images: DataFrame, zoom: int,
         j = (left["tcol"].to_numpy(np.int64) % tile_px)
         ok = ~np.isnan(vals)
         vv = vals[ok]
-        # same int16 contract check as _assemble_tiles
-        if len(vv) and ((vv != np.floor(vv)).any()
-                        or (vv < -32768).any() or (vv > 32767).any()
-                        or (vv == indv).any()):
-            raise ValueError(
-                "xyz: tile values must be int16-range integers distinct "
-                "from ndv (scale/round the frame first)")
+        _check_int16_tile_values(vv, indv)
         arr_out[i[ok], j[ok]] = vv.astype(np.int16)
         return pd.DataFrame({
             "z": [zoom], "x": [int(key[0])], "y": [int(key[1])],
@@ -305,15 +312,7 @@ def _assemble_tiles(gathered: DataFrame, zoom: int, tile_px: int,
         v = pdf["value"].to_numpy(dtype=np.float64, na_value=np.nan)
         ok = ~np.isnan(v)
         vv = v[ok]
-        # int16 grayscale PNG is the tile contract: casting would
-        # silently truncate fractions / wrap |v| > 32767 (and a wrap
-        # onto ndv would even flip data to nodata) — refuse loudly
-        if len(vv) and ((vv != np.floor(vv)).any()
-                        or (vv < -32768).any() or (vv > 32767).any()
-                        or (vv == indv).any()):
-            raise ValueError(
-                "xyz: tile values must be int16-range integers distinct "
-                "from ndv (scale/round the frame first)")
+        _check_int16_tile_values(vv, indv)
         arr[i[ok], j[ok]] = vv.astype(np.int16)
         x = int(pdf["tcol"].iloc[0]) // tile_px
         y = int(pdf["trow"].iloc[0]) // tile_px

@@ -282,7 +282,7 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
         e = np.unique(np.concatenate(pairs), axis=0)
         return pd.DataFrame({"ra": e[:, 0], "rb": e[:, 1]})
 
-    E = keyed.groupBy("trow", "tcol").applyInPandas(
+    E_dir = keyed.groupBy("trow", "tcol").applyInPandas(
         tile_edges, schema="ra long, rb long")
     a = keyed.select("row", "col", F.col("region_id").alias("ra"))
     b = keyed.select(F.col("row").alias("rb_r"), F.col("col").alias("rb_c"),
@@ -305,11 +305,19 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
              .join(b.filter(band_b), (F.col("row") + dr == F.col("rb_r"))
                    & (F.col("col") + dc == F.col("rb_c")))
              .filter(F.col("ra") != F.col("rb")).select("ra", "rb"))
-        E = E.unionByName(e)
+        E_dir = E_dir.unionByName(e)
+    # canonicalize (a < b) BEFORE the distinct and checkpoint the result
+    # ONCE, then symmetrize from the checkpoint: the old
+    # `E union swap(E) distinct` lineage executed the grouped-map and
+    # every band join twice (one per union branch) — the single most
+    # expensive measured phase of the E build.  The symmetric union of
+    # a distinct a<b set needs no second distinct.
+    E = (E_dir.select(F.least("ra", "rb").alias("ra"),
+                      F.greatest("ra", "rb").alias("rb"))
+         .distinct().localCheckpoint(eager=True))
     E = E.unionByName(E.select(F.col("rb").alias("ra"),
-                               F.col("ra").alias("rb"))).distinct()
+                               F.col("ra").alias("rb")))
     S = S.localCheckpoint(eager=True)
-    E = E.localCheckpoint(eager=True)
     S0 = S  # original region table: reps keep their id AND value, so the
     # final value of any merged region is its rep's ORIGINAL value — the
     # last round never needs to rebuild S just for the output join.
@@ -527,16 +535,25 @@ def _merge_labels_distributed(eset: DataFrame) -> DataFrame:
     member label with comp[c] == c, hence c == min. localCheckpoint per
     round truncates the lineage so round k doesn't replan rounds 1..k-1.
     """
-    sym = eset.unionByName(
-        eset.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
-    ).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    # canonicalize (a < b) + distinct + checkpoint ONCE, then symmetrize
+    # from the checkpoint: `eset union swap(eset) distinct` executed the
+    # whole eset subtree twice (once per union branch) — when the caller
+    # passes merge='distributed' explicitly, eset is the un-checkpointed
+    # border band joins, so the doubling was a full extra pass over the
+    # labeled table.  The symmetric union of a distinct a<b set (la==lb
+    # excluded) needs no second distinct.
+    canon = (eset.filter(F.col("la") != F.col("lb"))
+             .select(F.least("la", "lb").alias("la"),
+                     F.greatest("la", "lb").alias("lb"))
+             .distinct().localCheckpoint(eager=True))
+    sym = canon.unionByName(
+        canon.select(F.col("lb").alias("la"), F.col("la").alias("lb")))
     # scale-adaptive layout: the label graph is usually orders smaller
     # than the raster, and the per-round joins then cost task-scheduling
     # overhead, not data — coalesce (narrow, no shuffle) to ~2M edges
     # per partition so a small graph runs single-task rounds while a
     # 100-TB border graph keeps its parallelism
-    n_edges = sym.count()
+    n_edges = 2 * canon.count()
     cur_parts = sym.rdd.getNumPartitions()
     p = max(1, min(cur_parts, int(n_edges // 2_000_000) + 1))
     if p < cur_parts:

@@ -1190,6 +1190,46 @@ SELECT tgt.trow, tgt.tcol, agg.value, agg.n_contrib
 FROM tgt LEFT JOIN agg ON agg.trow = tgt.trow AND agg.tcol = tgt.tcol"""
 
 
+def _kernel_wfun_np(kernel: str, a: int = 3):
+    """numpy twin of ``_kernel_offsets_wfun``'s weight function, used
+    by the fused tile plan (`_kernel_gather_tiles`).  The polynomial
+    kernels follow the SAME operation order as the Column expressions
+    (IEEE +,-,*,/ are exactly specified, so catmull/bspline weights
+    are bit-identical to the JVM's); lanczos shares the constants and
+    structure but libm sin may differ from Math.sin by 1 ulp — the
+    same magnitude the 6-dp rounding already absorbs between Spark
+    and the DuckDB oracle."""
+    if kernel == "catmull":
+
+        def w(t):
+            t2, t3 = t * t, t * t * t
+            return np.where(t <= 1.0, 1.5 * t3 - 2.5 * t2 + 1.0,
+                            -0.5 * t3 + 2.5 * t2 - 4.0 * t + 2.0)
+
+        return w
+    if kernel == "bspline":
+
+        def w(t):
+            t2, t3 = t * t, t * t * t
+            two_t = 2.0 - t
+            return np.where(t <= 1.0, (4.0 - 6.0 * t2 + 3.0 * t3) / 6.0,
+                            two_t * two_t * two_t / 6.0)
+
+        return w
+    if kernel == "lanczos":
+
+        def w(t):
+            pit = math.pi * t
+            pita = pit / float(a)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sinc = np.where(t == 0.0, 1.0, np.sin(pit) / pit)
+                sinca = np.where(t == 0.0, 1.0, np.sin(pita) / pita)
+            return np.where(t < float(a), sinc * sinca, 0.0)
+
+        return w
+    raise ValueError(f"unknown resampling kernel {kernel!r}")
+
+
 def _kernel_offsets_wfun(kernel: str, a: int = 3):
     """(neighbor offsets, weight-Column function) for a named
     convolution kernel. catmull = GDAL 'cubic' (a = -0.5 Catmull-Rom,
@@ -1256,24 +1296,142 @@ def _kernel_corners(target: DataFrame, u, v, kernel: str,
 
 
 def _kernel_gather_tiles(images: DataFrame, target: DataFrame, u, v,
-                         kernel: str, a: int = 3) -> DataFrame:
-    """Tile-cogrouped cubic/lanczos gather (r6): the k² kernel corner
-    rows per target flow through ``gather_from_tiles`` instead of
-    shuffle-joining an exploded pixel table — the same plan shape as
-    ``_bilinear_from_lonlat_tiles`` with the signed-weight-mass NULL
-    guard of ``_kernel_gather`` (|Σw over valid| < 0.05 ⇒ NULL;
+                         kernel: str, a: int = 3,
+                         n_targets: int | None = None,
+                         src_shape: tuple[int, int] | None = None
+                         ) -> DataFrame:
+    """Tile-cogrouped cubic/lanczos gather with the signed-weight-mass
+    NULL guard of ``_kernel_gather`` (|Σw over valid| < 0.05 ⇒ NULL;
     negative lobes can strip the mass).  Pytest-pinned equivalence
-    with the pixel-join plan."""
-    corners = _kernel_corners(target, u, v, kernel, a)
-    g = gather_from_tiles(corners, images, carry=("wgt",))
-    vw = F.when(F.col("value").isNotNull(), F.col("wgt"))
-    return g.groupBy("trow", "tcol").agg(
-        F.when(
-            F.abs(F.sum(vw)) >= 0.05,
-            F.round(F.sum(F.col("wgt") * F.col("value")) / F.sum(vw), 6),
-        ).alias("value"),
-        F.when(F.count("value") > 0, F.count("value"))
-        .cast("long").alias("n_contrib"),
+    with the pixel-join plan.
+
+    r7 fused plan (the ``_bilinear_from_lonlat_tiles`` treatment
+    generalized to any separable kernel): the k²-corner explode no
+    longer happens BEFORE the exchange.  The un-exploded target frame
+    (r0, c0, du, dv) shuffles once keyed by tile superblock; each task
+    assembles its block window plus a (lead, trail)-cell halo from the
+    replicated edge-neighbor tiles (tile BYTES move, not corner rows)
+    and resolves all k² corners in numpy with the numpy twin of the
+    kernel weight function (`_kernel_wfun_np` — bit-identical
+    polynomials).  The k²·M corner shuffle, both of its Arrow
+    crossings and the (trow, tcol) re-aggregation exchange disappear;
+    the |Σw| >= 0.05 signed-mass guard and 6-dp rounding stay in the
+    JVM on the kernel's (num, den, n) partials.  ``n_targets`` /
+    ``src_shape`` size the superblocks (scaled by k²/4 so per-task
+    gather work matches the bilinear plan's)."""
+    import pandas as pd
+
+    from ..sources import codec as _codec
+
+    offs, _ = _kernel_offsets_wfun(kernel, a)
+    wfun = _kernel_wfun_np(kernel, a)
+    lead, trail = -min(offs), max(offs)
+    k2 = len(offs) * len(offs)
+    dims = images.select("w", "h").first()
+    if dims is None:
+        raise ValueError("kernel tiles plan: empty images table")
+    t_w, t_h = int(dims["w"]), int(dims["h"])
+    block = _superblock(
+        None if n_targets is None else n_targets * k2 // 4,
+        src_shape, t_h, t_w)
+    b_h, b_w = block * t_h, block * t_w
+    frac = target.select(
+        "trow", "tcol",
+        F.floor(u).cast("long").alias("r0"), (u - F.floor(u)).alias("du"),
+        F.floor(v).cast("long").alias("c0"), (v - F.floor(v)).alias("dv"),
+    ).select(
+        "*",
+        F.floor(F.col("r0") / F.lit(b_h)).cast("long").alias("_tr"),
+        F.floor(F.col("c0") / F.lit(b_w)).cast("long").alias("_tc"),
+    )
+    # a stored tile feeds its own block, the NEXT block (whose lead
+    # halo it supplies when it sits on its block's bottom/right edge)
+    # and the PREVIOUS block (whose trail halo it supplies from the
+    # top/left edge); lead/trail < tile side, so ±1 block suffices.
+    # No _tr/_tc >= 0 filter — out-of-range targets key to block -1
+    # and must still see the row-0/col-0 tiles as halo (the bilinear
+    # upsampling review finding applies here identically).
+    def _edge(axis_col, d):
+        return ((d == 0)
+                | ((d == -1) & (F.col(axis_col) % block == 0))
+                | ((d == 1) & (F.col(axis_col) % block == block - 1)))
+
+    rep = (images
+           .select(F.col("tile_row").cast("long").alias("tile_row"),
+                   F.col("tile_col").cast("long").alias("tile_col"),
+                   "bytes", "fmt", "w", "h", "ndv")
+           .withColumn("_da", F.explode(F.array(
+               F.lit(0), F.lit(-1), F.lit(1))))
+           .withColumn("_db", F.explode(F.array(
+               F.lit(0), F.lit(-1), F.lit(1))))
+           .filter(_edge("tile_row", F.col("_da"))
+                   & _edge("tile_col", F.col("_db")))
+           .select((F.floor(F.col("tile_row") / block).cast("long")
+                    + F.col("_da")).alias("_tr"),
+                   (F.floor(F.col("tile_col") / block).cast("long")
+                    + F.col("_db")).alias("_tc"),
+                   "tile_row", "tile_col", "bytes", "fmt", "w", "h", "ndv"))
+
+    H, Wn = b_h + lead + trail, b_w + lead + trail
+
+    def kernel_fn(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = ["trow", "tcol", "num", "den", "n"]
+        if not len(left):
+            return pd.DataFrame({c: [] for c in cols})
+        if len(right) and right.duplicated(["tile_row", "tile_col"]).any():
+            raise ValueError(
+                "kernel tiles plan: duplicate image rows share tile keys; "
+                "resolve duplicates (e.g. union_mosaic) first")
+        base_r = int(key[0]) * b_h - lead
+        base_c = int(key[1]) * b_w - lead
+        win = np.full((H, Wn), np.nan)
+        for t in right.itertuples(index=False):
+            t_ndv = float(t.ndv)
+            arr = _codec.decode_tile(bytes(t.bytes), t.fmt,
+                                     int(t.w), int(t.h), t_ndv)
+            h, w = arr.shape
+            gr0 = int(t.tile_row) * h
+            gc0 = int(t.tile_col) * w
+            r_lo, r_hi = max(gr0, base_r), min(gr0 + h, base_r + H)
+            c_lo, c_hi = max(gc0, base_c), min(gc0 + w, base_c + Wn)
+            if r_lo < r_hi and c_lo < c_hi:
+                sub = arr[r_lo - gr0:r_hi - gr0,
+                          c_lo - gc0:c_hi - gc0].astype(np.float64)
+                sub = np.where(sub == t_ndv, np.nan, sub)
+                win[r_lo - base_r:r_hi - base_r,
+                    c_lo - base_c:c_hi - base_c] = sub
+        r0l = left["r0"].to_numpy(np.int64) - base_r
+        c0l = left["c0"].to_numpy(np.int64) - base_c
+        du = left["du"].to_numpy(np.float64)
+        dv = left["dv"].to_numpy(np.float64)
+        wb_by_off = {ob: wfun(np.abs(ob - dv)) for ob in offs}
+        num = np.zeros(len(left))
+        den = np.zeros(len(left))
+        n = np.zeros(len(left), np.int64)
+        for oa in offs:
+            wa = wfun(np.abs(oa - du))
+            for ob in offs:
+                vv = win[r0l + oa, c0l + ob]
+                ok = ~np.isnan(vv)
+                wgt = wa * wb_by_off[ob]
+                num[ok] += wgt[ok] * vv[ok]
+                den[ok] += wgt[ok]
+                n[ok] += 1
+        return pd.DataFrame({
+            "trow": left["trow"].to_numpy(np.int64),
+            "tcol": left["tcol"].to_numpy(np.int64),
+            "num": num, "den": den, "n": n,
+        })
+
+    g = (frac.groupBy("_tr", "_tc")
+         .cogroup(rep.groupBy("_tr", "_tc"))
+         .applyInPandas(kernel_fn, schema="trow long, tcol long, num double, "
+                                          "den double, n long"))
+    return g.select(
+        "trow", "tcol",
+        F.when(F.abs(F.col("den")) >= 0.05,
+               F.round(F.col("num") / F.col("den"), 6)).alias("value"),
+        F.when(F.col("n") > 0, F.col("n")).cast("long").alias("n_contrib"),
     )
 
 
@@ -1580,7 +1738,8 @@ def wgs84_to_cea_grid_cubic(
     u = F.round((lat - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
     v = F.round((lon - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
     if images is not None:
-        return _kernel_gather_tiles(images, target, u, v, kernel)
+        return _kernel_gather_tiles(images, target, u, v, kernel,
+                                    n_targets=th * tw, src_shape=src_shape)
     return _kernel_gather(px, target, u, v, kernel)
 
 
@@ -1684,7 +1843,8 @@ def wgs84_to_cea_grid_lanczos(
     u = F.round((lat - F.lit(y0g)) / F.lit(cy) - F.lit(0.5), _Q)
     v = F.round((lon - F.lit(x0g)) / F.lit(cx) - F.lit(0.5), _Q)
     if images is not None:
-        return _kernel_gather_tiles(images, target, u, v, "lanczos", a)
+        return _kernel_gather_tiles(images, target, u, v, "lanczos", a,
+                                    n_targets=th * tw, src_shape=src_shape)
     return _kernel_gather(px, target, u, v, "lanczos", a)
 
 

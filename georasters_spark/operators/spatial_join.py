@@ -331,13 +331,18 @@ def zonal_stats(
     )
     # pass only what the PIP kernel and the aggregate consume: the
     # corner coords (x, y) would otherwise ride through both Arrow
-    # crossings of the opaque kernel (16 dead bytes/row), xc/yc only
-    # need to cross INTO it, and image_id/row/col only exist to feed
-    # the salted path's hash key
+    # crossings of the opaque kernel (16 dead bytes/row), and xc/yc
+    # only need to cross INTO it.  The salted path's bucket key is
+    # computed in the JVM BEFORE the kernel (one long instead of the
+    # image_id string + row + col through both Arrow crossings); any
+    # deterministic spread key works — the two-phase aggregate's exact
+    # integer partials make the result salt-key-invariant.
     if salt:
-        px = px.select("image_id", "row", "col", "value", "xc", "yc")
+        px = px.select(
+            "value", "xc", "yc",
+            F.pmod(F.xxhash64("row", "col"), F.lit(salt)).alias("_salt"))
         hits = pip_join(px, zones, mode=mode, cellsize=cellsize,
-                        keep=["image_id", "row", "col", "value"])
+                        keep=["value", "_salt"])
     else:
         px = px.select("value", "xc", "yc")
         hits = pip_join(px, zones, mode=mode, cellsize=cellsize,
@@ -345,8 +350,7 @@ def zonal_stats(
     v = F.col("value")
     if salt:
         # explicit two-phase salted aggregate for skewed zones
-        salted = hits.withColumn("_salt", F.pmod(F.xxhash64("image_id", "row", "col"), F.lit(salt)))
-        partial = salted.groupBy("zone_id", "_salt").agg(
+        partial = hits.groupBy("zone_id", "_salt").agg(
             F.count(v).alias("c"),
             F.sum(v).alias("s"),
             F.sum(v * v).alias("s2"),

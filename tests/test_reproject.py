@@ -1097,6 +1097,36 @@ def test_kernel_tiles_matches_pixel_join(spark, images_t1, mode):
     assert sum(1 for v, _ in a.values() if v is not None) > 3000
 
 
+@pytest.mark.parametrize("mode", ["cubic", "lanczos"])
+def test_kernel_tiles_matches_pixel_join_upsampling(spark, images_t1, mode):
+    """UPSAMPLING shape for the fused cubic/lanczos tile plan: targets
+    near the grid's top/left edge have negative corner indices and key
+    to superblock -1; the edge tiles must reach those tasks as halo
+    (the bilinear upsampling review finding, applied to the r7 fused
+    kernel plan)."""
+    spec = synth.T1
+    kw = dict(src_origin=(spec.x0, spec.y0),
+              src_cellsize=(spec.cellx, spec.celly),
+              src_shape=(spec.height, spec.width), out_shape=(540, 1080))
+    fn = (RP.wgs84_to_cea_grid_cubic if mode == "cubic"
+          else RP.wgs84_to_cea_grid_lanczos)
+    px = PX.pixel_table(images_t1, valid_only=True).select("row", "col", "value")
+    a = {(r["trow"], r["tcol"]): (r["value"], r["n_contrib"])
+         for r in fn(px, **kw).collect()}
+    b = {(r["trow"], r["tcol"]): (r["value"], r["n_contrib"])
+         for r in fn(None, images=images_t1, **kw).collect()}
+    assert set(a) == set(b)
+    mismatched = [k for k in a
+                  if a[k][1] != b[k][1]
+                  or (a[k][0] is None) != (b[k][0] is None)
+                  or (a[k][0] is not None and b[k][0] is not None
+                      and abs(a[k][0] - b[k][0]) > 2e-6)]
+    assert not mismatched, mismatched[:10]
+    edge_valid = sum(1 for (tr, tc), (v, _) in a.items()
+                     if (tr == 0 or tc == 0) and v is not None)
+    assert edge_valid > 100
+
+
 def test_bilinear_tiles_matches_pixel_join_upsampling(spark, images_t1):
     """UPSAMPLING shape: targets at the grid's top/left edge have
     negative top-left corner indices (r0/c0 = -1) and key to superblock

@@ -243,8 +243,14 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
     if threshold < 1:
         raise ValueError("sieve: threshold must be >= 1")
     spark = px.sparkSession
-    L = polygonize_labels(px, connectivity=connectivity).localCheckpoint(
-        eager=True)
+    # shared-border mode (r7): ONE band-join pass inside
+    # polygonize_labels yields both its equal-value merge edges and the
+    # raw any-value border adjacency this sieve needs — the previous
+    # second band-join pass over the merged labels is replaced by
+    # mapping the pre-merge pairs through the root map below
+    final, raw_border, roots = polygonize_labels(
+        px, connectivity=connectivity, _return_border=True)
+    L = final.localCheckpoint(eager=True)
     S = L.groupBy("region_id").agg(
         F.count(F.lit(1)).alias("sz"), F.first("value").alias("value"),
         F.min("row").alias("a_r"),
@@ -284,28 +290,23 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
 
     E_dir = keyed.groupBy("trow", "tcol").applyInPandas(
         tile_edges, schema="ra long, rb long")
-    a = keyed.select("row", "col", F.col("region_id").alias("ra"))
-    b = keyed.select(F.col("row").alias("rb_r"), F.col("col").alias("rb_c"),
-                     F.col("region_id").alias("rb"))
-    band_dirs = [((0, 1), (F.col("col") + 1) % tile == 0,
-                  F.col("rb_c") % tile == 0),
-                 ((1, 0), (F.col("row") + 1) % tile == 0,
-                  F.col("rb_r") % tile == 0)]
-    if connectivity == 8:
-        band_dirs += [
-            ((1, 1),
-             ((F.col("row") + 1) % tile == 0) | ((F.col("col") + 1) % tile == 0),
-             (F.col("rb_r") % tile == 0) | (F.col("rb_c") % tile == 0)),
-            ((1, -1),
-             ((F.col("row") + 1) % tile == 0) | (F.col("col") % tile == 0),
-             (F.col("rb_r") % tile == 0) | ((F.col("rb_c") + 1) % tile == 0)),
-        ]
-    for (dr, dc), band, band_b in band_dirs:
-        e = (a.filter(band)
-             .join(b.filter(band_b), (F.col("row") + dr == F.col("rb_r"))
-                   & (F.col("col") + dc == F.col("rb_c")))
-             .filter(F.col("ra") != F.col("rb")).select("ra", "rb"))
-        E_dir = E_dir.unionByName(e)
+    # cross-tile adjacency from the SHARED border pass: the raw
+    # pre-merge (la, lb) pairs map to region ids through the root map
+    # (broadcast when polygonize_labels judged it small; the same
+    # coalesce rule its final labels used), then different-region
+    # filtering — identical pairs to a post-merge band join
+    if roots is None:
+        ec = raw_border.select(F.col("la").alias("ra"),
+                               F.col("lb").alias("rb"))
+    else:
+        ec = (raw_border.select("la", "lb")
+              .join(roots.select(F.col("label").alias("la"),
+                                 F.col("root").alias("_rta")), "la", "left")
+              .join(roots.select(F.col("label").alias("lb"),
+                                 F.col("root").alias("_rtb")), "lb", "left")
+              .select(F.coalesce("_rta", "la").alias("ra"),
+                      F.coalesce("_rtb", "lb").alias("rb")))
+    E_dir = E_dir.unionByName(ec.filter(F.col("ra") != F.col("rb")))
     # canonicalize (a < b) BEFORE the distinct and checkpoint the result
     # ONCE, then symmetrize from the checkpoint: the old
     # `E union swap(E) distinct` lineage executed the grouped-map and
@@ -318,6 +319,18 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
     E = E.unionByName(E.select(F.col("rb").alias("ra"),
                                F.col("ra").alias("rb")))
     S = S.localCheckpoint(eager=True)
+    # size-gated broadcast for the per-round merge-candidate build: the
+    # checkpointed region tables are LogicalRDDs whose size statistics
+    # the optimizer treats as unknown, so the m build otherwise runs
+    # THREE shuffle joins over metadata-scale tables every round.  The
+    # gate derives from the counted region table (one cheap job over
+    # the checkpoint), not the local core count; past the cap the
+    # shuffle joins stay — the 100-TB path.
+    bcast_meta = S.count() <= 2_000_000
+
+    def _bm(df):
+        return F.broadcast(df) if bcast_meta else df
+
     S0 = S  # original region table: reps keep their id AND value, so the
     # final value of any merged region is its rep's ORIGINAL value — the
     # last round never needs to rebuild S just for the output join.
@@ -337,12 +350,12 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
         # (size, value, anchor) metadata so the driver fast path needs
         # exactly one collect; the small-side join runs FIRST so the
         # region metadata only attaches to edges that can merge
-        m = (E.join(small, "ra")
-             .join(S.select(F.col("region_id").alias("rb"),
-                            F.col("sz").alias("szb"),
-                            F.col("value").alias("vb"),
-                            F.col("a_r").alias("ab_r"),
-                            F.col("a_c").alias("ab_c")), "rb")
+        m = (E.join(_bm(small), "ra")
+             .join(_bm(S.select(F.col("region_id").alias("rb"),
+                                F.col("sz").alias("szb"),
+                                F.col("value").alias("vb"),
+                                F.col("a_r").alias("ab_r"),
+                                F.col("a_c").alias("ab_c"))), "rb")
              .groupBy("ra", "sza", "va", "aa_r", "aa_c")
              .agg(F.expr(
                  "min_by(struct(rb, szb, vb, ab_r, ab_c),"
@@ -617,7 +630,8 @@ def polygonize_labels(
     connectivity: int = 4,
     merge: str = "auto",
     driver_edge_cap: int = 500_000,
-) -> DataFrame:
+    _return_border: bool = False,
+):
     """Per-cell connected-component labels of equal-value regions
     (rasterio.features.shapes semantics: 4-connectivity, equal value).
     Returns (row, col, value, region_id).
@@ -633,6 +647,13 @@ def polygonize_labels(
     merge='auto' counts the edge set and picks driver iff it is under
     `driver_edge_cap` rows. connectivity: 4 (edge-sharing, the
     rasterio default) or 8 (corner-sharing included).
+
+    ``_return_border`` (internal, sieve): the band joins drop the
+    value-equality key and carry both values, the raw any-value border
+    pair set is checkpointed, and the return becomes
+    ``(labels_df, raw_border_df, root_map_df_or_None)`` — one border
+    pass serving both the equal-value merge and the caller's region
+    adjacency.
     """
     if connectivity not in (4, 8):
         raise ValueError("connectivity must be 4 or 8")
@@ -751,20 +772,29 @@ def polygonize_labels(
         ]
     edges = []
     for (dr, dc), band, band_b in dirs:
-        e = (
-            a.filter(band)
-            .join(
-                b.filter(band_b),
-                (F.col("row") + dr == F.col("row_b"))
-                & (F.col("col") + dc == F.col("col_b"))
-                & (F.col("value") == F.col("vb")),
-            )
-            .select("la", "lb")
-        )
+        cond = (F.col("row") + dr == F.col("row_b")) \
+            & (F.col("col") + dc == F.col("col_b"))
+        if _return_border:
+            # r7 shared-border mode (sieve): join on POSITION only and
+            # carry both values — the same single pass then serves the
+            # equal-value merge edges (filter below) AND the caller's
+            # any-value region adjacency, instead of two band-join
+            # passes over the labels
+            e = (a.filter(band).join(b.filter(band_b), cond)
+                 .select("la", "lb", "value", "vb"))
+        else:
+            e = (a.filter(band)
+                 .join(b.filter(band_b),
+                       cond & (F.col("value") == F.col("vb")))
+                 .select("la", "lb"))
         edges.append(e)
     eset = edges[0]
     for e in edges[1:]:
         eset = eset.unionByName(e)
+    raw = None
+    if _return_border:
+        raw = eset.localCheckpoint(eager=True)
+        eset = raw.filter(F.col("value") == F.col("vb")).select("la", "lb")
     eset = eset.distinct()
 
     if merge == "auto":
@@ -785,6 +815,9 @@ def polygonize_labels(
         final = labeled.join(map_df, "label", "left").withColumn(
             "region_id", F.coalesce("root", "label")
         )
+        if _return_border:
+            return (final.select("row", "col", "value", "region_id"),
+                    raw, map_df)
     else:
         # small-case fast path: union-find on the driver (one job)
         epdf = eset.toPandas()
@@ -802,15 +835,18 @@ def polygonize_labels(
                 parent[max(ra, rb)] = min(ra, rb)
         mapping = {k: find(k) for k in list(parent)}
         if mapping:
-            map_df = spark.createDataFrame(
+            map_df = F.broadcast(spark.createDataFrame(
                 pd.DataFrame({"label": list(mapping), "root": [mapping[k] for k in mapping]}),
                 "label long, root long",
-            )
-            final = labeled.join(F.broadcast(map_df), "label", "left").withColumn(
+            ))
+            final = labeled.join(map_df, "label", "left").withColumn(
                 "region_id", F.coalesce("root", "label")
             )
         else:
             final = labeled.withColumn("region_id", F.col("label"))
+        if _return_border:
+            return (final.select("row", "col", "value", "region_id"),
+                    raw, map_df)
 
     return final.select("row", "col", "value", "region_id")
 

@@ -366,7 +366,12 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
                      F.col("w.ab_r").alias("aw_r"),
                      F.col("w.ab_c").alias("aw_c"))
              .localCheckpoint(eager=True))
-        n_merge = m.count()
+        # capped fetch = size probe AND driver-path payload in ONE job:
+        # <= cap rows means mp already holds the complete merge set (the
+        # driver CC is edge-order-insensitive), cap+1 means distributed
+        # — the separate count() job per round is gone
+        mp = m.limit(driver_edge_cap + 1).toPandas()
+        n_merge = len(mp)
         if n_merge == 0:
             break
         terminal = False
@@ -375,7 +380,6 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
             # sized (one row per merging small region); components via
             # vectorized min-label propagation + pointer jumping in
             # numpy (the dict union-find was the slowest driver step)
-            mp = m.toPandas()
             ra_a = mp["ra"].to_numpy(np.int64)
             w_a = mp["w"].to_numpy(np.int64)
             nodes = np.unique(np.concatenate([ra_a, w_a]))

@@ -116,7 +116,12 @@ def knn_tiles(
             ax, ay = C.lonlat_to_ixiy(pdf["x"].to_numpy(), pdf["y"].to_numpy(), count_res)
             pair_pid: list[int] = []
             pair_cell: list[int] = []
-            for pid, cx0, cy0 in zip(pdf["point_id"].astype(np.int64), ax, ay):
+            pair_qx: list[float] = []
+            pair_qy: list[float] = []
+            for pid, qx, qy, cx0, cy0 in zip(
+                    pdf["point_id"].astype(np.int64),
+                    pdf["x"].astype(np.float64), pdf["y"].astype(np.float64),
+                    ax, ay):
                 got = 0
                 g_k = None
                 g = 0
@@ -139,23 +144,28 @@ def knn_tiles(
                         if c in cnt_:  # only occupied cells join
                             pair_pid.append(int(pid))
                             pair_cell.append(int(c))
+                            pair_qx.append(float(qx))
+                            pair_qy.append(float(qy))
             yield pd.DataFrame({"point_id": pd.Series(pair_pid, dtype=np.int64),
-                                "_acell": pd.Series(pair_cell, dtype=np.int64)})
+                                "_acell": pd.Series(pair_cell, dtype=np.int64),
+                                "qx": pd.Series(pair_qx, dtype=np.float64),
+                                "qy": pd.Series(pair_qy, dtype=np.float64)})
 
+    # the query coordinates ride the candidate rows (r7): one broadcast
+    # and one join instead of a second broadcast join against the
+    # points table — qx/qy are the same doubles the points row carried,
+    # so the rounded-distance ranking is unchanged
     cand = points.select("point_id", "x", "y").mapInPandas(
-        expand, schema="point_id long, _acell long"
+        expand, schema="point_id long, _acell long, qx double, qy double"
     )
 
     # 3. broadcast candidate pairs into the tile table (hash join on the
     #    JVM-derived parent key), exact top-k
     joined = tiles.withColumn("_acell", acell).join(F.broadcast(cand), "_acell")
-    pts = points.select(
-        F.col("point_id"), F.col("x").alias("qx"), F.col("y").alias("qy")
-    )
     # rank on the 6-dp-rounded distance with an id tie-break: engines may
     # constant-fold the center expressions 1 ulp apart, so raw-double
     # ordering is not reproducible across engines — rounded ordering is.
-    scored = joined.join(F.broadcast(pts), "point_id").withColumn(
+    scored = joined.withColumn(
         "dist2",
         F.round(
             (F.col("center_x") - F.col("qx")) * (F.col("center_x") - F.col("qx"))

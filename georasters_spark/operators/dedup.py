@@ -92,7 +92,11 @@ def jaccard_pairs(
     # — without the checkpoint the explode+distinct lineage executed up
     # to 4x (the broadcast boundary defeats exchange reuse)
     sh = sh.localCheckpoint(eager=True)
-    cnts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    # one row per doc — checkpointed because BOTH broadcast joins below
+    # consume it and the renamed attribute chains defeat exchange reuse
+    # (the plan otherwise re-aggregates the shingle table per join)
+    cnts = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nsh")).localCheckpoint(eager=True)
     # pair generation from sorted posting lists: ONE exchange keyed by
     # shingle + a JVM higher-order-function explode, instead of the
     # two-sided self-join shuffle; per shingle the emitted (a < b)

@@ -81,6 +81,18 @@ def build(spark, name):
         return PX.lookup_points_fused(imgs, synth.points_df(spark, 10000),
                                       origin=(spec.x0, spec.y0),
                                       cellsize=(spec.cellx, spec.celly))
+    if name == "knn_1k_points":
+        from georasters_spark.operators import knn as KN
+        return KN.knn_tiles(imgs, synth.points_df(spark, 1000),
+                            res=spec.cell_res, k=5, count_res=spec.cell_res)
+    if name == "reproject_cubic_tiles":
+        return RP.wgs84_to_cea_grid_cubic(
+            None, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+            (spec.height, spec.width), (1024, 2048), images=imgs)
+    if name == "reproject_lanczos_tiles":
+        return RP.wgs84_to_cea_grid_lanczos(
+            None, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+            (spec.height, spec.width), (1024, 2048), images=imgs)
     raise SystemExit(f"unknown query {name}")
 
 

@@ -195,6 +195,13 @@ def map_vector(px: DataFrame, vec: DataFrame, partitions: int = 32) -> DataFrame
 # polygonize: connected components of equal-value cells
 # ---------------------------------------------------------------------------
 
+# labeling tile side shared by polygonize_labels AND sieve: sieve's
+# intra-tile edge pass assumes every same-tile adjacency (at this side)
+# was either labeled together or appears in polygonize_labels' border
+# pair set — two independently tuned constants would silently drop
+# adjacency edges, so there is exactly one
+_CC_TILE = 64
+
 def polygonize(px: DataFrame, connectivity: int = 4, merge: str = "auto") -> DataFrame:
     """Label connected equal-value regions and aggregate one row per
     region: (region_id, value, n_cells, min_row, min_col, max_row,
@@ -263,7 +270,7 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
     # exchange of the labels instead of per-offset sort-merge joins of
     # the whole pixel table.
     offs = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if connectivity == 8 else [])
-    tile = 64
+    tile = _CC_TILE
     keyed = L.withColumn("trow", F.floor(F.col("row") / tile).cast("int"))              .withColumn("tcol", F.floor(F.col("col") / tile).cast("int"))
 
     def tile_edges(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -326,7 +333,8 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
     # gate derives from the counted region table (one cheap job over
     # the checkpoint), not the local core count; past the cap the
     # shuffle joins stay — the 100-TB path.
-    bcast_meta = S.count() <= 2_000_000
+    n_regions = S.count()
+    bcast_meta = n_regions <= 2_000_000
 
     def _bm(df):
         return F.broadcast(df) if bcast_meta else df
@@ -366,11 +374,17 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
                      F.col("w.ab_r").alias("aw_r"),
                      F.col("w.ab_c").alias("aw_c"))
              .localCheckpoint(eager=True))
-        # capped fetch = size probe AND driver-path payload in ONE job:
-        # <= cap rows means mp already holds the complete merge set (the
-        # driver CC is edge-order-insensitive), cap+1 means distributed
-        # — the separate count() job per round is gone
-        mp = m.limit(driver_edge_cap + 1).toPandas()
+        # capped fetch = size probe AND driver-path payload in ONE job
+        # (the driver CC is edge-order-insensitive).  m has at most one
+        # row per small region, so n_regions <= cap GUARANTEES the
+        # driver path — fetch directly; past that bound, probe with a
+        # single narrow column first so an over-cap round never ships
+        # ~cap wide rows to the driver just to learn 'distributed'
+        if n_regions <= driver_edge_cap:
+            mp = m.toPandas()
+        else:
+            probe = m.select("ra").limit(driver_edge_cap + 1).toPandas()
+            mp = m.toPandas() if len(probe) <= driver_edge_cap else probe
         n_merge = len(mp)
         if n_merge == 0:
             break
@@ -664,7 +678,7 @@ def polygonize_labels(
     if merge not in ("auto", "driver", "distributed"):
         raise ValueError("merge must be auto|driver|distributed")
     spark = px.sparkSession
-    tile = 64
+    tile = _CC_TILE
 
     keyed = px.withColumn("trow", F.floor(F.col("row") / tile).cast("int")).withColumn(
         "tcol", F.floor(F.col("col") / tile).cast("int")

@@ -1198,7 +1198,12 @@ def _kernel_wfun_np(kernel: str, a: int = 3):
     are bit-identical to the JVM's); lanczos shares the constants and
     structure but libm sin may differ from Math.sin by 1 ulp — the
     same magnitude the 6-dp rounding already absorbs between Spark
-    and the DuckDB oracle."""
+    and the DuckDB oracle.
+
+    DELIBERATELY separate from ``_np_kernel_wfun`` (the numpy ORACLE
+    twin further down): this one is production code mirroring the
+    Column expressions term-for-term, that one is the independent
+    check — merging them would make the oracle tautological."""
     if kernel == "catmull":
 
         def w(t):
@@ -1331,6 +1336,14 @@ def _kernel_gather_tiles(images: DataFrame, target: DataFrame, u, v,
     if dims is None:
         raise ValueError("kernel tiles plan: empty images table")
     t_w, t_h = int(dims["w"]), int(dims["h"])
+    if lead >= min(t_h, t_w) or trail >= min(t_h, t_w):
+        # the ±1-block halo replication only reaches one tile past a
+        # block edge; a kernel wider than a tile would silently drop
+        # contributions — refuse loudly (use the px-join plan instead)
+        raise ValueError(
+            f"kernel tiles plan: kernel half-width ({lead}/{trail}) must "
+            f"be smaller than the tile side ({t_h}x{t_w}); pass px= "
+            "instead of images= for kernels this wide")
     block = _superblock(
         None if n_targets is None else n_targets * k2 // 4,
         src_shape, t_h, t_w)
@@ -3058,7 +3071,9 @@ def reproject_any_numpy_oracle(full: np.ndarray, ndv: float, src_crs, dst_crs,
 
 
 def _np_kernel_wfun(kernel: str, a: int = 3):
-    """numpy twin of _kernel_offsets_wfun (independent oracle)."""
+    """numpy twin of _kernel_offsets_wfun (independent oracle).
+    DELIBERATELY separate from the production `_kernel_wfun_np`:
+    this is the check side — merging them would be tautological."""
     if kernel == "catmull":
         return (-1, 0, 1, 2), lambda t: np.where(
             t <= 1.0, 1.5 * t**3 - 2.5 * t**2 + 1.0,

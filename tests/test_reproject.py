@@ -1182,6 +1182,17 @@ def test_bilinear_tiles_matches_pixel_join(spark, images_t1):
     assert sum(1 for v, _ in a.values() if v is not None) > 5000
 
 
+def test_kernel_tiles_rejects_kernel_wider_than_tile(spark, images_t1):
+    """The fused plan's ±1-block halo replication cannot feed a kernel
+    whose half-width reaches past one tile — must refuse loudly, not
+    drop contributions."""
+    spec = synth.T1
+    with pytest.raises(ValueError, match="half-width"):
+        RP.wgs84_to_cea_grid_lanczos(
+            None, (spec.x0, spec.y0), (spec.cellx, spec.celly),
+            (spec.height, spec.width), (30, 60), a=70, images=images_t1)
+
+
 def test_gather_from_tiles_rejects_duplicate_tile_keys(spark, images_t1):
     """A unioned/mosaic images table with two rows for the same
     (tile_row, tile_col) must raise, not decode an arbitrary one."""

@@ -18,9 +18,12 @@ def _field(h, w, seed, divisor):
     return ((r * 7919 + c * 104729 + seed) % 1997) // divisor
 
 
-def _label_cc(v, mask=None):
+def _label_cc(v, mask=None, conn=4):
     h, w = v.shape
     ok = np.ones_like(v, bool) if mask is None else mask
+    dirs = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    if conn == 8:
+        dirs += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
     lab = -np.ones((h, w), np.int64)
     nxt = 0
     for i in range(h):
@@ -31,7 +34,7 @@ def _label_cc(v, mask=None):
             lab[i, j] = nxt
             while stack:
                 y, x = stack.pop()
-                for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                for dy, dx in dirs:
                     yy, xx = y + dy, x + dx
                     if (0 <= yy < h and 0 <= xx < w and ok[yy, xx]
                             and lab[yy, xx] < 0 and v[yy, xx] == v[y, x]):
@@ -41,12 +44,12 @@ def _label_cc(v, mask=None):
     return lab, nxt
 
 
-def _sieve_numpy(v, thresh, mask=None):
+def _sieve_numpy(v, thresh, mask=None, conn=4):
     """The engine's documented semantics: per round every small region
     merges into its largest neighbor (ties -> smallest id); merge-graph
     components collapse to their largest member; repeat to fixpoint.
     Returns (per-cell value, per-cell final region key, rounds)."""
-    lab, n = _label_cc(v, mask)
+    lab, n = _label_cc(v, mask, conn)
     h, w = v.shape
     sz = {i: 0 for i in range(n)}
     val = {}
@@ -55,14 +58,16 @@ def _sieve_numpy(v, thresh, mask=None):
             if lab[i, j] >= 0:
                 sz[lab[i, j]] += 1
                 val[lab[i, j]] = v[i, j]
+    adir = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if conn == 8 else [])
     E = set()
     for i in range(h):
         for j in range(w):
             if lab[i, j] < 0:
                 continue
-            for dy, dx in ((0, 1), (1, 0)):
+            for dy, dx in adir:
                 y, x = i + dy, j + dx
-                if y < h and x < w and lab[y, x] >= 0 and lab[y, x] != lab[i, j]:
+                if (0 <= y < h and 0 <= x < w and lab[y, x] >= 0
+                        and lab[y, x] != lab[i, j]):
                     E.add((lab[i, j], lab[y, x]))
                     E.add((lab[y, x], lab[i, j]))
     cur = {i: i for i in range(n)}
@@ -139,6 +144,31 @@ def test_sieve_matches_numpy(spark, divisor, thresh):
         gr[t.row, t.col] = t.region_id
     assert (gv == exp_v).all()
     # region ids are engine-specific tokens: compare PARTITIONS
+    import pandas as pd
+    df = pd.DataFrame({"g": gr.ravel(), "e": exp_r.ravel()})
+    assert (df.groupby("g")["e"].nunique() == 1).all()
+    assert (df.groupby("e")["g"].nunique() == 1).all()
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+def test_sieve_cross_tile_matches_numpy(spark, conn):
+    """Grids WIDER than the 64-px labeling tile, both connectivities:
+    pins the r7 shared-border path (raw any-value border pairs mapped
+    through the root map) — region adjacency crossing tile boundaries,
+    including the diagonal bands at connectivity=8, must match the
+    numpy reference exactly.  (The other sieve tests use <=48x48 grids
+    that fit one tile, so this path was previously bench-only.)"""
+    v = _field(100, 100, 7, 150)
+    exp_v, exp_r, _ = _sieve_numpy(v, 3, conn=conn)
+    got = AL.sieve(_px_of(spark, v), threshold=3,
+                   connectivity=conn).toPandas()
+    assert len(got) == v.size
+    gv = np.full(v.shape, -1, np.int64)
+    gr = np.full(v.shape, -2, np.int64)
+    for t in got.itertuples(index=False):
+        gv[t.row, t.col] = int(t.value)
+        gr[t.row, t.col] = t.region_id
+    assert (gv == exp_v).all()
     import pandas as pd
     df = pd.DataFrame({"g": gr.ravel(), "e": exp_r.ravel()})
     assert (df.groupby("g")["e"].nunique() == 1).all()

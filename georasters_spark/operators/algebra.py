@@ -255,9 +255,14 @@ def sieve(px: DataFrame, threshold: int, connectivity: int = 4,
     # raw any-value border adjacency this sieve needs — the previous
     # second band-join pass over the merged labels is replaced by
     # mapping the pre-merge pairs through the root map below
-    final, raw_border, roots = polygonize_labels(
+    final, raw_border, roots, _labeled = polygonize_labels(
         px, connectivity=connectivity, _return_border=True)
     L = final.localCheckpoint(eager=True)
+    # every consumer of the internal labeled cache has materialized by
+    # now (raw/merge map during polygonize_labels, final into L): at
+    # 100-TB scale that cache is the largest transient in the job —
+    # release it instead of leaving it to eviction
+    _labeled.unpersist()
     S = L.groupBy("region_id").agg(
         F.count(F.lit(1)).alias("sz"), F.first("value").alias("value"),
         F.min("row").alias("a_r"),
@@ -669,9 +674,10 @@ def polygonize_labels(
     ``_return_border`` (internal, sieve): the band joins drop the
     value-equality key and carry both values, the raw any-value border
     pair set is checkpointed, and the return becomes
-    ``(labels_df, raw_border_df, root_map_df_or_None)`` — one border
-    pass serving both the equal-value merge and the caller's region
-    adjacency.
+    ``(labels_df, raw_border_df, root_map_df_or_None, labeled_cache)``
+    — one border pass serving both the equal-value merge and the
+    caller's region adjacency; the caller owns unpersisting the cache
+    once it has materialized the labels.
     """
     if connectivity not in (4, 8):
         raise ValueError("connectivity must be 4 or 8")
@@ -835,7 +841,7 @@ def polygonize_labels(
         )
         if _return_border:
             return (final.select("row", "col", "value", "region_id"),
-                    raw, map_df)
+                    raw, map_df, labeled)
     else:
         # small-case fast path: union-find on the driver (one job)
         epdf = eset.toPandas()
@@ -864,7 +870,7 @@ def polygonize_labels(
             final = labeled.withColumn("region_id", F.col("label"))
         if _return_border:
             return (final.select("row", "col", "value", "region_id"),
-                    raw, map_df)
+                    raw, map_df, labeled)
 
     return final.select("row", "col", "value", "region_id")
 

@@ -143,18 +143,33 @@ def gather_from_tiles(tgt: DataFrame, images: DataFrame,
                 "resolve duplicates (e.g. union_mosaic) first")
         rows = left["row"].to_numpy(np.int64)
         colsv = left["col"].to_numpy(np.int64)
+        # one sort by composite tile key, then a contiguous slice per
+        # tile (r7): the per-tile full-length masks cost O(B²·M) over a
+        # B×B superblock — the sort is O(M log M) once.  Floor division
+        # matches the block keying, so out-of-range rows fall in gaps
+        # no tile key hits; the residual bounds check guards ragged
+        # tile shapes exactly like the mask version did.
+        tkey = (rows // t_h) * (np.int64(1) << 32) + (colsv // t_w)
+        order = np.argsort(tkey, kind="stable")
+        ks = tkey[order]
         for t in right.itertuples(index=False):
+            tk = (np.int64(t.tile_row) << 32) + np.int64(t.tile_col)
+            lo = int(np.searchsorted(ks, tk, "left"))
+            hi = int(np.searchsorted(ks, tk, "right"))
+            if lo == hi:
+                continue
+            idx = order[lo:hi]
             ndv = float(t.ndv)
             arr = _codec.decode_tile(bytes(t.bytes), t.fmt,
                                      int(t.w), int(t.h), ndv)
-            li = rows - int(t.tile_row) * arr.shape[0]
-            lj = colsv - int(t.tile_col) * arr.shape[1]
+            li = rows[idx] - int(t.tile_row) * arr.shape[0]
+            lj = colsv[idx] - int(t.tile_col) * arr.shape[1]
             ok = ((li >= 0) & (li < arr.shape[0])
                   & (lj >= 0) & (lj < arr.shape[1]))
             if ok.any():
                 v = arr[li[ok], lj[ok]].astype(np.float64)
                 v[v == ndv] = np.nan
-                vals[ok] = v
+                vals[idx[ok]] = v
         out["value"] = pd.array(vals, dtype="Float64")  # NaN -> NULL
         return out
 
